@@ -1,0 +1,77 @@
+"""Table loading / view registration over a scale-factor directory.
+
+The reference moves data between pipeline stages as S3 objects
+(/root/reference/aws_infrastructure/airflow-setup.py:172-192 — buckets
+are the hand-off substrate). Here the substrate is any Hadoop-compatible
+path (local fs in tests, s3a:// in production); ``load`` is a thin
+wrapper over ``spark.read.parquet`` with the explicit schema applied so
+Catalyst gets non-nullable columns and the analyzer never depends on
+footer inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one canonical table as a DataFrame.
+
+    Schema note: we deliberately read with the footer schema (parquet
+    already carries exact physical types written by the generator) and
+    assert congruence with the declared schema's column names — applying
+    ``.schema(...)`` to parquet would disable vectorized reading when
+    nullability differs. Name congruence is cheap and catches drift.
+    """
+    # Defensive runtime confs: the caller's session (e.g. the driver's)
+    # may not carry our SCALE_PROFILE. Both are runtime-settable SQL
+    # confs; UTC keeps timestamp↔epoch conversions aligned with DuckDB.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # TIMESTAMP(NANOS) columns surface as LongType nanos under
+    # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (exactly
+    # what DuckDB's reader does) and restore TimestampType.
+    expected_schema = schemas.TABLES.get(name)
+    if expected_schema is not None:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for field in expected_schema.fields:
+            if isinstance(field.dataType, T.TimestampType) and isinstance(
+                actual.get(field.name), T.LongType
+            ):
+                # integer DIV: double division would lose precision on
+                # ~1.7e18 nanosecond values (double mantissa is 53 bits)
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` DIV 1000")),
+                )
+    expected = expected_schema
+    if expected is not None:
+        got = set(df.columns)
+        want = {f.name for f in expected.fields}
+        if got != want:
+            raise ValueError(f"table {name}: columns {got} != declared {want}")
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in schemas.TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every canonical table as a temp view (for spark.sql paths)."""
+    for name in schemas.TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

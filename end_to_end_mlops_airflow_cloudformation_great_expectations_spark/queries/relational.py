@@ -1,0 +1,944 @@
+"""Relational operator surface: scans, filters, joins, aggregations,
+windows, set ops, scalar functions (SURVEY.md §2.1-§2.8, stages 1+3).
+
+Every query here is a pure DataFrame-API composition — Catalyst applies
+predicate pushdown, column pruning, join selection (broadcast for the
+star-schema dims, sort-merge for fact-fact), and partial aggregation
+automatically. Each carries a DuckDB oracle.
+
+Scale notes (the 100 TB design intent, per query family):
+- filters/projections push to the parquet scan (verified via
+  ``.explain``: PushedFilters + ReadSchema pruning);
+- dim joins (region/nation/customer/supplier/part) broadcast — no
+  shuffle of the fact table;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key once; AQE
+  coalesces post-shuffle partitions and splits skewed keys;
+- aggregations are hash-agg with map-side partial aggregation, so the
+  shuffle carries one row per (partition × group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Projections & filters (P1-P5) — pushdown demos
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_project_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part WHERE p_size > 25
+    """,
+)
+def p1_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: projection + filter, both pushed to the parquet scan."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 25)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@query(
+    "p2_eq_filter",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def p2_eq_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: equality predicate (the reference's vendor_<v>==1 partition
+    filter, /root/reference/source_data/datasets/ layout, normalized)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "p3_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 10
+    """,
+)
+def p3_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: conjunctive range predicates (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "p4_null_predicate",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_nonurgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def p4_null_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: null semantics — the reference encodes missingness as all-zero
+    one-hot groups (SURVEY.md §2.2 P4); normalized form uses real NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias(
+            "n_nonurgent"
+        ),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
+@query(
+    "p5_string_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%bolt%'
+      AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13')
+      AND p_type <> 'PROMO'
+    """,
+)
+def p5_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: LIKE / IN / <> string predicates."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_name").like("%bolt%")
+            & F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+            & (F.col("p_type") != "PROMO")
+        )
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A3, A9, A10) + TPC-H-shaped pipelines
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: full scan → hash agg with 8 aggregates (TPC-H Q1
+    shape). At 100 TB this is the canonical map-side-combine plan: the
+    shuffle carries ≤ (partitions × 6 groups) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P3: global aggregate under selective pushdown predicates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "a2_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact distinct aggregation (expand-based distinct planning)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query("a2_approx_count_distinct")  # approximate → rows-only check
+def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: HLL++ approximate distinct — the scale path for 100 TB
+    cardinality estimation (no exact shuffle of distinct values).
+    Approximate ⇒ no DuckDB hash oracle; tests assert relative error."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        )
+    )
+
+
+@query(
+    "a3_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: hierarchical rollup over the region→nation dim chain."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "sum_bal",
+        )
+    )
+
+
+@query(
+    "a3_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: full cube (2^k grouping sets in one pass via Expand)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "a9_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(MEDIAN(c_acctbal), 4) AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact ordered-set aggregates (median / percentile_cont)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 4).alias("median_bal"),
+            F.round(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "a10_collect",
+    oracle="""
+    SELECT r_name,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), ',') AS nations,
+           COUNT(DISTINCT n_name) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a10_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: collect_set, deterministically sorted then joined to a
+    string so the value hash is order-independent."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4, J7) + multi-join pipelines
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_join",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j1_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact ⋈ broadcast(dim) — zero shuffle of the fact table; the
+    only shuffle is the final partial→final agg on p_brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j2_fact_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def j2_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: large-large equi-join — sort-merge/shuffled-hash on the
+    orderkey; AQE may demote to broadcast at small SF. One shuffle per
+    side keyed on o_orderkey/l_orderkey."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi (EXISTS) — no row multiplication, build side only
+    needs the key column."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "j3_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-anti (NOT EXISTS) — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "j4_theta_band_join",
+    oracle="""
+    SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9))
+         AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def j4_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: non-equi (range-band) join → BroadcastNestedLoopJoin with the
+    tiny band table broadcast. At scale, band tables stay small, so BNLJ
+    with a broadcast side is the right physical plan."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "j7_cross_join",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_pairs
+    FROM region CROSS JOIN nation
+    GROUP BY r_name
+    """,
+)
+def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: guarded cartesian product of two small dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS orderdate_epoch,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered multi-join → agg → global top-k
+    (TakeOrderedAndProject — only k rows leave each partition)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-06-30")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_regional_revenue",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('EUROPE', 'ASIA')
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join — every dim broadcasts; the
+    only shuffles are orders⋈lineitem and the final agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1995-01-01")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("EUROPE", "ASIA"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W4) & top-k (O2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4: top-3 orders per customer — the canonical window-rank
+    filter; single shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "w2_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value)  OVER w, 4) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead analytics per user ordered by event time."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: framed running aggregate per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "w4_rank_ntile",
+    oracle="""
+    SELECT s_suppkey,
+           RANK()       OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           NTILE(4)     OVER w AS bal_quartile
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def w4_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: rank / dense_rank / ntile over a global ordering (small dim —
+    single-partition window is acceptable; at scale, rank over a global
+    order is a range-partitioned sort + zipWithIndex-style pass)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+@query(
+    "o2_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def o2_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global top-k → TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked but never purchased."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'error'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — also the inverse of the reference's per-vendor
+    fan-out (SURVEY.md §2.7: re-merging vendor partitions)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           SUBSTRING(p_name, 1, 5) AS pfx,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           LENGTH(p_name) AS name_len,
+           LEVENSHTEIN(p_name, 'widget') AS lev_widget,
+           LEN(STRING_SPLIT(p_name, ' ')) AS n_tokens,
+           REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS consonants
+    FROM part
+    """,
+)
+def f_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string surface: case, substring, concat, length,
+    levenshtein, split, regexp_replace."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein(F.col("p_name"), F.lit("widget")).cast("long").alias("lev_widget"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_tokens"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+    )
+
+
+@query(
+    "f_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate) AS o_year,
+           QUARTER(o_orderdate) AS o_quarter,
+           MONTH(o_orderdate) AS o_month,
+           DAYNAME(o_orderdate) AS weekday_name,
+           CAST(EPOCH(DATE_TRUNC('month', o_orderdate)) AS BIGINT) AS month_epoch,
+           DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def f_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 datetime surface — includes the reference's evidenced
+    weekday/quarter features (SURVEY.md A5, train.parquet weekday_* and
+    Q_* one-hot groups)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_format("o_orderdate", "EEEE").alias("weekday_name"),
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_epoch"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).cast("long").alias("days_since_95"),
+    )
+
+
+@query(
+    "f_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 4) AS discount_amt,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 4) AS price_ln,
+           ROUND(POW(l_tax, 2), 6) AS tax_sq,
+           ABS(l_quantity - 25) AS qty_dev
+    FROM lineitem
+    """,
+)
+def f_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "discount_amt"
+        ),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow("l_tax", F.lit(2)), 6).alias("tax_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+    )
+
+
+@query(
+    "f_array_functions",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                               x -> x * x), 'sum'), 4) AS sq_norm
+    FROM embeddings
+    """,
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array surface: size, element access, transform+aggregate
+    (the dot-product building block for J8 cosine)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: x * x
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_val"),
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "f_json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def f_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON surface: events.props is a JSON string payload."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@query(
+    "f_conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           GREATEST(c_acctbal, 0.0) AS bal_floor0,
+           LEAST(c_acctbal, 1000.0) AS bal_cap1k
+    FROM customer
+    """,
+)
+def f_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 conditional surface: when/otherwise, coalesce/nullif,
+    greatest/least (P4's missing-category handling uses these)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg_or_default"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
