@@ -1,0 +1,104 @@
+"""As-of and point-in-range joins (SURVEY.md J5/J6).
+
+Spark has no native as-of join. Two implementations:
+
+- ``asof_join``: union + window ``last(ignorenulls)`` — one shuffle on
+  the partition key, fully JVM-side, scales to arbitrary key
+  cardinality (the state per key is one running value, not a buffer).
+- ``asof_join_pandas``: per-key ``applyInPandas`` + ``pandas.merge_asof``
+  — Arrow-batched; simpler semantics surface (tolerance, nearest) but
+  pays the Python crossing. Used when per-key data fits in memory.
+
+The union trick: tag right rows (the "quotes") 0 and left rows (the
+"trades") 1, sort by (time, tag) within each key so a right row at the
+exact same time sorts first (inclusive match), then carry the latest
+right-row payload forward with ``last(..., ignorenulls=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with ``right_time <= left_time`` within the same ``on`` key.
+
+    Left columns are preserved; payload columns are added (null when no
+    earlier right row exists).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    ).select(*lcols, "__t", "__is_left", *[f"__p_{p}" for p in payload])
+
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__is_left",
+        *[
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p)
+            for p in payload
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """merge_asof variant: cogroup both sides by key, Arrow-transfer to
+    pandas, ``pd.merge_asof`` per key group (backward, inclusive)."""
+    import pandas as pd
+
+    out_schema = left.schema.fieldNames() + payload
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{p} {right.schema[p].dataType.simpleString()}" for p in payload]
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.sort_values(left_time)
+        r_pdf = r_pdf.sort_values(right_time)[[right_time, *payload]]
+        merged = pd.merge_asof(
+            l_pdf,
+            r_pdf,
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+        )
+        return merged[out_schema]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(lambda l, r: merge(l, r), schema)
+    )

@@ -1,0 +1,119 @@
+"""Operator-level tests: expectation gates, as-of join variants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    asof,
+    expectations,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def events_suite() -> expectations.Suite:
+    return (
+        expectations.Suite("events")
+        .expect_row_count_between(1)
+        .expect_no_nulls("event_id")
+        .expect_unique("event_id")
+        .expect_values_between("value", 0.0, 1e6)
+        .expect_values_in_set(
+            "event_type", {"click", "error", "purchase", "signup", "view"}
+        )
+    )
+
+
+def test_expectation_suite_passes(spark):
+    e = catalog.load(spark, SF_DIR, "events")
+    metrics = events_suite().validate(e)
+    assert metrics["row_count"] == e.count()
+    assert metrics["dupes_event_id"] == 0
+
+
+def test_expectation_suite_fails_on_violation(spark):
+    e = catalog.load(spark, SF_DIR, "events")
+    corrupted = e.withColumn(
+        "value", F.when(F.col("event_id") == 0, -5.0).otherwise(F.col("value"))
+    )
+    with pytest.raises(expectations.ExpectationError, match="min_value"):
+        (
+            expectations.Suite("corrupted")
+            .expect("min_value", F.min("value"), lambda v: v >= 0)
+            .validate(corrupted)
+        )
+
+
+def test_expectation_observe_is_single_pass(spark):
+    e = catalog.load(spark, SF_DIR, "events")
+    suite = events_suite()
+    observed, obs = suite.attach(e)
+    n = observed.count()  # one action materializes metrics
+    results = suite.evaluate(obs.get)
+    assert all(results.values())
+    assert obs.get["row_count"] == n
+
+
+def _mk_asof_fixture(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 100.0),
+            (1, dt.datetime(2024, 1, 1, 11, 0), 101.0),
+            (2, dt.datetime(2024, 1, 1, 10, 30), 200.0),
+        ],
+        "key int, qts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 30), "t1"),   # -> 100.0
+            (1, dt.datetime(2024, 1, 1, 11, 0), "t2"),    # exact match -> 101.0
+            (2, dt.datetime(2024, 1, 1, 10, 0), "t3"),    # before any quote -> null
+            (3, dt.datetime(2024, 1, 1, 12, 0), "t4"),    # no quotes for key -> null
+        ],
+        "key int, tts timestamp, tag string",
+    )
+    return quotes, trades
+
+
+def test_asof_join_window_impl(spark):
+    quotes, trades = _mk_asof_fixture(spark)
+    out = asof.asof_join(
+        trades, quotes, on="key", left_time="tts", right_time="qts",
+        payload=["price"],
+    )
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 101.0, "t3": None, "t4": None}
+
+
+def test_asof_join_pandas_impl(spark):
+    quotes, trades = _mk_asof_fixture(spark)
+    out = asof.asof_join_pandas(
+        trades, quotes, on="key", left_time="tts", right_time="qts",
+        payload=["price"],
+    )
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    assert got == {"t1": 100.0, "t2": 101.0, "t3": None, "t4": None}
+
+
+def test_asof_impls_agree_on_real_data(spark):
+    e = catalog.load(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    o = (
+        catalog.load(spark, SF_DIR, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    a = asof.asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey"],
+    ).select("event_id", "o_orderkey")
+    b = asof.asof_join_pandas(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey"],
+    ).select("event_id", "o_orderkey")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
