@@ -1,1 +1,138 @@
-"""Placeholder — filled in by later stage."""
+"""Batch-mode twins of the streaming operators (SURVEY.md §2.9).
+
+The driver's oracle is batch SQL, so T1-T3/T5/T7 register here as
+batch DataFrame queries using the SAME transformation functions as the
+streaming jobs (streaming/jobs.py) — ``window`` / ``session_window`` /
+dedup / stream-static join run identically on a static DataFrame.
+The genuinely streaming-only behaviors (watermark late-data drop,
+``applyInPandasWithState``, the foreachBatch gate) are driven by real
+``readStream`` queries in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..streaming import jobs
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "events")
+
+
+@query(
+    "t1_tumbling_window",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(ts) / 600) AS BIGINT) * 600 AS wstart,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: 10-minute tumbling event-time windows per event type."""
+    return jobs.tumbling_agg(_events(spark, sf_dir), "10 minutes")
+
+
+@query(
+    "t2_sliding_window",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) AS BIGINT) * 300 AS wstart, value
+      FROM events
+      UNION ALL
+      SELECT CAST(FLOOR(EPOCH(ts) / 300) AS BIGINT) * 300 - 300 AS wstart, value
+      FROM events
+    )
+    SELECT wstart, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM assigned GROUP BY wstart
+    """,
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 10-minute windows sliding every 5 — each event contributes
+    to exactly 2 windows (oracle assigns both starts explicitly)."""
+    return jobs.sliding_agg(_events(spark, sf_dir), "10 minutes", "5 minutes")
+
+
+@query(
+    "t3_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 6-hour-gap sessionization — ``session_window`` in Spark,
+    gaps-and-islands SQL in the oracle (identical semantics: a gap of
+    exactly the threshold starts a new session)."""
+    return jobs.session_agg(_events(spark, sf_dir), "6 hours")
+
+
+@query(
+    "t5_dedup_keyed",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_dupes
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def t5_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch twin: deterministic dedup on a composite key with a
+    min-keeper (streaming ``dropDuplicates`` keeps the first arrival,
+    which isn't cross-engine reproducible; the keeper rule is)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+@query(
+    "t7_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: stream⋈static-dim enrichment, aggregated per segment (the
+    join itself is jobs.stream_static_join; broadcast per micro-batch)."""
+    enriched = jobs.stream_static_join(
+        _events(spark, sf_dir), catalog.load(spark, sf_dir, "customer")
+    )
+    return (
+        enriched.filter(F.col("c_mktsegment").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

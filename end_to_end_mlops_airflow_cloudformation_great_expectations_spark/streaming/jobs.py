@@ -1,0 +1,165 @@
+"""Structured Streaming operators (SURVEY.md §2.9, T1-T8).
+
+The reference has no streams — its closest analog is the Airflow
+scheduler's 30-second DAG-directory rescan loop
+(/root/reference/aws_infrastructure/airflow-setup.py:465), i.e.,
+micro-batch orchestration at the file level. Here streams are
+first-class: event-time windows with watermarks, streaming dedup,
+stream-static joins, arbitrary stateful processing, and the
+Great-Expectations gate applied per micro-batch (T8).
+
+Every transformation below takes/returns DataFrames and works
+identically on batch DataFrames (the driver's DuckDB oracles run the
+batch forms — see queries/streaming_batch.py) and on streaming ones
+(tests drive them through real ``readStream`` + ``availableNow``).
+
+Scale: windowed aggregations shuffle once on (window, key); state
+store size is bounded by the watermark horizon; ``availableNow``
+backfills historical data with the same code that serves the live
+stream (Kappa-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+#: Physical schema of the events parquet (ts is TIMESTAMP(NANOS) which
+#: Spark reads as long under nanosAsLong — see catalog.load).
+_EVENTS_RAW_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S8: file-based streaming source over the events layout.
+
+    Declares the physical schema explicitly (streaming sources never
+    infer) and restores event-time to TimestampType.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.readStream.schema(_EVENTS_RAW_DDL).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """T4: bound state by event-time; rows later than the watermark are
+    dropped from stateful operators."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """T1: event-time tumbling window per event_type."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp("window.start").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """T2: sliding window — each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp("window.start").alias("wstart"), "n", "sum_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    """T3: session windows per user — sessions close after ``gap`` of
+    inactivity; state per key is one open session."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T5: drop duplicate event_ids (requires a watermark upstream in
+    streaming mode so the seen-key state is bounded)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """T7: enrich the stream with a static dimension — planned as a
+    broadcast hash join per micro-batch, no stream-side state."""
+    return events.join(
+        F.broadcast(customer),
+        events.user_id == customer.c_custkey,
+        "left",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """T6: arbitrary stateful processing — per-user running
+    (count, sum) maintained across micro-batches via
+    ``applyInPandasWithState``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming DataFrame to completion over all currently
+    available input (Kappa backfill / test harness): memory sink,
+    ``availableNow`` trigger, synchronous. ``complete`` for
+    aggregations, ``update`` for stateful, ``append`` for row streams.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+__all__ = [
+    "read_events_stream",
+    "with_watermark",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "dedup_stream",
+    "stream_static_join",
+    "running_user_totals",
+    "run_available_now",
+]

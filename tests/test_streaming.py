@@ -1,0 +1,121 @@
+"""Real Structured Streaming tests (SURVEY.md T1-T8): drive the
+streaming jobs through ``readStream`` + ``availableNow`` and assert
+they agree with their batch twins on the same input."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    expectations,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+    jobs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d / "part-0.parquet")
+    return str(d)
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_t1_tumbling_stream_equals_batch(spark, events_dir):
+    stream = jobs.with_watermark(jobs.read_events_stream(spark, events_dir))
+    jobs.run_available_now(jobs.tumbling_agg(stream), "t1_out", "complete")
+    got = spark.sql("SELECT * FROM t1_out")
+    want = jobs.tumbling_agg(catalog.load(spark, SF_DIR, "events"))
+    cols = ["wstart", "event_type", "n", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_t3_session_stream_equals_batch(spark, events_dir):
+    stream = jobs.with_watermark(jobs.read_events_stream(spark, events_dir), "1 hour")
+    jobs.run_available_now(jobs.session_agg(stream), "t3_out", "complete")
+    got = spark.sql("SELECT * FROM t3_out")
+    want = jobs.session_agg(catalog.load(spark, SF_DIR, "events"))
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_t5_streaming_dedup(spark, events_dir):
+    # duplicate the whole input file: every event_id appears twice
+    shutil.copy(
+        os.path.join(events_dir, "part-0.parquet"),
+        os.path.join(events_dir, "part-1.parquet"),
+    )
+    stream = jobs.with_watermark(jobs.read_events_stream(spark, events_dir), "1 hour")
+    deduped = jobs.dedup_stream(stream).select("event_id")
+    jobs.run_available_now(deduped, "t5_out", "append")
+    got = spark.sql("SELECT count(*) AS n, count(distinct event_id) AS d FROM t5_out")
+    n, d = got.collect()[0]
+    want = catalog.load(spark, SF_DIR, "events").count()
+    assert n == d == want
+
+
+def test_t6_stateful_running_totals(spark, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir)
+    jobs.run_available_now(jobs.running_user_totals(stream), "t6_out", "update")
+    # last update per user is the final running total
+    got = spark.sql(
+        """
+        SELECT user_id, max(n_events) AS n_events
+        FROM t6_out GROUP BY user_id
+        """
+    )
+    want = (
+        catalog.load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["user_id", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_t8_foreachbatch_gate(spark, events_dir, tmp_path):
+    suite = expectations.Suite("stream-gate").expect(
+        "min_value", F.min("value"), lambda v: v is not None and v >= 0
+    )
+    out = str(tmp_path / "gated_out")
+
+    def write(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    # clean stream passes the gate and lands in the sink
+    stream = jobs.read_events_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(expectations.gate_stream(suite, write))
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == catalog.load(
+        spark, SF_DIR, "events"
+    ).count()
+
+    # corrupted stream must fail the query with the expectation error
+    corrupted = stream.withColumn(
+        "value", F.when(F.col("event_id") == 0, -1.0).otherwise(F.col("value"))
+    )
+    q2 = (
+        corrupted.writeStream.foreachBatch(expectations.gate_stream(suite, write))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="min_value"):
+        q2.awaitTermination()
