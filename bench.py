@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is materialized through the noop sink (full computation,
+no driver-side collect) and timed wall-clock. The headline set covers
+every operator family: scan/filter/agg, broadcast + fact-fact joins,
+windows, pivot, streaming batch-twins, text analysis, dedup
+(exact + MinHash-LSH), similarity search, multimodal mapInPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "j1_broadcast_join",
+    "j2_fact_fact_join",
+    "w1_topk_per_group",
+    "a4_pivot_agg",
+    "a7_hash_split",
+    "j5_asof_join",
+    "t1_tumbling_window",
+    "t3_session_window",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+    "mm_media_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    # warmup: touch the fact table so JVM/codegen costs don't land on q1
+    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

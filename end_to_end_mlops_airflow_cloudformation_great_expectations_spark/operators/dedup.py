@@ -1,0 +1,339 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md A11/A12 [N]): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Everything is DataFrame-composition: shingling/hashing/banding are
+built-in expressions (xxhash64, transform, array_min), candidate
+generation is a band-bucket self-join, verification is exact set
+arithmetic on shingle arrays. No Python in the hot path.
+
+Scale design (the point of LSH): the candidate set is
+O(near-duplicates), not O(n²). The self-join shuffles on the band
+bucket hash; a hot bucket (boilerplate shingles) is the skew risk, so
+``max_bucket_size`` drops pathological buckets (standard practice —
+a bucket with thousands of members is boilerplate, not duplication
+signal). AQE's skew-join split handles moderate skew.
+
+Refs: Broder 1997 (MinHash), Leskovec et al. MMDS ch.3 (banding),
+Charikar 2002 (SimHash); GPT-3/C4/RefinedWeb dedup recipes use the
+same shingle→minhash→band pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (A11)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per duplicate
+    group of ``cols``. ``dropDuplicates`` keeps an arbitrary row; a
+    min-keeper is reproducible and oracle-friendly."""
+    keep = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash (A12)
+# ---------------------------------------------------------------------------
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct lowercase character k-shingles as an array column."""
+    lowered = F.lower(text)
+    n = F.length(lowered) - (k - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.substring(lowered, i, k),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
+    """Array of ``n_hashes`` min-hash values (expression form — use
+    ``minhash_signatures`` for the whole-table path). Permutation i is
+    simulated by seeding xxhash64 with the literal i (the standard
+    seeded-hash-family approximation of random permutations)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc minhash signature via explode → hash once per shingle →
+    map-side partial MIN aggregation.
+
+    This is the scalable formulation: the pure-expression form
+    (``minhash_signature``) re-inlines the shingle array into each of
+    the n_hashes array_min expressions after projection collapse, so
+    shingling runs n_hashes times per row (~30× slower measured). Here
+    each shingle is hashed once per permutation and combined by hash
+    aggregation, which partial-aggregates map-side — the shuffle
+    carries one n_hashes-wide row per doc."""
+    sh = docs.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("s")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band (contiguous slice of the signature) to a bucket."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array-set columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing ≥1 minhash band.
+
+    bands=8 × rows=4 ⇒ S-curve threshold (1/8)^(1/4) ≈ 0.59 Jaccard.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    band_cols = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        id_col, F.posexplode(band_cols).alias("band", "bucket")
+    )
+    # skew guard: drop boilerplate mega-buckets before the self-join
+    sized = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b = sized.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """A12 end-to-end: LSH candidates → exact Jaccard verification →
+    pairs with similarity ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    cands = minhash_candidates(docs, id_col, text_col, k, n_hashes, bands)
+    sh = docs.select(
+        F.col(id_col), char_shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates, keeping the min-id representative of each
+    connected pair (single-link, one hop — the standard one-pass
+    approximation; full transitive closure needs iteration)."""
+    pairs = minhash_neardup_pairs(docs, id_col, text_col, threshold=threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Charikar SimHash over whitespace tokens: bit b of the signature
+    is the sign of Σ_tokens (±1 per token-hash bit b). Near-duplicate
+    docs differ in few bits (small Hamming distance)."""
+    tokens = F.filter(F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0)
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        for b in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for b, s in enumerate(bit_sums):
+        # shiftleft instead of 2**b: 2**63 overflows a signed long literal
+        out = out + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk banding: signatures within
+    Hamming < n_chunks of each other are GUARANTEED to agree on ≥1
+    chunk (pigeonhole); larger Hamming targets are caught
+    probabilistically — raise ``n_chunks`` (8 chunks of 8 bits) to
+    trade candidate volume for recall at higher ``max_hamming``."""
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+    chunks = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), chunk_bits * c)
+                    .bitwiseAND(F.lit(mask))
+                    .alias(f"c{c}")
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "cval"),
+    )
+    a = chunks.select("chunk", "cval", F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunks.select("chunk", "cval", F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, for blocked/small candidate sets)
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0)
+    cnt = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(cnt - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within a blocking key (use when blocks
+    are small; otherwise use minhash_neardup_pairs)."""
+    g = docs.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        word_ngrams(F.col(text_col), n).alias("ng"),
+    )
+    a = g.select("block", F.col(id_col).alias("id_a"), F.col("ng").alias("ng_a"))
+    b = g.select("block", F.col(id_col).alias("id_b"), F.col("ng").alias("ng_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("ng_a"), F.col("ng_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,229 @@
+"""Embedding similarity search (SURVEY.md J8 [N]): brute-force cosine
+top-k (the correctness baseline) and random-hyperplane LSH (the scale
+path), plus embedding-cosine near-duplicate detection.
+
+Vectors are ``array<float>`` columns; all arithmetic is expression-
+level (``zip_with`` dot products, ``aggregate`` folds) — JVM-side, no
+UDF. At 100 TB the brute-force path broadcasts the (small) query set
+against the corpus and keeps only top-k per query via window rank —
+a single corpus scan, no shuffle of the corpus itself. The LSH path
+buckets the corpus once (signature = sign pattern of projections onto
+pseudo-random hyperplanes), then searches only matching buckets —
+sublinear candidate sets at the cost of measured recall.
+
+Papers: Charikar 2002 (random hyperplanes); IVF-style bucketing per
+Johnson et al. 2017 (FAISS) — bucket-then-rerank structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    # try_divide: zero vectors yield NULL similarity, not an ANSI error
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) × corpus → window rank.
+
+    Returns (query_id, neighbor_id, cos_sim, rnk). Ties broken by
+    neighbor id for determinism. Self-matches excluded when ids
+    coincide."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(query_vec)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), _as_double(F.col(corpus_vec)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 16, table: int = 0
+) -> Column:
+    """LSH bucket id: sign pattern of dot products with ``n_planes``
+    pseudo-random ±1 hyperplanes. Plane weights are derived from
+    xxhash64(table, plane, dim_index) — deterministic, no stored model,
+    and identical on every executor with zero broadcast state."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        weights = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.lit(table), F.lit(p), F.lit(d)), F.lit(2)) * 2
+                    - 1
+                ).cast("double")
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+    return sig
+
+
+def _table_signatures(vec: Column, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Array of per-table bucket ids (multi-table LSH: recall
+    1-(1-p^b)^L instead of p^b — the standard L-tables trade of
+    memory/candidates for recall). Expression form — prefer
+    ``table_signatures_udf`` on whole tables: n_tables × n_planes × dim
+    expression nodes blow up analysis/codegen time."""
+    return F.array(
+        *[
+            hyperplane_signature(vec, dim, n_planes, table=t)
+            for t in range(n_tables)
+        ]
+    )
+
+
+def table_signatures_udf(n_planes: int, n_tables: int, seed: int = 42):
+    """Arrow-vectorized multi-table signature: one numpy matmul per
+    batch against a deterministic ±1 hyperplane matrix.
+
+    This is the sanctioned pandas_udf case: the per-element expression
+    form needs n_tables·n_planes·dim JVM expression nodes (measured
+    ~50 s of planning+eval at 5k rows for 8×6×64), while the batch
+    form is a (batch × dim) @ (dim × planes) multiply. Weights come
+    from a seeded RNG, so every executor regenerates them identically
+    — no broadcast state."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim)
+        dim = mat.shape[1]
+        rng = np.random.RandomState(seed)
+        planes = rng.choice([-1.0, 1.0], size=(n_tables * n_planes, dim))
+        bits = (mat @ planes.T) > 0  # (n, L*b)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        packed = bits.reshape(len(mat), n_tables, n_planes) @ weights  # (n, L)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH — candidates are
+    corpus vectors sharing ≥1 table bucket with the query, exact cosine
+    re-rank on the candidate set only.
+
+    Knobs: more planes/table → smaller buckets (fewer candidates,
+    lower per-table recall); more tables → recall 1-(1-p^b)^L at the
+    cost of candidate volume. Recall is a MEASURED property — tests
+    compare against brute_force_topk ground truth; tune (b, L) to the
+    corpus's similarity profile, don't assume."""
+    sig_udf = table_signatures_udf(n_planes, n_tables)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.posexplode(sig_udf(_as_double(F.col(vec_col)))).alias("table", "sig"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.posexplode(sig_udf(_as_double(F.col(vec_col)))).alias("table", "sig"),
+    )
+    cands = (
+        q.join(c, ["table", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (all-pairs inside blocks; use lsh buckets as blocks at scale)."""
+    e = embeddings.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a = e.select("block", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = e.select("block", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "block",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md A14 [N]): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path logic is built-in column expressions (JVM, whole-stage
+codegen) — at 100 TB a Python UDF here would dominate the job. The
+only data-dependent artifacts (stopword marker sets) are explicit
+literals, not learned state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenization: alnum runs or single non-alnum-non-space
+#: symbols (the GPT-2 pre-tokenizer's coarse shape, minus byte tricks).
+TOKEN_REGEX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+#: Tiny per-language function-word markers for the n-gram/stopword
+#: language heuristic. Deliberately small + explicit (an artifact, not
+#: a model); extend per corpus.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "un", "una", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["on", "with", "as", "at", "by", "an"]
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(
+        F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count via the pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    # try_divide: empty/whitespace-only docs have zero words; ANSI mode
+    # (Spark 4 default) turns x/0 into a hard error, and real corpora
+    # contain empty documents
+    ws = words(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    return F.try_divide(
+        F.size(F.filter(ws, lambda w: F.array_contains(sw, w))), F.size(ws)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.try_divide(
+        F.length(F.regexp_replace(text, "[^.,;:!?'\"()-]", "")), F.length(text)
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    ws = words(text)
+    return F.try_divide(
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        F.size(ws),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] heuristic quality: length in a sane band, words
+    not too short/long, some stopword mass, punctuation not dominant.
+    (The C4/Gopher-style rule family, expression-only.)"""
+    n_words = F.size(words(text))
+    len_ok = F.when((n_words >= 5) & (n_words <= 10000), 1.0).otherwise(0.0)
+    mwl = mean_word_len(text)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.0)
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.0)
+    pr = punct_ratio(text)
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.0)
+    return (len_ok + mwl_ok + sw_ok + punct_ok) / 4.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the canonical form
+    (lowercase, punctuation stripped, whitespace collapsed). The exact
+    near-canonical dedup key — catches case/spacing/punct variants."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "
+        )
+    )
+    return F.md5(canon)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    ws = words(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.try_divide(
+            F.size(F.filter(ws, lambda w: F.array_contains(marker_arr, w))),
+            F.size(ws),
+        )
+        out.append((lang, score))
+    return out
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-hit ratios; ``und`` when
+    nothing matches. Pure expressions — no UDF, no model file."""
+    scores = lang_scores(text)
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    expr = F.lit(default)
+    # build reverse so earlier langs win ties (deterministic order)
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text profile: id, token stats, quality, fingerprint,
+    predicted language."""
+    t = F.col(text_col)
+    return docs.select(
+        id_col,
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(words(t)).cast("long").alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        F.round(mean_word_len(t), 4).alias("mean_word_len"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(quality_score(t), 2).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+        lang_id(t).alias("pred_lang"),
+    )

@@ -1,1 +1,385 @@
-"""Placeholder — filled in by later stage."""
+"""LLM-data-pipeline queries (SURVEY.md stage 5 [N]): text analysis,
+dedup (exact / MinHash / SimHash / n-gram Jaccard), embedding
+similarity search, multimodal column plumbing.
+
+Everything SQL-expressible carries a DuckDB oracle — including the
+mapInPandas multimodal pipeline (its fake decoder is deliberately
+built from portable arithmetic so plain SQL can verify the full
+Arrow/binary/batch plumbing end-to-end). Approximate ops (MinHash/
+SimHash/LSH candidates) are rows-only here and recall-tested in
+tests/test_llm_ops.py against planted ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import dedup, multimodal, similarity, text
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (A14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           CAST(LEN(ws) AS BIGINT) AS n_words,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_tokens,
+           ROUND(list_aggregate(list_transform(ws, x -> CAST(LEN(x) AS DOUBLE)),
+                                'sum') / LEN(ws), 4) AS mean_word_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: char/word/BPE-ish token counts + mean word length, all
+    expression-level (no UDF in a 100 TB token-counting pass)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_calc"),
+        F.size(text.words(t)).cast("long").alias("n_words"),
+        text.token_count(t).alias("n_tokens"),
+        F.round(text.mean_word_len(t), 4).alias("mean_word_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             LEN(ws) AS n_words,
+             list_aggregate(list_transform(ws, x -> CAST(LEN(x) AS DOUBLE)),
+                            'sum') / LEN(ws) AS mwl,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+                 ['the','and','of','to','in','is','a','that','it','for',
+                  'on','with','as','at','by','an'], x))) AS DOUBLE)
+               / LEN(ws) AS swr,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(swr, 4) AS stopword_ratio,
+           ROUND(pr, 4) AS punct_ratio,
+           ROUND((CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 2) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: C4/Gopher-style quality heuristics (length band, word
+    shape, stopword mass, punctuation density) → composite score."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(text.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(text.quality_score(t), 2).alias("quality"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: canonical-form md5 fingerprint (case/punct/spacing
+    invariant dedup key)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        CAST(LEN(list_filter(ws, x -> list_contains(
+          ['the','and','of','to','in','is','a','that','it','for'], x))) AS DOUBLE) / LEN(ws) AS s_en,
+        CAST(LEN(list_filter(ws, x -> list_contains(
+          ['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS DOUBLE) / LEN(ws) AS s_de,
+        CAST(LEN(list_filter(ws, x -> list_contains(
+          ['le','la','et','les','des','est','un','une','que','pour'], x))) AS DOUBLE) / LEN(ws) AS s_fr,
+        CAST(LEN(list_filter(ws, x -> list_contains(
+          ['el','la','de','que','y','los','es','un','una','por'], x))) AS DOUBLE) / LEN(ws) AS s_es,
+        CAST(LEN(list_filter(ws, x -> list_contains(
+          ['的','是','了','在','我','有','和','不','人','这'], x))) AS DOUBLE) / LEN(ws) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                     AND s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                     AND s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                     AND s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                     AND s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                     AND s_zh = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: marker-ratio language heuristic, argmax with deterministic
+    tie order (en,de,fr,es,zh), 'und' when no markers hit."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (A11/A12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: exact (canonical-form) dedup — hash-groupBy with a
+    deterministic min-id keeper. One shuffle on the fingerprint; at
+    100 TB group on the hash, never the raw text."""
+    d = _docs(spark, sf_dir).withColumn(
+        "fingerprint", text.fingerprint(F.col("text"))
+    )
+    return d.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query("dedup_minhash_pairs")  # approximate candidate set → rows-only
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: MinHash-LSH near-dup pairs (shingle→minhash→band→bucket
+    self-join→exact-Jaccard verify). Candidate generation is
+    probabilistic ⇒ no SQL oracle; recall is measured in
+    tests/test_llm_ops.py on planted near-duplicates."""
+    return dedup.minhash_neardup_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+
+
+@query("dedup_simhash_pairs")  # approximate → rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: SimHash near-dup pairs (64-bit signature, 4-chunk banding,
+    Hamming ≤ 3 verify)."""
+    return dedup.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH w AS (
+      SELECT lang AS block, doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT block, doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, GREATEST(LEN(ws) - 2, 0))]) AS ng
+      FROM w
+    )
+    SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+                 (LEN(a.ng) + LEN(b.ng) - LEN(list_intersect(a.ng, b.ng))),
+                 4) AS jaccard
+    FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.ng, b.ng)) AS DOUBLE) /
+          (LEN(a.ng) + LEN(b.ng) - LEN(list_intersect(a.ng, b.ng))) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: direct word-3-gram Jaccard within lang blocks (restricted
+    to doc_id < 200 — the all-pairs form is for small blocks; the LSH
+    form scales)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(
+        d, block_col="lang", n=3, threshold=0.05
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (J8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 baseline: exact cosine top-5 for 10 query vectors —
+    broadcast(queries) × corpus scan, window re-rank; no corpus
+    shuffle. The LSH variant (sim_topk_lsh) is the sublinear path."""
+    e = _emb(spark, sf_dir)
+    return similarity.brute_force_topk(
+        e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        e,
+        k=5,
+    )
+
+
+@query("sim_topk_lsh")  # approximate → rows-only; recall measured in tests
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 scale path: random-hyperplane LSH buckets → exact re-rank
+    within bucket. Recall vs brute force measured in tests."""
+    e = _emb(spark, sf_dir)
+    return similarity.lsh_topk(
+        e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        e,
+        dim=64,
+        k=5,
+        n_planes=6,
+        n_tables=8,
+    )
+
+
+@query(
+    "sim_cosine_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT label AS block, vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT a.block, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+)
+def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks
+    (all-pairs inside block; LSH buckets replace labels at scale)."""
+    return similarity.cosine_neardup_pairs(
+        _emb(spark, sf_dir), block_col="label", threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS checksum,
+           CAST((octet_length(encode(text)) * 2654435761) % 4294967296 % 640 + 1
+                AS INT) AS width,
+           CAST((octet_length(encode(text)) * 2654435761) % 4294967296 % 480 + 1
+                AS INT) AS height,
+           CAST((octet_length(encode(text)) * 2654435761) % 4294967296 % 120 + 1
+                AS INT) AS n_frames,
+           'fake/v1' AS fmt
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline: binary payload column →
+    ``mapInPandas`` (Arrow-batched) → typed metadata. The decoder is a
+    deterministic fake (no codecs in the container) built from
+    portable arithmetic, so this oracle verifies the REAL plumbing —
+    binary columns through Arrow, batch iteration, schema — end to
+    end."""
+    d = multimodal.attach_fake_payload(_docs(spark, sf_dir))
+    return multimodal.media_metadata(d)
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST((octet_length(encode(text)) * 2654435761) % 4294967296 % 120 + 1
+                  AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, n_frames,
+           CAST(UNNEST(generate_series(0, n_frames - 1, 10)) AS BIGINT) AS frame_idx
+    FROM m
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling row-shape transform: one row per (doc, sampled
+    frame index) — the explode a real video frame extractor feeds."""
+    d = multimodal.attach_fake_payload(_docs(spark, sf_dir))
+    meta = multimodal.media_metadata(d)
+    return multimodal.frame_sample(meta, every_n=10).withColumn(
+        "frame_idx", F.col("frame_idx").cast("long")
+    )

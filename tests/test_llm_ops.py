@@ -1,0 +1,96 @@
+"""Property-based checks for the approximate LLM-data operators
+(SURVEY.md §5.2-6): recall on planted near-duplicates (MinHash,
+SimHash) and LSH top-k recall vs the exact brute-force baseline."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """50 base docs + a lightly-mutated near-duplicate of each
+    (~10% of words replaced) under doc_id+100000."""
+    base = (
+        catalog.load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()
+    )
+    rng = random.Random(7)
+    mutated = []
+    for r in base:
+        ws = r["text"].split()
+        for _ in range(max(1, len(ws) // 10)):
+            ws[rng.randrange(len(ws))] = "zzz"
+        mutated.append((r["doc_id"] + 100000, " ".join(ws)))
+    all_rows = [(r["doc_id"], r["text"]) for r in base] + mutated
+    return spark.createDataFrame(all_rows, "doc_id long, text string")
+
+
+def test_minhash_recall_on_planted(planted_docs):
+    pairs = dedup.minhash_neardup_pairs(planted_docs, threshold=0.5).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    planted = {(i, i + 100000) for i in range(50)}
+    recall = len(found & planted) / len(planted)
+    # every found pair must verify with jaccard >= threshold (precision
+    # is exact by construction — Jaccard is recomputed exactly)
+    assert all(p["jaccard"] >= 0.5 for p in pairs)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_minhash_dedup_drops_planted(planted_docs):
+    kept = dedup.minhash_dedup(planted_docs, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # most mutated copies dropped (note: some ORIGINALS may also drop —
+    # the word-soup corpus contains genuine near-dups among the base
+    # docs, and single-link keeps only min-id representatives)
+    dropped_mutants = sum(1 for i in range(50) if i + 100000 not in kept_ids)
+    assert dropped_mutants >= 40
+    # no planted pair survives intact
+    both_alive = sum(
+        1 for i in range(50) if i in kept_ids and i + 100000 in kept_ids
+    )
+    assert both_alive <= 10
+
+
+def test_simhash_finds_planted_neardups(planted_docs):
+    pairs = dedup.simhash_neardup_pairs(
+        planted_docs, max_hamming=12, n_chunks=8
+    ).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    planted = {(i, i + 100000) for i in range(50)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.5, f"simhash recall {recall}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.brute_force_topk(q, e, k=5).collect()
+    approx = similarity.lsh_topk(q, e, dim=64, k=5, n_planes=6, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # single-probe 8-bit LSH on random-ish vectors: modest recall is
+    # expected; the assertion guards against a broken bucketing, the
+    # printed value tracks the real number.
+    print(f"LSH top-5 recall vs brute force: {recall:.3f}")
+    assert recall >= 0.2, f"lsh recall collapsed: {recall}"
+
+
+def test_real_decoder_seam_raises_without_codecs():
+    with pytest.raises((NotImplementedError, Exception)):
+        multimodal.decode_image_real(b"\x89PNG\r\n")
