@@ -75,6 +75,7 @@ def minhash_signatures(
     text_col: str = "text",
     k: int = 5,
     n_hashes: int = 32,
+    shingle_fn=None,
 ) -> DataFrame:
     """Per-doc minhash signature via explode → hash once per shingle →
     map-side partial MIN aggregation.
@@ -86,9 +87,13 @@ def minhash_signatures(
     each shingle is hashed once per permutation and combined by hash
     aggregation, which partial-aggregates map-side — the shuffle
     carries one n_hashes-wide row per doc."""
-    sh = docs.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), k)).alias("s")
-    )
+    shingles = (shingle_fn or (lambda c: char_shingles(c, k)))(F.col(text_col))
+    # small inputs often arrive as one parquet partition; per-shingle
+    # hashing is CPU-bound, so spread it before the explode
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    sh = docs.select(F.col(id_col), F.explode(shingles).alias("s"))
     return sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh_{i}")
@@ -131,13 +136,21 @@ def minhash_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int = 1000,
+    shingle_fn=None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b): docs sharing ≥1 minhash band.
 
     bands=8 × rows=4 ⇒ S-curve threshold (1/8)^(1/4) ≈ 0.59 Jaccard.
+
+    ``shingle_fn`` picks the shingle representation: char k-shingles
+    (default — robust to tokenization) or ``word_ngrams`` (standard for
+    word-level corpora: far fewer shingles per doc and much lower
+    cross-doc background similarity, so candidate sets stay small —
+    char-5 shingles on a small-vocabulary corpus measured ~100× the
+    candidate pairs of word 3-grams).
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes)
+    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes, shingle_fn)
     band_cols = F.array(
         *[
             F.xxhash64(
@@ -182,12 +195,43 @@ def minhash_neardup_pairs(
     n_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    shingle_fn=None,
 ) -> DataFrame:
     """A12 end-to-end: LSH candidates → exact Jaccard verification →
-    pairs with similarity ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    cands = minhash_candidates(docs, id_col, text_col, k, n_hashes, bands)
-    sh = docs.select(
-        F.col(id_col), char_shingles(F.col(text_col), k).alias("sh")
+    pairs with similarity ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    The shingle table is computed ONCE and persisted (MEMORY_AND_DISK)
+    — it feeds both the signature/banding pass and the verify joins;
+    without it the whole shingling pipeline re-runs three times. The
+    cached column is the shingle array, so the signature here uses the
+    expression form (32 array_mins over the materialized array), which
+    on cached arrays beats the explode+agg form (no extra shuffle)."""
+    fn = shingle_fn or (lambda c: char_shingles(c, k))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    sh = docs.select(F.col(id_col), fn(F.col(text_col)).alias("sh")).persist()
+
+    rows_per_band = n_hashes // bands
+    sig = sh.select(
+        F.col(id_col),
+        _band_hashes(
+            minhash_signature(F.col("sh"), n_hashes), bands, rows_per_band
+        ).alias("band_hashes"),
+    )
+    buckets = sig.select(id_col, F.posexplode("band_hashes").alias("band", "bucket"))
+    sized = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= 1000)
+    cands = (
+        sized.select("band", "bucket", F.col(id_col).alias("id_a"))
+        .join(
+            sized.select("band", "bucket", F.col(id_col).alias("id_b")),
+            on=["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -299,14 +343,25 @@ def simhash_neardup_pairs(
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams.
+
+    Built by zip_with-ing the token array against its shifted slices
+    (n-1 zips) rather than indexing with element_at inside a
+    transform: lambda-captured expressions are re-inlined PER ELEMENT
+    by projection collapse, so the element_at form re-tokenizes the
+    text ~3·len times per row (measured ~40× slower). zip_with
+    operands evaluate once per row; nulls from the shorter shifted
+    slice propagate through concat and are filtered at the end."""
     toks = F.filter(F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0)
-    cnt = F.size(toks) - (n - 1)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(cnt - 1, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    grams = toks
+    for shift in range(1, n):
+        shifted = F.slice(
+            toks, shift + 1, F.greatest(F.size(toks), F.lit(1))
         )
-    )
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t)
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def ngram_jaccard_pairs(

@@ -211,7 +211,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic ⇒ no SQL oracle; recall is measured in
     tests/test_llm_ops.py on planted near-duplicates."""
     return dedup.minhash_neardup_pairs(
-        _docs(spark, sf_dir), threshold=0.5
+        _docs(spark, sf_dir),
+        threshold=0.3,
+        shingle_fn=lambda c: dedup.word_ngrams(c, 3),
     )
 
 
@@ -232,8 +234,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 200
     ), g AS (
       SELECT block, doc_id,
-             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                            for i in generate_series(1, GREATEST(LEN(ws) - 2, 0))]) AS ng
+             list_distinct([ws[i] || ' ' || ws[i+1]
+                            for i in generate_series(1, GREATEST(LEN(ws) - 1, 0))]) AS ng
       FROM w
     )
     SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b,
@@ -246,12 +248,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12: direct word-3-gram Jaccard within lang blocks (restricted
+    """A12: direct word-bigram Jaccard within lang blocks (restricted
     to doc_id < 200 — the all-pairs form is for small blocks; the LSH
-    form scales)."""
+    form scales). Bigrams rather than trigrams so the fixture corpus
+    yields a non-empty result set to hash-check."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return dedup.ngram_jaccard_pairs(
-        d, block_col="lang", n=3, threshold=0.05
+        d, block_col="lang", n=2, threshold=0.05
     )
 
 

@@ -1,0 +1,69 @@
+"""Plan-shape assertions (SURVEY.md §4): pin the physical properties
+that make these queries scale — pushdown, pruning, broadcast joins,
+TakeOrderedAndProject, partial aggregation. A change that silently
+regresses a plan (e.g. loses a broadcast) fails here even though
+results stay correct."""
+
+from __future__ import annotations
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.plans import (
+    explain,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+    QUERIES,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["p1_project_filter"](spark, SF_DIR)
+    assert explain.has_pushed_filters(df)
+
+
+def test_column_pruning(spark):
+    df = QUERIES["p1_project_filter"](spark, SF_DIR)
+    cols = explain.read_schema_columns(df)
+    # only the projected + filtered columns are read, not all 6
+    assert set(cols) <= {"p_partkey", "p_name", "p_retailprice", "p_size"}
+    assert len(cols) <= 4
+
+
+def test_range_filter_pushdown(spark):
+    df = QUERIES["p3_range_filter"](spark, SF_DIR)
+    assert explain.has_pushed_filters(df)
+
+
+def test_dim_join_broadcasts(spark):
+    df = QUERIES["j1_broadcast_join"](spark, SF_DIR)
+    assert explain.uses_broadcast_join(df)
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    df = QUERIES["tpch_q5_regional_revenue"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    # customer/supplier/nation/region all broadcast; at most the
+    # orders⋈lineitem join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_global_topk_is_take_ordered(spark):
+    df = QUERIES["o2_global_topk"](spark, SF_DIR)
+    assert explain.uses_take_ordered(df)
+
+
+def test_q1_has_partial_aggregation(spark):
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR)
+    assert explain.has_partial_aggregation(df)
+    # one shuffle total: the partial→final agg exchange
+    assert explain.count_shuffles(df) <= 1
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of join must cost one shuffle on the key
+    (plus at most one for the right-side pre-dedup), never a join
+    explosion."""
+    df = QUERIES["j5_asof_join"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "Window" in plan
+    assert explain.count_shuffles(df) <= 3
