@@ -1,0 +1,56 @@
+"""Reusable column-expression builders (SURVEY.md §2.8).
+
+Cross-cutting expression helpers shared by operators and queries —
+each portable (same arithmetic expressible in plain SQL) so DuckDB
+oracles can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative-hash constant (2^32 / golden ratio).
+KNUTH = 2654435761
+M32 = 4294967296
+
+
+def portable_bucket(key: Column, n_buckets: int) -> Column:
+    """Engine-portable pseudo-random bucket in [0, n_buckets):
+    multiplicative hashing with plain integer arithmetic — identical
+    results in Spark, DuckDB, or any SQL engine (unlike engine hash
+    functions). Used for splits (A7), fake-media dims, sampling."""
+    return F.pmod(
+        F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(M32)), F.lit(n_buckets)
+    )
+
+
+def frac_hour(ts: Column) -> Column:
+    """The reference's fractional hour-of-day feature (A5):
+    h + m/60 + s/3600 (verified values like 18.9397 in train.parquet)."""
+    return F.hour(ts) + F.minute(ts) / 60.0 + F.second(ts) / 3600.0
+
+
+def weekday_name(ts: Column) -> Column:
+    """Full weekday name — matches DuckDB ``dayname``."""
+    return F.date_format(ts, "EEEE")
+
+
+def epoch_seconds(ts: Column) -> Column:
+    """Timestamp → epoch seconds as BIGINT (oracle-stable way to put
+    timestamps into hashed outputs)."""
+    return F.unix_timestamp(ts)
+
+
+def window_start_epoch(ts: Column, width_seconds: int) -> Column:
+    """Tumbling-window start as epoch seconds (what ``F.window(...).start``
+    computes, in portable arithmetic)."""
+    return (
+        F.floor(F.unix_timestamp(ts) / width_seconds).cast("long")
+        * width_seconds
+    )
+
+
+def zscore(value: Column, mean: Column, std: Column) -> Column:
+    """(x - μ) / σ with NULL (not error/inf) for zero variance."""
+    return F.try_divide(value - mean, std)

@@ -1,0 +1,54 @@
+"""Interval / point-in-range join (SURVEY.md J6).
+
+Joining points to containing intervals with a bare range predicate
+plans as a nested-loop join — O(|points|·|intervals|), hopeless at
+scale unless one side broadcasts. The scalable form is the standard
+bucketing decomposition:
+
+1. overlay a fixed grid of width >= max interval length;
+2. explode each interval to every grid cell it touches;
+3. equi-join points to interval-cells on the cell id (hash join,
+   shuffles once on the cell);
+4. re-check the exact range predicate as a residual filter.
+
+Cost: |intervals| × (avg_len/grid + 1) replicated rows instead of the
+cross product. Grid width is a knob: coarser → fewer replicas, more
+residual misses; finer → the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    grid: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Rows = (point row, interval row) where lo <= point < hi.
+
+    ``grid`` must be >= the maximum interval width divided by a small
+    constant (wider intervals just span more cells — correctness is
+    unaffected, only the replication factor grows)."""
+    p = points.withColumn(
+        "__cell", F.floor(F.col(point_col) / grid).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / grid).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / grid).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, "__cell", how)
+    return joined.filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    ).drop("__cell")

@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     reference,
     relational,
     streaming_batch,
+    tpch_extra,
 )
 from .registry import ORACLES, QUERIES
 

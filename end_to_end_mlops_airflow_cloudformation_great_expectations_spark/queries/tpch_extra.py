@@ -1,0 +1,359 @@
+"""Breadth batch 2 (SURVEY.md stage 3 cont.): grouped normalization
+(A8), interval join (J6), map/JSON surface, multiset set-ops, and the
+remaining classic TPC-H query shapes (correlated subqueries, HAVING,
+conditional aggregation, disjunctive predicates, scalar subqueries,
+year-over-year windows) — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import interval, normalize
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+@query(
+    "a8_group_normalize",
+    oracle="""
+    SELECT event_id,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events
+    """,
+)
+def a8_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group standardization — window-aggregate form (one
+    shuffle, no Python). The applyInPandas twin is
+    operators.normalize.zscore_pandas; tests assert they agree."""
+    e = _t(spark, sf_dir, "events")
+    return normalize.zscore_window(e, "event_type", "value").select("event_id", "z")
+
+
+@query(
+    "j6_interval_join",
+    oracle="""
+    SELECT band_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    JOIN (VALUES (1, 0.0, 100.0), (2, 100.0, 200.0),
+                 (3, 50.0, 150.0), (4, 200.0, 500.0))
+         AS bands(band_id, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band_id
+    """,
+)
+def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: point-in-interval join via grid bucketing + equi-join +
+    residual predicate (operators.interval) — the scalable replacement
+    for a nested-loop range join; overlapping intervals multi-match."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 100.0, 200.0), (3, 50.0, 150.0), (4, 200.0, 500.0)],
+        "band_id int, lo double, hi double",
+    )
+    joined = interval.interval_join(
+        e, bands, point_col="value", lo_col="lo", hi_col="hi", grid=100.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "f_map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS keys_str,
+           CAST(LEN(json_keys(props)) AS INT) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 map surface: parse the JSON payload into MapType, then
+    map_keys/size/element access."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_str"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multiset difference (bag semantics — each purchase cancels
+    ONE click occurrence)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(buys)
+
+
+@query(
+    "tpch_q4_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a correlated non-equi condition → left-semi
+    join with a compound predicate."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "tpch_q12_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE l_quantity > 30) AS high_qty_lines,
+           COUNT(*) FILTER (WHERE l_quantity <= 30) AS low_qty_lines,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                          THEN l_extendedprice ELSE 0 END), 2) AS returned_value
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation (FILTER / CASE inside agg)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("l_quantity") > 30).alias("high_qty_lines"),
+            F.count_if(F.col("l_quantity") <= 30).alias("low_qty_lines"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias("returned_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-07-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: ratio of conditional aggregates over a dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_lim
+          FROM lineitem GROUP BY l_partkey) t
+      ON l_partkey = pk
+    WHERE l_quantity < qty_lim
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated aggregate subquery decorrelated into a
+    self-join against per-key averages."""
+    li = _t(spark, sf_dir, "lineitem")
+    lims = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(lims, li.l_partkey == lims.pk)
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_totalprice, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, o_orderkey, o_totalprice
+    HAVING SUM(l_quantity) > 120
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: multi-join → agg → HAVING filter on the aggregate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicates across both join sides —
+    exercises Catalyst's CNF conversion / predicate handling."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar aggregate subquery + anti-join (against the
+    customer's urgent orders — the fixture has no order-less customers,
+    so a bare anti-join would hash-check an empty set)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+        .collect()[0]["ab"]
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "w_yoy_revenue",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY ship_year), 4) AS yoy_delta
+    FROM yearly
+    """,
+)
+def w_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 composite: aggregate to one row per year, then lag for
+    year-over-year deltas (window over an aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy("ship_year")
+    return yearly.select(
+        "ship_year",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 4).alias("yoy_delta"),
+    )

@@ -1,0 +1,114 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S9).
+
+The reference's storage surface is: parquet files written by pandas
+(S1/S2), a directory-per-vendor partitioned layout (S3, verified at
+/root/reference/source_data/datasets/*/), and S3 object copies done by
+a serial boto3 loop inside a CFN Lambda (S4/S5,
+aws_infrastructure/airflow-setup.py:268-345). Spark-first equivalents:
+
+- reads/writes are declarative (``spark.read``/``df.write``) against
+  any Hadoop-compatible URI — the S3 copy loop becomes a single
+  distributed ``read.load().write.save()`` job;
+- the partitioned sink is ``partitionBy`` (Hive layout → automatic
+  partition pruning, replacing the reference's manual file fan-out);
+- ``write_sorted_parquet`` produces range-partitioned, sorted,
+  multi-row-group files so parquet min/max stats are selective — the
+  reference writes single-row-group files (verified), which defeat
+  row-group skipping entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S1: parquet scan; explicit schema optional (footers are
+    authoritative for parquet; schema arg is for enforcing contracts)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
+    """CSV source with mandatory explicit schema (no inference job)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines source with mandatory explicit schema."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Multimodal ingestion: one row per file with ``content: binary``
+    + path/length metadata (feeds operators.multimodal)."""
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S2: parquet sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S3: directory-per-key sink (the reference's datasets/<vendor>/
+    layout as a single distributed job with automatic pruning on read)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-hygiene sink (SURVEY.md §4.2): range-partition by the sort
+    key, sort within partitions, write. Downstream scans with
+    predicates on ``sort_cols`` skip whole files/row-groups via
+    parquet min/max stats."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def copy_dataset(spark: SparkSession, src: str, dst: str, fmt: str = "parquet") -> None:
+    """S4/S5: distributed object copy — replaces the reference's serial
+    boto3 loop (300 s Lambda ceiling) with one Spark job over the whole
+    prefix."""
+    spark.read.format(fmt).load(src).write.format(fmt).mode("overwrite").save(dst)
+
+
+def read_stream_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """S8: file-based streaming source (explicit schema required)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def write_stream_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+):
+    """S9: streaming parquet sink with checkpointing; returns the query."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,90 @@
+"""Sources/sinks round-trips + normalize/interval operator tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    interval,
+    normalize,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.sources import io
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    nat = catalog.load(spark, SF_DIR, "nation")
+    csv_p, json_p = str(tmp_path / "n.csv"), str(tmp_path / "n.json")
+    nat.write.option("header", True).csv(csv_p)
+    nat.write.json(json_p)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back_csv = io.read_csv(spark, csv_p, schema)
+    back_json = io.read_json(spark, json_p, schema)
+    orig = sorted(tuple(r) for r in nat.collect())
+    assert sorted(tuple(r) for r in back_csv.collect()) == orig
+    assert sorted(tuple(r) for r in back_json.collect()) == orig
+
+
+def test_sorted_parquet_write_skips_files(spark, tmp_path):
+    """write_sorted_parquet produces range-partitioned files whose
+    min/max stats let a selective filter skip most files."""
+    li = catalog.load(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "sorted")
+    io.write_sorted_parquet(li, out, ["l_shipdate"], n_files=8)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 4
+    back = spark.read.parquet(out).filter(F.col("l_shipdate") < "1995-03-01")
+    want = li.filter(F.col("l_shipdate") < "1995-03-01").count()
+    assert back.count() == want
+
+
+def test_copy_dataset(spark, tmp_path):
+    src = os.path.join(SF_DIR, "region.parquet")
+    dst = str(tmp_path / "region_copy")
+    io.copy_dataset(spark, src, dst)
+    assert spark.read.parquet(dst).count() == 5
+
+
+def test_binary_file_source(spark, tmp_path):
+    p = tmp_path / "blobs"
+    p.mkdir()
+    (p / "a.bin").write_bytes(b"hello")
+    (p / "b.bin").write_bytes(b"world!!")
+    df = io.read_binary_files(spark, str(p))
+    rows = {os.path.basename(r["path"]): r["content"] for r in df.collect()}
+    assert bytes(rows["a.bin"]) == b"hello" and bytes(rows["b.bin"]) == b"world!!"
+
+
+def test_zscore_window_vs_pandas_agree(spark):
+    e = catalog.load(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    a = normalize.zscore_window(e, "event_type", "value").select("event_id", "z")
+    b = normalize.zscore_pandas(e, "event_type", "value").select("event_id", "z")
+    assert sorted(tuple(r) for r in a.collect()) == sorted(
+        tuple(r) for r in b.collect()
+    )
+
+
+def test_interval_join_matches_nested_loop(spark):
+    e = catalog.load(spark, SF_DIR, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 90.0, 350.0), (3, 340.0, 341.5)],
+        "band_id int, lo double, hi double",
+    )
+    fast = interval.interval_join(e, bands, "value", "lo", "hi", grid=50.0)
+    slow = e.join(
+        bands, (e.value >= bands.lo) & (e.value < bands.hi)
+    )
+    key = lambda df: sorted((r["event_id"], r["band_id"]) for r in df.collect())
+    assert key(fast) == key(slow)
