@@ -386,3 +386,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(meta, every_n=10).withColumn(
         "frame_idx", F.col("frame_idx").cast("long")
     )
+
+
+@query("sim_topk_ivf")  # approximate (clustered probe) -> rows-only
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 scale path #2: IVF — KMeans cells + n_probe nearest-cell
+    exact search (FAISS IVF-Flat structure on DataFrames). Recall vs
+    brute force measured in tests."""
+    e = _emb(spark, sf_dir)
+    return similarity.ivf_topk(
+        e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        e,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+    )

@@ -357,3 +357,82 @@ def w_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") - F.lag("revenue").over(w), 4).alias("yoy_delta"),
     )
+
+
+@query(
+    "t_rollup_time_multires",
+    oracle="""
+    SELECT COALESCE(CAST(EPOCH(DATE_TRUNC('day', ts)) AS BIGINT), -1) AS day_epoch,
+           COALESCE(CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT), -1) AS hour_epoch,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts))
+    """,
+)
+def t_rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one Expand pass
+    produces hour-, day-, and total-grain aggregates (the continuous-
+    aggregate pattern, batch form)."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        e.rollup(day.alias("d"), hour.alias("h"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce(F.unix_timestamp("d"), F.lit(-1)).alias("day_epoch"),
+            F.coalesce(F.unix_timestamp("h"), F.lit(-1)).alias("hour_epoch"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "p_sample_deterministic",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE (event_id * 2654435761) % 4294967296 % 100 < 10
+    """,
+)
+def p_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via the portable multiplicative-hash
+    bucket (engine-independent, unlike TABLESAMPLE/df.sample, whose
+    row selection is partition-order-dependent)."""
+    from ..functions.columns import portable_bucket
+
+    e = _t(spark, sf_dir, "events")
+    return e.filter(portable_bucket(F.col("event_id"), 100) < 10).agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "f_posexplode",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(1, LEN(ws))) - 1 AS INT) AS pos,
+           UNNEST(ws) AS tok
+    FROM w
+    """,
+)
+def f_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 explode surface: token stream with positions (the
+    flatten-to-rows shape every tokenization pipeline needs)."""
+    from ..operators.text import words
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "tok")
+    )

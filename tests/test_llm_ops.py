@@ -91,6 +91,20 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.2, f"lsh recall collapsed: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.brute_force_topk(q, e, k=5).collect()
+    approx = similarity.ivf_topk(
+        q, e, k=5, n_centroids=8, n_probe=3
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    print(f"IVF top-5 recall vs brute force (8 cells, 3 probes): {recall:.3f}")
+    assert recall >= 0.3, f"ivf recall collapsed: {recall}"
+
+
 def test_real_decoder_seam_raises_without_codecs():
     with pytest.raises((NotImplementedError, Exception)):
         multimodal.decode_image_real(b"\x89PNG\r\n")
