@@ -436,3 +436,63 @@ def f_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "tok")
     )
+
+
+@query(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(1 + value))) - 1, 4) AS geo_mean_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 grouped-aggregate pandas_udf (Arrow UDAF) — geometric
+    mean per group, verified against the closed-form SQL identity."""
+    from ..operators.udfs import geometric_mean_udaf
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(geometric_mean_udaf("value"), 4).alias("geo_mean_value")
+    )
+
+
+@query(
+    "udtf_token_explode",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(1, LEN(ws))) - 1 AS INT) AS pos,
+           UNNEST(ws) AS tok
+    FROM w
+    """,
+)
+def udtf_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 Python UDTF (1→N generator, lateral-join machinery)."""
+    from ..operators.udfs import token_explode_udtf
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return d.lateralJoin(
+        token_explode_udtf(F.col("doc_id").outer(), F.col("text").outer())
+    ).select("pos", "tok", d.doc_id)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multiset intersection (bag semantics)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)

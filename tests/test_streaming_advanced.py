@@ -1,0 +1,111 @@
+"""Advanced streaming semantics: watermark late-data drop across
+micro-batches (T4), sliding windows through a real stream (T2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+    jobs,
+)
+
+BASE = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _run_stream(spark, src, sink, ckpt):
+    stream = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("window.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_t4_watermark_drops_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # batch 1: one event per minute for an hour (10:00..10:59)
+    _write_events(
+        spark, src, [(BASE + dt.timedelta(minutes=m), 1.0) for m in range(60)]
+    )
+    _run_stream(spark, src, sink, ckpt)
+
+    # batch 2: one LATE event (10:05 — far below the 10:49 watermark)
+    # and one fresh event (11:30) that advances the watermark
+    _write_events(
+        spark,
+        src,
+        [
+            (BASE + dt.timedelta(minutes=5), 100.0),
+            (BASE + dt.timedelta(minutes=90), 1.0),
+        ],
+    )
+    _run_stream(spark, src, sink, ckpt)
+
+    out = spark.read.parquet(sink)
+    by_window = {r["wstart"]: r["n"] for r in out.collect()}
+    w0 = int(BASE.timestamp())
+    # the 10:00-10:10 window emitted exactly 10 events — the late
+    # arrival was dropped, not appended as an update
+    assert by_window[w0] == 10
+    # no window ever counts the late event: totals == on-time events
+    emitted = sum(by_window.values())
+    assert emitted <= 61  # 60 on-time + possibly the 11:30 one, never 62
+    # windows are emitted exactly once (append mode invariant)
+    assert out.groupBy("wstart").count().filter("count > 1").count() == 0
+
+
+def test_t2_sliding_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    rows = [(BASE + dt.timedelta(minutes=3 * m), float(m)) for m in range(40)]
+    _write_events(spark, src, rows)
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    sliding = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s"))
+        .select(F.unix_timestamp("window.start").alias("wstart"), "n", "s")
+    )
+    jobs.run_available_now(sliding, "t2_out", "complete")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t2_out").collect())
+
+    batch = spark.createDataFrame(rows, "ts timestamp, v double")
+    want = sorted(
+        tuple(r)
+        for r in (
+            batch.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s"))
+            .select(F.unix_timestamp("window.start").alias("wstart"), "n", "s")
+        ).collect()
+    )
+    assert got == want
+    # sliding invariant: every event lands in exactly width/slide windows
+    assert sum(n for _, n, _ in got) == 2 * len(rows)
