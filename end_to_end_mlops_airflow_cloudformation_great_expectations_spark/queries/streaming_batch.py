@@ -136,3 +136,38 @@ def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "j_funnel_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    """,
+)
+def j_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: click→purchase by the same user within 1 h —
+    the batch twin of a watermarked stream-stream interval join
+    (tests/test_streaming_advanced.py drives the streaming form). Plans
+    as an equi-join on user_id with the time-range residual."""
+    e = _events(spark, sf_dir)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (c.user_id == p.p_user)
+            & (p.p_ts >= c.c_ts)
+            & (p.p_ts < c.c_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id", "user_id")
+    )

@@ -81,6 +81,75 @@ def test_t4_watermark_drops_late_data(spark, tmp_path):
     assert out.groupBy("wstart").count().filter("count > 1").count() == 0
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join (click→purchase within 1 h per
+    user) equals the batch twin on the same input. State on both sides
+    is bounded by the watermark + interval condition."""
+    src = str(tmp_path / "ss_src")
+    rows = []
+    for u in range(5):
+        for m in range(0, 120, 7):
+            rows.append((BASE + dt.timedelta(minutes=m + u), float(u), u, "click"))
+        for m in range(3, 120, 13):
+            rows.append((BASE + dt.timedelta(minutes=m + u), float(u), u, "purchase"))
+    df_rows = [(i, ts, v, u, et) for i, (ts, v, u, et) in enumerate(rows)]
+    schema = "event_id long, ts timestamp, value double, user_id long, event_type string"
+    spark.createDataFrame(df_rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    buys = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.p_user)
+        & (buys.p_ts >= clicks.c_ts)
+        & (buys.p_ts < clicks.c_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM ss_out").collect())
+
+    batch = spark.read.parquet(src)
+    bc = batch.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    bp = batch.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in bc.join(
+            bp,
+            (bc.user_id == bp.p_user)
+            & (bp.p_ts >= bc.c_ts)
+            & (bp.p_ts < bc.c_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_t2_sliding_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src)
