@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
     "mm_media_metadata",
+    "tpch_q17_small_qty_revenue",
+    "j_funnel_click_purchase",
+    "j6_interval_join",
+    "a8_group_normalize",
 ]
 
 
