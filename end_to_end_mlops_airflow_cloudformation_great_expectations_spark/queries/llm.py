@@ -401,3 +401,109 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops: chunking, mixture sampling, decontamination
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_chunking",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             [substring(text, i, 300)
+              for i in generate_series(1, GREATEST(LENGTH(text), 1), 250)] AS chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(UNNEST(generate_series(0, LEN(chunks) - 1)) AS INT) AS chunk_idx,
+           UNNEST(chunks) AS chunk,
+           CAST(LENGTH(UNNEST(chunks)) AS BIGINT) AS chunk_len
+    FROM c
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: split each document into 300-char chunks
+    with 50-char overlap (stride 250) — the context-window packing
+    primitive. Expression-only; one output row per chunk."""
+    d = _docs(spark, sf_dir)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(250)
+        ),
+        lambda i: F.substring(F.col("text"), i, 300),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("chunk_len", F.length("chunk").cast("long"))
+
+
+@query(
+    "mix_weighted_sources",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+          (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 100 ELSE 20 END)
+    GROUP BY source
+    """,
+)
+def mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-source sampling rates (keep
+    100% of preferred sources, 20% of the rest) via the portable
+    deterministic bucket — reproducible across engines and runs, unlike
+    df.sample. One filter, no shuffle."""
+    from ..functions.columns import portable_bucket
+
+    d = _docs(spark, sf_dir)
+    rate = F.when(
+        F.col("source").isin("src0", "src1", "src2"), F.lit(100)
+    ).otherwise(F.lit(20))
+    return (
+        d.filter(portable_bucket(F.col("doc_id"), 100) < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "decontamination_check",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'),
+                                             x -> len(x) > 0)[1:8], ' ')) AS prefix_fp,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT COUNT(DISTINCT te.doc_id) AS n_contaminated
+    FROM fp te JOIN fp tr
+      ON te.prefix_fp = tr.prefix_fp
+     AND te.split = 'test' AND tr.split = 'train'
+    """,
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: count held-out docs whose 8-token
+    prefix fingerprint also appears in train (the n-gram-overlap
+    contamination test used for LLM eval hygiene). Fingerprint join —
+    one shuffle on the hash, never on raw text."""
+    from ..operators.encode import hash_split_col
+    from ..operators.text import words
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(words(F.col("text")), 1, 8), " ")
+        ).alias("prefix_fp"),
+        hash_split_col(F.col("doc_id")).alias("split"),
+    )
+    te = d.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("te_id"), "prefix_fp"
+    )
+    tr = d.filter(F.col("split") == "train").select("prefix_fp")
+    return te.join(tr, "prefix_fp").agg(
+        F.countDistinct("te_id").alias("n_contaminated")
+    )
