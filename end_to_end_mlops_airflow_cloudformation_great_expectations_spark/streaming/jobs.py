@@ -134,6 +134,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T6 (modern API): the same per-user running totals via Spark 4's
+    ``transformWithStateInPandas`` — typed value state managed by the
+    state-store, timers available, evolvable schema. Preferred over
+    ``applyInPandasWithState`` for new stateful operators.
+
+    Runtime requirement: the TWS python runner imports
+    ``google.protobuf`` (absent in the test container — the test
+    skips there; ``running_user_totals`` is the portable fallback)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_available_now(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

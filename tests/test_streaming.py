@@ -7,7 +7,7 @@ from __future__ import annotations
 import os
 import shutil
 
-import pytest
+import pytest  # noqa: F401
 from pyspark.sql import functions as F
 
 from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
@@ -75,6 +75,37 @@ def test_t6_stateful_running_totals(spark, events_dir):
         SELECT user_id, max(n_events) AS n_events
         FROM t6_out GROUP BY user_id
         """
+    )
+    want = (
+        catalog.load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    cols = ["user_id", "n_events"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs protobuf (absent in this container)",
+)
+def test_t6_transform_with_state(spark, events_dir):
+    """Spark 4 transformWithStateInPandas twin of the running totals."""
+    stream = jobs.read_events_stream(spark, events_dir)
+    jobs.run_available_now(
+        jobs.running_user_totals_tws(stream), "t6tws_out", "update"
+    )
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n_events FROM t6tws_out GROUP BY user_id"
     )
     want = (
         catalog.load(spark, SF_DIR, "events")
