@@ -36,6 +36,10 @@ def interval_join(
     ``grid`` must be >= the maximum interval width divided by a small
     constant (wider intervals just span more cells — correctness is
     unaffected, only the replication factor grows)."""
+    # NOTE: no defensive repartition here — the per-row work (one
+    # floor+join probe) is too cheap to amortize a shuffle; measured
+    # 3× slower with one at sf0.1. Repartition only pays off for
+    # CPU-heavy per-row operators (see dedup.minhash_signatures).
     p = points.withColumn(
         "__cell", F.floor(F.col(point_col) / grid).cast("long")
     )
