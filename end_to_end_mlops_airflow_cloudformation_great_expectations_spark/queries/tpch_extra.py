@@ -736,3 +736,167 @@ def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "w5_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(EPOCH(o_orderdate) AS BIGINT) / 86400
+             RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING), 2) AS spend_61d
+    FROM orders
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 range-frame variant: per customer, total spend within a
+    ±30-day value window of each order (RANGE, not ROWS — peers are
+    chosen by value distance, so ties and gaps behave correctly)."""
+    o = _t(spark, sf_dir, "orders")
+    day = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 30)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_61d"),
+    )
+
+
+@query(
+    "w6_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first/last/nth order price per customer over the full
+    partition frame (one row per customer via distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).distinct()
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS correlated on the same fact table
+    — suppliers who were the ONLY late supplier on a multi-supplier
+    order. Decorrelated as semi- and anti-joins against per-order
+    other-supplier lineitems."""
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    # EXISTS: another supplier on the same order
+    has_other = l1.join(
+        l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    # NOT EXISTS: no OTHER supplier was also late on that order
+    l3 = (
+        li.select(
+            F.col("l_orderkey").alias("k3"),
+            F.col("l_suppkey").alias("s3"),
+            F.col("l_shipdate").alias("d3"),
+        )
+    )
+    sole_late = has_other.join(
+        l3,
+        (has_other.l_orderkey == l3.k3)
+        & (has_other.l_suppkey != l3.s3)
+        & (l3.d3 > has_other.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_match",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(min_price) AS best_price
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, s_name,
+           ROUND(c.min_price, 2) AS price
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.min_price = b.best_price
+    JOIN supplier ON c.l_suppkey = s_suppkey
+    WHERE c.l_partkey < 100
+    """,
+)
+def tpch_q2_min_cost_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-min subquery — for each part, the
+    supplier(s) offering its minimum observed price (min-per-group
+    joined back on the min; ties kept, as in TPC-H Q2)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    s = _t(spark, sf_dir, "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("min_price").alias("best_price")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.bk)
+            & (costs.min_price == best.best_price),
+        )
+        .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.round("min_price", 2).alias("price"),
+        )
+    )

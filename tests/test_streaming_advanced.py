@@ -81,6 +81,39 @@ def test_t4_watermark_drops_late_data(spark, tmp_path):
     assert out.groupBy("wstart").count().filter("count > 1").count() == 0
 
 
+def test_rate_source_smoke(spark):
+    """Non-file streaming source (rate): true unbounded input driven
+    for one short processing-time window, then stopped — verifies the
+    engine's transformations run on a live source, not just backfill."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    )
+    agg = stream.groupBy().agg(
+        F.count("*").alias("n"), F.max("value").alias("mx")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM rate_out").collect()
+            if rows and rows[0]["n"] and rows[0]["n"] > 0:
+                n = rows[0]["n"]
+                break
+        assert n > 0
+    finally:
+        q.stop()
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join (click→purchase within 1 h per
     user) equals the batch twin on the same input. State on both sides
