@@ -51,6 +51,26 @@ def window_start_epoch(ts: Column, width_seconds: int) -> Column:
     )
 
 
+def tree_sum(cols: list[Column]) -> Column:
+    """Sum many columns with a BALANCED expression tree.
+
+    A naive ``reduce(add, cols)`` builds a left-nested chain whose
+    depth equals the column count — at the reference's real width
+    (384 one-hot columns) that throws StackOverflowError inside
+    Catalyst's column-node conversion. Balancing keeps depth log2(n).
+    """
+    if not cols:
+        raise ValueError("tree_sum of no columns")
+    level = list(cols)
+    while len(level) > 1:
+        nxt = [
+            level[i] + level[i + 1] if i + 1 < len(level) else level[i]
+            for i in range(0, len(level), 2)
+        ]
+        level = nxt
+    return level[0]
+
+
 def zscore(value: Column, mean: Column, std: Column) -> Column:
     """(x - μ) / σ with NULL (not error/inf) for zero variance."""
     return F.try_divide(value - mean, std)

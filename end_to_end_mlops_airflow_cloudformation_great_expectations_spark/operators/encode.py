@@ -34,6 +34,36 @@ def vocabulary(df: DataFrame, col: str) -> list[str]:
     )
 
 
+def save_vocab(vocab: dict[str, list[str]], path: str) -> None:
+    """Persist vocabularies as a JSON artifact (SURVEY.md §4.3: the
+    'schema is a function of data' problem — the reference recomputed
+    its one-hot column set from data, which is why its train/test
+    files drift; the fix is computing the vocab ONCE and shipping it
+    with the pipeline like a model artifact)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(vocab, f, indent=2, sort_keys=True)
+
+
+def load_vocab(path: str) -> dict[str, list[str]]:
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def unpivot_onehot(
+    df: DataFrame, id_cols: list[str], value_cols: list[str],
+    var_name: str = "category", value_name: str = "flag",
+) -> DataFrame:
+    """Inverse of the wide one-hot form: wide indicator columns → long
+    (id, category, flag) rows via native ``unpivot`` (single Expand
+    node, no shuffle). The 100 TB recommendation is to keep THIS form
+    hot and derive wide only at export boundaries."""
+    return df.unpivot(id_cols, value_cols, var_name, value_name)
+
+
 def one_hot(
     df: DataFrame,
     col: str,

@@ -254,3 +254,33 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
     )
+
+
+@query(
+    "a4_unpivot_roundtrip",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COALESCE(ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 2), 0)    AS click,
+             COALESCE(ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2), 0) AS purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, category, flag FROM (
+      SELECT user_id, 'click' AS category, click AS flag FROM wide
+      UNION ALL
+      SELECT user_id, 'purchase' AS category, purchase AS flag FROM wide
+    ) t
+    """,
+)
+def a4_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 inverse: pivot to wide, then native ``unpivot`` back to long
+    (wide↔long round trip; the long form is the at-scale
+    representation, SURVEY.md §1.4)."""
+    from ..operators import encode
+
+    e = _t(spark, sf_dir, "events")
+    wide = encode.pivot_agg(
+        e, ["user_id"], "event_type", ["click", "purchase"],
+        F.round(F.sum("value"), 2), fill=0,
+    )
+    return encode.unpivot_onehot(wide, ["user_id"], ["click", "purchase"])

@@ -146,6 +146,58 @@ def test_split_and_vendor_fanout(spark, tmp_path):
     )
 
 
+def test_wide_onehot_analyzer_stress(spark, tmp_path):
+    """SURVEY.md §7 hard-point #1: the reference's real width (384
+    pickup + 324 dropoff zones → 724 columns) must survive the
+    analyzer, a parquet round-trip, and keep the row-sum invariants.
+    Also exercises the vocab-artifact path: vocab computed once,
+    persisted as JSON, reloaded, applied."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        encode as enc,
+    )
+
+    wide_zones = [f"wz_{i:03d}" for i in range(384)]
+    trips = make_trips(spark, n=600)
+    # remap zones onto the wide vocabulary deterministically
+    t = trips.withColumn(
+        "pickup_zone",
+        F.when(
+            F.col("pickup_zone").isNotNull(),
+            F.concat(F.lit("wz_"), F.lpad((F.col("trip_id") % 384).cast("string"), 3, "0")),
+        ),
+    )
+    vocab_path = str(tmp_path / "vocab.json")
+    enc.save_vocab({"pickup_zone": wide_zones}, vocab_path)
+    vocab = enc.load_vocab(vocab_path)["pickup_zone"]
+    assert vocab == wide_zones
+
+    wide = enc.one_hot(
+        t.select("trip_id", "pickup_zone"), "pickup_zone", vocab, prefix="pickup"
+    ).drop("pickup_zone")
+    assert len(wide.columns) == 1 + 384
+
+    out = str(tmp_path / "wide")
+    wide.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert len(back.columns) == 385
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+        tree_sum,
+    )
+
+    # NB: reduce(add, 384 cols) left-nests 384 deep and throws
+    # StackOverflowError in Catalyst — tree_sum balances to depth 9
+    oh_cols = [c for c in back.columns if c != "trip_id"]
+    sums = back.select(tree_sum([F.col(c) for c in oh_cols]).alias("s"))
+    bad = sums.filter(~F.col("s").isin(0, 1)).count()
+    assert bad == 0
+    # long-form roundtrip over the full width: unpivot keeps only set flags
+    long = enc.unpivot_onehot(back, ["trip_id"], oh_cols).filter("flag = 1")
+    assert long.count() == back.select(
+        tree_sum([F.col(c) for c in oh_cols]).alias("s")
+    ).agg(F.sum("s")).collect()[0][0]
+
+
 def test_partition_pruning_plan(spark, tmp_path):
     """Reading one vendor from the partitioned layout must prune
     partitions (the scan's plan mentions only the selected vendor)."""
