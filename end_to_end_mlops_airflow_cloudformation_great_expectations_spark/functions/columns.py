@@ -19,10 +19,23 @@ def portable_bucket(key: Column, n_buckets: int) -> Column:
     """Engine-portable pseudo-random bucket in [0, n_buckets):
     multiplicative hashing with plain integer arithmetic — identical
     results in Spark, DuckDB, or any SQL engine (unlike engine hash
-    functions). Used for splits (A7), fake-media dims, sampling."""
-    return F.pmod(
-        F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(M32)), F.lit(n_buckets)
+    functions). Used for splits (A7), fake-media dims, sampling.
+
+    The multiplication is decomposed (hi/lo 16-bit halves of key mod
+    2^32) so it never overflows a signed 64-bit long: the naive
+    ``key * KNUTH`` throws ARITHMETIC_OVERFLOW under ANSI mode for
+    keys ≥ ~3.5e9 — found by hypothesis, and exactly the key range a
+    100 TB fact table reaches. Identical results mod 2^32, so small-key
+    oracles (which may use the naive formula) are unaffected."""
+    km = F.pmod(key.cast("long"), F.lit(M32))
+    lo = F.pmod(km, F.lit(65536))
+    # exact: (km - lo) is a multiple of 2^16 and fits double exactly
+    hi = ((km - lo) / F.lit(65536)).cast("long")
+    mixed = F.pmod(
+        F.pmod(hi * F.lit(KNUTH), F.lit(M32)) * F.lit(65536) + lo * F.lit(KNUTH),
+        F.lit(M32),
     )
+    return F.pmod(mixed, F.lit(n_buckets))
 
 
 def frac_hour(ts: Column) -> Column:

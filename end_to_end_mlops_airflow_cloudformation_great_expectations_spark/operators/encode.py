@@ -118,10 +118,13 @@ def hash_split_col(key: Column, train_pct: int = 80) -> Column:
         bucket = (key * 2654435761) mod 2^32 mod 100
 
     2654435761 is Knuth's multiplicative-hash constant (2^32/phi).
+    Uses the overflow-safe ``portable_bucket`` (identical values;
+    the naive product overflows ANSI longs for keys ≥ ~3.5e9).
     """
-    bucket = F.pmod(key.cast("long") * F.lit(2654435761), F.lit(4294967296))
+    from ..functions.columns import portable_bucket
+
     return F.when(
-        F.pmod(bucket, F.lit(100)) < train_pct, F.lit("train")
+        portable_bucket(key, 100) < train_pct, F.lit("train")
     ).otherwise(F.lit("test"))
 
 

@@ -874,23 +874,31 @@ def f_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            LEN(embedding) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           CAST(SIGN(embedding[1]) AS INT) AS first_sign,
+           CAST(LEN(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+                AS BIGINT) AS n_positive,
            ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
                                                x -> x * x), 'sum'), 4) AS sq_norm
     FROM embeddings
     """,
 )
 def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 array surface: size, element access, transform+aggregate
-    (the dot-product building block for J8 cosine)."""
+    """§2.8 array surface: size, element access, filter,
+    transform+aggregate (the dot-product building block for J8
+    cosine). Element access is compared via SIGN, not a rounded raw
+    float: round(float32_element, 4) disagreed between engines at a
+    scaled-boundary case at sf0.1 (fp error in the oracle's ×10^4
+    crossing the half-way point) — integers are immune."""
     e = _t(spark, sf_dir, "embeddings")
-    sq = F.transform(
-        F.col("embedding").cast("array<double>"), lambda x: x * x
-    )
+    emb_d = F.col("embedding").cast("array<double>")
+    sq = F.transform(emb_d, lambda x: x * x)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias("first_val"),
+        F.signum(F.col("embedding").getItem(0).cast("double")).cast("int").alias(
+            "first_sign"
+        ),
+        F.size(F.filter(emb_d, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.round(
             F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("sq_norm"),
