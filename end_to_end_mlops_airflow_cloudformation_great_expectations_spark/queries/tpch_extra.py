@@ -900,3 +900,137 @@ def tpch_q2_min_cost_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("min_price", 2).alias("price"),
         )
     )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit — a 5-table join (fact ⋈ 3
+    broadcast dims ⋈ fact) grouped by supplier nation × order year.
+    The fixture set has no partsupp, so profit is discounted revenue
+    (the join/aggregation topology — Q9's hard part — is unchanged).
+    Dims broadcast; the only shuffles are orders⋈lineitem and the
+    final 2-key aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                  AS BIGINT) AS value_e4
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT partkey, ROUND(value_e4 / 10000.0, 2) AS part_value
+    FROM pv, (SELECT SUM(value_e4) AS grand_total, COUNT(*) AS n_parts
+              FROM pv) tot
+    WHERE value_e4 * n_parts * 10 > grand_total * 12
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose aggregate value exceeds a threshold
+    derived from a scalar subquery over the same aggregate (here 1.2×
+    the mean part value — scale-invariant, unlike TPC-H's fixed
+    fraction, which must be hand-rescaled per SF). The compare is done
+    on exact integers (value scaled to the data's 1e-4 grid, summed as
+    BIGINT, cross-multiplied) so the boundary can't flip between
+    engines on float summation order. Spark plan: one hash
+    aggregation, then the 1-row global total is broadcast back (no
+    second scan shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000, 0
+        )
+        .cast("long")
+        .alias("value_e4")
+    )
+    total = pv.agg(
+        F.sum("value_e4").alias("grand_total"), F.count("*").alias("n_parts")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(
+            F.col("value_e4") * F.col("n_parts") * 10 > F.col("grand_total") * 12
+        )
+        .select(
+            "partkey", F.round(F.col("value_e4") / 10000.0, 2).alias("part_value")
+        )
+    )
+
+
+@query(
+    "tpch_q20_bulk_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 350
+    )
+    SELECT s_name, n_name AS nation
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped)
+    """,
+)
+def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers who shipped bulk quantities of qualifying
+    parts in a year — nested IN-subqueries decorrelated into a
+    broadcast dim filter + HAVING + left-semi join. The semi join
+    means supplier rows are never duplicated, so no final distinct is
+    needed (the classic Q20 trap)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 350)
+    )
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

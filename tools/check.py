@@ -1,7 +1,11 @@
 """Local driver-simulator: run every registered query on Spark AND its
 DuckDB oracle, compare row-count + schema + order-insensitive values.
 
-Usage: python tools/check.py [sf_dir] [query_name ...]
+Usage: python tools/check.py [--plain] [sf_dir] [query_name ...]
+
+``--plain`` runs against a bare ``SparkSession`` (no engine conf
+profile) — exactly what the real driver does — so it catches queries
+that accidentally depend on ``session.get_spark()`` settings.
 """
 
 from __future__ import annotations
@@ -46,13 +50,25 @@ def normalize(df):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
-    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.session import get_spark
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import ORACLES, QUERIES
 
-    spark = get_spark("check", master="local[8]")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-plain")
+            .getOrCreate()
+        )
+    else:
+        from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.session import get_spark
+
+        spark = get_spark("check", master="local[8]")
     conn = duck_conn(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
