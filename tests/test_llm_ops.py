@@ -108,3 +108,52 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
 def test_real_decoder_seam_raises_without_codecs():
     with pytest.raises((NotImplementedError, Exception)):
         multimodal.decode_image_real(b"\x89PNG\r\n")
+
+
+def test_minhash_estimator_tracks_jaccard(spark):
+    """Pin the hash-family property itself: the fraction of agreeing
+    signature positions must approximate true Jaccard pairwise. A
+    degenerate permutation family (e.g. an affine family whose a*x
+    never wraps its modulus — monotone in x, so every permutation
+    selects the same shingle) still passes planted-dup recall but
+    fails this: agreement collapses to 0/1 regardless of Jaccard."""
+    docs = (
+        catalog.load(spark, SF_DIR, "documents")
+        .limit(150)
+        .select("doc_id", "text")
+    )
+    hs = docs.select(
+        "doc_id",
+        dedup.hashed_shingles(dedup.word_ngrams(F.col("text"), 3)).alias("sh"),
+    ).persist()
+    sig = hs.select(
+        "doc_id", dedup.minhash_signature(F.col("sh"), 32).alias("sig"), "sh"
+    )
+    a = sig.selectExpr("doc_id id_a", "sig sig_a", "sh sh_a")
+    b = sig.selectExpr("doc_id id_b", "sig sig_b", "sh sh_b")
+    row = (
+        a.crossJoin(b)
+        .filter("id_a < id_b")
+        .select(
+            (
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / 32.0
+            ).alias("est"),
+            dedup.jaccard(F.col("sh_a"), F.col("sh_b")).alias("true_j"),
+        )
+        .agg(
+            F.avg(F.abs(F.col("est") - F.col("true_j"))).alias("mae"),
+            F.max(F.abs(F.col("est") - F.col("true_j"))).alias("maxae"),
+        )
+        .collect()[0]
+    )
+    hs.unpersist()
+    # 32 permutations ⇒ per-pair stderr ≈ sqrt(j(1-j)/32) ≤ 0.09; the
+    # degenerate family produces maxae ≈ 1 on any corpus with partial
+    # overlaps
+    assert row["mae"] < 0.02, row
+    assert row["maxae"] < 0.5, row
