@@ -314,6 +314,36 @@ def a3_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a3_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: arbitrary GROUPING SETS (neither a rollup prefix chain nor a
+    full cube) — one Expand pass producing exactly the requested
+    groupings, not the 2^k cube superset."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+        )
+    )
+
+
+@query(
     "a9_percentiles",
     oracle="""
     SELECT c_mktsegment,
