@@ -67,3 +67,33 @@ def test_asof_join_single_shuffle(spark):
     plan = explain.physical_plan(df)
     assert "Window" in plan
     assert explain.count_shuffles(df) <= 3
+
+
+def test_q9_broadcasts_all_dims_single_agg_shuffle(spark):
+    """Q9's 5-table join must broadcast every dim (part/supplier/
+    nation; orders may broadcast or shuffle depending on stats) and
+    keep partial aggregation — the fact table is scanned once and
+    shuffled at most twice (join + final agg)."""
+    df = QUERIES["tpch_q9_product_profit"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert explain.has_partial_aggregation(df)
+    assert explain.count_shuffles(df) <= 2
+
+
+def test_q11_total_is_broadcast_back(spark):
+    """Q11's scalar-subquery threshold: the 1-row global total joins
+    back via broadcast — a shuffle there would re-partition the whole
+    per-part aggregate around one row."""
+    df = QUERIES["tpch_q11_important_parts"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_no_distinct(spark):
+    """Q20 decorrelates the IN-subquery as a left-semi join, which
+    can't duplicate supplier rows — the plan must not pay a distinct
+    aggregation on top."""
+    df = QUERIES["tpch_q20_bulk_suppliers"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "LeftSemi" in plan
