@@ -310,14 +310,14 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a bare anti-join would hash-check an empty set)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg("c_acctbal").alias("ab"))
-        .collect()[0]["ab"]
-    )
+    # Scalar avg-balance subquery as a broadcast 1-row cross join (the
+    # Q11 pattern) — no eager .collect() / extra customer scan at
+    # query-construction time.
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     return (
-        c.filter(F.col("c_acctbal") > avg_bal)
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
@@ -687,9 +687,20 @@ def tpch_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q15 shape: revenue view + scalar-max filter (ties kept)."""
+    """Q15 shape: revenue view + scalar-max filter (ties kept).
+
+    The scalar max joins back as a broadcast 1-row cross join (the Q11
+    pattern) — one lazy DAG, no driver-side collect at plan-build time,
+    and the per-supplier aggregate exchange is reused for the max branch
+    (ReusedExchange) instead of re-scanning lineitem."""
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+        # Explicit null filter so both consumers of `rev` (the join
+        # branch, which gets isnotnull injected by the join, and the
+        # max branch, which wouldn't) plan IDENTICAL subtrees — that
+        # identity is what lets ReuseExchange kick in.
+        & F.col("l_suppkey").isNotNull()
     )
     s = _t(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
@@ -697,10 +708,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("total_revenue")
     )
-    mx = rev.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         s.join(rev, s.s_suppkey == rev.supplier_no)
-        .filter(F.col("total_revenue") == mx)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
