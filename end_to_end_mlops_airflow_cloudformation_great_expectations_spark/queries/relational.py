@@ -734,6 +734,65 @@ def w4_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o1_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global total-order sort, verified ORDER-SENSITIVELY.
+
+    The driver's value hash is order-insensitive, so a bare orderBy
+    can't be checked; instead the global position is MATERIALIZED as a
+    row number, making any mis-sort a value mismatch. Done the
+    scale-correct way — not a single-partition window:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key
+       (exactly what ``orderBy`` plans, kept explicit here),
+    2. per-partition ``row_number`` (parallel — window is partitioned by
+       ``spark_partition_id``),
+    3. global offsets = cumulative per-partition counts, a
+       #partitions-row table broadcast back.
+
+    The only single-row-chokepoint is the offset cumsum over ~#partition
+    rows, which is O(partitions), not O(rows) — this survives 100 TB,
+    unlike ``row_number() OVER (ORDER BY …)`` which funnels every row
+    through one task. Tie-break via the unique ``o_orderkey`` keeps the
+    total order deterministic for the DuckDB oracle.
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(8, F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .sortWithinPartitions(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = o.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("_offset"),
+    ).na.fill({"_offset": 0})
+    local_rn = F.row_number().over(
+        W.partitionBy("_pid").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        o.withColumn("_local_rn", local_rn)
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("_offset") + F.col("_local_rn")).cast("long").alias("rn"),
+        )
+    )
+
+
+@query(
     "o2_global_topk",
     oracle="""
     SELECT o_orderkey, o_totalprice
