@@ -41,6 +41,14 @@ HEADLINE = [
     "j_funnel_click_purchase",
     "j6_interval_join",
     "a8_group_normalize",
+    # r02 additions (VERDICT item 10): approximate scale paths +
+    # quality scoring + the codegen'd SimHash now perf-tracked
+    "sim_topk_lsh",
+    "sim_topk_ivf",
+    "text_quality",
+    "dedup_simhash_pairs",
+    "mm_wav_decode",
+    "o1_global_sort",
 ]
 
 
