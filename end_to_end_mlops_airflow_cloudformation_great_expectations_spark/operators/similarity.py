@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: Most-recent call's cache (same contract as operators.dedup: results
+#: stay lazy, so each new call evicts the previous call's cache rather
+#: than unpersisting mid-plan — bounds long-lived sessions at one live
+#: cache; an evicted plan silently recomputes).
+_live_caches: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    while _live_caches:
+        _live_caches.pop().unpersist(blocking=False)
+    _live_caches.append(df.persist())
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -210,6 +224,7 @@ def ivf_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF-style approximate top-k (FAISS IVF-Flat structure): k-means
     partitions the corpus into ``n_centroids`` cells; each query
@@ -219,7 +234,17 @@ def ivf_topk(
     assignment is a tiny model broadcast; the search is an equi-join
     on cell id + exact cosine re-rank — one corpus shuffle at build
     time, sublinear probes at query time. Recall vs brute force is
-    measured in tests (more probes → higher recall)."""
+    measured in tests (more probes → higher recall).
+
+    The prepared corpus (cast + vector conversion) is persisted for
+    the duration of the call: the eager ``fit`` and the lazy
+    ``transform`` would otherwise each re-run the array-to-vector
+    projection over the full corpus. ``max_iter=8``: a coarse
+    quantizer doesn't need tight convergence — probing n_probe cells
+    absorbs boundary error (recall measured unchanged vs 20 iters on
+    the test fixture), and fit time ~halves. NOTE: KMeans.fit is an
+    eager iterative job at call time — inherent to the algorithm, so
+    this op is registered rows-only, not as a lazy oracle query."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -227,7 +252,10 @@ def ivf_topk(
         F.col(corpus_id).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("features", array_to_vector(F.col("cv")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features")
+    c = _persist_tracked(c)
+    km = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
+    )
     model = km.fit(c)
     assigned = model.transform(c).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")

@@ -129,6 +129,17 @@ def test_q22_scalar_avg_is_broadcast_no_collect(spark, monkeypatch):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_o1_global_sort_range_partitioned_offsets_broadcast(spark):
+    """O1's global numbering must be the scale shape: a range-
+    partitioned sort (not a single-partition global window over the
+    fact table) with the tiny per-partition offsets joined back via
+    broadcast."""
+    df = QUERIES["o1_global_sort"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_q20_semi_join_no_distinct(spark):
     """Q20 decorrelates the IN-subquery as a left-semi join, which
     can't duplicate supplier rows — the plan must not pay a distinct
