@@ -302,6 +302,39 @@ def ivf_topk(
     )
 
 
+def embedding_dedup(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    transitive: bool = True,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup: near-dup pairs within blocks
+    → connected components → keep each component's min-id
+    representative. SemDeDup-style semantic pruning: near-identical
+    embeddings (paraphrases, templated rewrites) collapse even when
+    their surface text shares no shingles, complementing MinHash.
+
+    ``transitive=True`` closes chains A≈B≈C to one representative
+    (iterative jobs at call time); ``False`` is the lazy one-hop
+    approximation. At scale, pass LSH bucket ids as ``block_col`` so
+    the in-block all-pairs stays bounded."""
+    from .dedup import connected_components
+
+    pairs = cosine_neardup_pairs(
+        embeddings, block_col, threshold, id_col, vec_col
+    )
+    if transitive:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(losers, id_col, "left_anti")
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     block_col: str,

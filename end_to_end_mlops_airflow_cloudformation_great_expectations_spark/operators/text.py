@@ -87,6 +87,29 @@ def quality_score(text: Column) -> Column:
     return (len_ok + mwl_ok + sw_ok + punct_ok) / 4.0
 
 
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (Gopher-style repetition signal: boilerplate/spam pages repeat
+    nav lines and CTAs). Expression-only."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    return F.try_divide(
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double"),
+        F.size(lines),
+    )
+
+
+def repeated_token_fraction(text: Column) -> Column:
+    """1 - distinct/total tokens: high values mean keyword-stuffed or
+    looping text (another Gopher repetition rule). Expression-only."""
+    ws = words(text)
+    return F.try_divide(
+        (F.size(ws) - F.size(F.array_distinct(ws))).cast("double"), F.size(ws)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the canonical form
     (lowercase, punctuation stripped, whitespace collapsed). The exact

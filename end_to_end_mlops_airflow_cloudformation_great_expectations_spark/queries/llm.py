@@ -332,6 +332,52 @@ def sim_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_embedding")  # iterative connected components -> rows-only
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style): embedding-cosine near-dup pairs
+    within label blocks → transitive closure → keep each component's
+    min-id representative. Iterative (connected components to a fixed
+    point), hence rows-only; the closure itself is oracle-free but
+    property-tested on planted chains (test_llm_ops)."""
+    kept = similarity.embedding_dedup(
+        _emb(spark, sf_dir), block_col="label", threshold=0.35
+    )
+    return kept.select("vec_id", "label")
+
+
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> len(x) > 0) AS lines,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(LEN(lines) - LEN(list_distinct(lines)) AS DOUBLE)
+                 / LEN(lines), 4) AS dup_line_frac,
+           ROUND(CAST(LEN(ws) - LEN(list_distinct(ws)) AS DOUBLE)
+                 / LEN(ws), 4) AS rep_token_frac
+    FROM t
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, expression-only: duplicate-line
+    fraction (boilerplate/nav spam) and repeated-token fraction
+    (keyword stuffing / degenerate loops)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(text.dup_line_fraction(t), 4).alias("dup_line_frac"),
+        F.round(text.repeated_token_fraction(t), 4).alias("rep_token_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

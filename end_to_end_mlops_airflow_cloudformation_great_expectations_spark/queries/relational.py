@@ -762,10 +762,15 @@ def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task. Tie-break via the unique ``o_orderkey`` keeps the
     total order deterministic for the DuckDB oracle.
     """
+    # partition count follows the session's shuffle sizing (a fixed
+    # small constant would serialize the sort at scale); correctness is
+    # partition-count-independent since the numbering is derived from
+    # the global order itself.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     o = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(8, F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .repartitionByRange(n_parts, F.desc("o_totalprice"), F.asc("o_orderkey"))
         .sortWithinPartitions(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .withColumn("_pid", F.spark_partition_id())
     )

@@ -126,6 +126,33 @@ def test_minhash_dedup_transitive_collapses_chain(spark):
     assert kept == [1]
 
 
+def test_embedding_dedup_transitive(spark):
+    """Semantic dedup closes cosine chains: v1≈v2≈v3 (adjacent ~0.98,
+    ends ~0.92 < threshold) collapses to the min-id representative."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (1, "x", unit(0.00)),
+        (2, "x", unit(0.18)),  # cos≈0.984 to v1
+        (3, "x", unit(0.36)),  # cos≈0.984 to v2, 0.936 to v1
+        (9, "x", unit(1.40)),  # far from everything
+        (10, "y", unit(0.00)),  # other block: kept (blocks don't mix)
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.embedding_dedup(
+            e, block_col="label", threshold=0.95
+        ).collect()
+    )
+    assert kept == [1, 9, 10]
+
+
 def test_simhash_finds_planted_neardups(planted_docs):
     pairs = dedup.simhash_neardup_pairs(
         planted_docs, max_hamming=12, n_chunks=8
