@@ -1,0 +1,157 @@
+"""Distributed global ranking (SURVEY.md W1/O1 at scale).
+
+``row_number()/rank()/dense_rank()/ntile() OVER (ORDER BY ...)`` with
+no PARTITION BY funnels every row through ONE task — the
+"No Partition Defined for Window operation" warning. This module
+computes the same results the scale-correct way:
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key —
+   exactly what a global ``orderBy`` plans. Spark's RangePartitioner
+   compares by key, so RANGES are disjoint and EQUAL KEYS land in one
+   partition — tie groups never span partitions, which is what makes
+   rank/dense_rank composable per partition.
+2. per-partition window functions (parallel — partitioned by
+   ``spark_partition_id``),
+3. a #partitions-row offset table (cumulative row / distinct-key
+   counts) broadcast back:
+   - global row_number = row offset + local row_number
+   - global rank       = row offset + local rank (the rows before this
+     partition are exactly the rows ranked before any local tie group)
+   - global dense_rank = distinct-key offset + local dense_rank
+   - global ntile(k)   = closed form over (global rn, total N): with
+     base = N div k and rem = N mod k, the first ``rem`` tiles hold
+     base+1 rows (ANSI NTILE), so
+     tile = ceil(rn / (base+1))                    if rn <= rem*(base+1)
+          = rem + ceil((rn - rem*(base+1)) / base) otherwise
+
+The only single-row chokepoints are O(#partitions), not O(rows).
+Exact-integer arithmetic throughout (divisions are exact by
+construction; values stay < 2^53 for any realistic row count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rk_pid"
+
+
+def _exact_div(a: Column, b: Column) -> Column:
+    """Integer division for non-negative longs (exact: a - a%b is a
+    multiple of b, and the double division of exactly-divisible longs
+    below 2^53 is lossless)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def attach_global_ranks(
+    df: DataFrame,
+    sort_cols: list[Column],
+    key_cols: list[Column],
+    rn_col: str | None = None,
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
+    ntile: int | None = None,
+    ntile_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach any of global row_number / rank / dense_rank / ntile(k)
+    over the total order given by ``sort_cols`` (direction-wrapped,
+    e.g. ``[F.desc("price"), F.asc("id")]``). ``key_cols`` are the same
+    expressions WITHOUT direction — used for tie/distinct detection.
+    Requested outputs are LongType columns added to ``df``'s columns."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    want_dense = dense_rank_col is not None
+    want_ntile = ntile_col is not None
+    if want_ntile and not ntile:
+        raise ValueError("ntile_col requires ntile=k")
+
+    # CORRECTNESS: the offsets branch and the main branch below are a
+    # self-join over this frame. Without pinning, each branch re-runs
+    # repartitionByRange independently, and RangePartitioner's boundary
+    # SAMPLING is not deterministic across separate executions — the
+    # branches then disagree on which rows partition N holds and the
+    # offsets are garbage. (It accidentally works when the subtrees stay
+    # byte-identical and AQE reuses the exchange; any downstream filter
+    # or projection breaks that via column pruning — caught by the p6
+    # oracle.) A lazy localCheckpoint materializes the partitioning
+    # exactly once at first action; both branches read the same stored
+    # blocks, and the storage is GC-cleaned with the DataFrame.
+    s = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    aggs = [F.count("*").alias("__n")]
+    if want_dense:
+        aggs.append(F.countDistinct(*key_cols).alias("__nd"))
+    counts = s.groupBy(_PID).agg(*aggs)
+    prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.coalesce(F.sum("__n").over(prev), F.lit(0)).alias("__off_n"),
+        F.sum("__n")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__total"),
+    ]
+    if want_dense:
+        off_cols.append(
+            F.coalesce(F.sum("__nd").over(prev), F.lit(0)).alias("__off_nd")
+        )
+    offsets = counts.select(_PID, *off_cols)
+
+    w_local = Window.partitionBy(_PID).orderBy(*sort_cols)
+    locals_: list[Column] = []
+    if rn_col or want_ntile:
+        locals_.append(F.row_number().over(w_local).alias("__lrn"))
+    if rank_col:
+        locals_.append(F.rank().over(w_local).alias("__lrank"))
+    if want_dense:
+        locals_.append(F.dense_rank().over(w_local).alias("__ldense"))
+
+    out = s.select("*", *locals_).join(F.broadcast(offsets), _PID)
+    proj = [F.col(c) for c in df.columns]
+    if rn_col:
+        proj.append((F.col("__off_n") + F.col("__lrn")).cast("long").alias(rn_col))
+    if rank_col:
+        proj.append(
+            (F.col("__off_n") + F.col("__lrank")).cast("long").alias(rank_col)
+        )
+    if want_dense:
+        proj.append(
+            (F.col("__off_nd") + F.col("__ldense")).cast("long").alias(dense_rank_col)
+        )
+    if want_ntile:
+        k = F.lit(ntile).cast("long")
+        n = F.col("__total").cast("long")
+        rn = (F.col("__off_n") + F.col("__lrn")).cast("long")
+        base = _exact_div(n, k)
+        rem = n - base * k
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = F.when(
+            rn <= big, _exact_div(rn + base, base + F.lit(1))  # ceil(rn/(base+1))
+        ).otherwise(
+            rem + _exact_div(rn - big + base - 1, base)  # rem + ceil(.../base)
+        )
+        proj.append(tile.cast("long").alias(ntile_col))
+    return out.select(*proj)
+
+
+def global_row_number(
+    df: DataFrame,
+    sort_cols: list[Column],
+    key_cols: list[Column],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Just the global row numbering (O1/P6 provenance use case)."""
+    return attach_global_ranks(
+        df, sort_cols, key_cols, rn_col=out_col, num_partitions=num_partitions
+    )

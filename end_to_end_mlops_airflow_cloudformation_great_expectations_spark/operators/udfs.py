@@ -53,5 +53,10 @@ class TokenExplode:
 
 
 token_explode_udtf = F.udtf(
-    TokenExplode, returnType="doc_id bigint, pos int, tok string"
+    TokenExplode,
+    returnType="doc_id bigint, pos int, tok string",
+    # Arrow-optimized UDTF (Spark 4): batches cross the Python boundary
+    # as Arrow record batches (ArrowEvalPythonUDTF) instead of pickled
+    # rows (BatchEvalPythonUDTF) — the generator body is unchanged.
+    useArrow=True,
 )

@@ -209,11 +209,19 @@ def p6_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``__index_level_0__`` (verified: per-vendor files carry the
     positional index into the full table). Spark has no stable row
     order, so provenance is an explicit deterministic numbering over a
-    declared sort key, assigned BEFORE downstream filtering."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
+    declared sort key, assigned BEFORE downstream filtering — via the
+    distributed numbering (``operators.ranks``), not a one-task global
+    window."""
+    from ..operators.ranks import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     return (
-        o.withColumn("row_id", F.row_number().over(w).cast("long"))
+        global_row_number(
+            o,
+            sort_cols=[F.asc("o_orderkey")],
+            key_cols=[F.col("o_orderkey")],
+            out_col="row_id",
+        )
         .filter(F.col("o_orderstatus") == "F")
         .select("row_id", "o_orderkey", "o_orderstatus")
     )

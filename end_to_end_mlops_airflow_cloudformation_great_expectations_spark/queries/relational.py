@@ -720,17 +720,25 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w4_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: rank / dense_rank / ntile over a global ordering (small dim —
-    single-partition window is acceptable; at scale, rank over a global
-    order is a range-partitioned sort + zipWithIndex-style pass)."""
-    s = _t(spark, sf_dir, "supplier")
-    w = W.orderBy(F.desc("s_acctbal"), "s_suppkey")
-    return s.select(
-        "s_suppkey",
-        F.rank().over(w).cast("long").alias("bal_rank"),
-        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
-        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    """W1: rank / dense_rank / ntile over a GLOBAL ordering, computed
+    distributed (``operators.ranks.attach_global_ranks``: range-
+    partitioned sort, per-partition ranks, broadcast offset
+    correction) instead of the one-task global window — equal keys
+    land in one range partition, so tie-sensitive ranks compose."""
+    from ..operators.ranks import attach_global_ranks
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
     )
+    return attach_global_ranks(
+        s,
+        sort_cols=[F.desc("s_acctbal"), F.asc("s_suppkey")],
+        key_cols=[F.col("s_acctbal"), F.col("s_suppkey")],
+        rank_col="bal_rank",
+        dense_rank_col="bal_dense_rank",
+        ntile=4,
+        ntile_col="bal_quartile",
+    ).select("s_suppkey", "bal_rank", "bal_dense_rank", "bal_quartile")
 
 
 @query(
@@ -746,54 +754,21 @@ def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver's value hash is order-insensitive, so a bare orderBy
     can't be checked; instead the global position is MATERIALIZED as a
-    row number, making any mis-sort a value mismatch. Done the
-    scale-correct way — not a single-partition window:
-
-    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the sort key
-       (exactly what ``orderBy`` plans, kept explicit here),
-    2. per-partition ``row_number`` (parallel — window is partitioned by
-       ``spark_partition_id``),
-    3. global offsets = cumulative per-partition counts, a
-       #partitions-row table broadcast back.
-
-    The only single-row-chokepoint is the offset cumsum over ~#partition
-    rows, which is O(partitions), not O(rows) — this survives 100 TB,
-    unlike ``row_number() OVER (ORDER BY …)`` which funnels every row
-    through one task. Tie-break via the unique ``o_orderkey`` keeps the
-    total order deterministic for the DuckDB oracle.
+    row number, making any mis-sort a value mismatch. Computed by
+    ``operators.ranks.global_row_number`` — range-partitioned sort +
+    per-partition numbering + broadcast offsets, O(partitions) driver
+    state instead of the one-task global window. Tie-break via the
+    unique ``o_orderkey`` keeps the total order deterministic for the
+    DuckDB oracle.
     """
-    # partition count follows the session's shuffle sizing (a fixed
-    # small constant would serialize the sort at scale); correctness is
-    # partition-count-independent since the numbering is derived from
-    # the global order itself.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    o = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .repartitionByRange(n_parts, F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .sortWithinPartitions(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    counts = o.groupBy("_pid").agg(F.count("*").alias("_n"))
-    offsets = counts.select(
-        "_pid",
-        (
-            F.sum("_n").over(
-                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-            )
-        ).alias("_offset"),
-    ).na.fill({"_offset": 0})
-    local_rn = F.row_number().over(
-        W.partitionBy("_pid").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    )
-    return (
-        o.withColumn("_local_rn", local_rn)
-        .join(F.broadcast(offsets), "_pid")
-        .select(
-            "o_orderkey",
-            "o_totalprice",
-            (F.col("_offset") + F.col("_local_rn")).cast("long").alias("rn"),
-        )
+    from ..operators.ranks import global_row_number
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_row_number(
+        o,
+        sort_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        key_cols=[F.col("o_totalprice"), F.col("o_orderkey")],
+        out_col="rn",
     )
 
 

@@ -136,8 +136,27 @@ def test_o1_global_sort_range_partitioned_offsets_broadcast(spark):
     broadcast."""
     df = QUERIES["o1_global_sort"](spark, SF_DIR)
     plan = explain.physical_plan(df)
-    assert "rangepartitioning" in plan
+    # the range-partitioned sort is inside the pinned (localCheckpoint)
+    # lineage, so assert the visible shape: the big-side window is
+    # PARTITIONED by the pinned partition id (no global-window funnel
+    # over the fact) and the tiny offsets join back via broadcast.
+    assert "windowspecdefinition(__rk_pid" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_headline_plans_pass_lint(spark):
+    """No row-wise Python UDFs (BatchEvalPython) and no raw cartesian
+    products anywhere in the headline set — the hard antipatterns
+    tools/planlint.py checks repo-wide."""
+    import bench
+    from tools.planlint import EAGER, HARD
+
+    for name in bench.HEADLINE:
+        if name in EAGER:
+            continue
+        plan = explain.physical_plan(QUERIES[name](spark, SF_DIR))
+        for label, rx in HARD.items():
+            assert not rx.search(plan), f"{name}: {label}"
 
 
 def test_q20_semi_join_no_distinct(spark):
