@@ -83,6 +83,25 @@ def test_numbering_survives_downstream_filter(spark):
     assert bad.count() == 0
 
 
+def test_more_partitions_than_rows(spark):
+    """Empty range partitions (n_parts >> n_rows) must not perturb the
+    numbering — offsets only exist for non-empty partitions."""
+    df = spark.createDataFrame(
+        [(3,), (1,), (2,), (5,), (4,)], "k long"
+    )
+    out = ranks.attach_global_ranks(
+        df,
+        sort_cols=[F.asc("k")],
+        key_cols=[F.col("k")],
+        rn_col="rn",
+        rank_col="rk",
+        dense_rank_col="dr",
+        num_partitions=16,
+    )
+    rows = sorted((r["k"], r["rn"], r["rk"], r["dr"]) for r in out.collect())
+    assert rows == [(1, 1, 1, 1), (2, 2, 2, 2), (3, 3, 3, 3), (4, 4, 4, 4), (5, 5, 5, 5)]
+
+
 def test_ntile_small_n(spark):
     """N < k: each row its own tile (ANSI NTILE)."""
     df = spark.range(3).select(F.col("id").alias("k"))
