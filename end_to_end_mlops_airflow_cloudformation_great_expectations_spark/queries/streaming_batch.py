@@ -139,6 +139,64 @@ def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_doc_intake",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, fingerprint,
+             LEN(ws) AS n_words,
+             list_aggregate(list_transform(ws, x -> CAST(LEN(x) AS DOUBLE)),
+                            'sum') / LEN(ws) AS mwl,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+                 ['the','and','of','to','in','is','a','that','it','for',
+                  'on','with','as','at','by','an'], x))) AS DOUBLE)
+               / LEN(ws) AS swr,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS pr
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, fingerprint,
+             ROUND((CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 2)
+               AS quality
+      FROM m
+    )
+    SELECT doc_id, source, fingerprint, quality
+    FROM q
+    WHERE quality >= 0.5
+    QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+    """,
+)
+def t_doc_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data intake, batch twin: profile → quality gate →
+    canonical dedup. Same profiling expressions as the streaming
+    ``jobs.doc_intake_pipeline``; the dedup keeper differs
+    deterministically (min doc_id here vs first-arrival in the stream)
+    so the DuckDB oracle can pin exact rows — the streaming test
+    checks fingerprint-set equivalence instead."""
+    from ..operators import text as text_ops
+    from ..operators.dedup import exact_dedup
+
+    d = catalog.load(spark, sf_dir, "documents")
+    t = F.col("text")
+    profiled = d.select(
+        "doc_id",
+        "source",
+        text_ops.fingerprint(t).alias("fingerprint"),
+        F.round(text_ops.quality_score(t), 2).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return exact_dedup(profiled, ["fingerprint"], "doc_id")
+
+
+@query(
     "j_funnel_click_purchase",
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id

@@ -179,6 +179,41 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S8 over the documents layout: a continuously-ingested document
+    feed (the shape of an LLM training-data intake)."""
+    return spark.readStream.schema(_DOCS_DDL).parquet(path)
+
+
+def doc_intake_pipeline(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """LLM-data intake as ONE transformation usable batch or streaming:
+    profile (fingerprint + quality heuristics) → quality gate →
+    canonical near-exact dedup on the fingerprint.
+
+    Streaming notes: ``dropDuplicates`` keeps the first arrival per
+    fingerprint and its seen-key state is unbounded here because
+    documents carry no event time — a real feed would add an ingest
+    timestamp + ``withWatermark`` to bound it. Batch twin
+    (``t_doc_intake``) keeps the min-doc_id representative instead, so
+    equivalence is checked on the KEPT FINGERPRINT SET, which both
+    policies agree on."""
+    from ..operators import text as text_ops
+
+    t = F.col("text")
+    profiled = docs.select(
+        "doc_id",
+        "source",
+        text_ops.fingerprint(t).alias("fingerprint"),
+        F.round(text_ops.quality_score(t), 2).alias("quality"),
+    )
+    return profiled.filter(F.col("quality") >= min_quality).dropDuplicates(
+        ["fingerprint"]
+    )
+
+
 def run_available_now(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
@@ -198,6 +233,8 @@ def run_available_now(
 
 
 __all__ = [
+    "read_documents_stream",
+    "doc_intake_pipeline",
     "read_events_stream",
     "with_watermark",
     "tumbling_agg",

@@ -29,6 +29,14 @@ def events_dir(tmp_path):
     return str(d)
 
 
+@pytest.fixture()
+def docs_dir(tmp_path):
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "documents.parquet"), d / "part-0.parquet")
+    return str(d)
+
+
 def _sorted_rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
@@ -83,6 +91,26 @@ def test_t6_stateful_running_totals(spark, events_dir):
     )
     cols = ["user_id", "n_events"]
     assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
+def test_doc_intake_stream_equals_batch(spark, docs_dir):
+    """The LLM-data intake (profile → quality gate → fingerprint
+    dedup) run as a real stream must keep the same FINGERPRINT SET as
+    the batch form (keeper policy differs: first-arrival vs min-id, so
+    the set — which both agree on — is the invariant)."""
+    stream = jobs.doc_intake_pipeline(
+        jobs.read_documents_stream(spark, docs_dir)
+    )
+    jobs.run_available_now(stream, "doc_intake_out", "append")
+    got = {
+        r["fingerprint"]
+        for r in spark.sql("SELECT fingerprint FROM doc_intake_out").collect()
+    }
+    want_df = jobs.doc_intake_pipeline(
+        catalog.load(spark, SF_DIR, "documents")
+    )
+    want = {r["fingerprint"] for r in want_df.select("fingerprint").collect()}
+    assert got == want and len(got) > 0
 
 
 def _protobuf_available() -> bool:
