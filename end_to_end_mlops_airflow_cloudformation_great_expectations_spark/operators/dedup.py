@@ -342,7 +342,13 @@ def connected_components(
     exponentially growing lineage. Raises if ``max_iter`` rounds don't
     converge rather than returning a half-merged labeling.
     """
-    # undirected: keep both orientations so labels flow both ways
+    # undirected: keep both orientations so labels flow both ways.
+    # (A pre-repartition("src") before the checkpoint was measured and
+    # reverted: LogicalRDD does not surface the partitioning to
+    # Catalyst, so every round's join re-exchanges the edges
+    # regardless — the edge shuffle per round is the accepted cost of
+    # DataFrame-level label propagation; rounds are few for dedup
+    # graphs.)
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         fwd.unionByName(
