@@ -76,3 +76,65 @@ def _spark():
     )
 
     return get_spark("props", master="local[4]")
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_ranks_match_python(keys, k, n_parts):
+    """attach_global_ranks agrees with a plain-Python oracle on random
+    multisets (duplicates force tie groups across arbitrary range
+    boundaries), arbitrary NTILE k, and arbitrary partition counts —
+    including n_parts > n_rows."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        ranks,
+    )
+
+    spark = _spark()
+    rows = [(key, i) for i, key in enumerate(keys)]  # (key, unique id)
+    df = spark.createDataFrame(rows, "key long, rid long")
+    out = ranks.attach_global_ranks(
+        df,
+        sort_cols=[F.asc("key"), F.asc("rid")],
+        key_cols=[F.col("key"), F.col("rid")],
+        rn_col="rn",
+        ntile=k,
+        ntile_col="tile",
+        num_partitions=n_parts,
+    )
+    out2 = ranks.attach_global_ranks(
+        df,
+        sort_cols=[F.asc("key")],
+        key_cols=[F.col("key")],
+        rank_col="rk",
+        dense_rank_col="dr",
+        num_partitions=n_parts,
+    )
+    got = {r["rid"]: (r["rn"], r["tile"]) for r in out.collect()}
+    got2 = {r["rid"]: (r["rk"], r["dr"]) for r in out2.collect()}
+
+    # python oracle
+    order = sorted(rows, key=lambda t: (t[0], t[1]))
+    n = len(order)
+    base, rem = divmod(n, k)
+    uniq_sorted = sorted(set(keys))
+    dense_of = {key: i + 1 for i, key in enumerate(uniq_sorted)}
+    first_pos: dict[int, int] = {}
+    for pos, (key, _) in enumerate(order, start=1):
+        first_pos.setdefault(key, pos)
+    for pos, (key, rid) in enumerate(order, start=1):
+        tile = (
+            (pos - 1) // (base + 1) + 1
+            if base and pos <= rem * (base + 1) or base == 0
+            else rem + (pos - rem * (base + 1) - 1) // base + 1
+        )
+        assert got[rid] == (pos, tile), (rid, got[rid], (pos, tile))
+        assert got2[rid] == (first_pos[key], dense_of[key]), (
+            rid,
+            got2[rid],
+        )
