@@ -548,8 +548,11 @@ def simhash_neardup_pairs(
             "id_b",
             hamming64(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: hamming is deterministic per pair, so
+        # the result is identical but the distinct's shuffle only
+        # carries surviving pairs instead of every candidate duplicate
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
