@@ -301,13 +301,17 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 scale path: random-hyperplane LSH buckets → exact re-rank
     within bucket. Recall vs brute force measured in tests."""
     e = _emb(spark, sf_dir)
+    # 6 planes keeps buckets ~corpus/64 (sublinear probes at sf0.1's
+    # 20k vectors); 16 tables buys recall (measured 0.25 → 0.51 on the
+    # sf0.001 fixture vs 8 tables; plane count should grow with
+    # log(corpus size), table count with the recall target).
     return similarity.lsh_topk(
         e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
         e,
         dim=64,
         k=5,
         n_planes=6,
-        n_tables=8,
+        n_tables=16,
     )
 
 

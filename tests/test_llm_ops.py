@@ -167,15 +167,17 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     e = catalog.load(spark, SF_DIR, "embeddings")
     q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
     exact = similarity.brute_force_topk(q, e, k=5).collect()
-    approx = similarity.lsh_topk(q, e, dim=64, k=5, n_planes=6, n_tables=8).collect()
+    approx = similarity.lsh_topk(q, e, dim=64, k=5, n_planes=4, n_tables=16).collect()
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # single-probe 8-bit LSH on random-ish vectors: modest recall is
-    # expected; the assertion guards against a broken bucketing, the
-    # printed value tracks the real number.
+    # measured on this 2k-vector fixture: 6 planes × 8 tables → 0.25,
+    # 6×16 → 0.51, 4×16 → 0.91. Plane count must scale with
+    # log(corpus/target_bucket); 4 planes fits this corpus, and the
+    # 0.7 floor fails under any broken bucketing while leaving seed
+    # headroom.
     print(f"LSH top-5 recall vs brute force: {recall:.3f}")
-    assert recall >= 0.2, f"lsh recall collapsed: {recall}"
+    assert recall >= 0.7, f"lsh recall collapsed: {recall}"
 
 
 def test_ivf_topk_recall_vs_bruteforce(spark):
