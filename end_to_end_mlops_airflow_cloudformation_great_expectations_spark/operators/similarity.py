@@ -214,6 +214,67 @@ def lsh_topk(
     )
 
 
+def _train_coarse_quantizer(
+    prepared: DataFrame,
+    n_centroids: int,
+    seed: int,
+    max_iter: int,
+    sample_size: int,
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer with Lloyd's iterations in numpy
+    over a bounded, deterministic sample (FAISS's own discipline: IVF
+    quantizers train on ~a few 10k vectors regardless of corpus size).
+
+    The sample is the ``sample_size`` smallest ``xxhash64(id)`` rows —
+    a TakeOrdered job (per-partition top-N + driver merge, no full
+    shuffle), deterministic for a given corpus. Driver memory is
+    bounded at sample_size × dim doubles. A distributed iterative fit
+    (MLlib KMeans) at this cluster-count is all scheduling overhead:
+    8 Lloyd rounds over ≤64k sampled vectors is milliseconds in numpy,
+    while 8 distributed jobs cost seconds before any data is touched.
+    """
+    rows = (
+        prepared.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_size)
+        .select("cv")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_topk: empty corpus, cannot train quantizer")
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    kk = min(n_centroids, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=kk, replace=False)].copy()
+    x2 = (X**2).sum(axis=1)
+    for _ in range(max_iter):
+        d = x2[:, None] - 2.0 * (X @ C.T) + (C**2).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        for j in range(kk):
+            members = a == j
+            if members.any():
+                C[j] = X[members].mean(axis=0)
+    return C
+
+
+def _cell_assign_udf(centroids: "np.ndarray"):
+    """Arrow-vectorized nearest-centroid assignment: one
+    (batch × dim) @ (dim × k) matmul per batch. The centroid matrix is
+    tiny (k × dim doubles) and ships inside the serialized UDF closure
+    — no broadcast variable, no per-row Python."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C**2).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy())
+        # |x|^2 is constant per row — dropping it preserves the argmin
+        d = c2[None, :] - 2.0 * (X @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -225,45 +286,36 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 8,
+    train_sample: int = 65536,
 ) -> DataFrame:
     """IVF-style approximate top-k (FAISS IVF-Flat structure): k-means
     partitions the corpus into ``n_centroids`` cells; each query
     exact-searches only its ``n_probe`` nearest cells.
 
-    Clustering uses Spark MLlib KMeans (distributed, seeded). The cell
-    assignment is a tiny model broadcast; the search is an equi-join
-    on cell id + exact cosine re-rank — one corpus shuffle at build
-    time, sublinear probes at query time. Recall vs brute force is
-    measured in tests (more probes → higher recall).
+    The coarse quantizer trains on a bounded deterministic sample in
+    driver numpy (see ``_train_coarse_quantizer`` — the FAISS
+    training discipline; at 100 TB you sample the corpus, never
+    iterate over it). Cell assignment of the FULL corpus is one lazy
+    Arrow matmul pass (``_cell_assign_udf``); the search is an
+    equi-join on cell id + exact cosine re-rank — one corpus shuffle
+    at build time, sublinear probes at query time. Recall vs brute
+    force is measured in tests (more probes → higher recall).
 
-    The prepared corpus (cast + vector conversion) is persisted for
-    the duration of the call: the eager ``fit`` and the lazy
-    ``transform`` would otherwise each re-run the array-to-vector
-    projection over the full corpus. ``max_iter=8``: a coarse
-    quantizer doesn't need tight convergence — probing n_probe cells
-    absorbs boundary error (recall measured unchanged vs 20 iters on
-    the test fixture), and fit time ~halves. NOTE: KMeans.fit is an
-    eager iterative job at call time — inherent to the algorithm, so
-    this op is registered rows-only, not as a lazy oracle query."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    The prepared corpus (id + double cast) is persisted for the
+    duration of the call: the sample TakeOrdered and the assignment
+    scan would otherwise each re-run the projection. NOTE: quantizer
+    training collects the bounded sample at call time — inherent to
+    the algorithm, so this op is registered rows-only, not as a lazy
+    oracle query."""
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("features", array_to_vector(F.col("cv")))
+    )
     c = _persist_tracked(c)
-    km = KMeans(
-        k=n_centroids, seed=seed, featuresCol="features", maxIter=max_iter
-    )
-    model = km.fit(c)
-    assigned = model.transform(c).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
-    )
+    C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
+    assigned = c.withColumn("cell", _cell_assign_udf(C)(F.col("cv")))
 
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
+    centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
     cent_df = queries.sparkSession.createDataFrame(
         centroids, "cell int, centroid array<double>"
     )

@@ -12,7 +12,7 @@ tests/test_llm_ops.py against planted ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import catalog
@@ -583,4 +583,221 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = d.filter(F.col("split") == "train").select("prefix_fp")
     return te.join(tr, "prefix_fp").agg(
         F.countDistinct("te_id").alias("n_contaminated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics / retrieval scoring / scrubbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM w GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf,
+           rnk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword-profile
+    pass over a training corpus.
+
+    Scale shape: two map-side-combinable aggs ((doc,term) counts, then
+    term doc-frequency), a term-keyed join (vocab can be huge — left
+    to AQE, NOT force-broadcast), a broadcast 1-row corpus-size cross
+    join (the Q11/Q15 scalar pattern, no driver collect), and a
+    per-doc top-k window. Ranking ties break on integers + term text
+    only — no float ordering crosses the engine boundary, the rounded
+    tfidf is payload, never sort key."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(text.words(F.col("text"))).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "text_bm25",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(LEN(ws) AS BIGINT) AS dl FROM docs
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('data', 'table', 'fast')
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed keyword query
+    (k1=1.2, b=0.75) — the retrieval-scoring pass used to mine
+    topic-relevant training data from a crawl.
+
+    Scale shape: the term filter lands BEFORE the (doc,term) agg, so
+    the shuffle carries only query-term hits (|terms| × docs, not the
+    token stream). df table is |query terms| rows → broadcast; corpus
+    stats (N, avgdl) are a broadcast 1-row cross join — no driver
+    collect, one lazy DAG. avgdl is exact (integer sum / count), so
+    the oracle comparison is stable at the 4dp rounding grid."""
+    k1, b = 1.2, 0.75
+    terms = ["data", "table", "fast"]
+    d = _docs(spark, sf_dir)
+    docs = d.select("doc_id", text.words(F.col("text")).alias("ws"))
+    dl = docs.select("doc_id", F.size("ws").cast("long").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+    )
+
+
+#: PII scrubbing patterns — portable across Java regex (Spark) and
+#: RE2 (DuckDB): no lookaround, no backrefs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+    WITH src AS (
+      SELECT c_custkey,
+             'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+             || '@example.com ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.0.' || CAST(c_custkey % 100 AS VARCHAR)
+             || ' call +1-800-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(raw,
+             '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+    FROM src
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone numbers → typed tags) —
+    the redaction pass a training-data pipeline runs before anything
+    else sees raw text.
+
+    The fixture corpus contains no PII, so the query first CONSTRUCTS
+    PII-bearing text deterministically from customer columns (the
+    mm_wav_decode precedent: synthesize, then genuinely process), and
+    the oracle checks both the match counts and the redacted output
+    byte-for-byte. All expression-level (regexp_replace/regexp_count,
+    whole-stage codegen) — per-row Python here would dominate a
+    100 TB scrub."""
+    c = catalog.load(spark, sf_dir, "customer")
+    nm = F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", ""))
+    raw = F.concat(
+        F.lit("contact "),
+        nm,
+        F.lit("@example.com ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") % 100).cast("string"),
+        F.lit(" call +1-800-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_count(raw, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(raw, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
     )
