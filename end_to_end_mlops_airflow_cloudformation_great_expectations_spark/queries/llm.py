@@ -801,3 +801,64 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=r"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, vv,
+             list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS q_scale,
+           array_to_string(
+             CASE WHEN scale = 0.0 THEN list_transform(vv, x -> 0)
+                  ELSE list_transform(vv, x -> CAST(floor(x / scale + 0.5) AS INT))
+             END, ',') AS q_csv
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (per-vector
+    max-abs scale) — 4× storage/bandwidth compression before ANN
+    indexing, the standard first step of IVF-PQ-style pipelines.
+
+    All expression-level: abs-max via array HOFs, quantize via
+    ``floor(x/scale + 0.5)`` (portable round-half-up — engine
+    ``round()`` tie-breaking differs, floor arithmetic doesn't). The
+    float→double cast is exact and all subsequent IEEE ops are
+    bit-identical across engines, so the oracle checks the full
+    quantized vector byte-for-byte, not a summary. The vector is
+    emitted CSV-serialized: the driver's value-hash contract is
+    defined over scalar columns, not nested arrays."""
+    e = _emb(spark, sf_dir)
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("vv"),
+    ).select(
+        "vec_id",
+        "vv",
+        (F.array_max(F.transform(F.col("vv"), F.abs)) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    q = F.when(
+        F.col("scale") == 0.0, F.transform(F.col("vv"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("vv"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return base.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("q_scale"),
+        F.array_join(
+            F.transform(q, lambda x: x.cast("string")), ","
+        ).alias("q_csv"),
+    )

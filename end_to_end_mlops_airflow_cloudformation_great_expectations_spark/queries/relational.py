@@ -1019,3 +1019,132 @@ def f_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
         F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling & CDC-merge extras
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             (c_custkey * 2654435761) % 4294967296 AS hsh
+      FROM customer
+    ), r AS (
+      SELECT c_mktsegment, c_custkey, c_name,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY hsh, c_custkey) AS BIGINT) AS rnk
+      FROM h
+    )
+    SELECT c_mktsegment, rnk, c_custkey, c_name FROM r WHERE rnk <= 10
+    """,
+)
+def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-group) deterministic sample: exactly 10
+    customers per market segment, chosen by portable-hash order — the
+    balanced-subset pass a training pipeline uses to cap dominant
+    sources/classes.
+
+    Scale shape: one shuffle on the stratum key, per-group top-N via
+    window (rank ≤ N cuts each partition's stream; no global sort, no
+    driver collect). The hash order is the same engine-portable
+    multiplicative hash as A7's split, so the sample is reproducible
+    across engines and runs — ``sample()``'s per-partition Bernoulli
+    draw is not."""
+    from ..functions.columns import M32, portable_bucket
+
+    c = _t(spark, sf_dir, "customer")
+    # portable_bucket with n_buckets=2^32 = the full 32-bit hash
+    hsh = portable_bucket(F.col("c_custkey"), M32)
+    w = W.partitionBy("c_mktsegment").orderBy(hsh.asc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("c_mktsegment", "rnk", "c_custkey", "c_name")
+    )
+
+
+@query(
+    "j_cdc_merge",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderkey, b.o_orderkey) AS current_orderkey,
+           COALESCE(u.o_orderstatus, b.o_orderstatus) AS current_status,
+           ROUND(COALESCE(u.o_totalprice, b.o_totalprice), 2) AS current_price,
+           CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                     THEN 'updated'
+                WHEN u.o_orderkey IS NOT NULL THEN 'inserted'
+                ELSE 'carried' END AS change_type
+    FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
+    """,
+)
+def j_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/MERGE-style snapshot upsert: latest pre-cutoff state per
+    customer (the dimension snapshot) full-outer-merged with latest
+    post-cutoff activity (the change feed), keeping the newest row and
+    tagging each key inserted/updated/carried — the incremental-
+    maintenance pattern for a dimension table without a MERGE sink.
+
+    Scale shape: both branches window and join on the SAME key
+    (o_custkey), so the join reuses the windows' hash partitioning —
+    no extra exchange for the full-outer join; AQE handles skewed
+    customers. One orders scan per branch with the cutoff pushed to
+    parquet (disjoint row groups at scale when sorted by date)."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("o_custkey").alias(f"{prefix}_custkey"),
+                F.col("o_orderkey").alias(f"{prefix}_orderkey"),
+                F.col("o_orderstatus").alias(f"{prefix}_status"),
+                F.col("o_totalprice").alias(f"{prefix}_price"),
+            )
+        )
+
+    base = latest(o.filter(F.col("o_orderdate") < cutoff), "b")
+    upd = latest(o.filter(F.col("o_orderdate") >= cutoff), "u")
+    j = base.join(
+        upd, base["b_custkey"] == upd["u_custkey"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("u_custkey"), F.col("b_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("u_orderkey"), F.col("b_orderkey")).alias(
+            "current_orderkey"
+        ),
+        F.coalesce(F.col("u_status"), F.col("b_status")).alias("current_status"),
+        F.round(
+            F.coalesce(F.col("u_price"), F.col("b_price")), 2
+        ).alias("current_price"),
+        F.when(
+            F.col("u_orderkey").isNotNull() & F.col("b_orderkey").isNotNull(),
+            "updated",
+        )
+        .when(F.col("u_orderkey").isNotNull(), "inserted")
+        .otherwise("carried")
+        .alias("change_type"),
+    )
