@@ -166,3 +166,34 @@ def test_q20_semi_join_no_distinct(spark):
     df = QUERIES["tpch_q20_bulk_suppliers"](spark, SF_DIR)
     plan = explain.physical_plan(df)
     assert "LeftSemi" in plan
+
+
+def test_cdc_merge_join_reuses_window_partitioning(spark):
+    """j_cdc_merge: the full-outer join must consume the windows' hash
+    partitioning on o_custkey — 2 exchanges total (one per branch),
+    none for the join — and WindowGroupLimit must push the rank<=1
+    cut map-side before each shuffle."""
+    df = QUERIES["j_cdc_merge"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert explain.count_shuffles(df) == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bm25_df_table_broadcasts(spark):
+    """text_bm25: the query-term df table is |terms| rows and must
+    broadcast; corpus stats join as a broadcast 1-row cross join (no
+    driver collect anywhere in the build)."""
+    df = QUERIES["text_bm25"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+
+
+def test_tfidf_no_cartesian_no_collect(spark):
+    """text_tfidf_topk: corpus size joins in as a broadcast 1-row
+    cross join; the rank window cuts per-doc groups map-side."""
+    df = QUERIES["text_tfidf_topk"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
