@@ -862,3 +862,47 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(q, lambda x: x.cast("string")), ","
         ).alias("q_csv"),
     )
+
+
+@query(
+    "text_bigram_merges",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS pair
+      FROM t
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 10
+    """,
+)
+def text_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair counts, top-10 — the first merge step
+    of BPE-style tokenizer induction (which symbol pair to fuse next).
+
+    Scale shape: pairs are built inside the row (zip_with over two
+    slices — no self-join of the token stream), counted with map-side
+    partial agg, and the top-10 is TakeOrderedAndProject (per-partition
+    heads + driver merge, never a global sort). Ties at the cut break
+    on pair text, so the limit is deterministic cross-engine."""
+    d = _docs(spark, sf_dir)
+    ws = text.words(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.filter(F.size(ws) >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(10)
+    )
