@@ -23,6 +23,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -239,3 +240,89 @@ def frame_sample(meta: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real IMAGE decode path (no codec deps): uncompressed 24-bit BMP.
+# Mirrors the WAV path above — synthesize genuine bytes with
+# SQL-predictable parameters, then decode by actually reading the
+# container format (magic, BITMAPINFOHEADER, 4-byte row stride,
+# bottom-up row order). Complements mm_wav_decode with the image
+# modality; compressed formats (PNG/JPEG) stay behind the env-gated
+# decode_image_real seam.
+# ---------------------------------------------------------------------------
+
+BMP_META_SCHEMA = (
+    "doc_id long, width long, height long, bpp long, row_stride long, "
+    "img_size long, px_tl_b long, px_tl_g long, px_tl_r long"
+)
+
+
+def _build_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit bottom-up BMP: dimensions from doc_id by
+    portable arithmetic, pixel bytes filled as
+    ``(doc_id*7 + j*13) % 256`` over the pixel-array index j — so a
+    SQL oracle can predict any decoded pixel, including across the
+    row-stride padding and the bottom-up row order."""
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    stride = (w * 3 + 3) // 4 * 4
+    img_size = stride * h
+    px = ((doc_id * 7 + np.arange(img_size) * 13) % 256).astype(np.uint8)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_hdr + info_hdr + px.tobytes()
+
+
+def parse_bmp(payload: bytes) -> dict:
+    """Parse a BMP from raw bytes — magic check, BITMAPINFOHEADER
+    field extraction, stride arithmetic, and a genuine pixel read of
+    the TOP-LEFT pixel (which in a bottom-up BMP lives in the LAST
+    stored row — a decoder that ignores row order returns the wrong
+    pixel and fails the oracle). Raises ValueError on malformed
+    input."""
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _file_size, _r1, _r2, px_off = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_size, w, h, _planes, bpp, comp, _img_size = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if hdr_size != 40 or comp != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr_size}, comp={comp})")
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = (w * 3 + 3) // 4 * 4
+    rows_bottom_up = h > 0
+    height = abs(h)
+    tl_row = height - 1 if rows_bottom_up else 0
+    off = px_off + tl_row * stride
+    if off + 3 > len(payload):
+        raise ValueError("truncated pixel array")
+    b, g, r = payload[off], payload[off + 1], payload[off + 2]
+    return {
+        "width": w,
+        "height": height,
+        "bpp": bpp,
+        "row_stride": stride,
+        "img_size": stride * height,
+        "px_tl_b": b,
+        "px_tl_g": g,
+        "px_tl_r": r,
+    }
+
+
+def bmp_metadata(docs: DataFrame) -> DataFrame:
+    """End-to-end real image decode: synthesize BMP bytes → Arrow →
+    parse container + read a stride/row-order-sensitive pixel."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [_build_bmp(int(d)) for d in pdf["doc_id"]]
+            metas = [parse_bmp(p) for p in payloads]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs.select("doc_id").mapInPandas(run, BMP_META_SCHEMA)

@@ -906,3 +906,40 @@ def text_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(10)
     )
+
+
+@query(
+    "mm_bmp_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h,
+             ((4 + doc_id % 13) * 3 + 3) // 4 * 4 AS stride
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST(stride AS BIGINT) AS row_stride,
+           CAST(stride * h AS BIGINT) AS img_size,
+           CAST((doc_id * 7 + ((h - 1) * stride + 0) * 13) % 256 AS BIGINT)
+             AS px_tl_b,
+           CAST((doc_id * 7 + ((h - 1) * stride + 1) * 13) % 256 AS BIGINT)
+             AS px_tl_g,
+           CAST((doc_id * 7 + ((h - 1) * stride + 2) * 13) % 256 AS BIGINT)
+             AS px_tl_r
+    FROM g
+    """,
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal IMAGE path with a REAL decode and no codec deps:
+    each doc gets a genuine 24-bit bottom-up BMP (synthesized with
+    SQL-predictable dimensions and pixel fill), shipped through Arrow
+    as binary, then container-parsed back — magic check, DIB header
+    fields, 4-byte row stride, and a top-left pixel read that is only
+    correct if the decoder honors BOTTOM-UP row order and stride
+    padding. The oracle predicts every field, including the pixel
+    bytes, from the same portable arithmetic."""
+    return multimodal.bmp_metadata(_docs(spark, sf_dir))

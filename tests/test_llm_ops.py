@@ -296,3 +296,17 @@ def test_minhash_estimator_tracks_jaccard(spark):
     # overlaps
     assert row["mae"] < 0.02, row
     assert row["maxae"] < 0.5, row
+
+
+def test_bmp_parser_rejects_malformed_bytes():
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(b"not a bmp at all")
+    with pytest.raises(ValueError):
+        multimodal.parse_bmp(b"BM" + b"\x00" * 20)  # truncated header
+    # valid build parses back and honors bottom-up row order
+    raw = multimodal._build_bmp(7)
+    meta = multimodal.parse_bmp(raw)
+    assert meta["width"] == 4 + 7 % 13 and meta["height"] == 3 + 7 % 7
+    stride = meta["row_stride"]
+    j0 = (meta["height"] - 1) * stride
+    assert meta["px_tl_b"] == (7 * 7 + j0 * 13) % 256
