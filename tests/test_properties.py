@@ -138,3 +138,66 @@ def test_global_ranks_match_python(keys, k, n_parts):
             rid,
             got2[rid],
         )
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0, max_value=10.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_int8_quantization_error_bound(vec):
+    """Symmetric max-abs int8 quantization: reconstruction error of
+    every component is <= scale/2 (the round-half-up bound), and the
+    quantized levels stay inside [-127, 127]."""
+    spark = _spark()
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    scale_col = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    q_col = F.when(
+        scale_col == 0.0, F.transform(F.col("v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            F.col("v"), lambda x: F.floor(x / scale_col + F.lit(0.5)).cast("int")
+        )
+    )
+    row = df.select(scale_col.alias("s"), q_col.alias("q")).collect()[0]
+    scale, q = row["s"], row["q"]
+    assert all(-127 <= qi <= 127 for qi in q)
+    if scale > 0:
+        for v, qi in zip(vec, q):
+            assert abs(v - qi * scale) <= scale / 2 + 1e-12
+
+
+def test_stratified_sample_exact_and_deterministic():
+    """p_stratified_sample: exactly min(10, |stratum|) rows per group,
+    and two independent runs return identical rows (the reproducibility
+    sample() cannot give)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+
+    spark = _spark()
+    sf = "/root/testdata/sf0.001"
+    a = QUERIES["p_stratified_sample"](spark, sf).collect()
+    b = QUERIES["p_stratified_sample"](spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_group = Counter(r["c_mktsegment"] for r in a)
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+
+    sizes = {
+        r["c_mktsegment"]: r["n"]
+        for r in catalog.load(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for seg, n in sizes.items():
+        assert per_group[seg] == min(10, n), (seg, n, per_group[seg])
