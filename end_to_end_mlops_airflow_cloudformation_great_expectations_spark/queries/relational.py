@@ -1148,3 +1148,23 @@ def j_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("carried")
         .alias("change_type"),
     )
+
+
+@query("a9_approx_percentiles")  # sketch-based → rows-only check
+def a9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 scale path: ``percentile_approx`` (Greenwald-Khanna-style
+    mergeable sketch) — at 100 TB the exact percentile's
+    per-group sort is the bottleneck; the sketch is single-pass with
+    map-side partial merge, error bounded by the accuracy parameter.
+    Approximate ⇒ rows-only here; tests pin relative error vs the
+    exact percentiles."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias(
+                "p95_approx"
+            ),
+        )
+    )

@@ -139,3 +139,33 @@ def test_asof_impls_agree_on_real_data(spark):
         payload=["o_orderkey"],
     ).select("event_id", "o_orderkey")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """percentile_approx at accuracy=10000 must land within 1% of the
+    exact per-group percentiles (and would drift far outside under a
+    broken accuracy setting — accuracy=1 measures ~5-20% off)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in QUERIES["a9_approx_percentiles"](spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in catalog.load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
