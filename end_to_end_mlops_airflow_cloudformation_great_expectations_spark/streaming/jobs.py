@@ -21,7 +21,7 @@ stream (Kappa-style).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
@@ -232,7 +232,92 @@ def run_available_now(
     q.awaitTermination()
 
 
+_ORDERS_DDL = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def read_orders_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S8 over the orders layout, one file per micro-batch — the shape
+    of an incremental change feed landing in object storage."""
+    return (
+        spark.readStream.schema(_ORDERS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def merge_upsert_sink(base_dir: str, key: str, order_col: str, tiebreak: str):
+    """foreachBatch MERGE-upsert into a versioned parquet snapshot —
+    the j_cdc_merge pattern driven incrementally, for sinks without a
+    native MERGE.
+
+    Each micro-batch unions the previous snapshot version with the
+    batch rows, keeps the newest row per ``key`` (by ``order_col``
+    desc, ``tiebreak`` desc — commutative across batch arrival order),
+    and writes snapshot version ``v{batch_id}``. Versioned directories
+    rather than in-place overwrite: Spark (correctly) refuses to
+    overwrite a path that feeds the same job, and on object stores the
+    version-then-swap-pointer layout is the atomic-commit idiom anyway
+    (readers keep a consistent old version mid-write). Version listing
+    is driver-side os.listdir — a real deployment points this at a
+    manifest/catalog entry instead. Old versions are pruned to the
+    latest two so a bounded-storage contract holds at any stream
+    length."""
+    import os
+    import shutil
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = sorted(
+            (d for d in os.listdir(base_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        ) if os.path.isdir(base_dir) else []
+        union = batch_df
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            union = cur.unionByName(batch_df)
+        w = Window.partitionBy(key).orderBy(
+            F.desc(order_col), F.desc(tiebreak)
+        )
+        latest = (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        latest.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_merge_upsert(
+    stream: DataFrame,
+    base_dir: str,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+) -> None:
+    """Drive a change-feed stream to completion through the MERGE
+    sink (availableNow, synchronous)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            merge_upsert_sink(base_dir, key, order_col, tiebreak)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 __all__ = [
+    "read_orders_stream",
+    "merge_upsert_sink",
+    "run_merge_upsert",
     "read_documents_stream",
     "doc_intake_pipeline",
     "read_events_stream",

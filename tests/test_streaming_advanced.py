@@ -211,3 +211,51 @@ def test_t2_sliding_stream_equals_batch(spark, tmp_path):
     assert got == want
     # sliding invariant: every event lands in exactly width/slide windows
     assert sum(n for _, n, _ in got) == 2 * len(rows)
+
+
+def test_streaming_merge_upsert_equals_batch(spark, tmp_path):
+    """A change feed streamed one file per micro-batch through the
+    foreachBatch MERGE sink must converge to the same latest-state
+    snapshot as one batch window over the full feed — regardless of
+    file arrival order."""
+    import os
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = catalog.load(spark, sf, "orders")
+    feed_dir = str(tmp_path / "feed")
+    # split the feed into 3 files (3 micro-batches at maxFilesPerTrigger=1)
+    orders.withColumn(
+        "part", (F.col("o_orderkey") % 3).cast("int")
+    ).repartition("part").write.partitionBy("part").parquet(feed_dir)
+
+    snap_dir = str(tmp_path / "snapshot")
+    stream = jobs.read_orders_stream(spark, feed_dir + "/part=*")
+    jobs.run_merge_upsert(
+        stream, snap_dir, "o_custkey", "o_orderdate", "o_orderkey"
+    )
+
+    versions = sorted(os.listdir(snap_dir), key=lambda d: int(d[1:]))
+    assert len(versions) <= 2, "stale snapshot versions must be pruned"
+    got = {
+        r["o_custkey"]: (r["o_orderkey"], r["o_orderstatus"])
+        for r in spark.read.parquet(
+            os.path.join(snap_dir, versions[-1])
+        ).collect()
+    }
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    want = {
+        r["o_custkey"]: (r["o_orderkey"], r["o_orderstatus"])
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want and len(got) > 0
