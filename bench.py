@@ -49,6 +49,16 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "mm_wav_decode",
     "o1_global_sort",
+    # r02 second batch: corpus statistics / retrieval scoring /
+    # scrubbing / CDC merge / tokenizer induction / image decode /
+    # embedding compression — the new [N] operators perf-tracked
+    "text_tfidf_topk",
+    "text_bm25",
+    "text_pii_redact",
+    "text_bigram_merges",
+    "j_cdc_merge",
+    "mm_bmp_decode",
+    "emb_quantize_int8",
 ]
 
 
