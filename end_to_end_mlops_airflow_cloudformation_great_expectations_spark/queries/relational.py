@@ -1168,3 +1168,33 @@ def a9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "f_bitwise_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, 1365) AS k_xor,
+           o_orderkey << 3 AS k_shl,
+           o_orderkey >> 2 AS k_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS k_popcount
+    FROM orders
+    """,
+)
+def f_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 bitwise surface: and/or/xor, shifts, popcount — the
+    primitives the engine's own hash/bucket/bloom operators are built
+    from (e.g. SimHash bit-banding, MinHash permutations)."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("k_xor"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).cast("long").alias("k_popcount"),
+    )

@@ -169,3 +169,35 @@ def test_approx_percentiles_close_to_exact(spark):
         e50, e95 = exact[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """DataFrame PageRank must match a dense numpy power iteration of
+    the same formulation to 1e-9, and rank mass must be conserved on a
+    graph with no dangling vertices."""
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = [  # strongly connected: 0→1→2→3→0 plus chords into 0
+        (0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (2, 0),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank"] for r in pagerank(df, iterations=12).collect()
+    }
+
+    n, d = 4, 0.85
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / deg[s]
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] == max(got.values())  # the hub
