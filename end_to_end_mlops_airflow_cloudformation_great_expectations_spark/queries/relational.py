@@ -1198,3 +1198,91 @@ def f_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("k_shr"),
         F.bit_count(k).cast("long").alias("k_popcount"),
     )
+
+
+@query(
+    "a_histogram_fixed_bins",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ), binned AS (
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - stats.lo) * 20.0
+                              / (stats.hi - stats.lo)), 19) AS BIGINT) AS bin
+      FROM lineitem CROSS JOIN stats
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def a_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of a measure — the profiling pass
+    behind data-quality dashboards and GX-style distribution checks.
+
+    Scale shape: min/max are one partial-aggregated scan joined back
+    as a broadcast 1-row cross join (no driver collect), binning is
+    pure floor arithmetic (portable — engine width_bucket() edge
+    conventions differ), and the final count shuffles 20 rows per
+    upstream partition. Two scans total; at 100 TB the stats scan
+    rides the same column's parquet min/max if precomputed."""
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = l.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        l.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    * 20.0
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(19),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "a_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS pr
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice), 2) AS trimmed_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ranked
+    WHERE pr >= 0.05 AND pr <= 0.95
+    GROUP BY l_returnflag
+    """,
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group — the robust-statistics aggregate
+    (outlier-resistant mean) used in metric pipelines.
+
+    percent_rank over a fully-deterministic order (value + unique key
+    tie-break, so the trim boundary is identical cross-engine), then a
+    plain agg over the kept mass. One shuffle for the window, reused
+    by the group agg (same key)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("trimmed_mean"),
+            F.count("*").alias("n_kept"),
+        )
+    )
