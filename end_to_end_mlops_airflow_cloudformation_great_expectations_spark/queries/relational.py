@@ -1286,3 +1286,47 @@ def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_kept"),
         )
     )
+
+
+@query(
+    "j_fuzzy_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    )
+    SELECT a.c_nationkey, a.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_fuzzy_pairs
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    GROUP BY a.c_nationkey, a.c_mktsegment
+    """,
+)
+def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: count near-identical name pairs
+    (edit distance ≤ 1) inside (nation, segment) blocks — the blocked
+    fuzzy-join used to reconcile entities across noisy sources.
+
+    Scale shape: the all-pairs compare is BLOCKED on an equi-join key
+    (one shuffle; never a global cross product — same discipline as
+    the n-gram/cosine dedup blocks), the id inequality halves the
+    pairs, and Levenshtein runs as a codegen'd JVM expression. Block
+    sizes are the skew knob: at 100 TB, block on a stronger key (e.g.
+    name prefix + nation) or pre-filter candidates with MinHash."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .groupBy(F.col("a.c_nationkey"), F.col("a.c_mktsegment"))
+        .agg(F.count("*").alias("n_fuzzy_pairs"))
+    )

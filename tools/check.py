@@ -31,20 +31,30 @@ def duck_conn(sf_dir: str):
     return conn
 
 
+def _norm_value(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    # array-typed columns arrive as numpy arrays (Spark) / lists
+    # (DuckDB): make both hashable+comparable tuples. NOTE: the real
+    # driver's value-hash contract is scalar-only — prefer serializing
+    # arrays (array_join/array_to_string) in registered queries; this
+    # branch keeps the LOCAL checker usable on array outputs anyway.
+    if hasattr(v, "tolist"):
+        return tuple(_norm_value(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_value(x) for x in v)
+    return v
+
+
 def normalize(df):
     """pandas df → sorted-by-column-name, row-sorted list of tuples."""
     df = df[sorted(df.columns)]
-    rows = []
-    for tup in df.itertuples(index=False):
-        row = []
-        for v in tup:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append(None)
-            elif isinstance(v, float):
-                row.append(round(v, 6))
-            else:
-                row.append(v)
-        rows.append(tuple(row))
+    rows = [
+        tuple(_norm_value(v) for v in tup)
+        for tup in df.itertuples(index=False)
+    ]
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return rows
 
