@@ -1330,3 +1330,42 @@ def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.c_nationkey"), F.col("a.c_mktsegment"))
         .agg(F.count("*").alias("n_fuzzy_pairs"))
     )
+
+
+@query(
+    "a_table_checksum",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(ROUND(o_totalprice, 2) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS checksum
+    FROM orders
+    """,
+)
+def a_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: xor-fold a 60-bit slice of
+    each row's md5 over a canonical serialization — the anti-entropy
+    checksum used to validate replicas/migrations across engines
+    (exactly the cross-system comparison this repo's oracle harness
+    does, expressed as a single in-engine aggregate).
+
+    Scale shape: one scan, map-side partial xor (commutative), one
+    8-byte value per partition on the shuffle. Canonicalization pins
+    decimal rendering (round to the data's 2dp money grid) so the
+    fingerprint is engine-portable; xor-fold (not sum) keeps the
+    aggregate overflow-free and associative."""
+    o = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+    )
+    row_h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return o.agg(
+        F.count("*").alias("n_rows"), F.bit_xor(row_h).alias("checksum")
+    )
