@@ -54,15 +54,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14: char/word/BPE-ish token counts + mean word length, all
-    expression-level (no UDF in a 100 TB token-counting pass)."""
+    expression-level (no UDF in a 100 TB token-counting pass).
+
+    Array-free formulation: word count ≡ count of ``\\S+`` runs and
+    total word length ≡ non-whitespace char count, so the whole row is
+    regexp_count/length arithmetic — the split-to-array form
+    materialized the token array twice per row (projection collapse
+    re-inlines the split into each consumer; see the re-inlining
+    lesson in BASELINE.md). Values are identical: the oracle keeps the
+    split-based form."""
     d = _docs(spark, sf_dir)
     t = F.col("text")
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    non_ws_chars = F.length(F.regexp_replace(t, r"\s", ""))
     return d.select(
         "doc_id",
         F.length(t).cast("long").alias("n_chars_calc"),
-        F.size(text.words(t)).cast("long").alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         text.token_count(t).alias("n_tokens"),
-        F.round(text.mean_word_len(t), 4).alias("mean_word_len"),
+        F.round(
+            F.try_divide(non_ws_chars.cast("double"), n_words), 4
+        ).alias("mean_word_len"),
     )
 
 
