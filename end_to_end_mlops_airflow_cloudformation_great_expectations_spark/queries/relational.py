@@ -1369,3 +1369,45 @@ def a_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.count("*").alias("n_rows"), F.bit_xor(row_h).alias("checksum")
     )
+
+
+@query(
+    "a_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a 3-value group key (the
+    worst-case hot-key shape: at 100 TB a plain groupBy funnels a
+    third of the fact table into ONE reducer). Phase 1 groups on
+    (key, salt=hash(l_orderkey)%16) spreading each hot key over 16
+    reducers with map-side partials; phase 2 merges the ≤16 partial
+    rows per key. The oracle is the PLAIN aggregate — salting must be
+    result-invariant (algebraic aggregates only; rounding applied at
+    the outer level, after the full merge)."""
+    from ..operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_returnflag"],
+        F.col("l_orderkey"),
+        {
+            "revenue_raw": ("l_extendedprice", "sum"),
+            "n_items": ("l_extendedprice", "count"),
+            "max_price_raw": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("revenue_raw"), 2).alias("revenue"),
+        F.col("n_items"),
+        F.round(F.col("max_price_raw"), 2).alias("max_price"),
+    )
