@@ -1411,3 +1411,35 @@ def a_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items"),
         F.round(F.col("max_price_raw"), 2).alias("max_price"),
     )
+
+
+@query(
+    "f_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 10, 0) AS price_per,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS status_num,
+           TRY_CAST('20' || CAST(o_orderkey % 100 AS VARCHAR) AS BIGINT)
+             AS parsed_num
+    FROM orders
+    """,
+)
+def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 ANSI-safety surface: Spark 4 runs ANSI mode by default, so
+    division by zero / bad casts are hard errors unless routed through
+    ``try_*`` — the discipline every query in this repo follows
+    (real corpora always contain the degenerate row). The oracle
+    expresses the same semantics with NULLIF/TRY_CAST."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"), F.col("o_orderkey") % 10
+        ).alias("price_per"),
+        F.try_to_number(F.col("o_orderstatus"), F.lit("999")).cast(
+            "double"
+        ).alias("status_num"),
+        F.concat(F.lit("20"), (F.col("o_orderkey") % 100).cast("string"))
+        .try_cast("long")
+        .alias("parsed_num"),
+    )

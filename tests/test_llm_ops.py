@@ -310,3 +310,21 @@ def test_bmp_parser_rejects_malformed_bytes():
     stride = meta["row_stride"]
     j0 = (meta["height"] - 1) * stride
     assert meta["px_tl_b"] == (7 * 7 + j0 * 13) % 256
+
+
+def test_minhash_pairs_invariant_under_partitioning(spark):
+    """The LSH candidate/verify pipeline must return the SAME pair set
+    regardless of input partitioning — shingle hashing, min-agg
+    signatures, band bucketing, and the Jaccard verify are all
+    deterministic per-row/per-group computations, so partition count
+    must not leak into results."""
+    docs = catalog.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_neardup_pairs(docs.repartition(2)).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_neardup_pairs(docs.repartition(17)).collect()
+    }
+    assert a == b and len(a) > 0
