@@ -310,10 +310,35 @@ def minhash_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # Verify-join strategy — the wide rows (full shingle-hash array per
+    # doc, TBs at corpus scale, MB-sized single rows for long docs) must
+    # never be (a) broadcast, (b) sort-merge-sorted, or (c) the build
+    # side of a hash join. Measured on a 10x corpus under a small heap:
+    # the default plan broadcast the shingle table (cached-plan size
+    # underestimate slips under the profile's raised 64 MB threshold)
+    # and OOM'd; forcing hint("merge") moved the OOM into the SMJ's
+    # UnsafeExternalRowSorter humongous-allocation sort of the wide
+    # rows. The plan that survives:
+    #   1. semi-prune sh to candidate ids with a SHUFFLE_HASH join whose
+    #      build side is the narrow id set — wide rows stream past a
+    #      per-partition hash set of longs, never sorted;
+    #   2. attach sh_a/sh_b with SHUFFLE_HASH joins whose build side is
+    #      the narrow (id_a, id_b) candidate list.
+    # Every hash map ever built holds only 8-byte ids; the wide payload
+    # is shuffled exactly once (unavoidable) and only for candidate
+    # docs (the semi-prune cuts non-candidates before the pair joins).
+    cands = _persist_tracked(cands)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = sh.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
+    a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cands.join(a, "id_a")
+        cands.hint("shuffle_hash")
+        .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",

@@ -63,6 +63,14 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     conf = dict(SCALE_PROFILE)
+    # Local-mode JVMs default to a 1 GB driver heap — with 8-32 task
+    # threads that is ~10 MB execution memory per task, which mis-models
+    # any real executor (4-16 GB) and fails hash-relation builds that a
+    # cluster absorbs trivially. Only effective when this call launches
+    # the JVM (ignored on an already-running gateway); a cluster deploy
+    # sets --driver-memory itself.
+    if master is not None and master.startswith("local"):
+        conf.setdefault("spark.driver.memory", "8g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
