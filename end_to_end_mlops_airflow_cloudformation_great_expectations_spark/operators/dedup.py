@@ -35,9 +35,17 @@ from pyspark.sql import functions as F
 _live_caches: list[DataFrame] = []
 
 
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    while _live_caches:
-        _live_caches.pop().unpersist(blocking=False)
+def _persist_tracked(df: DataFrame, *, fresh: bool = True) -> DataFrame:
+    """Persist ``df``, evicting caches from PREVIOUS operator calls.
+
+    ``fresh=True`` (an operator's first persist) drops every cache the
+    module still tracks; ``fresh=False`` adds a second cache belonging
+    to the SAME operator call (e.g. minhash's shingle table + candidate
+    pairs) without evicting the first — both stay live until the next
+    operator call starts."""
+    if fresh:
+        while _live_caches:
+            _live_caches.pop().unpersist(blocking=False)
     _live_caches.append(df.persist())
     return df
 
@@ -310,40 +318,73 @@ def minhash_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Verify-join strategy — the wide rows (full shingle-hash array per
-    # doc, TBs at corpus scale, MB-sized single rows for long docs) must
+    # Verify strategy — the wide rows (full shingle-hash array per doc,
+    # TBs at corpus scale, MB-sized single rows for long docs) must
     # never be (a) broadcast, (b) sort-merge-sorted, or (c) the build
     # side of a hash join. Measured on a 10x corpus under a small heap:
-    # the default plan broadcast the shingle table (cached-plan size
-    # underestimate slips under the profile's raised 64 MB threshold)
-    # and OOM'd; forcing hint("merge") moved the OOM into the SMJ's
-    # UnsafeExternalRowSorter humongous-allocation sort of the wide
-    # rows. The plan that survives:
-    #   1. semi-prune sh to candidate ids with a SHUFFLE_HASH join whose
-    #      build side is the narrow id set — wide rows stream past a
-    #      per-partition hash set of longs, never sorted;
-    #   2. attach sh_a/sh_b with SHUFFLE_HASH joins whose build side is
-    #      the narrow (id_a, id_b) candidate list.
-    # Every hash map ever built holds only 8-byte ids; the wide payload
-    # is shuffled exactly once (unavoidable) and only for candidate
-    # docs (the semi-prune cuts non-candidates before the pair joins).
-    cands = _persist_tracked(cands)
+    # the naive attach-both-arrays plan broadcast the shingle table
+    # (cached-plan size underestimate slips under the profile's raised
+    # 64 MB threshold) and OOM'd; hint("merge") moved the OOM into the
+    # SMJ's humongous-allocation sort of the wide rows; hinting one join
+    # shuffle_hash left Catalyst free to broadcast the OTHER side's
+    # arrays. So the exact-Jaccard verify never joins arrays at all:
+    #   1. semi-prune sh to candidate ids (SHUFFLE_HASH built on the
+    #      narrow id set — wide rows stream past a hash set of longs);
+    #   2. EXPLODE the pruned table to narrow (id, shingle, |doc|)
+    #      postings and count per-pair intersections: cands ⋈
+    #      postings(id_a) on id_a (SHUFFLE_HASH built on the narrow pair
+    #      list), then postings(id_b) on (id_b, shingle) with a MERGE
+    #      hint — both sides are big, so big-big SMJ over narrow rows
+    #      with spillable sorts is the only safe shape (Catalyst's
+    #      size-underestimate of the cached/exploded side otherwise
+    #      picks a broadcast that OOMs the driver — measured at 10x/2g);
+    #      no per-shingle skew blowup because arrays are distinct so
+    #      (id, shingle) is unique;
+    #   3. |A∪B| by inclusion-exclusion from the per-doc sizes RIDDEN
+    #      ALONG on the posting rows (first/max per pair) — attaching
+    #      sizes by join would re-tempt the broadcast planner.
+    # Pairs with zero intersection drop out of the inner join — correct
+    # here because threshold > 0 discards them anyway.
+    cands = _persist_tracked(cands, fresh=False)
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sh_cand = sh.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
-    a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    postings = sh_cand.select(
+        F.col(id_col), F.explode("sh").alias("x"), F.size("sh").alias("n")
+    )
+    inter = (
         cands.hint("shuffle_hash")
-        .join(a, "id_a")
-        .join(b, "id_b")
-        .select(
+        .join(
+            postings.select(
+                F.col(id_col).alias("id_a"), "x", F.col("n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            postings.select(
+                F.col(id_col).alias("id_b"), "x", F.col("n").alias("n_b")
+            ).hint("merge"),
+            on=["id_b", "x"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return (
+        inter.select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

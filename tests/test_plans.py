@@ -197,3 +197,31 @@ def test_tfidf_no_cartesian_no_collect(spark):
     plan = explain.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_minhash_verify_never_broadcasts_or_builds_wide(spark):
+    """dedup_minhash_pairs verify stage: the exact-Jaccard pass joins
+    only NARROW rows — exploded (id, shingle, n) postings and (id_a,
+    id_b) pairs. Catalyst's size underestimate of the cached/exploded
+    sides repeatedly picked driver-OOM broadcasts here (measured at a
+    10x corpus under a 2g heap), so pin: no broadcast join on any
+    verify-stage key (id_a / id_b / shingle x) — the only broadcast
+    allowed anywhere is the band-bucket self-join inside the cached
+    candidate subtree, which Catalyst stats may legitimately broadcast
+    at tiny SF; the big-big postings join is a spillable SMJ; the
+    semi-prune + pair joins are shuffled-hash built on narrow sides."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        dedup,
+    )
+
+    docs = catalog.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    df = dedup.minhash_neardup_pairs(docs)
+    plan = explain.physical_plan(df)
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line or "BroadcastNestedLoop" in line:
+            assert "[band#" in line, line
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
