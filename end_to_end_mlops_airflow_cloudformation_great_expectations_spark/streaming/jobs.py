@@ -26,24 +26,33 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
 
-#: Physical schema of the events parquet (ts is TIMESTAMP(NANOS) which
-#: Spark reads as long under nanosAsLong — see catalog.load).
-_EVENTS_RAW_DDL = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """S8: file-based streaming source over the events layout.
 
-    Declares the physical schema explicitly (streaming sources never
-    infer) and restores event-time to TimestampType.
+    Streaming sources never infer, so the schema is sniffed once from
+    the parquet footer via a batch read (a metadata-only operation) and
+    declared explicitly. The generator's physical type for ``ts`` has
+    varied across testdata generations — TIMESTAMP(NANOS) (surfaces as
+    LongType nanos under ``nanosAsLong``) vs TIMESTAMP(MICROS)
+    (surfaces as TimestampType directly) — so event-time is restored
+    adaptively, mirroring ``catalog.load``.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.schema(_EVENTS_RAW_DDL).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from pyspark.sql import types as T
+
+    footer = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(footer).parquet(path)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer DIV: double division loses precision on ~1.7e18 nanos
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # un-zoned micros read as TIMESTAMP_NTZ, which watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); with the session pinned
+        # to UTC the cast to zoned TIMESTAMP is value-preserving.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
