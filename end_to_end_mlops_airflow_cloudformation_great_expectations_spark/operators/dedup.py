@@ -346,10 +346,10 @@ def minhash_neardup_pairs(
     # Pairs with zero intersection drop out of the inner join — correct
     # here because threshold > 0 discards them anyway.
     cands = _persist_tracked(cands, fresh=False)
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # one scan of the cached pair list, no distinct: a left-semi build
+    # side tolerates duplicate keys, so the extra exchange buys nothing
+    cand_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
     sh_cand = sh.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
     postings = sh_cand.select(

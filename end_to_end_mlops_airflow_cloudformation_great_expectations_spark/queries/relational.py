@@ -1443,3 +1443,67 @@ def f_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("long")
         .alias("parsed_num"),
     )
+
+
+@query(
+    "f_stats_functions",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(COVAR_POP(l_extendedprice, l_quantity), 2) AS covar_p,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_s,
+           ROUND(STDDEV_POP(l_extendedprice), 2) AS price_sd_pop,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_sd_samp,
+           ROUND(VAR_POP(l_quantity), 4) AS qty_var_pop,
+           ROUND(VAR_SAMP(l_quantity), 4) AS qty_var_samp
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def f_stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 statistics surface: second-moment aggregates. All are
+    single-pass partial-merge aggregates in Spark (Welford-style merge
+    inside codegen'd HashAggregate), so one shuffle of tiny state per
+    group — the formulation that survives 100 TB. Correlation is
+    dimensionless (safe at 6 decimals); (co)variances are rounded on
+    the money grid where parallel-summation order shows up first."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 2).alias("covar_p"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_s"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("price_sd_pop"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd_samp"),
+        F.round(F.var_pop("l_quantity"), 4).alias("qty_var_pop"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var_samp"),
+    )
+
+
+@query(
+    "f_regr_functions",
+    oracle="""
+    SELECT l_linestatus,
+           REGR_COUNT(l_extendedprice, l_quantity) AS n,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+           ROUND(REGR_AVGY(l_extendedprice, l_quantity), 2) AS avg_y
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def f_regr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 linear-regression aggregate surface (OLS price-vs-quantity
+    per line status). Same partial-merge execution shape as
+    f_stats_functions: constant-size state per group, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_linestatus").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+    )
