@@ -170,3 +170,31 @@ def profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         fingerprint(t).alias("fingerprint"),
         lang_id(t).alias("pred_lang"),
     )
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-vectorized pandas_udf.
+
+    Spark has no built-in Unicode-normalization expression, so this is
+    a sanctioned Python seam (SURVEY.md §2.10): one Arrow batch
+    round-trip, `str` normalization vectorized per batch. Real corpora
+    mix composed and decomposed forms (e.g. ``e`` + U+0301 vs ``é``);
+    canonical-equivalent texts must fingerprint/dedup identically, so
+    normalization belongs BEFORE fingerprinting in an intake pipeline.
+    Cross-checked against DuckDB's ``nfc_normalize`` by the
+    text_unicode_normalize oracle query.
+    """
+    import pandas as pd
+
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inspection cannot resolve
+    nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(nfc, "string")

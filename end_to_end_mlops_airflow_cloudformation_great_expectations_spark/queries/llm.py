@@ -955,3 +955,39 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding. The oracle predicts every field, including the pixel
     bytes, from the same portable arithmetic."""
     return multimodal.bmp_metadata(_docs(spark, sf_dir))
+
+
+#: decomposed Unicode sample appended to each doc so NFC actually has
+#: work to do on the (otherwise ASCII) synthetic corpus: e+COMBINING
+#: ACUTE, a+COMBINING RING, o+COMBINING DIAERESIS compose to é å ö.
+_DECOMPOSED_TAIL = " café å ö"
+
+
+@query(
+    "text_unicode_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           nfc_normalize(substr(text, 1, 40) || '{_DECOMPOSED_TAIL}')
+             AS norm_text,
+           CAST(length(nfc_normalize(substr(text, 1, 40)
+                || '{_DECOMPOSED_TAIL}')) AS BIGINT) AS norm_chars
+    FROM documents
+    """,
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC) — the cleanup pass that must
+    precede fingerprinting/dedup so canonically-equivalent texts (NFC
+    vs NFD encodings of the same accents) collapse to one form. Spark
+    side is an Arrow pandas_udf (no built-in normalizer); the oracle is
+    DuckDB's independent ``nfc_normalize`` implementation — a true
+    cross-engine Unicode conformance check. The decomposed tail makes
+    the normalization non-trivial on the ASCII synthetic corpus:
+    composed length is 3 chars shorter than the decomposed input."""
+    d = _docs(spark, sf_dir)
+    nfc = text.nfc_normalize_udf()
+    raw = F.concat(F.substring("text", 1, 40), F.lit(_DECOMPOSED_TAIL))
+    return d.select(
+        "doc_id",
+        nfc(raw).alias("norm_text"),
+        F.length(nfc(raw)).cast("long").alias("norm_chars"),
+    )

@@ -1507,3 +1507,80 @@ def f_regr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 4).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
     )
+
+
+@query(
+    "j_skew_salted_join",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join: probe rows are salted on a
+    high-cardinality column, the build side is replicated once per
+    salt, so ONE hot supplier key spreads over 8 reducers instead of
+    funneling into a single task (the failure mode AQE's skew split
+    can't fix when the skew is in a hash join's probe stream). The
+    oracle is the PLAIN join — salting must be join-result-invariant."""
+    from ..operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    joined = salted_join(
+        l, s, "l_suppkey", "s_suppkey", F.col("l_orderkey"), n_salts=8
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "p_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(FLOOR(epoch(LEAD(ts) OVER w)) AS BIGINT) AS valid_to,
+           CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def p_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event feed:
+    change-detect per key (drop rows equal to the previous state),
+    then interval-ize survivors with valid_from/valid_to via lead()
+    and flag the open row. This is the standard warehouse history
+    table built as TWO windows over the SAME (user_id → ts) ordering,
+    so the second window reuses the first's hash partitioning and
+    sort — one exchange total at any scale. Ordering is tie-broken on
+    event_id for cross-engine determinism."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
