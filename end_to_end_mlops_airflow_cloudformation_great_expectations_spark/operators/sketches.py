@@ -1,0 +1,118 @@
+"""Mergeable sketch aggregates (Apache DataSketches via Spark 4 —
+HLL distinct-count, KLL quantiles, Theta set operations).
+
+The 100 TB pattern these enable: sketch ONCE per partition/day/source
+(a few KB each), persist the binary sketches as a tiny rollup table,
+then answer any slice — distinct users over an arbitrary date range,
+a quantile over a source mix, an audience overlap — by UNIONING
+sketches at query time instead of re-scanning the fact table. All
+three families are associative/commutative merges, so partial
+aggregation happens map-side and re-aggregation across rollup rows is
+exact sketch algebra (no re-scan, no accuracy loss beyond the
+sketch's own bound).
+
+Accuracy bounds (pinned by tests/test_sketches.py):
+- HLL (lgK=12 default): ±~1.6% RSE at high cardinality; EXACT in the
+  sparse regime (cardinality ≪ 2^lgK).
+- KLL (k=200 default): rank error ±~1.65%.
+- Theta: set-op estimates with ~1-2% RSE at default lgK.
+
+The reference has no sketch surface (it has no aggregation engine at
+all — SURVEY.md §1); these are [N]-mandate scale operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: one live cache per sketch_rollup call (the dedup-module pattern:
+#: results must stay lazy, so eviction happens on the NEXT call, which
+#: bounds a long-lived session at one cached rollup)
+_live_caches: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    while _live_caches:
+        _live_caches.pop().unpersist(blocking=False)
+    _live_caches.append(df.persist())
+    return df
+
+
+def sketch_rollup(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    total_label: str = "__all__",
+) -> DataFrame:
+    """Per-group sketch rollup + a union-merged total row.
+
+    Returns one row per group value plus one ``total_label`` row whose
+    sketches are the UNION of the per-group sketches (not a re-scan):
+    (group, distinct_ids_hll, distinct_ids_theta, median_kll). The
+    two-level shape is the point — it proves the rollup table alone
+    can answer coarser slices by sketch algebra.
+    """
+    per = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(id_col).alias("_hll"),
+        F.theta_sketch_agg(id_col).alias("_theta"),
+        F.kll_sketch_agg_double(value_col).alias("_kll"),
+    )
+    # per is a handful of rows (one per group) — reuse it for both
+    # outputs without re-scanning the fact table
+    per = _persist_tracked(per)
+    groups = per.select(
+        F.col(group_col),
+        F.hll_sketch_estimate("_hll").cast("long").alias("distinct_ids_hll"),
+        F.theta_sketch_estimate("_theta").cast("long").alias(
+            "distinct_ids_theta"
+        ),
+        F.round(
+            F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 4
+        ).alias("median_kll"),
+    )
+    total = per.agg(
+        F.hll_union_agg("_hll").alias("_hll"),
+        F.theta_union_agg("_theta").alias("_theta"),
+        F.kll_merge_agg_double("_kll").alias("_kll"),
+    ).select(
+        F.lit(total_label).alias(group_col),
+        F.hll_sketch_estimate("_hll").cast("long").alias("distinct_ids_hll"),
+        F.theta_sketch_estimate("_theta").cast("long").alias(
+            "distinct_ids_theta"
+        ),
+        F.round(
+            F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 4
+        ).alias("median_kll"),
+    )
+    return groups.unionByName(total)
+
+
+def theta_audience_overlap(
+    df: DataFrame,
+    id_col: str,
+    flag_a: Column,
+    flag_b: Column,
+) -> DataFrame:
+    """Theta-sketch set algebra over one scan: estimate |A|, |B|,
+    |A∩B|, |A\\B| for two row-predicates (e.g. clickers vs purchasers)
+    WITHOUT a self-join — the sketches are built in one pass with
+    conditional inputs and combined with theta_intersection /
+    theta_difference. At 100 TB the alternative (distinct + join per
+    pair of audiences) is a full shuffle per pair; this is one scan
+    for any number of pairwise overlaps."""
+    sk = df.agg(
+        F.theta_sketch_agg(F.when(flag_a, F.col(id_col))).alias("sa"),
+        F.theta_sketch_agg(F.when(flag_b, F.col(id_col))).alias("sb"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("sa").cast("long").alias("n_a"),
+        F.theta_sketch_estimate("sb").cast("long").alias("n_b"),
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+        .cast("long")
+        .alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        .cast("long")
+        .alias("n_a_only"),
+    )

@@ -60,3 +60,40 @@ token_explode_udtf = F.udtf(
     # rows (BatchEvalPythonUDTF) — the generator body is unchanged.
     useArrow=True,
 )
+
+
+def grouped_ewma(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+):
+    """Grouped-map ``applyInPandas``: exponentially-weighted moving
+    average per key — a sequential recurrence
+    (ewma_t = α·x_t + (1-α)·ewma_{t-1}, seeded with x_0, i.e. pandas
+    ``ewm(adjust=False)``) that no window frame can express. Each
+    group is one Arrow batch sorted in-process; the shuffle carries
+    raw (key, ts, value) rows and the output is one row per key.
+
+    Scale: state per task is one group's rows — fine for per-user
+    event streams (bounded by the hottest key, which is the same
+    bound any sessionization carries); the DuckDB oracle re-folds the
+    identical recurrence via list_reduce, so the Arrow grouped-map
+    path is verified end to end, not rows-only."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        ewma = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [float(ewma)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        fold, f"{key_col} long, n_events long, ewma double"
+    )

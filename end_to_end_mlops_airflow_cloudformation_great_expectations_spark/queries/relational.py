@@ -1584,3 +1584,64 @@ def p_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_current"),
     )
+
+
+@query(
+    "a_ewma_user",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(CAST(list(value ORDER BY ts, event_id)
+                                  AS DOUBLE[]),
+                             (acc, x) -> 0.1::DOUBLE * x
+                                         + 0.9::DOUBLE * acc),
+                 4) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def a_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — a sequential recurrence over
+    event-time order, run as grouped-map applyInPandas (one Arrow
+    batch per user). The oracle folds the IDENTICAL recurrence with
+    DuckDB list_reduce, making this an oracle-checked (not rows-only)
+    stateful UDF. α=0.1, seeded with the first observation."""
+    from ..operators.udfs import grouped_ewma
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = grouped_ewma(e)
+    return out.select(
+        "user_id", "n_events", F.round("ewma", 4).alias("ewma")
+    )
+
+
+@query("a_sketch_rollup")  # sketch estimates: impl-specific → rows-only
+def a_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (DataSketches HLL + Theta + KLL): one
+    row per event_type with distinct-user and median-value estimates,
+    plus an __all__ row merged by SKETCH UNION from the per-group
+    sketches — not a second fact scan. This is the 100 TB rollup
+    pattern: persist KB-sized sketches per partition, answer any
+    coarser slice by sketch algebra. Estimates are deterministic but
+    DataSketches-specific (no DuckDB twin) ⇒ rows-only driver check;
+    accuracy bounds are pinned in tests/test_sketches.py."""
+    from ..operators.sketches import sketch_rollup
+
+    e = _t(spark, sf_dir, "events")
+    return sketch_rollup(e, "event_type", "user_id", "value")
+
+
+@query("a_theta_setops")  # sketch estimates → rows-only
+def a_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience algebra in ONE scan: |clickers|,
+    |purchasers|, |both|, |click-only| via conditional sketch inputs +
+    theta_intersection/theta_difference — replacing a distinct+self-
+    join per audience pair (a full shuffle each at 100 TB)."""
+    from ..operators.sketches import theta_audience_overlap
+
+    e = _t(spark, sf_dir, "events")
+    return theta_audience_overlap(
+        e,
+        "user_id",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )

@@ -1,0 +1,96 @@
+"""Accuracy/mergeability bounds for the DataSketches operators
+(operators/sketches.py). These pin the properties the rows-only driver
+check can't see: estimate error vs exact, and union-of-parts ==
+sketch-of-whole."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import catalog
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    sketches,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return catalog.load(spark, SF_DIR, "events")
+
+
+def test_hll_theta_exact_in_sparse_regime(spark, events):
+    """At cardinality ≪ 2^lgK both HLL and Theta are exact — the
+    rollup's estimates must equal the true distinct count per group
+    AND on the union row."""
+    out = {
+        r["event_type"]: r
+        for r in sketches.sketch_rollup(
+            events, "event_type", "user_id", "value"
+        ).collect()
+    }
+    exact_total = events.select("user_id").distinct().count()
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact_per.items():
+        assert out[et]["distinct_ids_hll"] == n
+        assert out[et]["distinct_ids_theta"] == n
+    assert out["__all__"]["distinct_ids_hll"] == exact_total
+    assert out["__all__"]["distinct_ids_theta"] == exact_total
+
+
+def test_kll_median_within_rank_error(spark, events):
+    """KLL(k=200) rank error is ~1.65%; assert the reported median
+    lies between the exact 45th and 55th percentile values (a 3×
+    safety margin)."""
+    out = sketches.sketch_rollup(events, "event_type", "user_id", "value")
+    med = {r["event_type"]: r["median_kll"] for r in out.collect()}
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    )
+    for r in bounds.collect():
+        assert r["lo"] <= med[r["event_type"]] <= r["hi"], r["event_type"]
+
+
+def test_union_of_parts_equals_sketch_of_whole(spark, events):
+    """Merging per-group HLL sketches must estimate the same as one
+    sketch over the whole column — the mergeability contract that
+    makes partition-level rollups valid."""
+    whole = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    merged = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert whole == merged
+
+
+def test_theta_setops_planted_overlap(spark):
+    """Planted audiences: A = ids 0..999, B = ids 500..1499 ⇒
+    |A|=|B|=1000, |A∩B|=500, |A\\B|=500. Theta estimates must land
+    within 5%."""
+    df = spark.range(0, 1500).select(
+        F.col("id").alias("uid"),
+        (F.col("id") < 1000).alias("in_a"),
+        (F.col("id") >= 500).alias("in_b"),
+    )
+    row = sketches.theta_audience_overlap(
+        df, "uid", F.col("in_a"), F.col("in_b")
+    ).collect()[0]
+    for got, want in [
+        (row["n_a"], 1000),
+        (row["n_b"], 1000),
+        (row["n_both"], 500),
+        (row["n_a_only"], 500),
+    ]:
+        assert abs(got - want) <= 0.05 * want, (got, want)
