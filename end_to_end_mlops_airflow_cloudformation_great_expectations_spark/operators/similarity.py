@@ -414,3 +414,190 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _train_pq_codebooks(
+    prepared: DataFrame,
+    m: int,
+    n_codes: int,
+    seed: int,
+    max_iter: int,
+    sample_size: int,
+) -> "np.ndarray":
+    """Train per-subspace PQ codebooks (m × n_codes × dim/m) with
+    numpy Lloyd over the same bounded deterministic TakeOrdered sample
+    discipline as the IVF coarse quantizer — at 100 TB the codebooks
+    train on a few 10k vectors regardless of corpus size, and the
+    driver holds sample_size × dim doubles, nothing more."""
+    rows = (
+        prepared.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_size)
+        .select("cv")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_topk: empty corpus, cannot train codebooks")
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(Xj))
+        C = Xj[rng.choice(len(Xj), size=kk, replace=False)].copy()
+        x2 = (Xj**2).sum(axis=1)
+        for _ in range(max_iter):
+            dist = x2[:, None] - 2.0 * (Xj @ C.T) + (C**2).sum(axis=1)[None, :]
+            a = dist.argmin(axis=1)
+            for c in range(kk):
+                members = a == c
+                if members.any():
+                    C[c] = Xj[members].mean(axis=0)
+        if kk < n_codes:  # degenerate tiny corpus: pad by repetition
+            C = np.vstack([C, C[np.zeros(n_codes - kk, dtype=int)]])
+        books[j] = C
+    return books
+
+
+def _pq_encode_udf(books: "np.ndarray"):
+    """Arrow-vectorized PQ encoder: per batch, m small matmuls assign
+    each subvector to its nearest codeword; output is (codes, norm) —
+    m smallint codes plus the TRUE L2 norm (stored once so the ADC
+    cosine needs no reconstructed-norm approximation)."""
+    B = np.asarray(books, dtype=np.float64)  # (m, n_codes, sub)
+    m, n_codes, sub = B.shape
+    b2 = (B**2).sum(axis=2)  # (m, n_codes)
+
+    def encode(vecs):
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            dist = b2[j][None, :] - 2.0 * (Xj @ B[j].T)
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "codes": list(codes),
+                "xnorm": np.sqrt((X**2).sum(axis=1)),
+            }
+        )
+
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(encode, "codes array<int>, xnorm double")
+
+
+def _pq_lut_udf(books: "np.ndarray"):
+    """Per-query ADC lookup table: LUT[j, c] = q_j · codeword_{j,c},
+    flattened to one array<double> of length m × n_codes. approx
+    dot(q, x) = Σ_j LUT[j, codes_j(x)] — the scan then touches only
+    m-byte codes, never the original vectors."""
+    B = np.asarray(books, dtype=np.float64)
+    m, n_codes, sub = B.shape
+
+    def lut(vecs):
+        out = []
+        for v in vecs.to_numpy():
+            q = np.asarray(v, dtype=np.float64)
+            t = np.empty((m, n_codes), dtype=np.float64)
+            for j in range(m):
+                t[j] = B[j] @ q[j * sub : (j + 1) * sub]
+            out.append(t.ravel())
+        return pd.Series(out)
+
+    lut.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(lut, "array<double>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """Product-quantization approximate top-k (FAISS PQ/ADC
+    structure): the corpus is compressed to m codes + one norm per
+    vector (dim=64, m=8, n_codes=16 ⇒ 8 bytes vs 256 — a 32×
+    smaller scan), queries carry a broadcast ADC lookup table, the
+    approximate scan ranks by Σ_j LUT[j, code_j] / (|q|·|x|), and the
+    top ``rerank`` candidates per query are exactly re-ranked against
+    the true vectors.
+
+    Scale shape: the code table is the only full-corpus operand in the
+    scan (join with BROADCAST queries — no corpus shuffle at all);
+    the exact re-rank joins only |Q|·rerank rows back to the corpus.
+    At 100 TB PQ composes with IVF (probe cells, then ADC within
+    cells); here it is the standalone memory-bandwidth path. Codebook
+    training collects a bounded sample at call time (same rows-only
+    registration as IVF)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    c = _persist_tracked(c)
+    books = _train_pq_codebooks(c, m, n_codes, seed, max_iter, train_sample)
+    encoded = c.select(
+        "neighbor_id", _pq_encode_udf(books)(F.col("cv")).alias("e")
+    ).select("neighbor_id", "e.codes", "e.xnorm")
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("lut", _pq_lut_udf(books)(F.col("qv")))
+    q = q.withColumn("qnorm", norm(F.col("qv")))
+
+    # ADC scan: broadcast the (tiny) query+LUT table against the code
+    # table; Σ_j LUT[j*n_codes + codes_j] via a bounded m-element fold
+    approx = encoded.join(F.broadcast(q.select("query_id", "lut", "qnorm"))).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc_dot = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    approx = approx.select(
+        "query_id",
+        "neighbor_id",
+        (adc_dot / (F.col("qnorm") * F.col("xnorm"))).alias("adc_sim"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of |Q|·rerank survivors against true vectors
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -328,3 +328,21 @@ def test_minhash_pairs_invariant_under_partitioning(spark):
         for r in dedup.minhash_neardup_pairs(docs.repartition(17)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.brute_force_topk(q, e, k=5).collect()
+    approx = similarity.pq_topk(
+        q, e, k=5, m=8, n_codes=16, rerank=100
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # measured on this 500-vector fixture: rerank 20→0.56, 50→0.77,
+    # 100→0.92. The 0.8 floor at rerank=100 fails if the ADC ranking
+    # degrades toward random (which scores ~rerank/corpus = 0.2) while
+    # leaving codebook-seed headroom.
+    print(f"PQ top-5 recall vs brute force (m=8, rerank=100): {recall:.3f}")
+    assert recall >= 0.8, f"pq recall collapsed: {recall}"
