@@ -97,3 +97,37 @@ def grouped_ewma(
     return df.groupBy(key_col).applyInPandas(
         fold, f"{key_col} long, n_events long, ewma double"
     )
+
+
+def arrow_sq_norm(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """``mapInArrow``: the zero-copy Arrow-native batch API (§2.10's
+    lowest-overhead Python seam — no pandas conversion at all). Each
+    RecordBatch's list column is flattened once and squared-summed per
+    row with numpy reduceat over the Arrow offsets — O(batch) with no
+    per-row Python. Semantics (Σ x², 4 dp) chosen SQL-expressible so
+    the oracle verifies the Arrow path itself."""
+    import numpy as np
+    import pyarrow as pa
+
+    def batches(it):
+        for b in it:
+            tbl = pa.table(b)
+            ids = tbl.column(id_col)
+            lists = tbl.column(vec_col)
+            arr = lists.combine_chunks()
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.chunk(0)
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            offsets = arr.offsets.to_numpy(zero_copy_only=False)[:-1]
+            sq = np.add.reduceat(flat * flat, offsets) if len(flat) else np.array([])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.combine_chunks(),
+                    pa.array(np.round(sq, 4), type=pa.float64()),
+                ],
+                names=[id_col, "sq_norm"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        batches, f"{id_col} long, sq_norm double"
+    )

@@ -1008,3 +1008,23 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         rerank=100,
     )
+
+
+@query(
+    "udf_arrow_sq_norm",
+    oracle="""
+    SELECT vec_id,
+           ROUND(LIST_AGGREGATE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                               x -> x * x), 'sum'), 4)
+             AS sq_norm
+    FROM embeddings
+    """,
+)
+def udf_arrow_sq_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 mapInArrow surface: squared L2 norm per embedding through
+    the zero-copy Arrow batch iterator (offsets + reduceat, no pandas,
+    no per-row Python). Oracle-verified against DuckDB list algebra —
+    the plumbing check for the lowest-overhead Python seam."""
+    from ..operators.udfs import arrow_sq_norm
+
+    return arrow_sq_norm(_emb(spark, sf_dir))

@@ -1645,3 +1645,36 @@ def a_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     )
+
+
+@query(
+    "a_user_entropy",
+    oracle="""
+    SELECT user_id,
+           ROUND(entropy(event_type), 6) AS type_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def a_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (base 2) of each user's event-type mix — the
+    standard behavioral-diversity / anomaly feature. Spark has no
+    entropy aggregate, so it is derived from two chained hash
+    aggregations: count per (user, type), then
+    -Σ (c/n)·log2(c/n) per user. Both aggs partial-merge map-side and
+    the second groupBy reuses the first's hash partitioning on the
+    shared user_id prefix ⇒ one narrow re-shuffle of ≤|users|·|types|
+    rows, independent of fact size. Oracle: DuckDB's native
+    entropy()."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    p = (F.col("c") / F.col("tot")).alias("p")
+    with_tot = per_type.withColumn(
+        "tot", F.sum("c").over(W.partitionBy("user_id"))
+    )
+    return with_tot.groupBy("user_id").agg(
+        F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
+        F.sum("c").alias("n_events"),
+    )
