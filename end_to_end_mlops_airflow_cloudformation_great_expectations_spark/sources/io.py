@@ -112,3 +112,31 @@ def write_stream_parquet(
         .outputMode(output_mode)
         .start()
     )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1 << 20,
+) -> int:
+    """Small-file compaction (the table-maintenance job every
+    streaming/incremental sink needs: availableNow micro-batches and
+    per-trigger appends accumulate KB-sized files whose open/footer
+    overhead eventually dominates scans — the classic "small files
+    problem" at 100 TB).
+
+    Sizes the output by COUNTING the source (one metadata-cheap
+    columnless scan — this is a maintenance action, not a lazy query)
+    and rewrites into ``ceil(rows / target_rows_per_file)`` files via
+    a round-robin repartition, which is skew-proof by construction.
+    Returns the number of files written. Write to a NEW location and
+    swap atomically at the catalog level — compacting in place over
+    the source path would corrupt concurrent readers."""
+    import math
+
+    df = spark.read.parquet(src)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files

@@ -118,3 +118,18 @@ def test_interval_join_left_keeps_unmatched_points(spark):
     ]
     with pytest.raises(ValueError, match="inner.*left"):
         iv.interval_join(points, bands, "v", "lo", "hi", grid=50.0, how="full")
+
+
+def test_compact_dataset_rebuilds_small_files(spark, tmp_path):
+    """S-hygiene: 32 tiny appended files compact to the row-targeted
+    file count with byte-identical content."""
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    orders = catalog.load(spark, SF_DIR, "orders")
+    orders.repartition(32).write.parquet(src)
+    assert len(glob.glob(src + "/part-*.parquet")) == 32
+    n_files = io.compact_dataset(spark, src, dst, target_rows_per_file=10_000)
+    got_files = glob.glob(dst + "/part-*.parquet")
+    assert len(got_files) == n_files < 32
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b
