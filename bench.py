@@ -59,6 +59,15 @@ HEADLINE = [
     "j_cdc_merge",
     "mm_bmp_decode",
     "emb_quantize_int8",
+    # r02b batch: PQ-ANN, sketch rollups, stateful EWMA, Unicode NFC,
+    # entropy, SCD2 history, salted join — perf-tracked
+    "sim_topk_pq",
+    "a_sketch_rollup",
+    "a_ewma_user",
+    "text_unicode_normalize",
+    "a_user_entropy",
+    "p_scd2_history",
+    "j_skew_salted_join",
 ]
 
 
