@@ -28,27 +28,44 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row
-    with ``right_time <= left_time`` within the same ``on`` key.
+    """For each left row, attach the payload of the nearest right row
+    within the same ``on`` key: the latest with ``right_time <=
+    left_time`` (``direction="backward"``, default) or the earliest
+    with ``right_time >= left_time`` (``"forward"``) — the full
+    ``pandas.merge_asof`` direction surface, expressed as one shuffle +
+    one window, fully JVM-side.
+
+    ``tolerance`` (optional Column, e.g. ``F.expr("INTERVAL 7 DAYS")``
+    for timestamps or a numeric literal for numeric time axes) bounds
+    the match distance: a carried match farther than tolerance yields
+    NULL payload, exactly like merge_asof's tolerance.
 
     Left columns are preserved; payload columns are added (null when no
-    earlier right row exists).
+    in-direction right row exists).
 
-    The payload rides in ONE nullable struct marker (null ⇔ the row is
-    a left row), so ``last(ignorenulls=True)`` skips only left rows —
-    a right row whose payload VALUES are legitimately NULL is still the
-    carried match (carrying columns individually would skip it and
-    attach an older non-null value — the r01 ADVICE finding). Ties:
-    multiple right rows at the same (key, time) resolve to the greatest
-    payload struct (deterministic); like ``pandas.merge_asof``, prefer
-    deduplicating right rows per (key, time) upstream as
-    ``j5_asof_join`` does.
+    The payload (plus the matched right time, needed for the tolerance
+    check) rides in ONE nullable struct marker (null ⇔ the row is a
+    left row), so ``last/first(ignorenulls=True)`` skips only left
+    rows — a right row whose payload VALUES are legitimately NULL is
+    still the carried match (carrying columns individually would skip
+    it and attach an older non-null value — the r01 ADVICE finding).
+    Ties: multiple right rows at the same (key, time) resolve to the
+    greatest payload struct for backward / the smallest for forward
+    (deterministic); like ``pandas.merge_asof``, prefer deduplicating
+    right rows per (key, time) upstream as ``j5_asof_join`` does.
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    pk_type = T.StructType([right.schema[p] for p in payload])
+    pk_type = T.StructType(
+        [T.StructField("__rt", right.schema[right_time].dataType)]
+        + [right.schema[p] for p in payload]
+    )
     l = left.select(
         *lcols,
         F.col(left_time).alias("__t"),
@@ -60,23 +77,43 @@ def asof_join(
         F.col(on),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(p) for p in payload]).alias("__pk"),
+        F.struct(
+            F.col(right_time).alias("__rt"), *[F.col(p) for p in payload]
+        ).alias("__pk"),
     ).select(*lcols, "__t", "__is_left", "__pk")
 
     unioned = l.unionByName(r)
     # __pk as the final sort key: right rows tied on (__t, __is_left)
-    # order by payload struct, so `last` is deterministic (nulls-first
-    # default keeps left-row null markers out of the way).
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__t", "__is_left", "__pk")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # order by payload struct, so the carry is deterministic (nulls-
+    # first default keeps left-row null markers out of the way).
+    if direction == "backward":
+        # right (0) sorts before left (1) at equal time ⇒ inclusive <=
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__t", "__is_left", "__pk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("__pk", ignorenulls=True).over(w)
+    else:
+        # left (1) sorts before right (0) at equal time ⇒ inclusive >=
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t"), F.col("__is_left").desc(), F.col("__pk"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("__pk", ignorenulls=True).over(w)
     carried = unioned.select(
-        *lcols,
-        "__is_left",
-        F.last("__pk", ignorenulls=True).over(w).alias("__pk_c"),
+        *lcols, "__t", "__is_left", carry.alias("__pk_c")
     )
+    if tolerance is not None:
+        dist = (
+            F.col("__t") - F.col("__pk_c.__rt")
+            if direction == "backward"
+            else F.col("__pk_c.__rt") - F.col("__t")
+        )
+        carried = carried.withColumn(
+            "__pk_c", F.when(dist <= tolerance, F.col("__pk_c"))
+        )
     return (
         carried.filter(F.col("__is_left") == 1)
         .select(*lcols, *[F.col(f"__pk_c.{p}").alias(p) for p in payload])

@@ -292,3 +292,79 @@ def a4_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2), fill=0,
     )
     return encode.unpivot_onehot(wide, ["user_id"], ["click", "purchase"])
+
+
+@query(
+    "j5b_asof_forward",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    """,
+)
+def j5b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 forward direction: for each event, the EARLIEST order of the
+    same user at-or-after the event time (the "next treatment after
+    exposure" shape). Same union+window machinery as backward, with
+    the frame flipped to currentRow→following and first()."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    from ..operators.asof import asof_join
+
+    joined = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("next_orderkey")
+    )
+
+
+@query(
+    "j5c_asof_tolerance",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.ts - o.o_orderdate <= INTERVAL 7 DAY
+                THEN o.o_orderkey END AS recent_orderkey
+    FROM events e
+    ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def j5c_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with tolerance: latest same-user order at-or-before the
+    event, but only if within 7 days — merge_asof's tolerance
+    semantics (stale matches become NULL, the row survives). The
+    matched right-time rides inside the carry struct so the bound is
+    checked without a second join."""
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    from ..operators.asof import asof_join
+
+    joined = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload=["o_orderkey"], direction="backward",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("recent_orderkey")
+    )
