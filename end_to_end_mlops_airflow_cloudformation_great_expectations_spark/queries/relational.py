@@ -1678,3 +1678,42 @@ def a_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.sum(p * F.log2(p)), 6).alias("type_entropy"),
         F.sum("c").alias("n_events"),
     )
+
+
+@query(
+    "f_agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           ROUND(median(o_totalprice), 2) AS median_price,
+           arg_max(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS cheapest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def f_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 conditional/ordered aggregate surface: count_if, bool_and/
+    bool_or, exact median, and arg_max/arg_min (max_by/min_by). The
+    argmax ordering key folds (price-cents, orderkey) into one BIGINT
+    — ties on price resolve by key on BOTH engines, making the
+    selector cross-engine deterministic (a bare max_by on a tied price
+    is engine-arbitrary)."""
+    o = _t(spark, sf_dir, "orders")
+    composite = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.max_by("o_orderkey", composite).alias("priciest_order"),
+        F.min_by("o_orderkey", composite).alias("cheapest_order"),
+    )

@@ -1071,3 +1071,39 @@ def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
     )
+
+
+@query(
+    "j6b_interval_left",
+    oracle="""
+    SELECT e.event_id, bands.band_id,
+           CASE WHEN bands.band_id IS NULL THEN 1 ELSE 0 END AS unbanded
+    FROM events e
+    LEFT JOIN (VALUES (1, 0.0, 100.0), (2, 100.0, 200.0))
+         AS bands(band_id, lo, hi)
+      ON e.value >= bands.lo AND e.value < bands.hi
+    """,
+)
+def j6b_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-outer variant: points outside every interval survive
+    with a NULL band — correct only because the residual range
+    predicate lives IN the join condition (a post-join filter would
+    drop the null rows, silently degrading left to inner — the r01
+    ADVICE finding, now oracle-pinned). Each point carries exactly one
+    grid cell, so an unmatched point surfaces exactly once."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 100.0, 200.0)],
+        "band_id int, lo double, hi double",
+    )
+    joined = interval.interval_join(
+        e, bands, point_col="value", lo_col="lo", hi_col="hi",
+        grid=100.0, how="left",
+    )
+    return joined.select(
+        "event_id",
+        "band_id",
+        F.when(F.col("band_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "unbanded"
+        ),
+    )
