@@ -601,3 +601,197 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_sample: int = 65536,
+) -> DataFrame:
+    """Composed IVF+PQ approximate top-k — the full FAISS IVFPQ
+    structure: a coarse quantizer routes each vector to a cell, PQ
+    codebooks (trained on RESIDUALS x − centroid, the standard IVFPQ
+    discipline — residuals are far more compressible than raw
+    vectors) encode each vector as m codes + its true norm, and a
+    query exact-probes only its n_probe nearest cells, scoring by
+    ADC: dot(q, x) ≈ dot(q, c_cell) + Σ_j LUT[j, code_j]. The top
+    ``rerank`` survivors re-rank exactly.
+
+    Scale shape: the probe join touches n_probe/n_centroids of the
+    code table (which is itself ~32× smaller than the vectors), the
+    query side (ids + LUTs + per-cell dots) broadcasts, and the only
+    full-corpus passes are the two lazy Arrow encode scans. Both
+    trainers collect one bounded deterministic sample (rows-only
+    registration, as with IVF/PQ)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    c = _persist_tracked(c)
+    C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
+
+    # --- train PQ codebooks on sample residuals -----------------------
+    rows = (
+        c.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
+        .orderBy("__h")
+        .limit(train_sample)
+        .select("cv")
+        .collect()
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cells = (
+        (X**2).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C**2).sum(axis=1)[None, :]
+    ).argmin(axis=1)
+    resid = X - C[cells]
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"ivfpq_topk: dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed + 1)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Rj = resid[:, j * sub : (j + 1) * sub]
+        kk = min(n_codes, len(Rj))
+        B = Rj[rng.choice(len(Rj), size=kk, replace=False)].copy()
+        r2 = (Rj**2).sum(axis=1)
+        for _ in range(max_iter):
+            dist = r2[:, None] - 2.0 * (Rj @ B.T) + (B**2).sum(axis=1)[None, :]
+            a = dist.argmin(axis=1)
+            for code in range(kk):
+                members = a == code
+                if members.any():
+                    B[code] = Rj[members].mean(axis=0)
+        if kk < n_codes:
+            B = np.vstack([B, B[np.zeros(n_codes - kk, dtype=int)]])
+        books[j] = B
+
+    # --- encode corpus: cell + residual codes + true norm (one pass) --
+    Cq = np.asarray(C, dtype=np.float64)
+    c2 = (Cq**2).sum(axis=1)
+    Bq = books
+    b2 = (Bq**2).sum(axis=2)
+
+    def encode(vecs):
+        Xb = np.stack(vecs.to_numpy()).astype(np.float64)
+        cell = (c2[None, :] - 2.0 * (Xb @ Cq.T)).argmin(axis=1)
+        R = Xb - Cq[cell]
+        codes = np.empty((len(Xb), m), dtype=np.int32)
+        for j in range(m):
+            Rj = R[:, j * sub : (j + 1) * sub]
+            codes[:, j] = (b2[j][None, :] - 2.0 * (Rj @ Bq[j].T)).argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cell.astype(np.int32),
+                "codes": list(codes),
+                "xnorm": np.sqrt((Xb**2).sum(axis=1)),
+            }
+        )
+
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.DataFrame}
+    enc_udf = F.pandas_udf(encode, "cell int, codes array<int>, xnorm double")
+    encoded = c.select(
+        "neighbor_id", enc_udf(F.col("cv")).alias("e")
+    ).select("neighbor_id", "e.cell", "e.codes", "e.xnorm")
+
+    # --- query side: probed cells + per-cell dot + LUT ----------------
+    def lut(vecs):
+        out = []
+        for v in vecs.to_numpy():
+            q = np.asarray(v, dtype=np.float64)
+            t = np.empty((m, n_codes), dtype=np.float64)
+            for j in range(m):
+                t[j] = Bq[j] @ q[j * sub : (j + 1) * sub]
+            out.append(t.ravel())
+        return pd.Series(out)
+
+    lut.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    lut_udf = F.pandas_udf(lut, "array<double>")
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("lut", lut_udf(F.col("qv")))
+        .withColumn("qnorm", norm(F.col("qv")))
+    )
+    cent_df = queries.sparkSession.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "cell int, centroid array<double>",
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "qv",
+        "lut",
+        "qnorm",
+        "cell",
+        dot(F.col("qv"), F.col("centroid")).alias("qc_dot"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("qc_dot"), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "lut", "qnorm", "cell", "qc_dot")
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    adc_resid = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"),
+            (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+        ),
+    )
+    approx = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                (F.col("qc_dot") + adc_resid)
+                / (F.col("qnorm") * F.col("xnorm"))
+            ).alias("adc_sim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.col("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -346,3 +346,21 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     # leaving codebook-seed headroom.
     print(f"PQ top-5 recall vs brute force (m=8, rerank=100): {recall:.3f}")
     assert recall >= 0.8, f"pq recall collapsed: {recall}"
+
+
+def test_ivfpq_topk_recall_vs_bruteforce(spark):
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.brute_force_topk(q, e, k=5).collect()
+    approx = similarity.ivfpq_topk(
+        q, e, k=5, n_centroids=8, n_probe=6, rerank=100
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # measured on this fixture: (probe,rerank) (4,50)→0.63, (6,50)→0.72,
+    # (6,100)→0.84, (8,100)→0.93 (= the PQ-only ceiling, as expected
+    # when every cell is probed). The 0.75 floor at (6,100) fails under
+    # broken cell routing while leaving seed headroom.
+    print(f"IVFPQ top-5 recall (8 cells, 6 probes, rerank=100): {recall:.3f}")
+    assert recall >= 0.75, f"ivfpq recall collapsed: {recall}"
