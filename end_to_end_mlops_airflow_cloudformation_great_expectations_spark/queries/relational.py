@@ -1717,3 +1717,42 @@ def f_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", composite).alias("priciest_order"),
         F.min_by("o_orderkey", composite).alias("cheapest_order"),
     )
+
+
+@query(
+    "j3b_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderkey % 7 END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                  ELSE c_custkey % 7 END AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1
+    )
+    SELECT a.bucket, a.n_orders, b.n_customers
+    FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+)
+def j3b_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    dirty dimension keys need (a plain equi-join silently drops every
+    NULL-keyed row; at 100 TB that is a correctness bug that no row
+    count at dev scale reveals). Still plans as a hash join: the
+    null-safe comparator hashes NULL to a regular bucket."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    bucket = lambda c: F.when(c % 7 == 0, F.lit(None)).otherwise(c % 7)  # noqa: E731
+    a = o.groupBy(bucket(F.col("o_orderkey")).alias("bucket")).agg(
+        F.count("*").alias("n_orders")
+    )
+    b = cst.groupBy(bucket(F.col("c_custkey")).alias("bucket")).agg(
+        F.count("*").alias("n_customers")
+    )
+    return a.join(b, a["bucket"].eqNullSafe(b["bucket"])).select(
+        a["bucket"], "n_orders", "n_customers"
+    )

@@ -140,3 +140,13 @@ def compact_dataset(
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """S1 with schema evolution: merge the footers of every file under
+    ``path`` into the union schema (columns added by newer writers
+    surface as NULL in older files). Footer merging scans metadata
+    only, but costs one footer read per file — leave it OFF (the
+    default) for stable-schema tables and route evolving tables
+    through this entry point."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

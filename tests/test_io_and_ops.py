@@ -133,3 +133,21 @@ def test_compact_dataset_rebuilds_small_files(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    """S1: a column added by a newer writer appears in the union
+    schema with NULLs for pre-evolution files."""
+    path = str(tmp_path / "evolving")
+    nat = catalog.load(spark, SF_DIR, "nation")
+    nat.select("n_nationkey", "n_name").write.parquet(path)
+    nat.select(
+        "n_nationkey", "n_name", F.lit("v2").alias("writer_version")
+    ).write.mode("append").parquet(path)
+
+    merged = io.read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "writer_version"}
+    n = nat.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("writer_version").isNull()).count() == n
+    assert merged.filter(F.col("writer_version") == "v2").count() == n
