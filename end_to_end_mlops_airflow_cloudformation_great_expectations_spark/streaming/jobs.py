@@ -323,6 +323,63 @@ def run_merge_upsert(
     q.awaitTermination()
 
 
+def sketch_rollup_sink(base_dir: str, group_col: str, id_col: str):
+    """foreachBatch incremental SKETCH rollup — the streaming form of
+    operators/sketches.sketch_rollup: each micro-batch's per-group HLL
+    sketches are UNIONED with the stored rollup and written as the
+    next snapshot version.
+
+    This is the streaming pattern mergeable sketches exist for: state
+    per group is one KB-sized sketch regardless of stream length, the
+    merge is associative/commutative (so re-processing order doesn't
+    matter), and the resulting table answers distinct-count slices at
+    any moment without ever re-scanning history. Contrast with exact
+    streaming countDistinct, whose state grows with the id universe.
+    Same versioned-snapshot layout as merge_upsert_sink."""
+    import os
+    import shutil
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(id_col).alias("hll")
+        )
+        versions = sorted(
+            (d for d in os.listdir(base_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        ) if os.path.isdir(base_dir) else []
+        merged = new
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            merged = (
+                cur.unionByName(new)
+                .groupBy(group_col)
+                .agg(F.hll_union_agg("hll").alias("hll"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_sketch_rollup(
+    stream: DataFrame, base_dir: str, group_col: str, id_col: str
+) -> None:
+    """Drive a stream through the incremental sketch rollup
+    (availableNow, synchronous)."""
+    q = (
+        stream.writeStream.foreachBatch(
+            sketch_rollup_sink(base_dir, group_col, id_col)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 __all__ = [
     "read_orders_stream",
     "merge_upsert_sink",

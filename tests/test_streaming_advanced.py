@@ -259,3 +259,53 @@ def test_streaming_merge_upsert_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_sketch_rollup_across_batches(spark, tmp_path, events_dir=None):
+    """foreachBatch sketch rollup: two micro-batches over overlapping
+    id sets must merge to the batch-exact distinct counts (sparse-
+    regime HLL is exact), proving the union-across-batches is real
+    sketch algebra, not double counting."""
+    import shutil
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+        jobs,
+    )
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "a.parquet")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "b.parquet")
+    base = str(tmp_path / "rollup")
+
+    footer = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(footer)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    jobs.run_sketch_rollup(stream, base, "event_type", "user_id")
+
+    import os
+
+    versions = sorted(os.listdir(base), key=lambda d: int(d[1:]))
+    assert len(versions) >= 1  # stale versions pruned to latest two
+    final = spark.read.parquet(os.path.join(base, versions[-1]))
+    got = {
+        r["event_type"]: r["n"]
+        for r in final.select(
+            "event_type",
+            F.hll_sketch_estimate("hll").cast("long").alias("n"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in catalog.load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
