@@ -1756,3 +1756,64 @@ def j3b_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["bucket"].eqNullSafe(b["bucket"])).select(
         a["bucket"], "n_orders", "n_customers"
     )
+
+
+@query(
+    "w7_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS bal_pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distribution ranks: percent_rank and cume_dist per nation —
+    the normalized-position functions (feature-engineering's rank
+    transform). Tie-broken on the key so both engines see one total
+    order."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@query(
+    "g_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(o_custkey % 50, l_suppkey % 50) AS lo,
+                      GREATEST(o_custkey % 50, l_suppkey % 50) AS hi
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 50 <> l_suppkey % 50
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e ab
+    JOIN e bc ON ab.hi = bc.lo
+    JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    """,
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: triangle count over the (customer-bucket,
+    supplier-bucket) co-occurrence graph derived from order lines.
+    Each edge is oriented low→high so every triangle is counted once
+    and join fan-out is bounded by oriented degree (the power-law-hub
+    taming trick). The oracle replays the same canonical SQL."""
+    from ..operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(
+        l, o["o_orderkey"] == l["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("l_suppkey") % 50).alias("dst"),
+    )
+    return triangle_count(pairs).select(
+        F.col("n_triangles").cast("long").alias("n_triangles")
+    )
