@@ -1817,3 +1817,49 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs).select(
         F.col("n_triangles").cast("long").alias("n_triangles")
     )
+
+
+@query(
+    "f_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop-' || CAST(o_orderkey % 10 AS VARCHAR)
+             || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)
+             || '?status=' || o_orderstatus AS url
+      FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query_string,
+           regexp_extract(url, '[?&]status=([^&]*)', 1) AS status_param
+    FROM u
+    """,
+)
+def f_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 URL surface: host/path/query extraction plus single-param
+    lookup via Spark's builtin ``parse_url`` (the crawl-processing
+    primitive — URL canonicalization precedes URL-level dedup in any
+    web-corpus intake). URLs are synthesized from order fields so the
+    oracle (plain regexes — DuckDB has no URL parser) is checkable
+    byte-for-byte."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit(".example.com/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("status")).alias(
+            "status_param"
+        ),
+    )
