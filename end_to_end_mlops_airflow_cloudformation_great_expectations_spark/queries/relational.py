@@ -1863,3 +1863,36 @@ def f_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status_param"
         ),
     )
+
+
+@query(
+    "a_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via Spark 4 bitmap aggregates: ids are
+    bucketed (bitmap_bucket_number), each (group, bucket) builds a
+    32KB bitmap of positions (bitmap_construct_agg — partial-merges
+    map-side), buckets OR together (bitmap_or_agg) and popcount
+    (bitmap_count) sums. Unlike COUNT(DISTINCT) — whose expand/
+    re-shuffle materializes every distinct value per group — bitmap
+    state is fixed-size per (group, bucket) and the merge is a
+    bitwise OR, the same maintenance trick as the HLL rollup but
+    exact. The oracle is plain COUNT(DISTINCT): results must be
+    identical, only the plan differs."""
+    e = _t(spark, sf_dir, "events")
+    per_bucket = e.groupBy(
+        "event_type",
+        F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(
+            F.bitmap_bit_position(F.col("user_id"))
+        ).alias("bm")
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )

@@ -225,3 +225,60 @@ def test_minhash_verify_never_broadcasts_or_builds_wide(spark):
             assert "[band#" in line, line
     assert "SortMergeJoin" in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_scd2_two_windows_one_exchange(spark):
+    """p_scd2_history: the change-detect window and the interval-ize
+    window share the (user_id → ts, event_id) ordering, so the second
+    window must reuse the first's hash partitioning and sort — one
+    exchange and one sort in the whole plan."""
+    df = QUERIES["p_scd2_history"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert explain.count_shuffles(df) == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_nullsafe_join_is_hash_not_bnlj(spark):
+    """j3b_nullsafe_join: <=> must plan as a hash-family equi-join
+    (null-safe comparators hash NULL into a regular bucket), never a
+    nested-loop."""
+    df = QUERIES["j3b_nullsafe_join"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_entropy_partial_aggregation(spark):
+    """a_user_entropy: the (user, type) pre-aggregation must partial-
+    merge map-side, and the whole query must run in <= 3 exchanges
+    (pre-agg, window re-use, final agg)."""
+    df = QUERIES["a_user_entropy"](spark, SF_DIR)
+    assert explain.has_partial_aggregation(df)
+    assert explain.count_shuffles(df) <= 3, explain.physical_plan(df)
+
+
+def test_triangle_count_no_cartesian(spark):
+    """g_triangle_count: the wedge-close joins are equi-joins on
+    oriented edges — a cartesian anywhere here explodes at scale."""
+    df = QUERIES["g_triangle_count"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bitmap_distinct_partial_merges(spark):
+    """a_bitmap_distinct: bitmap_construct_agg must partial-aggregate
+    map-side (fixed-size bitmap state on the shuffle, not raw ids) —
+    2 exchanges total for the two-level rollup."""
+    df = QUERIES["a_bitmap_distinct"](spark, SF_DIR)
+    assert explain.has_partial_aggregation(df)
+    assert explain.count_shuffles(df) <= 2, explain.physical_plan(df)
+
+
+def test_pq_adc_scan_broadcasts_queries_only(spark):
+    """sim_topk_pq: the ADC scan joins the code table against
+    BROADCAST queries+LUTs — the corpus must not shuffle before the
+    rank window."""
+    df = QUERIES["sim_topk_pq"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
