@@ -1048,3 +1048,61 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=16,
         rerank=100,
     )
+
+
+@query(
+    "text_unigram_ppl",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), tot AS (
+      SELECT SUM(c) AS n FROM cnt
+    )
+    SELECT doc_id,
+           ROUND(AVG(-log2(CAST(c AS DOUBLE) / n)), 4) AS cross_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet/CC-Net filtering
+    recipe, with the corpus's own unigram LM standing in for the
+    external KenLM): per-doc cross-entropy −Σ log2 p(w)/|doc| under
+    corpus unigram frequencies. Low entropy ⇒ repetitive/boilerplate;
+    high ⇒ rare-token noise — both tails get filtered in a real
+    intake.
+
+    Scale shape: token counts partial-merge map-side; the corpus
+    total joins back as a broadcast 1-row cross join (never a driver
+    collect); the token⋈vocab join shuffles on the word — Zipf-hot
+    words are exactly what AQE skew-split handles (vocab broadcasts
+    instead when it fits)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))), 4
+            ).alias("cross_entropy"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

@@ -229,3 +229,60 @@ def j_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("click_id", "purchase_id", "user_id")
     )
+
+
+@query(
+    "j_funnel_3step",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_after
+    """,
+)
+def j_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 3-step funnel (signup → first click AFTER signup →
+    first purchase AFTER that click): stage times chain through
+    conditional MIN aggregations, so ordering is enforced — a global
+    min-per-type would overcount users whose purchase preceded their
+    click. Each stage is one agg + one equi-join on user_id; all three
+    stage tables share the user_id partitioning so the chain adds no
+    extra exchanges at scale."""
+    e = _events(spark, sf_dir)
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.join(s, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in [(s, "n_signup"), (c, "n_click_after"), (p, "n_purchase_after")]
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
