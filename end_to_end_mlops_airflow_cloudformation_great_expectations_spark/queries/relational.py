@@ -1896,3 +1896,34 @@ def a_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_users")
     )
+
+
+@query(
+    "f_variant_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END
+             AS has_k,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val
+    FROM events
+    """,
+)
+def f_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse the JSON payload ONCE into the
+    binary variant encoding, then path-extract with variant_get —
+    the open-format answer to schemaless columns (each extraction is
+    a binary-encoded path walk, not a JSON re-parse; at 100 TB the
+    parse-once/extract-many difference is the whole ballgame for
+    telemetry props). Missing paths yield NULL (not an error) under
+    try-semantics typing."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_val"),
+        F.when(F.variant_get("v", "$.k", "bigint").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("has_k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("missing_val"),
+    )
