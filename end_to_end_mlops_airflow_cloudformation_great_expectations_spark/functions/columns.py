@@ -87,3 +87,26 @@ def tree_sum(cols: list[Column]) -> Column:
 def zscore(value: Column, mean: Column, std: Column) -> Column:
     """(x - μ) / σ with NULL (not error/inf) for zero variance."""
     return F.try_divide(value - mean, std)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer columns into one sortable long — the
+    data-layout trick behind multi-dimensional file pruning: sorting
+    by the Z-key clusters rows that are close in BOTH dimensions into
+    the same files, so parquet min/max stats prune scans filtered on
+    either column (a plain sort only prunes its leading column).
+
+    Pure bitwise expression (codegen, no UDF): bit i of ``a`` lands at
+    position 2i, bit i of ``b`` at 2i+1. Callers bucket/clamp real
+    values into [0, 2^bits) first — rank- or range-bucketing keeps the
+    key distribution uniform under skew."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = (
+            key.bitwiseOR(F.shiftleft(abit, 2 * i))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+        )
+    return key

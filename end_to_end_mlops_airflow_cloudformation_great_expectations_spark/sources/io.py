@@ -20,6 +20,7 @@ aws_infrastructure/airflow-setup.py:268-345). Spark-first equivalents:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -150,3 +151,32 @@ def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
     default) for stable-schema tables and route evolving tables
     through this entry point."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Scale-hygiene sink #2: cluster files along a Z-order (Morton)
+    curve over TWO columns so min/max file stats prune scans filtered
+    on EITHER one (``write_sorted_parquet`` only serves its leading
+    column). Range-partition + sort by the interleaved key, then
+    drop it — layout is a storage property, not a schema change."""
+    from ..functions.columns import zorder_key
+
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.withColumn(
+        "__z", zorder_key(F.col(col_a), F.col(col_b), bits)
+    )
+    (
+        keyed.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
