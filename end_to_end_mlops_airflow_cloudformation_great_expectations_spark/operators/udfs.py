@@ -131,3 +131,43 @@ def arrow_sq_norm(df, id_col: str = "vec_id", vec_col: str = "embedding"):
     return df.select(id_col, vec_col).mapInArrow(
         batches, f"{id_col} long, sq_norm double"
     )
+
+
+def grouped_ols(
+    df,
+    key_col: str,
+    y_col: str,
+    x_col: str,
+):
+    """Grouped model fitting — one OLS regression PER KEY via
+    ``applyInPandas`` + ``numpy.linalg.lstsq``: the embarrassingly-
+    parallel per-entity model pattern (per-store demand curves,
+    per-user calibrations). Each group fits independently in one
+    Arrow batch; the shuffle carries raw (key, x, y) and returns one
+    coefficient row per key.
+
+    Semantics are exactly single-feature OLS, so the driver oracle is
+    closed-form SQL (regr_slope/regr_intercept/regr_r2) — the fit
+    itself is what gets cross-checked, not just the plumbing."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[x_col].to_numpy(dtype="float64")
+        y = pdf[y_col].to_numpy(dtype="float64")
+        A = np.column_stack([x, np.ones_like(x)])
+        (slope, intercept), res, _, _ = np.linalg.lstsq(A, y, rcond=None)
+        pred = slope * x + intercept
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [float(slope)],
+                "intercept": [float(intercept)],
+                "r2": [1.0 - ss_res / ss_tot if ss_tot else None],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(
+        fit, f"{key_col} string, n long, slope double, intercept double, r2 double"
+    )

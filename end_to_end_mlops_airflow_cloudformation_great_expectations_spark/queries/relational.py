@@ -1927,3 +1927,67 @@ def f_variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("has_k"),
         F.try_variant_get("v", "$.missing", "bigint").alias("missing_val"),
     )
+
+
+@query(
+    "a_histogram_equiheight",
+    oracle="""
+    WITH b AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM b GROUP BY decile
+    """,
+)
+def a_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (decile) histogram — the complement of the fixed-
+    bin histogram: bucket boundaries adapt so each holds ~n/10 rows
+    (what optimizers and drift monitors actually want under skew).
+    NTILE over a tie-broken total order; the global sort is the
+    documented cost (range-partitioned, same as o1) and the per-bucket
+    agg reuses its output."""
+    e = _t(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    b = e.select("value", F.ntile(10).over(w).alias("decile"))
+    return b.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query(
+    "a_grouped_ols",
+    oracle="""
+    SELECT l_returnflag,
+           REGR_COUNT(l_extendedprice, l_quantity) AS n,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2)
+             AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model TRAINING on executors: one numpy lstsq OLS fit
+    per return-flag inside applyInPandas, cross-checked against the
+    closed-form SQL regression aggregates — the distributed
+    model-per-entity pattern with the fit itself oracle-verified
+    (slope/intercept/R² must match regr_* to 4/2/6 decimals)."""
+    from ..operators.udfs import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out = grouped_ols(li, "l_returnflag", "l_extendedprice", "l_quantity")
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
