@@ -68,6 +68,12 @@ HEADLINE = [
     "a_user_entropy",
     "p_scd2_history",
     "j_skew_salted_join",
+    # r02c batch: composed IVFPQ, corpus-LM perplexity, bitmap exact
+    # distinct, per-group OLS fitting
+    "sim_topk_ivfpq",
+    "text_unigram_ppl",
+    "a_bitmap_distinct",
+    "a_grouped_ols",
 ]
 
 
