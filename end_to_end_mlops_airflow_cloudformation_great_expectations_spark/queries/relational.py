@@ -1947,12 +1947,20 @@ def a_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-height (decile) histogram — the complement of the fixed-
     bin histogram: bucket boundaries adapt so each holds ~n/10 rows
     (what optimizers and drift monitors actually want under skew).
-    NTILE over a tie-broken total order; the global sort is the
-    documented cost (range-partitioned, same as o1) and the per-bucket
-    agg reuses its output."""
+    NTILE over a tie-broken total order, computed the scale-correct
+    way (operators.ranks.attach_global_ranks: range-partitioned sort,
+    per-partition windows, broadcast offset table + closed-form ANSI
+    tile arithmetic) — NOT a single-partition global window."""
+    from ..operators.ranks import attach_global_ranks
+
     e = _t(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
-    b = e.select("value", F.ntile(10).over(w).alias("decile"))
+    b = attach_global_ranks(
+        e.select("value", "event_id"),
+        sort_cols=[F.asc("value"), F.asc("event_id")],
+        key_cols=[F.col("value"), F.col("event_id")],
+        ntile=10,
+        ntile_col="decile",
+    )
     return b.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 2).alias("lo"),
