@@ -1999,3 +1999,29 @@ def a_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 2).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+@query("a_rolling_active_users")  # sketch estimates → rows-only
+def a_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users by sketch-window composition: one
+    HLL sketch per day (a single fact scan), then hll_union_agg as a
+    RANGE-framed window aggregate over the tiny daily table. The
+    classic "rolling distinct" problem — unanswerable by windowed
+    COUNT(DISTINCT) (not supported, and a 7× self-join at scale) —
+    becomes a merge of 7 KB-sized sketches per output row. Exactness
+    in the sparse regime is pinned by test; rows-only here because
+    the estimates are DataSketches-specific."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("s")
+    )
+    daily = daily.withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    )
+    w = W.orderBy("d").rangeBetween(-6, 0)
+    return daily.select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        F.hll_sketch_estimate(F.hll_union_agg("s").over(w))
+        .cast("long")
+        .alias("active_users_7d"),
+    )

@@ -94,3 +94,33 @@ def test_theta_setops_planted_overlap(spark):
         (row["n_a_only"], 500),
     ]:
         assert abs(got - want) <= 0.05 * want, (got, want)
+
+
+def test_rolling_active_users_exact_in_sparse_regime(spark, events):
+    """The sketch-window rolling distinct must equal the exact
+    grid-join computation at sparse cardinality."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+
+    got = {
+        r["day_epoch"]: r["active_users_7d"]
+        for r in QUERIES["a_rolling_active_users"](spark, SF_DIR).collect()
+    }
+    days = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    a, b = days.alias("a"), days.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 6))
+            & (F.col("b.day") <= F.col("a.day")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.countDistinct(F.col("b.user_id")).alias("n"))
+    )
+    want = {
+        int(r["day"].timestamp()): r["n"] for r in exact.collect()
+    }
+    assert got == want
