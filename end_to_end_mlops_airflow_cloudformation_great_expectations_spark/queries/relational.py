@@ -2025,3 +2025,79 @@ def a_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("active_users_7d"),
     )
+
+
+@query(
+    "enc_feature_hash",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, 'lang=' || lang AS f FROM documents
+      UNION ALL
+      SELECT doc_id, 'source=' || source AS f FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 32 AS idx,
+             CAST(CAST('0x' || substr(md5(f), 16, 1) AS BIGINT) % 2
+                  AS BIGINT) * 2 - 1 AS sign
+      FROM feats
+    )
+    SELECT doc_id, idx, CAST(SUM(sign) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, idx
+    """,
+)
+def enc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick encoder (HashingVectorizer): categorical features
+    map to a FIXED 32-dim space by portable md5 — no vocabulary scan,
+    no fit step, no driver artifact; unseen categories at serving time
+    hash to valid slots. The signed-sum makes collisions cancel in
+    expectation (the sklearn trick). Output is the sparse COO triple
+    (id, idx, val) — the layout a downstream trainer consumes."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id", F.concat(F.lit("lang="), F.col("lang")).alias("f")
+    ).unionByName(
+        d.select(
+            "doc_id", F.concat(F.lit("source="), F.col("source")).alias("f")
+        )
+    )
+    h = F.conv(F.substring(F.md5("f"), 1, 15), 16, 10).cast("long")
+    sign = (
+        F.conv(F.substring(F.md5("f"), 16, 1), 16, 10).cast("long") % 2
+    ) * 2 - 1
+    hashed = feats.select(
+        "doc_id", (h % 32).alias("idx"), sign.alias("sign")
+    )
+    return hashed.groupBy("doc_id", "idx").agg(
+        F.sum("sign").alias("val")
+    )
+
+
+@query(
+    "enc_target_loo",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CASE WHEN COUNT(*) OVER w > 1
+                 THEN (SUM(o_totalprice) OVER w - o_totalprice)
+                      / (COUNT(*) OVER w - 1) END, 4) AS status_loo_mean
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+)
+def enc_target_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row gets its category's
+    target mean EXCLUDING ITSELF — the leakage-safe form of mean
+    encoding (including self leaks the label into the feature; at
+    training scale that is silent overfitting no holdout catches).
+    One unbounded window per category partition: (Σ−x)/(n−1),
+    NULL for singleton categories."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus")
+    n = F.count("*").over(w)
+    s = F.sum("o_totalprice").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(
+            F.when(n > 1, (s - F.col("o_totalprice")) / (n - 1)), 4
+        ).alias("status_loo_mean"),
+    )
