@@ -2101,3 +2101,64 @@ def enc_target_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n > 1, (s - F.col("o_totalprice")) / (n - 1)), 4
         ).alias("status_loo_mean"),
     )
+
+
+@query(
+    "g_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    edges(a, b) AS (
+      SELECT DISTINCT o_orderkey % 200,
+                      200 + o_orderkey % 190
+      FROM orders
+    ),
+    und(a, b) AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes(n) AS (SELECT a FROM und UNION SELECT b FROM und),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.n
+    )
+    SELECT n AS id, MIN(r) AS component FROM reach GROUP BY n
+    """,
+)
+def g_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by distributed min-label propagation
+    (operators/dedup.connected_components — the same machinery that
+    gives near-dup dedup its transitive closure), here oracle-checked
+    END TO END: DuckDB recomputes components via recursive
+    reachability, so the fixpoint itself is verified, not just row
+    counts. The derived bipartite graph fragments into residue-class
+    components (multi-node, multi-component — both code paths
+    exercised)."""
+    from ..operators.dedup import connected_components
+
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select(
+        (F.col("o_orderkey") % 200).alias("id_a"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("id_b"),
+    ).distinct()
+    return connected_components(pairs)
+
+
+@query("g_pagerank")  # iterative fixpoint, float ranks → rows-only
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-iteration PageRank over the derived co-occurrence
+    graph (operators/graph.pagerank: Pregel-as-DataFrame rounds with
+    localCheckpoint lineage truncation). Iterative fixpoint with
+    float mass — no SQL twin; convergence/mass-conservation
+    properties are pinned in tests."""
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(both, iterations=5)
+    return pr.select(
+        pr.columns[0], F.round(pr[pr.columns[1]], 6).alias("rank")
+    )
