@@ -2162,3 +2162,40 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         pr.columns[0], F.round(pr[pr.columns[1]], 6).alias("rank")
     )
+
+
+@query(
+    "a_listagg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(CAST(c_custkey AS VARCHAR), ','
+                      ORDER BY c_acctbal DESC, c_custkey) AS top_customers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_custkey % 100 < 5
+    GROUP BY c_nationkey
+    """,
+)
+def a_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG ... WITHIN GROUP): without
+    an explicit order the concatenation is partition-order-
+    nondeterministic — the classic flaky-pipeline bug. Expressed as
+    sort_array over (sort-key, value) structs + array_join, which
+    partial-aggregates map-side; the sampled filter keeps the string
+    bounded (an unbounded LISTAGG is a scale smell — at 100 TB use
+    collect_list + explode, not strings)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 < 5)
+    pair = F.struct(
+        (-F.col("c_acctbal")).alias("k1"),
+        F.col("c_custkey").alias("k2"),
+        F.col("c_custkey").cast("string").alias("v"),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda s: s["v"]
+            ),
+            ",",
+        ).alias("top_customers"),
+        F.count("*").alias("n"),
+    )
