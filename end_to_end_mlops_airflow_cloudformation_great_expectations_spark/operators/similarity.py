@@ -795,3 +795,43 @@ def ivfpq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: multiply every vector
+    by one fixed Gaussian matrix R/√out_dim — pairwise distances are
+    preserved within (1±ε) with high probability, so ANN/dedup
+    pipelines can run on d/4 the bytes before exact re-ranking on the
+    originals. The matrix is seed-deterministic, built inside the UDF
+    closure (out_dim × dim doubles — KBs), and applied as one Arrow
+    matmul per batch; no fit step, no shuffle, fully streaming-safe.
+    Distortion bound pinned in tests."""
+
+    def make_udf():
+        # deferred: R is built once per worker from the seed (needs the
+        # input dim, known at the first batch), not serialized —
+        # identical everywhere by construction
+        R = None
+
+        def project(vecs):
+            nonlocal R
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            if R is None:
+                r = np.random.RandomState(seed)
+                R = r.standard_normal((X.shape[1], out_dim)) / np.sqrt(
+                    out_dim
+                )
+            return pd.Series(list(X @ R))
+
+        project.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        return F.pandas_udf(project, "array<double>")
+
+    return df.select(
+        F.col(id_col), make_udf()(_as_double(F.col(vec_col))).alias("proj")
+    )

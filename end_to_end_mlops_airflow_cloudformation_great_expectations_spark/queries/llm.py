@@ -1106,3 +1106,23 @@ def text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+@query("emb_random_projection")  # random matrix, no SQL twin → rows-only
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16-dim Gaussian projection — the
+    cheap, fit-free dimensionality reduction that runs BEFORE ANN /
+    near-dup at corpus scale (4× fewer bytes per distance). One Arrow
+    matmul per batch; seed-deterministic; distortion bound pinned in
+    tests/test_llm_ops.py."""
+    e = _emb(spark, sf_dir)
+    out = similarity.random_projection(e, out_dim=16)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("proj", 1), 6).alias("p0"),
+        F.aggregate(
+            F.transform("proj", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sq_norm"),
+    )

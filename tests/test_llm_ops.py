@@ -364,3 +364,40 @@ def test_ivfpq_topk_recall_vs_bruteforce(spark):
     # broken cell routing while leaving seed headroom.
     print(f"IVFPQ top-5 recall (8 cells, 6 probes, rerank=100): {recall:.3f}")
     assert recall >= 0.75, f"ivfpq recall collapsed: {recall}"
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL lemma in practice: 64d → 16d Gaussian projection keeps
+    pairwise squared distances within a modest distortion band on
+    average, and is seed-deterministic across invocations."""
+    import itertools
+
+    import numpy as np
+
+    e = catalog.load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 60)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in e.collect()
+    }
+    proj1 = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in similarity.random_projection(e, out_dim=16).collect()
+    }
+    proj2 = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in similarity.random_projection(e, out_dim=16).collect()
+    }
+    for k in proj1:
+        assert np.allclose(proj1[k], proj2[k])  # determinism
+    ratios = []
+    ids = sorted(orig)
+    for a, b in itertools.combinations(ids[:30], 2):
+        d0 = float(((orig[a] - orig[b]) ** 2).sum())
+        d1 = float(((proj1[a] - proj1[b]) ** 2).sum())
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    mean_ratio = sum(ratios) / len(ratios)
+    # E[ratio]=1; at out_dim=16 individual pairs fluctuate (std
+    # ~sqrt(2/16)≈0.35) but the mean over 435 pairs concentrates
+    assert 0.8 <= mean_ratio <= 1.2, mean_ratio
+    assert all(0.2 <= r <= 3.0 for r in ratios), (min(ratios), max(ratios))
