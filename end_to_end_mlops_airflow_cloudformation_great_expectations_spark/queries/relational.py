@@ -2199,3 +2199,137 @@ def a_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_customers"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "p_temporal_split",
+    oracle="""
+    WITH cut AS (
+      SELECT quantile_cont(epoch(ts), 0.8) AS c FROM events
+    )
+    SELECT CASE WHEN epoch(ts) <= c THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS min_ts,
+           CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS max_ts
+    FROM events, cut
+    GROUP BY 1
+    """,
+)
+def p_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 80th time percentile — the
+    leakage-safe split for anything with temporal drift (a hash split
+    trains on the future; offline metrics then overstate production
+    accuracy). The cutoff is an exact percentile computed once and
+    broadcast back as a 1-row cross join (the pinned q11/q15 scalar
+    pattern — no driver collect)."""
+    e = _t(spark, sf_dir, "events")
+    # NTZ→zoned cast is value-preserving under the UTC session pin;
+    # unix_micros needs the zoned type
+    ep = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
+    epochs = e.select(ep.alias("ep"))
+    cut = epochs.agg(F.percentile("ep", 0.8).alias("c"))
+    return (
+        epochs.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("ep") <= F.col("c"), F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "ep",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.floor(F.min("ep")).cast("long").alias("min_ts"),
+            F.floor(F.max("ep")).cast("long").alias("max_ts"),
+        )
+    )
+
+
+@query(
+    "a_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(LEAST(GREATEST(l_extendedprice, p05), p95)), 4)
+             AS winsorized_avg,
+           ROUND(AVG(l_extendedprice), 4) AS raw_avg
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def a_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean: CLIP to the [p05, p95] band then average —
+    the robust-statistics cousin of the trimmed mean (clipping keeps
+    every row's weight; trimming drops the tails). Per-group bounds
+    come from one exact-percentile aggregation broadcast back onto
+    the fact rows — the fact table is scanned twice but shuffled only
+    as group-sized partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+        ).alias("w"),
+        "l_extendedprice",
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.round(F.avg("w"), 4).alias("winsorized_avg"),
+        F.round(F.avg("l_extendedprice"), 4).alias("raw_avg"),
+    )
+
+
+@query(
+    "a_cohort_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id,
+             f.cohort,
+             CAST(FLOOR(epoch(e.ts) / 604800) AS BIGINT) - f.cohort
+               AS week_offset
+      FROM events e JOIN first_week f USING (user_id)
+    )
+    SELECT cohort, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE week_offset <= 4
+    GROUP BY cohort, week_offset
+    """,
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted as active per week offset — the standard growth-analytics
+    triangle. Shape: the first-seen agg and the activity join both
+    key on user_id (one partitioning serves both); the distinct
+    collapses to (user, cohort, offset) before the final small agg."""
+    e = _t(spark, sf_dir, "events")
+    week = lambda c: F.floor(  # noqa: E731
+        F.unix_micros(c.cast("timestamp")) / F.lit(604800000000.0)
+    ).cast("long")
+    first = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort"))
+    activity = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (week(F.col("ts")) - F.col("cohort")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 4)
+        .groupBy("cohort", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+    )
