@@ -2333,3 +2333,83 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "week_offset")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@query(
+    "f_hof_functions",
+    oracle="""
+    SELECT vec_id,
+           CASE WHEN LEN(list_filter(CAST(embedding AS DOUBLE[]),
+                                     x -> x > 2.0)) > 0
+                THEN 1 ELSE 0 END AS has_big,
+           CASE WHEN LEN(list_filter(CAST(embedding AS DOUBLE[]),
+                                     x -> x > -10.0)) = LEN(embedding)
+                THEN 1 ELSE 0 END AS all_bounded,
+           ROUND(LIST_AGGREGATE(
+             [CAST(embedding[i] AS DOUBLE) * CAST(embedding[LEN(embedding) + 1 - i] AS DOUBLE)
+              for i in generate_series(1, LEN(embedding))], 'sum'), 4)
+             AS rev_dot
+    FROM embeddings
+    """,
+)
+def f_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 higher-order-function surface: exists / forall /
+    zip_with-with-reverse — the lambda-expression trio the array
+    family doesn't cover. HOFs evaluate per element OUTSIDE
+    whole-stage codegen (the measured minhash lesson), fine for
+    one-pass feature math, wrong for anything iterated per row."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 2.0).cast("int").alias("has_big"),
+        F.forall(emb, lambda x: x > -10.0).cast("int").alias("all_bounded"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb, F.reverse(emb), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("rev_dot"),
+    )
+
+
+@query(
+    "w8_ratio_to_report",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           ROUND(SUM(l_extendedprice)
+                 / SUM(SUM(l_extendedprice)) OVER (PARTITION BY l_returnflag),
+                 6) AS share_of_flag,
+           ROUND(SUM(l_extendedprice)
+                 / SUM(SUM(l_extendedprice)) OVER (), 6) AS share_of_total
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: window-over-aggregate (share of parent and of
+    grand total from ONE aggregation — no re-scan, no self-join). The
+    unpartitioned total window runs single-partition but over the
+    GROUP ROWS (6 here; bounded by group cardinality at any fact
+    size), which is the legitimate use the planlint carve-out
+    describes."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("rev_raw")
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("rev_raw", 2).alias("revenue"),
+        F.round(
+            F.col("rev_raw")
+            / F.sum("rev_raw").over(W.partitionBy("l_returnflag")),
+            6,
+        ).alias("share_of_flag"),
+        F.round(
+            F.col("rev_raw") / F.sum("rev_raw").over(W.partitionBy()),
+            6,
+        ).alias("share_of_total"),
+    )
