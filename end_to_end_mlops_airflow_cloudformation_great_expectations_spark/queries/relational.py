@@ -2413,3 +2413,51 @@ def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_total"),
     )
+
+
+@query(
+    "a_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, med.m,
+             ABS(e.value - med.m) AS adev
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           ROUND(ANY_VALUE(dev.m), 4) AS median_value,
+           ROUND(ANY_VALUE(mad.mad), 4) AS mad,
+           CAST(COUNT(*) FILTER (WHERE adev > 3 * mad.mad) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: flag
+    rows with |x − median| > 3·MAD per group — the detector that
+    survives the outliers it hunts (z-scores inflate their own σ).
+    Two exact-median aggregations with the small per-group stats
+    broadcast back onto the fact rows; ANY_VALUE is safe because m
+    and mad are functionally determined by the group key."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("m"), 4).alias("median_value"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.count_if(F.col("adev") > 3 * F.col("mad")).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
