@@ -2461,3 +2461,111 @@ def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "a_gini_coefficient",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER () AS n, SUM(x) OVER () AS sx
+      FROM spend
+    )
+    SELECT ROUND(2.0 * SUM(i * x) / (ANY_VALUE(n) * ANY_VALUE(sx))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def a_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the concentration metric
+    every marketplace/royalty report carries. Uses the closed rank
+    formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending-sorted
+    values, with the global row_number computed by the DISTRIBUTED
+    ranking operator (range-partitioned sort + broadcast offsets),
+    never a single-partition window; n and Σx ride along from one
+    tiny broadcast aggregate."""
+    from ..operators.ranks import attach_global_ranks
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("x"))
+    ranked = attach_global_ranks(
+        spend,
+        sort_cols=[F.asc("x"), F.asc("o_custkey")],
+        key_cols=[F.col("x"), F.col("o_custkey")],
+        rn_col="i",
+    )
+    tot = spend.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.any_value("n") * F.any_value("sx"))
+                - (F.any_value("n") + 1.0) / F.any_value("n"),
+                6,
+            ).alias("gini"),
+            F.any_value("n").cast("long").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "p8_column_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_v,
+           ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 2), ROUND(MAX(o_custkey), 2)
+    FROM orders
+    """,
+)
+def p8_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the expectations-suite precursor: you
+    profile before you assert): per-column row/null/distinct/min/max
+    in ONE scan — all columns' aggregates computed in a single
+    aggregation pass, then unpivoted to the long (col, stats) layout.
+    The naive per-column loop is |cols| scans of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).alias("mn_price"),
+        F.round(F.max("o_totalprice"), 2).alias("mx_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.round(F.min("o_custkey").cast("double"), 2).alias("mn_cust"),
+        F.round(F.max("o_custkey").cast("double"), 2).alias("mx_cust"),
+    )
+    price = agg.select(
+        F.lit("o_totalprice").alias("col"),
+        F.col("n"),
+        (F.col("n") - F.col("nn_price")).alias("n_null"),
+        F.col("nd_price").alias("n_distinct"),
+        F.col("mn_price").alias("min_v"),
+        F.col("mx_price").alias("max_v"),
+    )
+    cust = agg.select(
+        F.lit("o_custkey").alias("col"),
+        F.col("n"),
+        (F.col("n") - F.col("nn_cust")).alias("n_null"),
+        F.col("nd_cust").alias("n_distinct"),
+        F.col("mn_cust").alias("min_v"),
+        F.col("mx_cust").alias("max_v"),
+    )
+    return price.unionByName(cust)
