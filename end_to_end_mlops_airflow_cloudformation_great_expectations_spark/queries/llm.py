@@ -1126,3 +1126,65 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("sq_norm"),
     )
+
+
+@query(
+    "dedup_span_fraction",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4]
+                            for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))])
+               AS grams
+      FROM w
+    ), e AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g
+    ), df AS (
+      SELECT gram, COUNT(*) AS n_docs FROM e GROUP BY gram
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs > 1) AS BIGINT)
+             AS n_shared,
+           ROUND(COUNT(*) FILTER (WHERE df.n_docs > 1)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS shared_frac
+    FROM e JOIN df USING (gram)
+    GROUP BY e.doc_id
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT span-level duplication measurement (the Lee et al.
+    "Deduplicating Training Data" signal, complementing doc-level
+    MinHash): per doc, the fraction of its distinct word 5-grams that
+    appear in at least one OTHER document. High shared_frac docs are
+    boilerplate/templates even when no whole-doc near-dup fires.
+
+    Scale shape: one explode of distinct per-doc grams (zip_with
+    build — no per-element re-tokenization), document-frequency by
+    partial-merged count, fact-side join back on the gram (Zipf-hot
+    grams are AQE skew territory; the df table stays much smaller
+    than postings because grams are per-doc distinct)."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        F.explode(dedup.word_ngrams(F.col("text"), 5)).alias("gram"),
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("n_docs") > 1).alias("n_shared"),
+            F.round(
+                F.count_if(F.col("n_docs") > 1) / F.count("*").cast("double"),
+                4,
+            ).alias("shared_frac"),
+        )
+    )

@@ -2569,3 +2569,84 @@ def p8_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx_cust").alias("max_v"),
     )
     return price.unionByName(cust)
+
+
+@query(
+    "a_abtest_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM assign GROUP BY bucket
+    ), wide AS (
+      SELECT MAX(CASE WHEN bucket='A' THEN n END) AS na,
+             MAX(CASE WHEN bucket='A' THEN k END) AS ka,
+             MAX(CASE WHEN bucket='B' THEN n END) AS nb,
+             MAX(CASE WHEN bucket='B' THEN k END) AS kb
+      FROM g
+    )
+    SELECT na, nb,
+           ROUND(ka / CAST(na AS DOUBLE), 4) AS rate_a,
+           ROUND(kb / CAST(nb AS DOUBLE), 4) AS rate_b,
+           ROUND((ka / CAST(na AS DOUBLE) - kb / CAST(nb AS DOUBLE))
+                 / SQRT(((ka + kb) / CAST(na + nb AS DOUBLE))
+                        * (1 - (ka + kb) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_stat
+    FROM wide
+    """,
+)
+def a_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion lift with the pooled two-proportion z-statistic
+    (conversion = any HIGH-VALUE purchase, so rates stay off the
+    degenerate 100% that zeroes the pooled variance)
+    — assignment by the portable multiplicative hash (the a7 split
+    discipline: reproducible cross-engine, immune to partition
+    order), conversion = any purchase per user, then one closed-form
+    significance computation on the 2-row bucket table. The whole
+    readout is two partial-merged aggregations; nothing about
+    significance testing needs a driver loop."""
+    e = _t(spark, sf_dir, "events")
+    from ..functions.columns import portable_bucket
+
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(portable_bucket(F.col("user_id"), 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("bucket"),
+        "converted",
+    )
+    g = assign.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("bucket") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("bucket") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("bucket") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("bucket") == "B", F.col("k"))).alias("kb"),
+    )
+    na, ka, nb, kb = (F.col(c).cast("double") for c in ("na", "ka", "nb", "kb"))
+    pooled = (ka + kb) / (na + nb)
+    return wide.select(
+        F.col("na"),
+        F.col("nb"),
+        F.round(ka / na, 4).alias("rate_a"),
+        F.round(kb / nb, 4).alias("rate_b"),
+        F.round(
+            (ka / na - kb / nb)
+            / F.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb)),
+            4,
+        ).alias("z_stat"),
+    )
