@@ -1188,3 +1188,37 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(lower(trim(text))) AS h
+      FROM documents
+    )
+    SELECT h AS fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           arg_max(doc_id, n_chars * 10000000 - doc_id) AS keeper_id
+    FROM fp GROUP BY h
+    """,
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup KEEPER POLICY variant: keep the LONGEST document
+    per fingerprint group (ties → smallest id) instead of the
+    min-id keeper — the policy real intakes want when near-identical
+    scrapes differ by truncation. One max_by aggregation per group;
+    the composite (n_chars, −doc_id) scalar makes the selection
+    cross-engine deterministic under ties."""
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    composite = F.col("n_chars") * F.lit(10000000) - F.col("doc_id")
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"),
+        F.max_by("doc_id", composite).alias("keeper_id"),
+    )
