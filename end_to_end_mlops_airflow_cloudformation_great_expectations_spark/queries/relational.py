@@ -2650,3 +2650,76 @@ def a_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "a_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(value) AS m,
+             VAR_SAMP(value) AS v
+      FROM events
+      WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ), wide AS (
+      SELECT MAX(CASE WHEN event_type='view' THEN n END) AS n1,
+             MAX(CASE WHEN event_type='view' THEN m END) AS m1,
+             MAX(CASE WHEN event_type='view' THEN v END) AS v1,
+             MAX(CASE WHEN event_type='click' THEN n END) AS n2,
+             MAX(CASE WHEN event_type='click' THEN m END) AS m2,
+             MAX(CASE WHEN event_type='click' THEN v END) AS v2
+      FROM g
+    )
+    SELECT n1, n2,
+           ROUND(m1, 4) AS mean_view,
+           ROUND(m2, 4) AS mean_click,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4) AS t_stat,
+           ROUND(POW(v1 / n1 + v2 / n2, 2)
+                 / (POW(v1 / n1, 2) / (n1 - 1)
+                    + POW(v2 / n2, 2) / (n2 - 1)), 2) AS dof
+    FROM wide
+    """,
+)
+def a_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations —
+    the continuous-outcome significance readout (complementing the
+    proportion z-test in a_abtest_lift), including the
+    Welch-Satterthwaite degrees of freedom. Entirely closed-form over
+    one partial-merged aggregation: mean/variance state per group is
+    constant-size, so the test costs one fact scan at any data size."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    def pick(col, et):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+    wide = g.agg(
+        pick("n", "view").alias("n1"), pick("m", "view").alias("m1"),
+        pick("v", "view").alias("v1"),
+        pick("n", "click").alias("n2"), pick("m", "click").alias("m2"),
+        pick("v", "click").alias("v2"),
+    )
+    n1, m1, v1 = F.col("n1").cast("double"), F.col("m1"), F.col("v1")
+    n2, m2, v2 = F.col("n2").cast("double"), F.col("m2"), F.col("v2")
+    se2 = v1 / n1 + v2 / n2
+    return wide.select(
+        F.col("n1"),
+        F.col("n2"),
+        F.round(m1, 4).alias("mean_view"),
+        F.round(m2, 4).alias("mean_click"),
+        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(v1 / n1, 2) / (n1 - 1)
+                + F.pow(v2 / n2, 2) / (n2 - 1)
+            ),
+            2,
+        ).alias("dof"),
+    )
