@@ -27,74 +27,77 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 )
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. Composition:
-#: every §2 operator ID lacking a driver-green row after round 1
-#: (W3/W4 frames, O1/O2, all set ops, all 8 §2.8 families, T* batch
-#: twins, J6, A8, UDAF/UDTF, the q15/q22 rewrites, the new real-decode
-#: mm_wav_decode and order-sensitive o1_global_sort), topped up with
-#: the judge's canonical per-ID set (P*, J1-J5, A1-A3/A9/A10).
+#: First 50 = the driver's observed CORRECTNESS window. Round-3
+#: rotation (VERDICT r02 "Next round" item 1): every name here has NO
+#: driver-green row in CORRECTNESS_r01/r02 — the §2.8 extended
+#: function families, join variants (j3b/j5b/j5c/j6b + skew/cdc/
+#: fuzzy/funnel), graph, encoders, the round-2 text/dedup/multimodal
+#: ops, and the four approx ops newly converted to banded oracles
+#: (|estimate − exact| ≤ bound AS ok — VERDICT item 4). The ~28
+#: remaining never-checked oracle queries (TPC-H extras + a_*
+#: statistics batch) rotate in next round; rounds 1+2 greened the
+#: other 79.
 _DRIVER_WINDOW_FIRST = [
-    # P* — projections / filters / predicates
-    "p1_project_filter",
-    "p2_eq_filter",
-    "p3_range_filter",
-    "p4_null_predicate",
-    "p5_string_predicates",
-    "p6_row_provenance",
-    # J* — joins
-    "j1_broadcast_join",
-    "j2_fact_fact_join",
-    "j3_semi_join",
-    "j4_theta_band_join",
-    "j5_asof_join",
-    "j6_interval_join",
-    # A* — aggregations / encodings
-    "tpch_q1_pricing_summary",  # A1 canonical
-    "a2_count_distinct",
-    "a3_grouping_sets",
-    "a8_group_normalize",
-    "a9_percentiles",
-    "a10_collect",
-    # W* — windows (w3/w4/w5/w6 had no green row in r01)
-    "w3_running_sum",
-    "w4_rank_ntile",
-    "w5_range_frame",
-    "w6_first_last",
-    # O* — sorts / limits
-    "o1_global_sort",
-    "o2_global_topk",
-    # §2.7 set ops (×5)
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "set_intersect_all",
-    # §2.8 scalar-function families (×8)
-    "f_string_functions",
-    "f_datetime_functions",
-    "f_math_functions",
-    "f_array_functions",
-    "f_posexplode",
-    "f_map_functions",
-    "f_json_functions",
-    "f_conditional_functions",
-    # T* batch twins
-    "t1_tumbling_window",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t5_dedup_keyed",
-    "t7_stream_static_join",
-    "t_rollup_time_multires",
-    # composite / sampling extras without a green row
-    "j_funnel_click_purchase",
-    "p_sample_deterministic",
-    # §2.10 UDF surface
-    "udaf_geometric_mean",
-    "udtf_token_explode",
-    # this round's rewrites + new operators (need fresh green rows)
-    "tpch_q15_top_supplier",
-    "tpch_q22_idle_customers",
-    "mm_wav_decode",
+    # §2.8 extended scalar/aggregate function families
+    "f_bitwise_functions",
+    "f_try_functions",
+    "f_stats_functions",
+    "f_regr_functions",
+    "f_agg_argminmax",
+    "f_url_functions",
+    "f_variant_functions",
+    "f_hof_functions",
+    # join variants
+    "j3b_nullsafe_join",
+    "j5b_asof_forward",
+    "j5c_asof_tolerance",
+    "j6b_interval_left",
+    "j_skew_salted_join",
+    "j_cdc_merge",
+    "j_fuzzy_match",
+    "j_funnel_3step",
+    # graph
+    "g_triangle_count",
+    "g_connected_components",
+    # encoders
+    "enc_feature_hash",
+    "enc_target_loo",
+    # text / LLM-pipeline ops
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_bm25",
+    "text_pii_redact",
+    "text_bigram_merges",
+    "text_unicode_normalize",
+    "text_unigram_ppl",
+    "emb_quantize_int8",
+    "mm_bmp_decode",
+    "dedup_span_fraction",
+    "dedup_keep_longest",
+    # UDF surface
+    "udf_vector_norm",
+    "udf_arrow_sq_norm",
+    "t_doc_intake",
+    # pipeline / sampling composites
+    "p_stratified_sample",
+    "p_scd2_history",
+    "p_temporal_split",
+    "p8_column_profile",
+    # window extras
+    "w7_distribution_ranks",
+    "w8_ratio_to_report",
+    # aggregation extras
+    "a_histogram_fixed_bins",
+    "a_trimmed_mean",
+    "a_table_checksum",
+    "a_skew_salted_agg",
+    "a_ewma_user",
+    "a_user_entropy",
+    # approx ops converted rows-only → banded oracle this round
+    "a9_approx_percentiles",
+    "a_theta_setops",
+    "a_rolling_active_users",
+    "a_sketch_rollup",
 ]
 
 

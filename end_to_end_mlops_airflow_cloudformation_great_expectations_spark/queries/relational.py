@@ -19,7 +19,7 @@ Scale notes (the 100 TB design intent, per query family):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -1150,23 +1150,43 @@ def j_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a9_approx_percentiles")  # sketch-based → rows-only check
+@query(
+    "a9_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a9_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 scale path: ``percentile_approx`` (Greenwald-Khanna-style
     mergeable sketch) — at 100 TB the exact percentile's
     per-group sort is the bottleneck; the sketch is single-pass with
     map-side partial merge, error bounded by the accuracy parameter.
-    Approximate ⇒ rows-only here; tests pin relative error vs the
-    exact percentiles."""
-    return (
+
+    Banded oracle (VERDICT r02 item 4): the estimate itself is
+    sketch-specific, so the registered projection is
+    ``|approx − exact| / exact <= 1% AS ok`` per percentile — Spark
+    computes both sides (exact via ``percentile``), and the oracle
+    asserts TRUE per group, turning the accuracy bound into a
+    hash-checkable contract instead of a rows-only count."""
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx("l_extendedprice", 0.95, 10000).alias(
-                "p95_approx"
-            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("a50") - F.col("e50")) / F.col("e50") <= 0.01).alias(
+            "p50_ok"
+        ),
+        (F.abs(F.col("a95") - F.col("e95")) / F.col("e95") <= 0.01).alias(
+            "p95_ok"
+        ),
     )
 
 
@@ -1614,36 +1634,107 @@ def a_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_sketch_rollup")  # sketch estimates: impl-specific → rows-only
+@query(
+    "a_sketch_rollup",
+    oracle="""
+    SELECT event_type, TRUE AS hll_ok, TRUE AS theta_ok, TRUE AS median_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', TRUE, TRUE, TRUE
+    """,
+)
 def a_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (DataSketches HLL + Theta + KLL): one
     row per event_type with distinct-user and median-value estimates,
     plus an __all__ row merged by SKETCH UNION from the per-group
     sketches — not a second fact scan. This is the 100 TB rollup
     pattern: persist KB-sized sketches per partition, answer any
-    coarser slice by sketch algebra. Estimates are deterministic but
-    DataSketches-specific (no DuckDB twin) ⇒ rows-only driver check;
-    accuracy bounds are pinned in tests/test_sketches.py."""
+    coarser slice by sketch algebra.
+
+    Banded oracle (VERDICT r02 item 4): estimates are DataSketches-
+    specific, so the registered projection is per-row booleans —
+    HLL/Theta within 5% of the exact distinct count, KLL median
+    between the exact 45th/55th percentile values (3× the k=200 rank
+    error) — hash-checked against an all-TRUE oracle. Raw-estimate
+    accuracy/mergeability stays pinned in tests/test_sketches.py."""
     from ..operators.sketches import sketch_rollup
 
     e = _t(spark, sf_dir, "events")
-    return sketch_rollup(e, "event_type", "user_id", "value")
+    est = sketch_rollup(e, "event_type", "user_id", "value")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n"),
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    )
+    total = e.agg(
+        F.countDistinct("user_id").alias("exact_n"),
+        F.expr("percentile(value, 0.45)").alias("lo"),
+        F.expr("percentile(value, 0.55)").alias("hi"),
+    ).select(F.lit("__all__").alias("event_type"), "exact_n", "lo", "hi")
+    exact = F.broadcast(per.unionByName(total))
+    j = est.join(exact, "event_type")
+    band = F.col("exact_n") * 0.05
+    return j.select(
+        "event_type",
+        (F.abs(F.col("distinct_ids_hll") - F.col("exact_n")) <= band).alias(
+            "hll_ok"
+        ),
+        (F.abs(F.col("distinct_ids_theta") - F.col("exact_n")) <= band).alias(
+            "theta_ok"
+        ),
+        F.col("median_kll").between(F.col("lo"), F.col("hi")).alias(
+            "median_ok"
+        ),
+    )
 
 
-@query("a_theta_setops")  # sketch estimates → rows-only
+@query(
+    "a_theta_setops",
+    oracle="""
+    SELECT TRUE AS a_ok, TRUE AS b_ok, TRUE AS both_ok, TRUE AS a_only_ok
+    """,
+)
 def a_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch audience algebra in ONE scan: |clickers|,
     |purchasers|, |both|, |click-only| via conditional sketch inputs +
     theta_intersection/theta_difference — replacing a distinct+self-
-    join per audience pair (a full shuffle each at 100 TB)."""
+    join per audience pair (a full shuffle each at 100 TB).
+
+    Banded oracle (VERDICT r02 item 4): each estimate is checked
+    within 5% of the exact audience size (exact sides computed in the
+    same job via a per-user flag rollup) and hash-compared to an
+    all-TRUE single-row oracle."""
     from ..operators.sketches import theta_audience_overlap
 
     e = _t(spark, sf_dir, "events")
-    return theta_audience_overlap(
+    est = theta_audience_overlap(
         e,
         "user_id",
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
+    )
+    flags = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+    )
+    exact = flags.agg(
+        F.sum("a").alias("x_a"),
+        F.sum("b").alias("x_b"),
+        F.sum(F.col("a") * F.col("b")).alias("x_both"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("x_a_only"),
+    )
+    j = est.crossJoin(F.broadcast(exact))
+
+    def ok(est_c: str, exact_c: str) -> Column:
+        return (
+            F.abs(F.col(est_c) - F.col(exact_c)) <= F.col(exact_c) * 0.05
+        )
+
+    return j.select(
+        ok("n_a", "x_a").alias("a_ok"),
+        ok("n_b", "x_b").alias("b_ok"),
+        ok("n_both", "x_both").alias("both_ok"),
+        ok("n_a_only", "x_a_only").alias("a_only_ok"),
     )
 
 
@@ -2001,29 +2092,50 @@ def a_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a_rolling_active_users")  # sketch estimates → rows-only
+@query(
+    "a_rolling_active_users",
+    oracle="""
+    SELECT CAST(EPOCH(DATE_TRUNC('day', ts)) AS BIGINT) AS day_epoch,
+           TRUE AS ok
+    FROM events GROUP BY 1
+    """,
+)
 def a_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users by sketch-window composition: one
     HLL sketch per day (a single fact scan), then hll_union_agg as a
     RANGE-framed window aggregate over the tiny daily table. The
     classic "rolling distinct" problem — unanswerable by windowed
     COUNT(DISTINCT) (not supported, and a 7× self-join at scale) —
-    becomes a merge of 7 KB-sized sketches per output row. Exactness
-    in the sparse regime is pinned by test; rows-only here because
-    the estimates are DataSketches-specific."""
+    becomes a merge of 7 KB-sized sketches per output row.
+
+    Banded oracle (VERDICT r02 item 4): per day, the sketch estimate
+    is checked within max(5%, ±2) of the exact rolling distinct —
+    computed over the same tiny daily table via a RANGE-framed
+    collect_set merge (valid only because the daily table is small;
+    the sketch path is the one that scales) — and hash-compared to an
+    all-TRUE oracle keyed by day."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("s")
+        F.hll_sketch_agg("user_id").alias("s"),
+        F.collect_set("user_id").alias("ids"),
     )
     daily = daily.withColumn(
         "d", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
     )
     w = W.orderBy("d").rangeBetween(-6, 0)
-    return daily.select(
+    est = F.hll_sketch_estimate(F.hll_union_agg("s").over(w)).cast("long")
+    exact = F.size(
+        F.array_distinct(F.flatten(F.collect_list("ids").over(w)))
+    ).cast("long")
+    out = daily.select(
         F.unix_timestamp("day").alias("day_epoch"),
-        F.hll_sketch_estimate(F.hll_union_agg("s").over(w))
-        .cast("long")
-        .alias("active_users_7d"),
+        est.alias("est"),
+        exact.alias("exact"),
+    )
+    band = F.greatest(F.col("exact") * 0.05, F.lit(2.0))
+    return out.select(
+        "day_epoch",
+        (F.abs(F.col("est") - F.col("exact")) <= band).alias("ok"),
     )
 
 

@@ -150,14 +150,19 @@ def test_approx_percentiles_close_to_exact(spark):
     )
 
     sf = "/root/testdata/sf0.01"
+    li = catalog.load(spark, sf, "lineitem")
     approx = {
-        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
-        for r in QUERIES["a9_approx_percentiles"](spark, sf).collect()
+        r["l_returnflag"]: (r["a50"], r["a95"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+        )
+        .collect()
     }
     exact = {
         r["l_returnflag"]: (r["p50"], r["p95"])
-        for r in catalog.load(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
+        for r in li.groupBy("l_returnflag")
         .agg(
             F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
             F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
@@ -169,6 +174,10 @@ def test_approx_percentiles_close_to_exact(spark):
         e50, e95 = exact[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
+    # the registered banded projection must agree: every group TRUE
+    banded = QUERIES["a9_approx_percentiles"](spark, sf).collect()
+    assert {r["l_returnflag"] for r in banded} == exact.keys()
+    assert all(r["p50_ok"] and r["p95_ok"] for r in banded), banded
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):

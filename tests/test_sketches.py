@@ -98,14 +98,28 @@ def test_theta_setops_planted_overlap(spark):
 
 def test_rolling_active_users_exact_in_sparse_regime(spark, events):
     """The sketch-window rolling distinct must equal the exact
-    grid-join computation at sparse cardinality."""
+    grid-join computation at sparse cardinality (independent of the
+    in-query exact side, which uses a collect_set merge)."""
+    from pyspark.sql import Window as W
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
         QUERIES,
     )
 
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("s")
+    )
+    daily = daily.withColumn(
+        "d", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+    )
+    w = W.orderBy("d").rangeBetween(-6, 0)
     got = {
-        r["day_epoch"]: r["active_users_7d"]
-        for r in QUERIES["a_rolling_active_users"](spark, SF_DIR).collect()
+        int(r["day"].timestamp()): r["n"]
+        for r in daily.select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("s").over(w))
+            .cast("long")
+            .alias("n"),
+        ).collect()
     }
     days = events.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
@@ -124,3 +138,7 @@ def test_rolling_active_users_exact_in_sparse_regime(spark, events):
         int(r["day"].timestamp()): r["n"] for r in exact.collect()
     }
     assert got == want
+    # the registered banded projection must agree: every day TRUE
+    banded = QUERIES["a_rolling_active_users"](spark, SF_DIR).collect()
+    assert {r["day_epoch"] for r in banded} == set(want)
+    assert all(r["ok"] for r in banded)
