@@ -89,16 +89,46 @@ def main() -> None:
     )
 
     spark = get_spark("bench", master=f"local[{cpus}]")
-    # warmup: touch the fact table so JVM/codegen costs don't land on q1
-    QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warmup (VERDICT r02): touch EVERY source table once — file
+    # listing, parquet footers, and page cache — so cold-scan cost
+    # doesn't land on whichever query first touches a table (r02's
+    # text_fingerprint "regression" was exactly this artifact). Also
+    # absorbs JVM/codegen startup before the first timed query.
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
 
+    for table in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        catalog.load(spark, sf_dir, table).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # median-of-3 per query (VERDICT r02): the first execution of a
+    # plan pays one-time whole-stage-codegen (janino) compile — ~2s on
+    # the wide expression trees — which is amortized noise on a long-
+    # running cluster. Median of 3 runs reports steady-state and makes
+    # back-to-back bench runs agree within the documented ±15%.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
