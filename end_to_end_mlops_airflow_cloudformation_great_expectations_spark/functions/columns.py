@@ -98,13 +98,23 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
     either column (a plain sort only prunes its leading column).
 
     Pure bitwise expression (codegen, no UDF): bit i of ``a`` lands at
-    position 2i, bit i of ``b`` at 2i+1. Callers bucket/clamp real
-    values into [0, 2^bits) first — rank- or range-bucketing keeps the
-    key distribution uniform under skew."""
+    position 2i, bit i of ``b`` at 2i+1. Callers should bucket real
+    values into [0, 2^bits) — rank- or range-bucketing keeps the
+    key distribution uniform under skew; inputs are CLAMPED to that
+    range here (negatives → 0, ≥2^bits → 2^bits−1) so out-of-range
+    values degrade to edge clustering instead of silently aliasing
+    (arithmetic shiftright would drag sign bits into every position
+    for negatives — ADVICE r02)."""
+
+    def _clamp(c: Column) -> Column:
+        hi = F.lit((1 << bits) - 1).cast("long")
+        return F.greatest(F.lit(0).cast("long"), F.least(c.cast("long"), hi))
+
+    a, b = _clamp(a), _clamp(b)
     key = F.lit(0).cast("long")
     for i in range(bits):
-        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
-        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
         key = (
             key.bitwiseOR(F.shiftleft(abit, 2 * i))
             .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))

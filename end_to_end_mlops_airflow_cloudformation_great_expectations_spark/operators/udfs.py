@@ -117,8 +117,15 @@ def arrow_sq_norm(df, id_col: str = "vec_id", vec_col: str = "embedding"):
             arr = lists.combine_chunks()
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.chunk(0)
+            if arr.null_count:
+                raise ValueError("arrow_sq_norm: null embedding rows")
             flat = arr.flatten().to_numpy(zero_copy_only=False).astype("float64")
-            offsets = arr.offsets.to_numpy(zero_copy_only=False)[:-1]
+            # .offsets are raw indices into the UNSLICED child array,
+            # while .flatten() rebases to the logical slice — rebase
+            # the offsets to match (ADVICE r02: a nonzero slice offset
+            # would otherwise pair values with the wrong rows)
+            raw_off = arr.offsets.to_numpy(zero_copy_only=False)
+            offsets = (raw_off - raw_off[0])[:-1]
             sq = np.add.reduceat(flat * flat, offsets) if len(flat) else np.array([])
             yield pa.RecordBatch.from_arrays(
                 [

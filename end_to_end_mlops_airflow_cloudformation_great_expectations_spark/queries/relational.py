@@ -2317,12 +2317,13 @@ def a_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_temporal_split",
     oracle="""
     WITH cut AS (
-      SELECT quantile_cont(epoch(ts), 0.8) AS c FROM events
+      SELECT CAST(ROUND(quantile_cont(epoch_us(ts), 0.8)) AS BIGINT) AS c
+      FROM events
     )
-    SELECT CASE WHEN epoch(ts) <= c THEN 'train' ELSE 'test' END AS split,
+    SELECT CASE WHEN epoch_us(ts) <= c THEN 'train' ELSE 'test' END AS split,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS min_ts,
-           CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS max_ts
+           CAST(FLOOR(MIN(epoch_us(ts)) / 1000000.0) AS BIGINT) AS min_ts,
+           CAST(FLOOR(MAX(epoch_us(ts)) / 1000000.0) AS BIGINT) AS max_ts
     FROM events, cut
     GROUP BY 1
     """,
@@ -2333,26 +2334,35 @@ def p_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     trains on the future; offline metrics then overstate production
     accuracy). The cutoff is an exact percentile computed once and
     broadcast back as a 1-row cross join (the pinned q11/q15 scalar
-    pattern — no driver collect)."""
+    pattern — no driver collect). Percentile + comparison run on the
+    INTEGER microsecond grid with the cutoff rounded to whole micros
+    on both engines (ADVICE r02: an interpolated double cutoff can
+    flip boundary rows on last-ulp engine differences)."""
     e = _t(spark, sf_dir, "events")
     # NTZ→zoned cast is value-preserving under the UTC session pin;
     # unix_micros needs the zoned type
-    ep = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000.0)
-    epochs = e.select(ep.alias("ep"))
-    cut = epochs.agg(F.percentile("ep", 0.8).alias("c"))
+    ep_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    epochs = e.select(ep_us.alias("ep_us"))
+    cut = epochs.agg(
+        F.round(F.percentile("ep_us", 0.8)).cast("long").alias("c")
+    )
     return (
         epochs.crossJoin(F.broadcast(cut))
         .select(
-            F.when(F.col("ep") <= F.col("c"), F.lit("train"))
+            F.when(F.col("ep_us") <= F.col("c"), F.lit("train"))
             .otherwise(F.lit("test"))
             .alias("split"),
-            "ep",
+            "ep_us",
         )
         .groupBy("split")
         .agg(
             F.count("*").alias("n"),
-            F.floor(F.min("ep")).cast("long").alias("min_ts"),
-            F.floor(F.max("ep")).cast("long").alias("max_ts"),
+            F.floor(F.min("ep_us") / F.lit(1_000_000.0))
+            .cast("long")
+            .alias("min_ts"),
+            F.floor(F.max("ep_us") / F.lit(1_000_000.0))
+            .cast("long")
+            .alias("max_ts"),
         )
     )
 

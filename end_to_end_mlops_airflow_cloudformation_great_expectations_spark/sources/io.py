@@ -135,7 +135,13 @@ def compact_dataset(
     swap atomically at the catalog level — compacting in place over
     the source path would corrupt concurrent readers."""
     import math
+    import os
 
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError(
+            "compact_dataset: src == dst would overwrite the path being "
+            "lazily read — write to a new location and swap atomically"
+        )
     df = spark.read.parquet(src)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows_per_file))

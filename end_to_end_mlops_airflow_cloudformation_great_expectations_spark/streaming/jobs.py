@@ -41,7 +41,15 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import types as T
 
-    footer = spark.read.parquet(path).schema
+    from ..schemas import EVENTS
+
+    try:
+        footer = spark.read.parquet(path).schema
+    except Exception:
+        # empty / not-yet-populated stream directory: no footer to
+        # sniff — fall back to the declared logical schema so the
+        # stream can start before the first file lands (ADVICE r02)
+        footer = EVENTS
     raw = spark.readStream.schema(footer).parquet(path)
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

@@ -135,6 +135,19 @@ def test_compact_dataset_rebuilds_small_files(spark, tmp_path):
     assert a == b
 
 
+def test_compact_dataset_refuses_in_place(spark, tmp_path):
+    """Compacting in place would overwrite the path being lazily read
+    (ADVICE r02) — must refuse, and must not touch the data."""
+    import pytest
+
+    src = str(tmp_path / "frag")
+    catalog.load(spark, SF_DIR, "nation").write.parquet(src)
+    before = len(glob.glob(src + "/part-*.parquet"))
+    with pytest.raises(ValueError, match="src == dst"):
+        io.compact_dataset(spark, src, src + "/../frag")
+    assert len(glob.glob(src + "/part-*.parquet")) == before
+
+
 def test_schema_evolution_mergeschema(spark, tmp_path):
     """S1: a column added by a newer writer appears in the union
     schema with NULLs for pre-evolution files."""
@@ -210,6 +223,20 @@ def test_zorder_key_interleaves_and_clusters(spark):
     )
     for r in df.collect():
         assert r["z"] == morton_ref(r["a"], r["b"]), (r["a"], r["b"])
+    # out-of-range inputs clamp to the domain edges instead of
+    # aliasing (negatives would smear sign bits across every position)
+    edge = spark.createDataFrame(
+        [(-5, 3), (1 << 20, 3), (7, -1), (7, 1 << 40)], "a long, b long"
+    ).withColumn("z", zorder_key(F.col("a"), F.col("b"), bits=16))
+    got = [r["z"] for r in edge.collect()]
+    lim = (1 << 16) - 1
+    want = [
+        morton_ref(0, 3),
+        morton_ref(lim, 3),
+        morton_ref(7, 0),
+        morton_ref(7, lim),
+    ]
+    assert got == want
 
 
 def test_write_zordered_prunes_both_dimensions(spark, tmp_path):

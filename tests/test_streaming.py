@@ -41,6 +41,25 @@ def _sorted_rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path, events_dir):
+    """A stream must be startable BEFORE the first file lands (ADVICE
+    r02: the footer sniff throws on an empty path) — falls back to the
+    declared EVENTS schema, then picks up files as they arrive."""
+    d = tmp_path / "empty_in"
+    d.mkdir()
+    stream = jobs.with_watermark(jobs.read_events_stream(spark, str(d)))
+    assert "ts" in stream.columns  # declared-schema fallback
+    # first file "lands" after the stream was constructed
+    shutil.copy(
+        os.path.join(events_dir, "part-0.parquet"), d / "part-0.parquet"
+    )
+    jobs.run_available_now(jobs.tumbling_agg(stream), "t_empty_out", "complete")
+    got = spark.sql("SELECT * FROM t_empty_out")
+    want = jobs.tumbling_agg(catalog.load(spark, SF_DIR, "events"))
+    cols = ["wstart", "event_type", "n", "sum_value"]
+    assert _sorted_rows(got, cols) == _sorted_rows(want, cols)
+
+
 def test_t1_tumbling_stream_equals_batch(spark, events_dir):
     stream = jobs.with_watermark(jobs.read_events_stream(spark, events_dir))
     jobs.run_available_now(jobs.tumbling_agg(stream), "t1_out", "complete")
