@@ -957,6 +957,46 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_metadata(_docs(spark, sf_dir))
 
 
+@query(
+    "mm_png_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(3 AS BIGINT) AS n_chunks,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS px_tl_r,
+           CAST((doc_id * 7 + 13) % 256 AS BIGINT) AS px_tl_g,
+           CAST((doc_id * 7 + 26) % 256 AS BIGINT) AS px_tl_b,
+           CAST((doc_id * 7 + (w * h * 3 - 3) * 13) % 256 AS BIGINT)
+             AS px_br_r,
+           CAST((doc_id * 7 + (w * h * 3 - 2) * 13) % 256 AS BIGINT)
+             AS px_br_g,
+           CAST((doc_id * 7 + (w * h * 3 - 1) * 13) % 256 AS BIGINT)
+             AS px_br_b
+    FROM g
+    """,
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal COMPRESSED-image path, stdlib only (closes the
+    round-2 codec seam, VERDICT item 5): each doc gets a genuine
+    zlib-compressed PNG (SQL-predictable dims + pixel fill, rows
+    filtered cycling through ALL five PNG filter types), shipped
+    through Arrow as binary, then fully decoded — chunk walk with
+    CRC32 verify, IDAT inflate, per-row unfilter. The oracle predicts
+    header fields AND the top-left + bottom-right pixels; the
+    bottom-right read is only correct if every preceding row
+    unfiltered correctly (Up/Average/Paeth carry state across rows)."""
+    return multimodal.png_metadata(_docs(spark, sf_dir))
+
+
 #: decomposed Unicode sample appended to each doc so NFC actually has
 #: work to do on the (otherwise ASCII) synthetic corpus: e+COMBINING
 #: ACUTE, a+COMBINING RING, o+COMBINING DIAERESIS compose to é å ö.

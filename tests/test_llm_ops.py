@@ -312,6 +312,31 @@ def test_bmp_parser_rejects_malformed_bytes():
     assert meta["px_tl_b"] == (7 * 7 + j0 * 13) % 256
 
 
+def test_png_roundtrip_and_rejects_malformed_bytes():
+    """Stdlib PNG decode: inflate + all-five-filter unfilter recovers
+    the deterministic fill; CRC, signature, and chunk bounds are
+    actually enforced."""
+    with pytest.raises(ValueError):
+        multimodal.parse_png(b"not a png")
+    raw = multimodal._build_png(11)
+    meta = multimodal.parse_png(raw)
+    w, h = 4 + 11 % 13, 3 + 11 % 7
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["px_tl_r"] == (11 * 7) % 256
+    jbr = w * h * 3 - 3
+    assert meta["px_br_r"] == (11 * 7 + jbr * 13) % 256
+    # flip one IDAT byte: CRC check must fire
+    idat_at = raw.index(b"IDAT") + 4
+    corrupted = (
+        raw[:idat_at] + bytes([raw[idat_at] ^ 0xFF]) + raw[idat_at + 1 :]
+    )
+    with pytest.raises(ValueError):
+        multimodal.parse_png(corrupted)
+    # bogus chunk length must not escape as struct/index errors
+    with pytest.raises(ValueError):
+        multimodal.parse_png(raw[:8] + b"\xff\xff\xff\xff" + raw[12:])
+
+
 def test_minhash_pairs_invariant_under_partitioning(spark):
     """The LSH candidate/verify pipeline must return the SAME pair set
     regardless of input partitioning — shingle hashing, min-agg
