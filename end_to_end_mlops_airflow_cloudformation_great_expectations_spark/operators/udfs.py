@@ -99,6 +99,94 @@ def grouped_ewma(
     )
 
 
+def grouped_ewma_chunked(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+):
+    """Skew-guarded EWMA (VERDICT r02 item 8): same recurrence as
+    :func:`grouped_ewma`, but safe against a single pathological key
+    owning one task's memory at 100× scale.
+
+    The trick: an EWMA segment is an AFFINE map of the incoming state
+    — folding values x_1..x_n over state s yields
+    ``(1-α)^n · s + Σ α(1-α)^(n-i) x_i`` — and affine maps compose
+    associatively. So stage 1 reduces each (key, day) chunk to its
+    (mult, add) coefficients with per-task state bounded by ONE DAY of
+    one key's events, and stage 2 composes the per-chunk summaries in
+    chunk order (a few rows per key, trivially small). A hot key costs
+    many small tasks instead of one unbounded task.
+
+    Matches :func:`grouped_ewma` to float tolerance (the algebra is
+    exact; only FP association order differs) — parity-tested in
+    tests/test_operators.py. The sequential variant stays the
+    registered oracle-checked query (bit-identical to DuckDB's
+    sequential list_reduce); this is the documented 100× escape hatch.
+    """
+    import numpy as np
+
+    chunked = df.withColumn("__chunk", F.date_trunc("day", F.col(ts_col)))
+
+    def seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        x = pdf[value_col].to_numpy(dtype="float64")
+        n = len(x)
+        beta = 1.0 - alpha
+        # full map: fold the whole chunk over an incoming state
+        add_full = float(np.sum(alpha * beta ** np.arange(n - 1, -1, -1) * x))
+        # tail map: fold x[1:] over a seed (used for the FIRST chunk,
+        # whose first observation seeds the recurrence)
+        add_tail = (
+            float(np.sum(alpha * beta ** np.arange(n - 2, -1, -1) * x[1:]))
+            if n > 1
+            else 0.0
+        )
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "chunk": [pdf["__chunk"].iloc[0]],
+                "n": [n],
+                "x_first": [float(x[0])],
+                "mult_full": [float(beta**n)],
+                "add_full": [add_full],
+                "mult_tail": [float(beta ** (n - 1))],
+                "add_tail": [add_tail],
+            }
+        )
+
+    summaries = chunked.groupBy(key_col, "__chunk").applyInPandas(
+        seg,
+        f"{key_col} long, chunk timestamp, n long, x_first double, "
+        "mult_full double, add_full double, mult_tail double, "
+        "add_tail double",
+    )
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk")
+        state = (
+            pdf["x_first"].iloc[0] * pdf["mult_tail"].iloc[0]
+            + pdf["add_tail"].iloc[0]
+        )
+        for m, a in zip(
+            pdf["mult_full"].iloc[1:], pdf["add_full"].iloc[1:]
+        ):
+            state = m * state + a
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_events": [int(pdf["n"].sum())],
+                "ewma": [float(state)],
+            }
+        )
+
+    return summaries.groupBy(key_col).applyInPandas(
+        combine, f"{key_col} long, n_events long, ewma double"
+    )
+
+
 def arrow_sq_norm(df, id_col: str = "vec_id", vec_col: str = "embedding"):
     """``mapInArrow``: the zero-copy Arrow-native batch API (§2.10's
     lowest-overhead Python seam — no pandas conversion at all). Each

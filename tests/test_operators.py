@@ -210,3 +210,27 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[0] == max(got.values())  # the hub
+
+
+def test_ewma_chunked_matches_sequential(spark):
+    """The skew-guarded two-stage EWMA (per-day affine segment
+    reduction + in-order composition) must agree with the sequential
+    grouped-map fold on every user — the algebra is exact, so only
+    FP association order separates them."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.udfs import (
+        grouped_ewma,
+        grouped_ewma_chunked,
+    )
+
+    e = catalog.load(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    seq = {r["user_id"]: r for r in grouped_ewma(e).collect()}
+    chk = {r["user_id"]: r for r in grouped_ewma_chunked(e).collect()}
+    assert seq.keys() == chk.keys()
+    for uid, s in seq.items():
+        c = chk[uid]
+        assert c["n_events"] == s["n_events"], uid
+        assert abs(c["ewma"] - s["ewma"]) <= 1e-9 * max(
+            1.0, abs(s["ewma"])
+        ), (uid, c["ewma"], s["ewma"])
