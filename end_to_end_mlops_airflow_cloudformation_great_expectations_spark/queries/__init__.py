@@ -33,10 +33,12 @@ from .registry import ORACLES, QUERIES
 #: function families, join variants (j3b/j5b/j5c/j6b + skew/cdc/
 #: fuzzy/funnel), graph, encoders, the round-2 text/dedup/multimodal
 #: ops, and the four approx ops newly converted to banded oracles
-#: (|estimate − exact| ≤ bound AS ok — VERDICT item 4). The ~28
-#: remaining never-checked oracle queries (TPC-H extras + a_*
-#: statistics batch) rotate in next round; rounds 1+2 greened the
-#: other 79.
+#: (|estimate − exact| ≤ bound AS ok — VERDICT item 4). Round-4
+#: window = the remaining never-hash-checked oracle queries (TPC-H
+#: extras + the a_* statistics batch + mm_png_decode + the banded
+#: a2_approx_count_distinct), ~29 names — that closes the ledger:
+#: every oracle-backed query will then have a driver hash-green row
+#: (rounds 1+2 greened the other 79).
 _DRIVER_WINDOW_FIRST = [
     # §2.8 extended scalar/aggregate function families
     "f_bitwise_functions",

@@ -233,18 +233,41 @@ def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a2_approx_count_distinct")  # approximate → rows-only check
+@query(
+    "a2_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag, TRUE AS orders_ok, TRUE AS parts_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: HLL++ approximate distinct — the scale path for 100 TB
     cardinality estimation (no exact shuffle of distinct values).
-    Approximate ⇒ no DuckDB hash oracle; tests assert relative error."""
-    return (
+
+    Banded oracle (VERDICT r02 item 4): the estimate is HLL-specific,
+    so the registered projection checks it within 5% (5× the rsd
+    parameter) of the exact per-group distinct computed in the same
+    job, hash-compared to an all-TRUE oracle keyed by group."""
+    agg = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
+            F.countDistinct("l_orderkey").alias("x_orders"),
+            F.countDistinct("l_partkey").alias("x_parts"),
         )
+    )
+
+    def ok(est_c: str, exact_c: str) -> Column:
+        return (
+            F.abs(F.col(est_c) - F.col(exact_c)) <= F.col(exact_c) * 0.05
+        )
+
+    return agg.select(
+        "l_returnflag",
+        ok("a_orders", "x_orders").alias("orders_ok"),
+        ok("a_parts", "x_parts").alias("parts_ok"),
     )
 
 
