@@ -74,6 +74,8 @@ HEADLINE = [
     "text_unigram_ppl",
     "a_bitmap_distinct",
     "a_grouped_ols",
+    # r03: compressed-image decode (stdlib inflate+unfilter)
+    "mm_png_decode",
 ]
 
 
