@@ -412,6 +412,42 @@ def _build_png(doc_id: int) -> bytes:
     )
 
 
+def _unfilter(stream: bytes, h: int, rowlen: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters over the inflated stream → (h, rowlen)
+    recovered bytes. Up is vectorized; Sub/Average/Paeth recurrences
+    are inherently sequential in x (each byte depends on the
+    reconstructed left neighbor) — fine at thumbnail sizes."""
+    recon = np.zeros((h, rowlen), dtype=np.int64)
+    for y in range(h):
+        ft = stream[y * (1 + rowlen)]
+        row = np.frombuffer(
+            stream, np.uint8, rowlen, y * (1 + rowlen) + 1
+        ).astype(np.int64)
+        up = recon[y - 1] if y else np.zeros(rowlen, dtype=np.int64)
+        if ft == 0:
+            recon[y] = row
+        elif ft == 2:  # Up
+            recon[y] = (row + up) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            for x in range(rowlen):
+                a = recon[y, x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up[x]) // 2
+                else:
+                    c = up[x - bpp] if x >= bpp else 0
+                    pred = int(
+                        _paeth(
+                            np.int64(a), np.int64(up[x]), np.int64(c)
+                        )
+                    )
+                recon[y, x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft} on row {y}")
+    return recon
+
+
 def parse_png(payload: bytes) -> dict:
     """Decode a PNG with the stdlib alone: signature check, chunk walk
     with CRC32 verification, IHDR field parse, zlib inflate of the
@@ -425,6 +461,26 @@ def parse_png(payload: bytes) -> dict:
     unfilter or a real codec. The Spark-side plumbing (binary through
     Arrow, batch-shaped mapInPandas, typed struct out) is identical
     either way."""
+    n_chunks, w, h, depth, color_type, recon = _decode_png(payload)
+    rowlen = w * 3
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": color_type,
+        "n_chunks": n_chunks,
+        "px_tl_r": int(recon[0, 0]),
+        "px_tl_g": int(recon[0, 1]),
+        "px_tl_b": int(recon[0, 2]),
+        "px_br_r": int(recon[h - 1, rowlen - 3]),
+        "px_br_g": int(recon[h - 1, rowlen - 2]),
+        "px_br_b": int(recon[h - 1, rowlen - 1]),
+    }
+
+
+def _decode_png(payload: bytes):
+    """Full PNG decode → (n_chunks, w, h, depth, color_type, recon)
+    with recon the (h, w*3) recovered pixel bytes."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -456,47 +512,56 @@ def parse_png(payload: bytes) -> dict:
     bpp, rowlen = 3, w * 3
     if len(stream) != h * (1 + rowlen):
         raise ValueError("inflated stream length mismatch")
-    recon = np.zeros((h, rowlen), dtype=np.int64)
-    for y in range(h):
-        ft = stream[y * (1 + rowlen)]
-        row = np.frombuffer(
-            stream, np.uint8, rowlen, y * (1 + rowlen) + 1
-        ).astype(np.int64)
-        up = recon[y - 1] if y else np.zeros(rowlen, dtype=np.int64)
-        if ft == 0:
-            recon[y] = row
-        elif ft == 2:  # Up
-            recon[y] = (row + up) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
-            for x in range(rowlen):
-                a = recon[y, x - bpp] if x >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + up[x]) // 2
-                else:
-                    c = up[x - bpp] if x >= bpp else 0
-                    pred = int(
-                        _paeth(
-                            np.int64(a), np.int64(up[x]), np.int64(c)
-                        )
-                    )
-                recon[y, x] = (row[x] + pred) % 256
-        else:
-            raise ValueError(f"bad filter type {ft} on row {y}")
-    return {
-        "width": w,
-        "height": h,
-        "bit_depth": depth,
-        "color_type": color_type,
-        "n_chunks": n_chunks,
-        "px_tl_r": int(recon[0, 0]),
-        "px_tl_g": int(recon[0, 1]),
-        "px_tl_b": int(recon[0, 2]),
-        "px_br_r": int(recon[h - 1, rowlen - 3]),
-        "px_br_g": int(recon[h - 1, rowlen - 2]),
-        "px_br_b": int(recon[h - 1, rowlen - 1]),
-    }
+    recon = _unfilter(stream, h, rowlen, bpp)
+    return n_chunks, w, h, depth, color_type, recon
+
+
+def resize_nearest(recon: np.ndarray, w: int, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w*3) interleaved-RGB pixel
+    grid to (out_h, out_w*3) — pure numpy fancy indexing: output pixel
+    (x, y) samples source pixel (x·w // out_w, y·h // out_h), the
+    floor-arithmetic convention a SQL oracle can reproduce exactly."""
+    h = recon.shape[0]
+    src_y = (np.arange(out_h) * h) // out_h
+    src_x = (np.arange(out_w) * w) // out_w
+    cols = (src_x[:, None] * 3 + np.arange(3)).ravel()
+    return recon[src_y][:, cols]
+
+
+THUMB_SCHEMA = "doc_id long, " + ", ".join(
+    f"t{y}{x}_{c} long" for y in range(2) for x in range(2) for c in "rgb"
+)
+
+
+def png_thumbnail(docs: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
+    """The RESIZE step of the multimodal pipeline: decode the PNG
+    (inflate + unfilter), nearest-neighbor downsample to a fixed
+    thumbnail, emit the thumbnail pixels as typed columns — the
+    decode→transform→features shape a real image pipeline runs per
+    batch, with per-task memory bounded by batch × thumbnail size.
+    Thumbnail is 2×2 here so every output pixel is SQL-predictable."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                _, w, h, _, _, recon = _decode_png(_build_png(int(d)))
+                rows.append(
+                    resize_nearest(recon, w, out_w, out_h).ravel()
+                )
+            out = pd.DataFrame(
+                np.asarray(rows, dtype="int64"),
+                columns=[
+                    f"t{y}{x}_{c}"
+                    for y in range(out_h)
+                    for x in range(out_w)
+                    for c in "rgb"
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return docs.select("doc_id").mapInPandas(run, THUMB_SCHEMA)
 
 
 def png_metadata(docs: DataFrame) -> DataFrame:

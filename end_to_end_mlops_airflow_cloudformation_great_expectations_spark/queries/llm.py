@@ -997,6 +997,47 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_metadata(_docs(spark, sf_dir))
 
 
+@query(
+    "mm_image_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+             0 AS sx0, w // 2 AS sx1, 0 AS sy0, h // 2 AS sy1
+      FROM g
+    )
+    SELECT doc_id,
+           CAST((doc_id*7 + ((sy0*w + sx0)*3 + 0)*13) % 256 AS BIGINT) AS t00_r,
+           CAST((doc_id*7 + ((sy0*w + sx0)*3 + 1)*13) % 256 AS BIGINT) AS t00_g,
+           CAST((doc_id*7 + ((sy0*w + sx0)*3 + 2)*13) % 256 AS BIGINT) AS t00_b,
+           CAST((doc_id*7 + ((sy0*w + sx1)*3 + 0)*13) % 256 AS BIGINT) AS t01_r,
+           CAST((doc_id*7 + ((sy0*w + sx1)*3 + 1)*13) % 256 AS BIGINT) AS t01_g,
+           CAST((doc_id*7 + ((sy0*w + sx1)*3 + 2)*13) % 256 AS BIGINT) AS t01_b,
+           CAST((doc_id*7 + ((sy1*w + sx0)*3 + 0)*13) % 256 AS BIGINT) AS t10_r,
+           CAST((doc_id*7 + ((sy1*w + sx0)*3 + 1)*13) % 256 AS BIGINT) AS t10_g,
+           CAST((doc_id*7 + ((sy1*w + sx0)*3 + 2)*13) % 256 AS BIGINT) AS t10_b,
+           CAST((doc_id*7 + ((sy1*w + sx1)*3 + 0)*13) % 256 AS BIGINT) AS t11_r,
+           CAST((doc_id*7 + ((sy1*w + sx1)*3 + 1)*13) % 256 AS BIGINT) AS t11_g,
+           CAST((doc_id*7 + ((sy1*w + sx1)*3 + 2)*13) % 256 AS BIGINT) AS t11_b
+    FROM s
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE step (the decode→transform→features pipeline
+    shape): decode each doc's PNG — inflate + all-five-filter
+    unfilter — then nearest-neighbor downsample to a 2×2 thumbnail
+    and emit the 12 pixel channels as typed columns. The oracle
+    reproduces the floor-arithmetic sampling convention
+    (src = out·dim // 2) and the deterministic fill, so every output
+    pixel is hash-checked; wrong unfiltering, wrong sampling indices,
+    or channel-order bugs all fail the oracle."""
+    return multimodal.png_thumbnail(_docs(spark, sf_dir))
+
+
 #: decomposed Unicode sample appended to each doc so NFC actually has
 #: work to do on the (otherwise ASCII) synthetic corpus: e+COMBINING
 #: ACUTE, a+COMBINING RING, o+COMBINING DIAERESIS compose to é å ö.

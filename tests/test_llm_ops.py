@@ -426,3 +426,19 @@ def test_random_projection_preserves_distances(spark):
     # ~sqrt(2/16)≈0.35) but the mean over 435 pairs concentrates
     assert 0.8 <= mean_ratio <= 1.2, mean_ratio
     assert all(0.2 <= r <= 3.0 for r in ratios), (min(ratios), max(ratios))
+
+
+def test_resize_nearest_matches_reference():
+    """Nearest-neighbor resize must sample src[(y*h)//H][(x*w)//W] per
+    channel — checked against an index-by-index python reference on an
+    uneven (5x3 -> 2x2) grid where rounding conventions diverge."""
+    import numpy as np
+
+    w, h = 5, 3
+    recon = np.arange(h * w * 3).reshape(h, w * 3)
+    out = multimodal.resize_nearest(recon, w, 2, 2)
+    for y in range(2):
+        for x in range(2):
+            sy, sx = (y * h) // 2, (x * w) // 2
+            for c in range(3):
+                assert out[y, x * 3 + c] == recon[sy, sx * 3 + c]
