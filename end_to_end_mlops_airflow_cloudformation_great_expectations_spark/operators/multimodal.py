@@ -227,6 +227,74 @@ def wav_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+WAV_ENERGY_SCHEMA = (
+    "doc_id long, n_samples long, peak long, rms double"
+)
+
+
+def wav_energy(docs: DataFrame) -> DataFrame:
+    """Audio FEATURE-EXTRACT step (decode → signal statistics): build
+    a real mono 16-bit PCM WAV whose samples follow the portable fill
+    ``((doc_id*7 + i*13) % 256) - 128``, decode it back (RIFF chunk
+    walk via :func:`parse_wav`, then the sample frames themselves),
+    and reduce the waveform to peak amplitude and RMS energy — the
+    loudness features an audio-quality filter gates on. Every output
+    is SQL-predictable, so the whole bytes→samples→features path is
+    hash-checked, not rows-only."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 37
+                samples = ((d * 7 + np.arange(n) * 13) % 256 - 128).astype(
+                    "<i2"
+                )
+                payload = _build_wav_pcm(d, samples)
+                meta = parse_wav(payload)
+                data_off = payload.index(b"data") + 8
+                got = np.frombuffer(
+                    payload, "<i2", meta["n_samples"], data_off
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        d,
+                        meta["n_samples"],
+                        int(np.max(np.abs(got))),
+                        round(float(np.sqrt(np.mean(got * got.astype(float)))), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "rms"]
+            )
+            rows = []
+
+    return docs.select("doc_id").mapInPandas(run, WAV_ENERGY_SCHEMA)
+
+
+def _build_wav_pcm(doc_id: int, samples: np.ndarray) -> bytes:
+    """Mono 16-bit PCM WAV around explicit sample values."""
+    data = samples.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,
+        1,  # mono
+        8000,
+        16000,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
 def frame_sample(meta: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video-ish payloads: explode sampled
     frame indices (0, n, 2n, …) per document — the partition/row-shape

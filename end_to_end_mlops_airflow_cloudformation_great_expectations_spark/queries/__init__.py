@@ -35,8 +35,8 @@ from .registry import ORACLES, QUERIES
 #: ops, and the four approx ops newly converted to banded oracles
 #: (|estimate − exact| ≤ bound AS ok — VERDICT item 4). Round-4
 #: window = the remaining never-hash-checked oracle queries (TPC-H
-#: extras + the a_* statistics batch + mm_png_decode/mm_image_resize
-#: + the banded a2_approx_count_distinct), ~30 names — that closes
+#: extras + the a_* statistics batch + the round-3 mm_* additions +
+#: the banded a2_approx_count_distinct), ~31 names — that closes
 #: the ledger:
 #: every oracle-backed query will then have a driver hash-green row
 #: (rounds 1+2 greened the other 79).

@@ -1038,6 +1038,32 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_thumbnail(_docs(spark, sf_dir))
 
 
+@query(
+    "mm_wav_energy",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+    ), s AS (
+      SELECT g.doc_id, g.n, ((g.doc_id*7 + t.i*13) % 256) - 128 AS v
+      FROM g, LATERAL unnest(range(g.n)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           ROUND(SQRT(AVG(CAST(v*v AS DOUBLE))), 4) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE-EXTRACT step: mono 16-bit PCM WAV per doc with
+    SQL-predictable sample values, decoded back through the real RIFF
+    parser and reduced to peak amplitude + RMS energy (the loudness
+    features an audio-quality gate uses). The oracle re-derives the
+    waveform row-wise with a LATERAL range unnest, so the
+    bytes→frames→features path is value-checked end to end."""
+    return multimodal.wav_energy(_docs(spark, sf_dir))
+
+
 #: decomposed Unicode sample appended to each doc so NFC actually has
 #: work to do on the (otherwise ASCII) synthetic corpus: e+COMBINING
 #: ACUTE, a+COMBINING RING, o+COMBINING DIAERESIS compose to é å ö.
