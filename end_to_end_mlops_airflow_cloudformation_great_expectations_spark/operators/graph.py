@@ -27,8 +27,9 @@ def pagerank(
     Simplified variant without dangling-mass redistribution (documents
     with no outlinks leak their mass, as in the original formulation);
     rank sums to 1 on graphs where every vertex has an outlink.
-    Inherently iterative ⇒ eager at call time (the CLAUDE.md lazy-build
-    exception); vertex count is one scalar agg, not a full collect.
+    Inherently iterative ⇒ eager at call time (the documented
+    lazy-build exception — see the repo build notes); vertex count is
+    one scalar agg, not a full collect.
 
     Lineage MUST be truncated each round with ``localCheckpoint``:
     ``persist`` alone reuses the physical data but keeps nesting the
