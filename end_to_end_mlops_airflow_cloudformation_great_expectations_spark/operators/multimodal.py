@@ -618,7 +618,9 @@ def png_thumbnail(docs: DataFrame, out_w: int = 2, out_h: int = 2) -> DataFrame:
                     resize_nearest(recon, w, out_w, out_h).ravel()
                 )
             out = pd.DataFrame(
-                np.asarray(rows, dtype="int64"),
+                np.asarray(rows, dtype="int64").reshape(
+                    len(rows), out_h * out_w * 3
+                ),
                 columns=[
                     f"t{y}{x}_{c}"
                     for y in range(out_h)
