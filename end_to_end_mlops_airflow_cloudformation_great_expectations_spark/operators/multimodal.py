@@ -496,21 +496,29 @@ def _unfilter(stream: bytes, h: int, rowlen: int, bpp: int) -> np.ndarray:
             recon[y] = row
         elif ft == 2:  # Up
             recon[y] = (row + up) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: sequential in x.
+            # Plain-int lists: python ints beat numpy scalars ~10x on
+            # per-byte recurrences (numpy wins only on whole arrays).
+            r, u = row.tolist(), up.tolist()
+            rec = [0] * rowlen
             for x in range(rowlen):
-                a = recon[y, x - bpp] if x >= bpp else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 if ft == 1:
                     pred = a
                 elif ft == 3:
-                    pred = (a + up[x]) // 2
+                    pred = (a + u[x]) // 2
                 else:
-                    c = up[x - bpp] if x >= bpp else 0
-                    pred = int(
-                        _paeth(
-                            np.int64(a), np.int64(up[x]), np.int64(c)
-                        )
+                    b = u[x]
+                    c = u[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
                     )
-                recon[y, x] = (row[x] + pred) % 256
+                rec[x] = (r[x] + pred) % 256
+            recon[y] = rec
         else:
             raise ValueError(f"bad filter type {ft} on row {y}")
     return recon
