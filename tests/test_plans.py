@@ -282,3 +282,36 @@ def test_pq_adc_scan_broadcasts_queries_only(spark):
     df = QUERIES["sim_topk_pq"](spark, SF_DIR)
     plan = explain.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_banded_theta_setops_exact_side_broadcasts(spark):
+    """a_theta_setops (banded): the 1-row exact-audience aggregate
+    joins the 1-row sketch aggregate as a broadcast nested loop — a
+    CartesianProduct here means the broadcast hint was lost."""
+    df = QUERIES["a_theta_setops"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_banded_a9_single_aggregation_pass(spark):
+    """a9_approx_percentiles (banded): approx AND exact percentiles
+    must come from ONE grouped aggregation (one shuffle), not two
+    scans joined back."""
+    df = QUERIES["a9_approx_percentiles"](spark, SF_DIR)
+    assert explain.count_shuffles(df) <= 1, explain.physical_plan(df)
+
+
+def test_banded_a2_single_aggregation_pass(spark):
+    """a2_approx_count_distinct (banded): the HLL estimates and the
+    two exact count-distincts expand within one grouped aggregation
+    pipeline — no join of separate scans."""
+    df = QUERIES["a2_approx_count_distinct"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_banded_sketch_rollup_exact_broadcasts(spark):
+    """a_sketch_rollup (banded): the exact per-group stats table is a
+    handful of rows and must BROADCAST onto the sketch estimates."""
+    df = QUERIES["a_sketch_rollup"](spark, SF_DIR)
+    assert explain.uses_broadcast_join(df), explain.physical_plan(df)
