@@ -442,3 +442,32 @@ def test_resize_nearest_matches_reference():
             sy, sx = (y * h) // 2, (x * w) // 2
             for c in range(3):
                 assert out[y, x * 3 + c] == recon[sy, sx * 3 + c]
+
+
+def test_arrow_sq_norm_handles_sliced_batches():
+    """The mapInArrow kernel must pair values with rows via REBASED
+    offsets: a sliced ListArray keeps raw offsets into the unsliced
+    child while flatten() rebases (r02 ADVICE). Feed the generator a
+    batch built from sliced arrays and check the sums."""
+    import pyarrow as pa
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        udfs,
+    )
+
+    ids = pa.array([10, 11], type=pa.int64())
+    vecs = pa.array(
+        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]
+    ).slice(1, 2)  # rows [3,4] and [5,6]; raw offsets start at 2
+    batch = pa.RecordBatch.from_arrays([ids, vecs], ["vec_id", "embedding"])
+
+    class _FakeDF:
+        def select(self, *_):
+            return self
+
+        def mapInArrow(self, fn, _schema):
+            return list(fn(iter([batch])))
+
+    (out,) = udfs.arrow_sq_norm(_FakeDF())
+    assert out.column(0).to_pylist() == [10, 11]
+    assert out.column(1).to_pylist() == [25.0, 61.0]  # 9+16, 25+36
