@@ -27,80 +27,74 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 )
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. Round-3
-#: rotation (VERDICT r02 "Next round" item 1): every name here has NO
-#: driver-green row in CORRECTNESS_r01/r02 — the §2.8 extended
-#: function families, join variants (j3b/j5b/j5c/j6b + skew/cdc/
-#: fuzzy/funnel), graph, encoders, the round-2 text/dedup/multimodal
-#: ops, and the four approx ops newly converted to banded oracles
-#: (|estimate − exact| ≤ bound AS ok — VERDICT item 4). Round-4
-#: window = the remaining never-hash-checked oracle queries (TPC-H
-#: extras + the a_* statistics batch + the round-3 mm_* additions +
-#: the banded a2_approx_count_distinct), ~31 names — that closes
-#: the ledger:
-#: every oracle-backed query will then have a driver hash-green row
-#: (rounds 1+2 greened the other 79).
+#: First 50 = the driver's observed CORRECTNESS window. Round-4
+#: rotation (VERDICT r03 "Next round" item 1) — the FINAL rotation:
+#: the 31 names below are every oracle-backed query that has no
+#: driver-green row in CORRECTNESS_r01/r02/r03 (16 TPC-H extras, the
+#: a_* statistics batch, w_yoy_revenue, the round-3 multimodal ops,
+#: and the banded a2_approx_count_distinct). With these green, every
+#: one of the 160 oracle-backed queries has a driver hash-green row
+#: (rounds 1-3 greened the other 129); only the 9 by-design
+#: rows-only queries stay outside the ledger. The remaining 19 slots
+#: are padded with cheap queries already greened in r01/r02 so the
+#: window stays exactly 50 names (test_registry_order.py pins it).
 _DRIVER_WINDOW_FIRST = [
-    # §2.8 extended scalar/aggregate function families
-    "f_bitwise_functions",
-    "f_try_functions",
-    "f_stats_functions",
-    "f_regr_functions",
-    "f_agg_argminmax",
-    "f_url_functions",
-    "f_variant_functions",
-    "f_hof_functions",
-    # join variants
-    "j3b_nullsafe_join",
-    "j5b_asof_forward",
-    "j5c_asof_tolerance",
-    "j6b_interval_left",
-    "j_skew_salted_join",
-    "j_cdc_merge",
-    "j_fuzzy_match",
-    "j_funnel_3step",
-    # graph
-    "g_triangle_count",
-    "g_connected_components",
-    # encoders
-    "enc_feature_hash",
-    "enc_target_loo",
-    # text / LLM-pipeline ops
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_bm25",
-    "text_pii_redact",
-    "text_bigram_merges",
-    "text_unicode_normalize",
-    "text_unigram_ppl",
-    "emb_quantize_int8",
-    "mm_bmp_decode",
-    "dedup_span_fraction",
-    "dedup_keep_longest",
-    # UDF surface
-    "udf_vector_norm",
-    "udf_arrow_sq_norm",
-    "t_doc_intake",
-    # pipeline / sampling composites
-    "p_stratified_sample",
-    "p_scd2_history",
-    "p_temporal_split",
-    "p8_column_profile",
-    # window extras
-    "w7_distribution_ranks",
-    "w8_ratio_to_report",
-    # aggregation extras
-    "a_histogram_fixed_bins",
-    "a_trimmed_mean",
-    "a_table_checksum",
-    "a_skew_salted_agg",
-    "a_ewma_user",
-    "a_user_entropy",
-    # approx ops converted rows-only → banded oracle this round
-    "a9_approx_percentiles",
-    "a_theta_setops",
-    "a_rolling_active_users",
-    "a_sketch_rollup",
+    # round-3 multimodal additions (local-PASS only so far)
+    "mm_png_decode",
+    "mm_image_resize",
+    "mm_wav_energy",
+    # banded approx distinct (converted to |est-exact|<=bound oracle)
+    "a2_approx_count_distinct",
+    # a_* statistics batch (round-2 additions, judge-local-PASS only)
+    "a_bitmap_distinct",
+    "a_histogram_equiheight",
+    "a_grouped_ols",
+    "a_listagg_ordered",
+    "a_winsorized_mean",
+    "a_cohort_retention",
+    "a_mad_outliers",
+    "a_gini_coefficient",
+    "a_abtest_lift",
+    "a_welch_ttest",
+    # window extra
+    "w_yoy_revenue",
+    # TPC-H extras q2 q4 q7-q14 q16-q21
+    "tpch_q2_min_cost_match",
+    "tpch_q4_late_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_conditional_agg",
+    "tpch_q13_order_histogram",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_bulk_suppliers",
+    "tpch_q21_sole_late_supplier",
+    # ---- pads: cheap, already driver-green (r01/r02) ----
+    "p1_project_filter",
+    "p2_eq_filter",
+    "p3_range_filter",
+    "p4_null_predicate",
+    "p5_string_predicates",
+    "p6_row_provenance",
+    "a2_count_distinct",
+    "a3_rollup",
+    "a3_cube",
+    "a3_grouping_sets",
+    "a10_collect",
+    "w1_topk_per_group",
+    "w2_lag_lead",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "j3_semi_join",
+    "j3_anti_join",
+    "o2_global_topk",
 ]
 
 
