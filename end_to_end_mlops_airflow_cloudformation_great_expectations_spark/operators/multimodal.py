@@ -117,6 +117,20 @@ WAV_META_SCHEMA = (
 )
 
 
+def _meta_frame(metas: list, doc_ids, ddl: str) -> pd.DataFrame:
+    """Build a metadata frame with EXPLICIT columns from the DDL schema.
+
+    ``pd.DataFrame([])`` has zero columns, so an empty Arrow batch
+    (possible under AQE repartitioning) would otherwise yield a frame
+    missing every schema column and fail serialization — the hazard
+    commit 827ea58 fixed in png_thumbnail, applied uniformly here.
+    """
+    cols = [f.strip().split()[0] for f in ddl.split(",")]
+    out = pd.DataFrame(metas, columns=cols[1:])
+    out.insert(0, cols[0], doc_ids)
+    return out[cols]
+
+
 def _build_wav(doc_id: int, text_bytes: bytes) -> bytes:
     """Deterministic PCM WAV: params derived from doc_id by portable
     arithmetic (so a SQL oracle can predict the decoded metadata),
@@ -204,19 +218,7 @@ def decode_wav_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decoder over real WAV bytes."""
     for pdf in it:
         metas = [parse_wav(bytes(b)) for b in pdf["payload"]]
-        out = pd.DataFrame(metas)
-        out.insert(0, "doc_id", pdf["doc_id"].values)
-        yield out[
-            [
-                "doc_id",
-                "channels",
-                "sample_rate",
-                "bits_per_sample",
-                "n_samples",
-                "data_len",
-                "duration_ms",
-            ]
-        ]
+        yield _meta_frame(metas, pdf["doc_id"].values, WAV_META_SCHEMA)
 
 
 def wav_metadata(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -389,9 +391,7 @@ def bmp_metadata(docs: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = [_build_bmp(int(d)) for d in pdf["doc_id"]]
             metas = [parse_bmp(p) for p in payloads]
-            out = pd.DataFrame(metas)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            yield _meta_frame(metas, pdf["doc_id"].values, BMP_META_SCHEMA)
 
     return docs.select("doc_id").mapInPandas(run, BMP_META_SCHEMA)
 
@@ -650,8 +650,6 @@ def png_metadata(docs: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = [_build_png(int(d)) for d in pdf["doc_id"]]
             metas = [parse_png(p) for p in payloads]
-            out = pd.DataFrame(metas)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            yield _meta_frame(metas, pdf["doc_id"].values, PNG_META_SCHEMA)
 
     return docs.select("doc_id").mapInPandas(run, PNG_META_SCHEMA)

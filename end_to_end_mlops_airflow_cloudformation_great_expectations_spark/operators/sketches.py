@@ -45,6 +45,7 @@ def sketch_rollup(
     id_col: str,
     value_col: str,
     total_label: str = "__all__",
+    with_stats: bool = False,
 ) -> DataFrame:
     """Per-group sketch rollup + a union-merged total row.
 
@@ -53,39 +54,58 @@ def sketch_rollup(
     (group, distinct_ids_hll, distinct_ids_theta, median_kll). The
     two-level shape is the point — it proves the rollup table alone
     can answer coarser slices by sketch algebra.
+
+    ``with_stats=True`` adds (n_rows, v_min, v_max) computed in the
+    SAME aggregation pass (partial-agg-friendly, still one scan) —
+    used for cheap self-consistency bands at scales where an exact
+    countDistinct twin would distort the plan's cost profile.
     """
-    per = df.groupBy(group_col).agg(
+    aggs = [
         F.hll_sketch_agg(id_col).alias("_hll"),
         F.theta_sketch_agg(id_col).alias("_theta"),
         F.kll_sketch_agg_double(value_col).alias("_kll"),
-    )
+    ]
+    if with_stats:
+        aggs += [
+            F.count("*").alias("n_rows"),
+            F.min(value_col).alias("v_min"),
+            F.max(value_col).alias("v_max"),
+        ]
+    per = df.groupBy(group_col).agg(*aggs)
     # per is a handful of rows (one per group) — reuse it for both
     # outputs without re-scanning the fact table
     per = _persist_tracked(per)
-    groups = per.select(
-        F.col(group_col),
-        F.hll_sketch_estimate("_hll").cast("long").alias("distinct_ids_hll"),
-        F.theta_sketch_estimate("_theta").cast("long").alias(
-            "distinct_ids_theta"
-        ),
-        F.round(
-            F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 4
-        ).alias("median_kll"),
-    )
-    total = per.agg(
+
+    def estimates(src: DataFrame, label: Column) -> DataFrame:
+        cols = [
+            label.alias(group_col),
+            F.hll_sketch_estimate("_hll").cast("long").alias(
+                "distinct_ids_hll"
+            ),
+            F.theta_sketch_estimate("_theta").cast("long").alias(
+                "distinct_ids_theta"
+            ),
+            F.round(
+                F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 4
+            ).alias("median_kll"),
+        ]
+        if with_stats:
+            cols += [F.col("n_rows"), F.col("v_min"), F.col("v_max")]
+        return src.select(*cols)
+
+    groups = estimates(per, F.col(group_col))
+    total_aggs = [
         F.hll_union_agg("_hll").alias("_hll"),
         F.theta_union_agg("_theta").alias("_theta"),
         F.kll_merge_agg_double("_kll").alias("_kll"),
-    ).select(
-        F.lit(total_label).alias(group_col),
-        F.hll_sketch_estimate("_hll").cast("long").alias("distinct_ids_hll"),
-        F.theta_sketch_estimate("_theta").cast("long").alias(
-            "distinct_ids_theta"
-        ),
-        F.round(
-            F.kll_sketch_get_quantile_double("_kll", F.lit(0.5)), 4
-        ).alias("median_kll"),
-    )
+    ]
+    if with_stats:
+        total_aggs += [
+            F.sum("n_rows").alias("n_rows"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+        ]
+    total = estimates(per.agg(*total_aggs), F.lit(total_label))
     return groups.unionByName(total)
 
 

@@ -471,3 +471,25 @@ def test_arrow_sq_norm_handles_sliced_batches():
     (out,) = udfs.arrow_sq_norm(_FakeDF())
     assert out.column(0).to_pylist() == [10, 11]
     assert out.column(1).to_pylist() == [25.0, 61.0]  # 9+16, 25+36
+
+
+def test_meta_frame_empty_batch_keeps_schema_columns():
+    """An empty Arrow batch (possible under AQE repartitioning) must
+    still yield every schema column — pd.DataFrame([]) alone would
+    produce a doc_id-only frame and break serialization (the
+    png_thumbnail hazard fixed in commit 827ea58, applied uniformly)."""
+    import numpy as np
+
+    for ddl in (
+        multimodal.WAV_META_SCHEMA,
+        multimodal.BMP_META_SCHEMA,
+        multimodal.PNG_META_SCHEMA,
+    ):
+        cols = [f.strip().split()[0] for f in ddl.split(",")]
+        out = multimodal._meta_frame([], np.array([], dtype="int64"), ddl)
+        assert list(out.columns) == cols
+        assert len(out) == 0
+        # and the non-empty path is unchanged
+        meta = {c: 1 for c in cols[1:]}
+        out = multimodal._meta_frame([meta], np.array([7]), ddl)
+        assert list(out.columns) == cols and out["doc_id"].tolist() == [7]

@@ -142,3 +142,59 @@ def test_rolling_active_users_exact_in_sparse_regime(spark, events):
     banded = QUERIES["a_rolling_active_users"](spark, SF_DIR).collect()
     assert {r["day_epoch"] for r in banded} == set(want)
     assert all(r["ok"] for r in banded)
+
+
+def test_scale_gate_parses_sf_dirs():
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.relational import (
+        _oracle_scale,
+    )
+
+    assert _oracle_scale("/root/testdata/sf0.001")
+    assert _oracle_scale("/root/testdata/sf0.01/")
+    assert not _oracle_scale("/root/testdata/sf0.1")
+    assert not _oracle_scale("/root/testdata/sf10")
+    assert _oracle_scale("/some/unlabeled/dir")  # safe default: exact
+
+
+def test_banded_queries_drop_exact_twin_at_bench_scale(spark, monkeypatch):
+    """At non-oracle scale the registered a_sketch_rollup /
+    a_rolling_active_users plans must be the pure sketch path — one
+    fact scan, no exact countDistinct pass (VERDICT r03 item 8,
+    ADVICE r03 item 3) — while the banded booleans (now same-scan
+    self-consistency checks) still come out all-TRUE."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+    from tests.test_plans import explain  # reuse plan helpers
+
+    monkeypatch.setenv("SPARK_GRAFT_SKETCH_EXACT", "0")
+    df = QUERIES["a_sketch_rollup"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "distinct" not in plan.lower().replace("distinct_ids", ""), plan
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    assert rows and all(
+        v for r in rows for k, v in r.asDict().items() if isinstance(v, bool)
+    )
+
+    df = QUERIES["a_rolling_active_users"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "collect_set" not in plan and "collect_list" not in plan, plan
+    assert "Join" not in plan, plan
+    rows = df.collect()
+    assert rows and all(r["ok"] for r in rows)
+
+
+def test_rolling_exact_side_is_bounded_state(spark, monkeypatch):
+    """At oracle scale the exact rolling-distinct side must be the
+    explode+countDistinct plan — no collect_set / flatten carrying a
+    week of user_ids per row (ADVICE r03 item 3)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+    from tests.test_plans import explain
+
+    monkeypatch.setenv("SPARK_GRAFT_SKETCH_EXACT", "1")
+    df = QUERIES["a_rolling_active_users"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "collect_set" not in plan and "collect_list" not in plan, plan
