@@ -234,3 +234,26 @@ def test_ewma_chunked_matches_sequential(spark):
         assert abs(c["ewma"] - s["ewma"]) <= 1e-9 * max(
             1.0, abs(s["ewma"])
         ), (uid, c["ewma"], s["ewma"])
+
+
+def test_ewma_auto_routes_hot_keys_and_matches(spark):
+    """grouped_ewma_auto with a tiny threshold forces real traffic
+    down BOTH branches (sequential for cold keys, chunked for hot);
+    the union must cover every key exactly once and agree with the
+    plain sequential fold to FP tolerance."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.udfs import (
+        grouped_ewma,
+        grouped_ewma_auto,
+    )
+
+    e = catalog.load(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    seq = {r["user_id"]: r for r in grouped_ewma(e).collect()}
+    med = sorted(s["n_events"] for s in seq.values())[len(seq) // 2]
+    auto = grouped_ewma_auto(e, hot_key_threshold=med).collect()
+    assert len(auto) == len(seq)  # each key from exactly one branch
+    for c in auto:
+        s = seq[c["user_id"]]
+        assert c["n_events"] == s["n_events"]
+        assert abs(c["ewma"] - s["ewma"]) <= 1e-9 * max(1.0, abs(s["ewma"]))
