@@ -76,6 +76,16 @@ HEADLINE = [
     "a_grouped_ols",
     # r03: compressed-image decode (stdlib inflate+unfilter)
     "mm_png_decode",
+    # r04 (VERDICT r03 item 3): slowest still-untracked families —
+    # image resize, audio features, graph fixpoint, embedding dedup,
+    # encoders, rolling sketch window
+    "mm_image_resize",
+    "mm_wav_energy",
+    "g_connected_components",
+    "dedup_embedding",
+    "enc_feature_hash",
+    "enc_target_loo",
+    "a_rolling_active_users",
 ]
 
 

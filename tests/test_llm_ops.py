@@ -493,3 +493,70 @@ def test_meta_frame_empty_batch_keeps_schema_columns():
         meta = {c: 1 for c in cols[1:]}
         out = multimodal._meta_frame([meta], np.array([7]), ddl)
         assert list(out.columns) == cols and out["doc_id"].tolist() == [7]
+
+
+def test_jpeg_roundtrip_and_rejects_malformed():
+    """From-scratch baseline JPEG codec (operators/jpeg.py, SURVEY
+    §2.11 round-4 note): grayscale flat 8×8 blocks survive
+    encode→decode PIXEL-EXACT at q=1 (constant blocks have an
+    integer-valued DC and zero AC, so quantization is lossless);
+    arbitrary RGB content stays within ±2 (YCbCr + coefficient
+    rounding); non-baseline/malformed inputs raise."""
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        jpeg,
+    )
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 50, 200, 130, 17
+    w, h, nc, px = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quant=1))
+    assert (w, h, nc) == (16, 16, 1)
+    assert np.array_equal(px, img)
+
+    rng = np.random.default_rng(7)
+    img3 = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    w, h, nc, px3 = jpeg.decode_jpeg(jpeg.encode_jpeg(img3, quant=1))
+    assert (w, h, nc) == (32, 24, 3)
+    assert np.abs(px3.astype(int) - img3.astype(int)).max() <= 2
+
+    # a real quant table still decodes with bounded error on a ramp
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = (100 + 3 * yy + 2 * xx).astype(np.uint8)
+    _, _, _, pxq = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(smooth, quant=np.full((8, 8), 8))
+    )
+    assert np.abs(pxq.astype(int) - smooth.astype(int)).max() <= 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x00\x00not a jpeg")
+    good = jpeg.encode_jpeg(img, quant=1)
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[:40])  # truncated: no SOS/EOI
+    # progressive SOF2 must raise, not mis-decode
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        jpeg.decode_jpeg(bad)
+
+
+def test_jpeg_metadata_spark_plumbing(spark):
+    """jpeg_metadata end-to-end through Arrow mapInPandas: per-doc
+    synthesized JPEG → full decode → corner pixels match the fixture
+    quadrant colors within codec tolerance (±2)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        jpeg,
+    )
+
+    docs = spark.range(1, 9).withColumnRenamed("id", "doc_id")
+    rows = {r["doc_id"]: r for r in jpeg.jpeg_metadata(docs).collect()}
+    assert len(rows) == 8
+    for d, r in rows.items():
+        assert (r["width"], r["height"], r["n_components"]) == (16, 16, 3)
+        tl = ((d * 37) % 200 + 20, (d * 59) % 200 + 20, (d * 83) % 200 + 20)
+        br = ((d * 101) % 200 + 20, (d * 131) % 200 + 20, (d * 151) % 200 + 20)
+        got_tl = (r["px_tl_r"], r["px_tl_g"], r["px_tl_b"])
+        got_br = (r["px_br_r"], r["px_br_g"], r["px_br_b"])
+        assert all(abs(a - b) <= 2 for a, b in zip(got_tl, tl)), (d, got_tl, tl)
+        assert all(abs(a - b) <= 2 for a, b in zip(got_br, br)), (d, got_br, br)
