@@ -560,3 +560,37 @@ def test_jpeg_metadata_spark_plumbing(spark):
         got_br = (r["px_br_r"], r["px_br_g"], r["px_br_b"])
         assert all(abs(a - b) <= 2 for a, b in zip(got_tl, tl)), (d, got_tl, tl)
         assert all(abs(a - b) <= 2 for a, b in zip(got_br, br)), (d, got_br, br)
+
+
+def test_cosine_neardup_arrow_matches_expression_form(spark):
+    """The blockwise-matmul pair finder must produce the SAME pair set
+    as the 6-dp oracle-checked expression form on real fixture data
+    (values can differ in the last ulp; membership at a non-borderline
+    threshold must not)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    emb = catalog.load(spark, "/root/testdata/sf0.01", "embeddings")
+    kw = dict(block_col="label", threshold=0.35)
+    expr = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs(emb, **kw).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs_arrow(emb, **kw).collect()
+    }
+    assert expr, "fixture produced no pairs — test is vacuous"
+    assert arrow == expr
+    # chunking must not change membership (exercise the tile seam)
+    small = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs_arrow(
+            emb, chunk_rows=7, **kw
+        ).collect()
+    }
+    assert small == expr

@@ -5,13 +5,23 @@ in round 2 (BASELINE.md "perf work banked").
 Usage:
     python tools/stress10x.py build            # materialize the 10x corpus
     python tools/stress10x.py <query_name>     # run one query on it, 4g heap
+    python tools/stress10x.py runall [names…]  # whole bench HEADLINE, one
+                                               # 4g JVM, JSON summary line
 
-``build`` unions each source table 10 times with id offsets (text/
-embedding payloads shifted per replica so dedup/ANN can't shortcut on
-exact duplicates of the whole corpus). Each query run launches its own
-JVM with a 4 GB driver heap — deliberately SMALLER than the 8 GB
-default — so hash builds / sorts that would OOM a real 4-16 GB
-executor fail here instead of at 100 TB.
+``build`` unions each FACT table (lineitem, orders, events, documents,
+embeddings) 10 times with id offsets — FK-consistent: lineitem's
+l_orderkey shifts by the same per-replica stride as orders' o_orderkey,
+so joins stay valid — while the dimension tables (region, nation,
+customer, supplier, part) stay 1x, which is exactly how a warehouse
+grows (facts accumulate, dims don't). Text/embedding payloads are
+perturbed per replica so dedup/ANN can't shortcut on exact duplicates
+of the whole corpus. Each query run gets a 4 GB driver heap —
+deliberately SMALLER than the 8 GB default — so hash builds / sorts
+that would OOM a real 4-16 GB executor fail here instead of at 100 TB.
+
+``runall`` sets SPARK_GRAFT_SKETCH_EXACT=0 (the banded queries'
+production path — the corpus dir has no sf marker, and the exact twin
+is an oracle-scale artifact the 10x run must not pay for).
 """
 
 from __future__ import annotations
@@ -38,23 +48,37 @@ def build() -> None:
     )
 
     spark = get_spark("stress10x-build", master="local[8]")
+    # orders and lineitem must shift l_orderkey/o_orderkey by the SAME
+    # per-replica stride or the fact-fact join silently loses matches.
+    order_stride = (
+        catalog.load(spark, SRC, "orders")
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+        + 1
+    )
     specs = {
-        # (id column to offset, columns to perturb per replica)
-        "documents": ("doc_id", {"text": "concat(text, ' r', r)"}),
+        # (cols to offset → stride expr, columns to perturb per replica)
+        "documents": ({"doc_id": None}, {"text": "concat(text, ' r', r)"}),
         "embeddings": (
-            "vec_id",
+            {"vec_id": None},
             # shift each replica's vectors slightly so ANN has 10x
             # distinct points, not 10 copies of the same cloud
             {"embedding": "transform(embedding, x -> x + r * 0.001)"},
         ),
-        "events": ("event_id", {}),
+        "events": ({"event_id": None}, {}),
+        "orders": ({"o_orderkey": order_stride}, {}),
+        "lineitem": ({"l_orderkey": order_stride}, {}),
     }
-    for table, (id_col, perturb) in specs.items():
+    for table, (offsets, perturb) in specs.items():
         df = catalog.load(spark, SRC, table)
         n = df.count()
         out = None
         for r in range(REPLICAS):
-            rep = df.withColumn(id_col, F.col(id_col) + F.lit(r * n))
+            rep = df
+            for id_col, stride in offsets.items():
+                rep = rep.withColumn(
+                    id_col, F.col(id_col) + F.lit(r * (stride or n))
+                )
             rep = rep.withColumn("r", F.lit(r))
             for col, expr in perturb.items():
                 rep = rep.withColumn(col, F.expr(expr))
@@ -63,6 +87,12 @@ def build() -> None:
         path = os.path.join(DST, f"{table}.parquet")
         out.write.mode("overwrite").parquet(path)
         print(f"built {path}: {REPLICAS}x{n} rows")
+    # dims stay 1x (facts grow, dims don't) — copy them so every
+    # registered query resolves against DST alone
+    for table in ("region", "nation", "customer", "supplier", "part"):
+        path = os.path.join(DST, f"{table}.parquet")
+        catalog.load(spark, SRC, table).write.mode("overwrite").parquet(path)
+        print(f"copied {path} (1x dim)")
     spark.stop()
 
 
@@ -86,8 +116,58 @@ def run(name: str) -> None:
     spark.stop()
 
 
+def runall(names: list[str] | None = None) -> None:
+    """The full bench HEADLINE on the 10x corpus in ONE 4g-heap JVM:
+    scaling curves for every perf-tracked family, not just the heavy
+    tail. Prints one line per query + a final JSON summary."""
+    import json
+
+    os.environ["SPARK_GRAFT_SKETCH_EXACT"] = "0"
+    import bench
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        "stress10x-runall",
+        master="local[8]",
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    timings: dict[str, float] = {}
+    for name in names or bench.HEADLINE:
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, DST).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 2)
+            print(f"STRESS10X {name}: {timings[name]}s", flush=True)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            timings[name] = -1.0
+            print(f"STRESS10X {name}: FAILED {exc}", flush=True)
+    print(
+        json.dumps(
+            {
+                "metric": "stress10x_headline_wall",
+                "value": round(sum(v for v in timings.values() if v > 0), 2),
+                "unit": "sec",
+                "queries": timings,
+                "heap": "4g",
+                "corpus": "10x sf0.1",
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
+    elif sys.argv[1] == "runall":
+        runall(sys.argv[2:] or None)
     else:
         run(sys.argv[1])
