@@ -112,4 +112,15 @@ def _reorder() -> None:
 
 _reorder()
 
+# Round-5 staged registrations (see staged_r05.py): import-gated so the
+# round-4 registration freeze holds for the driver's plain environment,
+# and placed AFTER _reorder() so even with the flag set the staged
+# names append BEHIND the pinned 50-name window. Round-5 flip: make
+# this import unconditional and rotate the staged names into
+# _DRIVER_WINDOW_FIRST.
+import os as _os
+
+if _os.environ.get("SPARK_GRAFT_STAGED") == "1":
+    from . import staged_r05  # noqa: F401
+
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,169 @@
+"""Round-5 STAGED registrations — import-gated out of the default
+registry.
+
+The round-2 standing order freezes NEW query registrations until the
+driver correctness ledger closes (CORRECTNESS_r04 green on the final
+31 never-hash-checked names). These queries are therefore written,
+oracle-backed and tested NOW, but only registered when
+``SPARK_GRAFT_STAGED=1`` is set — the driver's plain environment never
+sees them in round 4, and even with the flag set they append AFTER the
+pinned 50-name driver window (``queries/__init__`` imports this module
+after ``_reorder()``), so the round-4 window composition cannot shift.
+
+Round-5 flip (one line each): make the import unconditional in
+``queries/__init__`` and rotate these names into
+``_DRIVER_WINDOW_FIRST``.
+
+Local proof ahead of the flip::
+
+    SPARK_GRAFT_STAGED=1 python tools/check.py /root/testdata/sf0.01 \
+        mm_jpeg_decode g_pagerank_banded
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import jpeg
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, table)
+
+
+@query(
+    "mm_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(16 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           CAST((doc_id * 37) % 200 + 20 AS BIGINT) AS px_tl_r,
+           CAST((doc_id * 59) % 200 + 20 AS BIGINT) AS px_tl_g,
+           CAST((doc_id * 83) % 200 + 20 AS BIGINT) AS px_tl_b,
+           CAST((doc_id * 101) % 200 + 20 AS BIGINT) AS px_br_r,
+           CAST((doc_id * 131) % 200 + 20 AS BIGINT) AS px_br_g,
+           CAST((doc_id * 151) % 200 + 20 AS BIGINT) AS px_br_b
+    FROM documents
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ENTROPY-CODED image path, from scratch (closes the
+    codec ladder BMP → PNG → JPEG): each doc gets a genuine baseline-
+    sequential JPEG (JFIF/DQT/SOF0/DHT/SOS, Annex-K Huffman tables),
+    shipped through Arrow as binary, then fully decoded — marker walk,
+    Huffman table rebuild, EXTEND, dequant, IDCT, YCbCr→RGB. The
+    fixture is four flat 8×8-aligned quadrants at q=1, so each block
+    is a pure DC coefficient and the corner pixels reconstruct
+    EXACTLY: measured over all doc_ids 0..4999 the pre-rounding float
+    error is ≤ 0.17 of a pixel step (margin 0.33 to the rounding
+    boundary), so the oracle predicts the corner pixels exactly like
+    mm_bmp_decode — no codec tolerance band needed. Exactness across
+    the id sweep is pinned in tests/test_llm_ops.py so a codec change
+    that erodes the margin fails before registration does."""
+    return jpeg.jpeg_metadata(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "g_pagerank_banded",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), verts AS (
+      SELECT DISTINCT src AS vid FROM edges
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM verts
+    ), r0 AS (
+      SELECT vid AS id, 1.0 / (SELECT n FROM nn) AS rk FROM verts
+    ), r1 AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r0 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    ), r2 AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r1 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    ), r3 AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r2 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    ), r4 AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r3 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    ), r5 AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r4 r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(FLOOR(rk * 1000000) AS BIGINT) AS rank_band
+    FROM r5
+    """,
+)
+def g_pagerank_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with a CROSS-ENGINE fixpoint oracle (upgrades the
+    rows-only g_pagerank per the round-3 review): the DuckDB twin
+    unrolls the SAME 5 damped power iterations over the SAME derived
+    graph — no recursion needed at fixed iteration count — and both
+    sides quantize ranks to 1e-6 bands. Band edges are safe, not
+    hopeful: at sf0.01 the closest rank sits 0.04 band-widths from a
+    boundary (measured; pinned in tests) while cross-engine float
+    noise from summation order is ~1e-9 band-widths, a 10^7 margin.
+    Both sides spell the teleport term (1.0 - 0.85)/n so even the
+    binary representation of the constants agrees. g_pagerank itself
+    stays registered unchanged (raw float ranks are the useful
+    output); this twin proves the iteration, join pattern, degree
+    normalization and damping arithmetic against an independent
+    engine."""
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(both, iterations=5)
+    return pr.select(
+        F.col("id").cast("long").alias("id"),
+        F.floor(F.col("rank") * 1000000).cast("long").alias("rank_band"),
+    )
