@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..operators import jpeg
+from ..operators import jpeg, packing, text
 from .registry import query
 
 
@@ -167,3 +167,54 @@ def g_pagerank_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.floor(F.col("rank") * 1000000).cast("long").alias("rank_band"),
     )
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             doc_id % 8 AS shard,
+             LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+               AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+               AS rn
+      FROM documents
+    ), walk AS (
+      SELECT shard, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN w.fill + d.n_tokens <= 256
+                  THEN w.bin ELSE w.bin + 1 END AS bin,
+             CASE WHEN w.fill + d.n_tokens <= 256
+                  THEN w.fill + d.n_tokens ELSE d.n_tokens END AS fill
+      FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(bin AS BIGINT) AS bin
+    FROM walk
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SEQUENCE PACKING (operators/packing.py) — the
+    LLM-training step text_chunking does not cover: whole documents
+    are assigned to fixed-capacity training bins (256 BPE-ish tokens,
+    ~4-5 docs per bin at this corpus' 10-99 token range) by
+    deterministic next-fit in doc_id order within 8 hash shards. Only
+    narrow (doc_id, n_tokens) rows enter the packing shuffle — text
+    never moves; per-task state is one shard's id list, and the shard
+    count is the scale knob. The DuckDB twin replays the identical
+    fold as a recursive walk (one step per shard rank), so every bin
+    assignment — not just bin counts — is hash-checked cross-engine.
+    Token counts reuse the regex whose Spark/DuckDB parity
+    text_token_stats already proves."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        text.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return packing.pack_next_fit(d, capacity=256)

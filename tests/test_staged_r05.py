@@ -31,6 +31,7 @@ def test_staged_not_registered_without_flag():
         f"from {_PKG}.queries import QUERIES\n"
         "assert 'mm_jpeg_decode' not in QUERIES\n"
         "assert 'g_pagerank_banded' not in QUERIES\n"
+        "assert 'pack_sequences' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -51,12 +52,11 @@ def test_staged_names_append_after_the_pinned_window():
 
     names = list(qpkg.QUERIES)
     assert names[:50] == qpkg._DRIVER_WINDOW_FIRST
-    assert names.index("mm_jpeg_decode") >= 50
-    assert names.index("g_pagerank_banded") >= 50
-    # both staged queries are oracle-backed (window slots aren't wasted
-    # on rows-only checks when they rotate in)
-    assert "mm_jpeg_decode" in qpkg.ORACLES
-    assert "g_pagerank_banded" in qpkg.ORACLES
+    for staged in ("mm_jpeg_decode", "g_pagerank_banded", "pack_sequences"):
+        assert names.index(staged) >= 50
+        # staged queries are oracle-backed (window slots aren't wasted
+        # on rows-only checks when they rotate in)
+        assert staged in qpkg.ORACLES
 
 
 def test_jpeg_corner_pixels_exact_across_id_sweep():
@@ -157,9 +157,48 @@ def test_staged_queries_match_their_oracles(spark):
     for name, fn in [
         ("mm_jpeg_decode", staged_r05.mm_jpeg_decode),
         ("g_pagerank_banded", staged_r05.g_pagerank_banded),
+        ("pack_sequences", staged_r05.pack_sequences),
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
         ddf = _duck_oracle(ORACLES[name])
         assert len(sdf) == len(ddf), name
         assert sorted(sdf.columns) == sorted(ddf.columns), name
         assert _norm(sdf) == _norm(ddf), name
+
+
+def test_pack_next_fit_invariants(spark):
+    """Next-fit semantics on a hand-built shard, including the
+    oversized-document path the corpus never hits: (a) bin totals
+    never exceed capacity EXCEPT a singleton oversized doc, which gets
+    a bin of its own; (b) bins are consecutive in id order (next-fit
+    never reopens a bin); (c) every doc appears exactly once."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.packing import (
+        pack_next_fit,
+    )
+
+    rows = [
+        # shard 0: 60+30 fit in 100, 50 overflows, 120 oversized, 10
+        (0, 1, 60), (0, 2, 30), (0, 3, 50), (0, 4, 120), (0, 5, 10),
+        # shard 1: exact-fit boundary (100 == capacity fits)
+        (1, 6, 100), (1, 7, 1),
+    ]
+    df = spark.createDataFrame(rows, "shard long, doc_id long, n_tokens long")
+    out = pack_next_fit(df, capacity=100)
+    got = {
+        r["doc_id"]: (r["shard"], r["bin"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert len(got) == len(rows)
+    # shard 0: [60,30] -> bin0; [50] -> bin1 (would overflow); [120] ->
+    # bin2 alone (oversized); [10] -> bin3 (120+10 > 100)
+    assert [got[d][1] for d in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 3]
+    # shard 1: exact fit occupies the whole bin; next doc opens a new one
+    assert [got[d][1] for d in (6, 7)] == [0, 1]
+    # bin totals within capacity except singleton-oversized
+    import collections
+
+    totals = collections.defaultdict(list)
+    for d, (s, b, t) in got.items():
+        totals[(s, b)].append(t)
+    for (s, b), toks in totals.items():
+        assert sum(toks) <= 100 or len(toks) == 1
