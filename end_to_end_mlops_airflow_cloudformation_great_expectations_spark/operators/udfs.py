@@ -187,6 +187,127 @@ def grouped_ewma_chunked(
     )
 
 
+def segmented_ewma(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.1,
+):
+    """Throughput-oriented EWMA — MANY keys per Arrow batch.
+
+    ``grouped_ewma`` (grouped-map applyInPandas) ships ONE Arrow batch
+    per key: perfect for thousands of keys, but at a billion small
+    keys the per-group Arrow/pandas overhead (batch construction, one
+    Python call per group) dominates the actual fold. This variant is
+    the billion-key shape: ``repartition(key)`` +
+    ``sortWithinPartitions(key, ts, tiebreak)`` + ``mapInPandas``, so
+    each Arrow batch carries THOUSANDS of complete key runs and the
+    fold is one vectorized pass per batch — per-key Python cost is
+    zero.
+
+    Per segment the sequential fold (seeded with x_0) is evaluated in
+    closed form: ewma = β^(n-1)·x_0 + Σ_{i≥1} α·β^(n-1-i)·x_i, with
+    β = 1-α — the same affine-map algebra as ``grouped_ewma_chunked``,
+    so results match the sequential fold to FP association order
+    (parity-tested). Keys SPAN batch boundaries within a partition:
+    the closed form folds the carried state s as β^n·s + Σ α·β^(n-1-i)
+    ·x_i, and a key's row is emitted only once its run ends (next key
+    seen, or partition exhausted) — state is one (key, state, count)
+    triple per open run, O(1) per task.
+    """
+    part = df.select(key_col, ts_col, tiebreak_col, value_col).repartition(
+        F.col(key_col)
+    ).sortWithinPartitions(key_col, ts_col, tiebreak_col)
+    beta = 1.0 - alpha
+
+    def run(it):
+        open_key = None
+        open_state = 0.0
+        open_n = 0
+        chunks: list = []  # (keys, ns, ewmas) array triples to emit
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype="float64")
+            m = len(x)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1)
+            )
+            counts = np.diff(np.concatenate((starts, [m])))
+            # Σ α·β^(n-1-i)·x_i per segment, one vectorized pass
+            pos = np.arange(m) - np.repeat(starts, counts)
+            seg_n = np.repeat(counts, counts)
+            w = alpha * beta ** (seg_n - 1 - pos)
+            sums = np.add.reduceat(w * x, starts)
+            first_x = x[starts]
+            seg_keys = keys[starts]
+            # fresh-run fold: x_0 seeds, so its α-weight becomes full
+            seg_ewma = sums + (1.0 - alpha) * beta ** (counts - 1) * first_x
+            seg_ns = counts.astype("int64")
+
+            lo = 0
+            if open_key is not None and seg_keys[0] == open_key:
+                # first segment continues the carried run
+                open_state = beta ** counts[0] * open_state + float(sums[0])
+                open_n += int(counts[0])
+                if len(seg_keys) == 1:
+                    continue  # still open into the next batch
+                chunks.append(
+                    (
+                        np.array([open_key]),
+                        np.array([open_n], dtype="int64"),
+                        np.array([open_state]),
+                    )
+                )
+                open_key = None
+                lo = 1
+            elif open_key is not None:
+                chunks.append(
+                    (
+                        np.array([open_key]),
+                        np.array([open_n], dtype="int64"),
+                        np.array([open_state]),
+                    )
+                )
+                open_key = None
+            # all segments except the last are complete (the partition
+            # is key-sorted); the last stays open until the next batch
+            # proves the key ended
+            if lo < len(seg_keys) - 1:
+                chunks.append(
+                    (
+                        seg_keys[lo:-1],
+                        seg_ns[lo:-1],
+                        seg_ewma[lo:-1],
+                    )
+                )
+            open_key = seg_keys[-1]
+            open_state = float(seg_ewma[-1])
+            open_n = int(seg_ns[-1])
+        if open_key is not None:
+            chunks.append(
+                (
+                    np.array([open_key]),
+                    np.array([open_n], dtype="int64"),
+                    np.array([open_state]),
+                )
+            )
+        if chunks:
+            yield pd.DataFrame(
+                {
+                    key_col: np.concatenate([c[0] for c in chunks]),
+                    "n_events": np.concatenate([c[1] for c in chunks]),
+                    "ewma": np.concatenate([c[2] for c in chunks]),
+                }
+            )
+
+    return part.mapInPandas(run, f"{key_col} long, n_events long, ewma double")
+
+
 def grouped_ewma_auto(
     df,
     key_col: str = "user_id",

@@ -257,3 +257,39 @@ def test_ewma_auto_routes_hot_keys_and_matches(spark):
         s = seq[c["user_id"]]
         assert c["n_events"] == s["n_events"]
         assert abs(c["ewma"] - s["ewma"]) <= 1e-9 * max(1.0, abs(s["ewma"]))
+
+
+def test_segmented_ewma_matches_sequential_and_survives_tiny_batches(spark):
+    """The billion-key EWMA shape (mapInPandas, many keys per Arrow
+    batch) must agree with the per-key sequential fold on every user.
+    Run it twice: with default Arrow batching, and with
+    maxRecordsPerBatch=7 so nearly every key RUN SPANS batch
+    boundaries — exercising the carry-state fold and the
+    emit-only-when-run-ends logic, not just the vectorized interior."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.udfs import (
+        grouped_ewma,
+        segmented_ewma,
+    )
+
+    e = catalog.load(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    seq = {r["user_id"]: r for r in grouped_ewma(e).collect()}
+
+    def check(rows):
+        assert len(rows) == len(seq)
+        for c in rows:
+            s = seq[c["user_id"]]
+            assert c["n_events"] == s["n_events"], c["user_id"]
+            assert abs(c["ewma"] - s["ewma"]) <= 1e-9 * max(
+                1.0, abs(s["ewma"])
+            ), (c["user_id"], c["ewma"], s["ewma"])
+
+    check(segmented_ewma(e).collect())
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(batch_key)
+    try:
+        spark.conf.set(batch_key, "7")
+        check(segmented_ewma(e).collect())
+    finally:
+        spark.conf.set(batch_key, old)

@@ -32,6 +32,7 @@ def test_staged_not_registered_without_flag():
         "assert 'mm_jpeg_decode' not in QUERIES\n"
         "assert 'g_pagerank_banded' not in QUERIES\n"
         "assert 'pack_sequences' not in QUERIES\n"
+        "assert 'a_ewma_user_segmented' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -52,7 +53,12 @@ def test_staged_names_append_after_the_pinned_window():
 
     names = list(qpkg.QUERIES)
     assert names[:50] == qpkg._DRIVER_WINDOW_FIRST
-    for staged in ("mm_jpeg_decode", "g_pagerank_banded", "pack_sequences"):
+    for staged in (
+        "mm_jpeg_decode",
+        "g_pagerank_banded",
+        "pack_sequences",
+        "a_ewma_user_segmented",
+    ):
         assert names.index(staged) >= 50
         # staged queries are oracle-backed (window slots aren't wasted
         # on rows-only checks when they rotate in)
@@ -158,6 +164,7 @@ def test_staged_queries_match_their_oracles(spark):
         ("mm_jpeg_decode", staged_r05.mm_jpeg_decode),
         ("g_pagerank_banded", staged_r05.g_pagerank_banded),
         ("pack_sequences", staged_r05.pack_sequences),
+        ("a_ewma_user_segmented", staged_r05.a_ewma_user_segmented),
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
         ddf = _duck_oracle(ORACLES[name])
