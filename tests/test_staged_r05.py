@@ -209,3 +209,36 @@ def test_pack_next_fit_invariants(spark):
         totals[(s, b)].append(t)
     for (s, b), toks in totals.items():
         assert sum(toks) <= 100 or len(toks) == 1
+
+
+def test_staged_plan_shapes(spark):
+    """Scale-posture pins for the staged queries (same discipline as
+    tests/test_plans.py): (a) the pack_sequences shuffle carries only
+    the narrow (shard, doc_id, n_tokens) rows — text must never enter
+    an exchange; (b) a_ewma_user_segmented is ONE exchange (the key
+    repartition) + a partition-local sort — no global sort, no second
+    shuffle; (c) mm_jpeg_decode reads only doc_id from parquet and
+    widens the narrow scan across cores."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.plans import (
+        explain,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        staged_r05,
+    )
+
+    pack = staged_r05.pack_sequences(spark, SF_DIR)
+    plan = explain.physical_plan(pack)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
+
+    ewma = staged_r05.a_ewma_user_segmented(spark, SF_DIR)
+    eplan = explain.physical_plan(ewma)
+    assert eplan.count("Exchange") == 1, eplan
+    # the sort under mapInPandas is partition-local (global=false)
+    assert "Sort [" in eplan and "], false, 0" in eplan, eplan
+
+    jpg = staged_r05.mm_jpeg_decode(spark, SF_DIR)
+    assert set(explain.read_schema_columns(jpg)) <= {"doc_id"}
+    jplan = explain.physical_plan(jpg)
+    assert "RoundRobinPartitioning" in jplan or "Exchange" in jplan, jplan
