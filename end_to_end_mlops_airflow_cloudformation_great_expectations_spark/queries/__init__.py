@@ -115,9 +115,16 @@ _reorder()
 # Round-5 staged registrations (see staged_r05.py): import-gated so the
 # round-4 registration freeze holds for the driver's plain environment,
 # and placed AFTER _reorder() so even with the flag set the staged
-# names append BEHIND the pinned 50-name window. Round-5 flip: make
-# this import unconditional and rotate the staged names into
-# _DRIVER_WINDOW_FIRST.
+# names append BEHIND the pinned 50-name window.
+#
+# ROUND-5 FLIP (mechanical, once CORRECTNESS_r04 confirms the ledger
+# closed): (1) make this import unconditional; (2) replace the first
+# four names of _DRIVER_WINDOW_FIRST's pad section with mm_jpeg_decode,
+# g_pagerank_banded, pack_sequences, a_ewma_user_segmented (all four
+# already PASS tools/check.py at sf0.001+sf0.01 incl. --plain — see
+# tests/test_staged_r05.py); (3) add the four names to bench.HEADLINE
+# (pre-recorded baselines in BASELINE.md "Staged round-5"); (4) drop
+# the gating branch in tests/test_staged_r05.py accordingly.
 import os as _os
 
 if _os.environ.get("SPARK_GRAFT_STAGED") == "1":

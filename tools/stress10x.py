@@ -33,8 +33,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/stress10x"
-REPLICAS = 10
+# SPARK_GRAFT_STRESS_REPLICAS picks the corpus multiple (default 10);
+# each multiple gets its own directory, so 10x and 30x corpora coexist
+# and two-point scaling curves (10x -> 30x at the same 4 GB heap) can
+# be measured without rebuilds.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "10"))
+DST = os.environ.get(
+    "SPARK_GRAFT_STRESS_DIR",
+    "/tmp/stress10x" if REPLICAS == 10 else f"/tmp/stress{REPLICAS}x",
+)
 
 
 def build() -> None:
@@ -112,7 +119,7 @@ def run(name: str) -> None:
     t0 = time.time()
     n = QUERIES[name](spark, DST).count()
     print(f"STRESS10X {name}: {n} rows in {round(time.time() - t0, 1)}s "
-          f"(4g heap, 10x sf0.1 corpus)")
+          f"(4g heap, {REPLICAS}x sf0.1 corpus)")
     spark.stop()
 
 
@@ -157,7 +164,7 @@ def runall(names: list[str] | None = None) -> None:
                 "unit": "sec",
                 "queries": timings,
                 "heap": "4g",
-                "corpus": "10x sf0.1",
+                "corpus": f"{REPLICAS}x sf0.1",
             }
         )
     )
