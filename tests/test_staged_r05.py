@@ -33,6 +33,7 @@ def test_staged_not_registered_without_flag():
         "assert 'g_pagerank_banded' not in QUERIES\n"
         "assert 'pack_sequences' not in QUERIES\n"
         "assert 'a_ewma_user_segmented' not in QUERIES\n"
+        "assert 'sim_topk_lsh_recall' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -58,6 +59,10 @@ def test_staged_names_append_after_the_pinned_window():
         "g_pagerank_banded",
         "pack_sequences",
         "a_ewma_user_segmented",
+        "sim_topk_lsh_recall",
+        "sim_topk_ivf_recall",
+        "sim_topk_pq_recall",
+        "sim_topk_ivfpq_recall",
     ):
         assert names.index(staged) >= 50
         # staged queries are oracle-backed (window slots aren't wasted
@@ -159,12 +164,23 @@ def test_staged_queries_match_their_oracles(spark):
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.registry import (
         ORACLES,
     )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.registry import (
+        QUERIES as qpkg_queries,
+    )
 
     for name, fn in [
         ("mm_jpeg_decode", staged_r05.mm_jpeg_decode),
         ("g_pagerank_banded", staged_r05.g_pagerank_banded),
         ("pack_sequences", staged_r05.pack_sequences),
         ("a_ewma_user_segmented", staged_r05.a_ewma_user_segmented),
+    ] + [
+        (n, qpkg_queries[n])
+        for n in (
+            "sim_topk_lsh_recall",
+            "sim_topk_ivf_recall",
+            "sim_topk_pq_recall",
+            "sim_topk_ivfpq_recall",
+        )
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
         ddf = _duck_oracle(ORACLES[name])
