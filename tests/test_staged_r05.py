@@ -34,6 +34,7 @@ def test_staged_not_registered_without_flag():
         "assert 'pack_sequences' not in QUERIES\n"
         "assert 'a_ewma_user_segmented' not in QUERIES\n"
         "assert 'sim_topk_lsh_recall' not in QUERIES\n"
+        "assert 'dedup_minhash_checked' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -63,6 +64,7 @@ def test_staged_names_append_after_the_pinned_window():
         "sim_topk_ivf_recall",
         "sim_topk_pq_recall",
         "sim_topk_ivfpq_recall",
+        "dedup_minhash_checked",
     ):
         assert names.index(staged) >= 50
         # staged queries are oracle-backed (window slots aren't wasted
@@ -180,6 +182,7 @@ def test_staged_queries_match_their_oracles(spark):
             "sim_topk_ivf_recall",
             "sim_topk_pq_recall",
             "sim_topk_ivfpq_recall",
+            "dedup_minhash_checked",
         )
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
