@@ -35,6 +35,7 @@ def test_staged_not_registered_without_flag():
         "assert 'a_ewma_user_segmented' not in QUERIES\n"
         "assert 'sim_topk_lsh_recall' not in QUERIES\n"
         "assert 'dedup_minhash_checked' not in QUERIES\n"
+        "assert 'emb_random_projection_banded' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -65,6 +66,7 @@ def test_staged_names_append_after_the_pinned_window():
         "sim_topk_pq_recall",
         "sim_topk_ivfpq_recall",
         "dedup_minhash_checked",
+        "emb_random_projection_banded",
     ):
         assert names.index(staged) >= 50
         # staged queries are oracle-backed (window slots aren't wasted
@@ -183,6 +185,7 @@ def test_staged_queries_match_their_oracles(spark):
             "sim_topk_pq_recall",
             "sim_topk_ivfpq_recall",
             "dedup_minhash_checked",
+            "emb_random_projection_banded",
         )
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
