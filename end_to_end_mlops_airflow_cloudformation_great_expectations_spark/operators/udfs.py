@@ -406,7 +406,14 @@ def grouped_ols(
 
     Semantics are exactly single-feature OLS, so the driver oracle is
     closed-form SQL (regr_slope/regr_intercept/regr_r2) — the fit
-    itself is what gets cross-checked, not just the plumbing."""
+    itself is what gets cross-checked, not just the plumbing.
+
+    Regime note: this shape is for MANY SMALL groups (per-task state =
+    one group). For a FEW GIANT groups, single-feature OLS reduces to
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — use plain
+    aggregation / the regr_* expressions (f_regr_functions) instead,
+    which partial-aggregate map-side and never hold a group in
+    memory."""
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[x_col].to_numpy(dtype="float64")

@@ -474,3 +474,54 @@ def emb_random_projection_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(0.8)
         ).alias("ok"),
     )
+
+
+@query(
+    "p_epoch_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id + 1000003) % 4294967296 AS km
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             ((km - km % 65536) // 65536 * 2654435761 % 4294967296
+              * 65536 + km % 65536 * 2654435761) % 4294967296 AS mixed
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(mixed % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY mixed % 8
+                                   ORDER BY mixed, doc_id) AS BIGINT) AS pos
+    FROM m
+    """,
+)
+def p_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible EPOCH SHUFFLE for training-data ordering: every
+    document gets a (shard, position) from a seeded multiplicative
+    hash — the deterministic global shuffle a training job needs so a
+    resumed/re-run epoch reads the identical order on any engine.
+    randomSplit/rand() are partition-order-dependent; the decomposed
+    Knuth hash (functions/columns.portable_bucket with 2^32 buckets =
+    the full mixed value, overflow-safe under ANSI) is pure integer
+    arithmetic the DuckDB twin replays exactly, and hash collisions
+    tie-break on doc_id so the order is total on both engines. Scale
+    shape: shard = hash%S, position = row_number within shard — at
+    100 TB this is write-bucketed-by-shard-sorted-by-key (S sorts of
+    corpus/S rows each, no global sort); a new seed constant per epoch
+    gives a fresh order with zero state."""
+    from ..functions.columns import M32, portable_bucket
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    mixed = portable_bucket(F.col("doc_id") + F.lit(1000003), M32)
+    w = Window.partitionBy("shard").orderBy("mixed", "doc_id")
+    return (
+        d.select("doc_id", mixed.alias("mixed"))
+        .withColumn("shard", F.pmod(F.col("mixed"), F.lit(8)).cast("long"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            )
+    )

@@ -36,6 +36,7 @@ def test_staged_not_registered_without_flag():
         "assert 'sim_topk_lsh_recall' not in QUERIES\n"
         "assert 'dedup_minhash_checked' not in QUERIES\n"
         "assert 'emb_random_projection_banded' not in QUERIES\n"
+        "assert 'p_epoch_shuffle' not in QUERIES\n"
         "print('gated-ok')\n"
     )
     out = subprocess.run(
@@ -67,6 +68,7 @@ def test_staged_names_append_after_the_pinned_window():
         "sim_topk_ivfpq_recall",
         "dedup_minhash_checked",
         "emb_random_projection_banded",
+        "p_epoch_shuffle",
     ):
         assert names.index(staged) >= 50
         # staged queries are oracle-backed (window slots aren't wasted
@@ -186,6 +188,7 @@ def test_staged_queries_match_their_oracles(spark):
             "sim_topk_ivfpq_recall",
             "dedup_minhash_checked",
             "emb_random_projection_banded",
+            "p_epoch_shuffle",
         )
     ]:
         sdf = fn(spark, SF_DIR).toPandas()
