@@ -30,6 +30,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def next_fit_bins(toks: np.ndarray, capacity: int) -> np.ndarray:
+    """Pure next-fit fold: bin index per element of an ordered token-
+    count sequence. One open bin of state; an element that does not
+    fit closes it; an oversized element occupies a bin alone.
+    Hypothesis-tested invariants in tests/test_properties.py."""
+    bins = np.zeros(len(toks), dtype="int64")
+    fill = 0
+    b = 0
+    for i, t in enumerate(toks):
+        if i > 0 and fill + t <= capacity:
+            fill += t
+        else:
+            if i > 0:
+                b += 1
+            fill = int(t)
+        bins[i] = b
+    return bins
+
+
 def pack_next_fit(
     df: DataFrame,
     capacity: int,
@@ -51,17 +70,7 @@ def pack_next_fit(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         toks = pdf[tok_col].to_numpy(dtype="int64")
-        bins = np.zeros(len(toks), dtype="int64")
-        fill = 0
-        b = 0
-        for i, t in enumerate(toks):
-            if i > 0 and fill + t <= capacity:
-                fill += t
-            else:
-                if i > 0:
-                    b += 1
-                fill = int(t)
-            bins[i] = b
+        bins = next_fit_bins(toks, capacity)
         return pd.DataFrame(
             {
                 shard_col: pdf[shard_col].to_numpy(),

@@ -201,3 +201,40 @@ def test_stratified_sample_exact_and_deterministic():
     }
     for seg, n in sizes.items():
         assert per_group[seg] == min(10, n), (seg, n, per_group[seg])
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=200),
+    capacity=st.integers(min_value=1, max_value=250),
+)
+@settings(max_examples=200, deadline=None)
+def test_next_fit_bins_invariants(toks, capacity):
+    """Pure next-fit fold (operators/packing.py): for ANY ordered
+    token sequence and capacity, (a) bin ids start at 0 and are
+    non-decreasing with steps of at most 1 (one open bin, never
+    reopened); (b) every bin's total fits the capacity unless the bin
+    holds a single oversized element; (c) a new bin opens ONLY when
+    the previous bin could not have accepted the element."""
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.packing import (
+        next_fit_bins,
+    )
+
+    arr = np.array(toks, dtype="int64")
+    bins = next_fit_bins(arr, capacity)
+    assert bins[0] == 0
+    steps = np.diff(bins)
+    assert ((steps == 0) | (steps == 1)).all()
+    totals = {}
+    for b, t in zip(bins, toks):
+        totals.setdefault(int(b), []).append(t)
+    for members in totals.values():
+        assert sum(members) <= capacity or len(members) == 1
+    # (c): the element that OPENED bin b+1 must not have fit in bin b
+    idx = 0
+    for b in range(bins.max() + 1):
+        members = totals[b]
+        idx += len(members)
+        if idx < len(toks):
+            assert sum(members) + toks[idx] > capacity
