@@ -10,14 +10,11 @@ sees them in round 4, and even with the flag set they append AFTER the
 pinned 50-name driver window (``queries/__init__`` imports this module
 after ``_reorder()``), so the round-4 window composition cannot shift.
 
-Round-5 flip (one line each): make the import unconditional in
-``queries/__init__`` and rotate these names into
-``_DRIVER_WINDOW_FIRST``.
+Round-5 flip: see the step list in ``queries/__init__``. Local proof
+ahead of the flip (all staged names, both oracle scales)::
 
-Local proof ahead of the flip::
-
-    SPARK_GRAFT_STAGED=1 python tools/check.py /root/testdata/sf0.01 \
-        mm_jpeg_decode g_pagerank_banded
+    SPARK_GRAFT_STAGED=1 python tools/check.py /root/testdata/sf0.01
+    SPARK_GRAFT_STAGED=1 python tools/check.py /root/testdata/sf0.001
 """
 
 from __future__ import annotations
