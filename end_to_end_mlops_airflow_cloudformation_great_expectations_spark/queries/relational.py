@@ -263,18 +263,26 @@ def a2_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banded oracle (VERDICT r02 item 4): the estimate is HLL-specific,
     so the registered projection checks it within 5% (5× the rsd
-    parameter) of the exact per-group distinct computed in the same
-    job, hash-compared to an all-TRUE oracle keyed by group."""
-    agg = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
-            F.countDistinct("l_orderkey").alias("x_orders"),
-            F.countDistinct("l_partkey").alias("x_parts"),
-        )
+    parameter) of the exact per-group distinct, hash-compared to an
+    all-TRUE oracle keyed by group.
+
+    Plan shape: the approx and exact sides run as SEPARATE
+    aggregations joined on the 3-row group key — mixing
+    approx_count_distinct with countDistinct in ONE agg makes the
+    multi-distinct planner Expand every fact row ×3, tripling the
+    HLL(rsd=0.01) partial work (measured 5.4 s → 1.8 s at sf0.01,
+    identical booleans: HLL merge is per-register max, so the split
+    estimate is bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("a_parts"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("x_orders"),
+        F.countDistinct("l_partkey").alias("x_parts"),
+    )
+    agg = approx.join(F.broadcast(exact), "l_returnflag")
 
     def ok(est_c: str, exact_c: str) -> Column:
         return (

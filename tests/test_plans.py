@@ -301,13 +301,23 @@ def test_banded_a9_single_aggregation_pass(spark):
     assert explain.count_shuffles(df) <= 1, explain.physical_plan(df)
 
 
-def test_banded_a2_single_aggregation_pass(spark):
-    """a2_approx_count_distinct (banded): the HLL estimates and the
-    two exact count-distincts expand within one grouped aggregation
-    pipeline — no join of separate scans."""
+def test_banded_a2_split_aggs_with_broadcast(spark):
+    """a2_approx_count_distinct (banded): approx and exact sides run
+    as SEPARATE aggregations with the 3-row exact side BROADCAST onto
+    the estimates. The previous single-agg pin was measured-wrong:
+    mixing approx_count_distinct with countDistinct in one agg makes
+    the multi-distinct planner Expand every fact row ×3, tripling the
+    HLL partial work (5.4 s → 1.8 s at sf0.01 after the split)."""
     df = QUERIES["a2_approx_count_distinct"](spark, SF_DIR)
     plan = explain.physical_plan(df)
-    assert "Join" not in plan, plan
+    assert explain.uses_broadcast_join(df), plan
+    # the exact side still Expands (×2, two countDistinct columns —
+    # cheap); the point is the HLL partials must NOT sit under one:
+    # exactly one Expand, and it feeds plain count(), not HLL buffers
+    assert plan.count("Expand ") <= 1, plan
+    for line in plan.splitlines():
+        if "partial_approx_count_distinct" in line:
+            assert "gid#" not in line, line
 
 
 def test_banded_sketch_rollup_exact_broadcasts(spark):
