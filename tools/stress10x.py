@@ -2,8 +2,9 @@
 item 7) — the same discipline that exposed the minhash verify-join OOM
 in round 2 (BASELINE.md "perf work banked").
 
-Usage:
-    python tools/stress10x.py build            # materialize the 10x corpus
+Usage (SPARK_GRAFT_STRESS_REPLICAS=N picks the multiple, default 10;
+each N gets its own /tmp/stressNx directory):
+    python tools/stress10x.py build            # materialize the Nx corpus
     python tools/stress10x.py <query_name>     # run one query on it, 4g heap
     python tools/stress10x.py runall [names…]  # whole bench HEADLINE, one
                                                # 4g JVM, JSON summary line
