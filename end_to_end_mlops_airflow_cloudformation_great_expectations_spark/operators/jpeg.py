@@ -241,43 +241,55 @@ def encode_jpeg(
         [] if gray else [_huffman_codes(*_STD_AC_CHROMA)] * 2
     )
 
+    # Batched transform: every plane's blocks go through ONE stacked
+    # 8×8 DCT + quantize + zigzag (numpy per-plane, no per-block numpy
+    # overhead); the entropy coder then walks only the NONZERO
+    # coefficients of each block (for flat fixture blocks that is just
+    # the DC — the old dense 64-iteration Python loop per block
+    # dominated encode time).
+    nby, nbx = h // 8, w // 8
+    zz_planes = []
+    for plane in planes:
+        blocks = (
+            (plane - 128.0)
+            .reshape(nby, 8, nbx, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coef = np.matmul(np.matmul(_DCT_M, blocks), _DCT_M.T)
+        qc = np.round(coef / q).astype(np.int64)
+        zz_planes.append(qc.reshape(-1, 64)[:, ZIGZAG])
+
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _DCT_M @ block @ _DCT_M.T
-                qc = np.round(coef / q).astype(np.int64)
-                zz = qc.ravel()[ZIGZAG]
-                # DC
-                diff = int(zz[0] - pred[ci])
-                pred[ci] = int(zz[0])
-                size, mag = _magnitude(diff)
-                code, length = dc_codes[ci][size]
+    for bi in range(nby * nbx):
+        for ci in range(len(planes)):
+            zz = zz_planes[ci][bi]
+            # DC
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            size, mag = _magnitude(diff)
+            code, length = dc_codes[ci][size]
+            bw.put(code, length)
+            if size:
+                bw.put(mag, size)
+            # AC: visit only nonzero coefficients; runs from index gaps
+            nz = np.flatnonzero(zz[1:]) + 1
+            prev = 0
+            for k in nz:
+                run = int(k) - prev - 1
+                prev = int(k)
+                while run > 15:
+                    code, length = ac_codes[ci][0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                size, mag = _magnitude(int(zz[k]))
+                code, length = ac_codes[ci][(run << 4) | size]
                 bw.put(code, length)
-                if size:
-                    bw.put(mag, size)
-                # AC with run-lengths
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[ci][0xF0]  # ZRL
-                        bw.put(code, length)
-                        run -= 16
-                    size, mag = _magnitude(v)
-                    code, length = ac_codes[ci][(run << 4) | size]
-                    bw.put(code, length)
-                    bw.put(mag, size)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[ci][0x00]  # EOB
-                    bw.put(code, length)
+                bw.put(mag, size)
+            if prev < 63:
+                code, length = ac_codes[ci][0x00]  # EOB
+                bw.put(code, length)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -430,39 +442,54 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("missing EOI")
     br = _BitReader(payload[data_start:end])
 
+    # Entropy scan fills integer coefficient rows per (component,
+    # block); the float work — dequant, inverse zigzag, IDCT — runs
+    # ONCE per component over the stacked blocks afterwards (same
+    # per-block arithmetic, batched np.matmul instead of per-block
+    # numpy allocations).
     ncomp = len(comps)
-    planes = [np.zeros((h, w), dtype=np.float64) for _ in range(ncomp)]
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    nb = nby * nbx
+    zz_all = [np.zeros((nb, 64), dtype=np.int64) for _ in range(ncomp)]
+    tbls = [(huff[(0, td)], huff[(1, ta)]) for (_, td, ta) in scan]
     pred = [0] * ncomp
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
-            for (ci, td, ta) in scan:
-                dc_tbl = huff[(0, td)]
-                ac_tbl = huff[(1, ta)]
-                zz = np.zeros(64, dtype=np.int64)
-                size = _decode_huffman(br, dc_tbl)
-                pred[ci] += _receive_extend(br, size)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _decode_huffman(br, ac_tbl)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _receive_extend(br, size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                coef[ZIGZAG] = zz * quant[comps[ci][2]].ravel()[ZIGZAG]
-                block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
-                y0, x0 = by * 8, bx * 8
-                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block[
-                    : min(8, h - y0), : min(8, w - x0)
-                ]
+    for bi in range(nb):
+        for si, (ci, _, _) in enumerate(scan):
+            dc_tbl, ac_tbl = tbls[si]
+            zz = zz_all[ci][bi]
+            size = _decode_huffman(br, dc_tbl)
+            pred[ci] += _receive_extend(br, size)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _decode_huffman(br, ac_tbl)
+                run, size = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _receive_extend(br, size)
+                k += 1
+
+    planes = []
+    for ci in range(ncomp):
+        qz = quant[comps[ci][2]].ravel()[ZIGZAG].astype(np.float64)
+        coef = np.zeros((nb, 64), dtype=np.float64)
+        coef[:, ZIGZAG] = zz_all[ci] * qz
+        blocks = (
+            np.matmul(np.matmul(_DCT_M.T, coef.reshape(nb, 8, 8)), _DCT_M)
+            + 128.0
+        )
+        padded = (
+            blocks.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(padded[:h, :w])
 
     if ncomp == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
