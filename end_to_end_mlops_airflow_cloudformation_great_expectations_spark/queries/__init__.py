@@ -119,10 +119,11 @@ _reorder()
 #
 # ROUND-5 FLIP (mechanical, once CORRECTNESS_r04 confirms the ledger
 # closed): (1) make this import unconditional; (2) replace the first
-# TEN names of _DRIVER_WINDOW_FIRST's pad section with the staged set —
-# mm_jpeg_decode, g_pagerank_banded, pack_sequences,
+# ELEVEN names of _DRIVER_WINDOW_FIRST's pad section with the staged
+# set — mm_jpeg_decode, g_pagerank_banded, pack_sequences,
 # a_ewma_user_segmented, sim_topk_{lsh,ivf,pq,ivfpq}_recall,
-# dedup_minhash_checked, emb_random_projection_banded (all PASS
+# dedup_minhash_checked, emb_random_projection_banded,
+# p_epoch_shuffle (all PASS
 # tools/check.py at sf0.001+sf0.01 incl. --plain — see
 # tests/test_staged_r05.py); (3) add mm_jpeg_decode, pack_sequences,
 # a_ewma_user_segmented, g_pagerank_banded to bench.HEADLINE
