@@ -86,6 +86,14 @@ HEADLINE = [
     "enc_feature_hash",
     "enc_target_loo",
     "a_rolling_active_users",
+    # r05 flip (VERDICT r04 item 1): the four staged queries that are
+    # perf paths — JPEG decode, sequence packing, the billion-key
+    # EWMA shape, the PageRank fixpoint. The recall/checked/banded
+    # twins are verification jobs, not perf paths, and stay out.
+    "mm_jpeg_decode",
+    "pack_sequences",
+    "a_ewma_user_segmented",
+    "g_pagerank_banded",
 ]
 
 

@@ -26,11 +26,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def vocabulary(df: DataFrame, col: str) -> list[str]:
+def vocabulary(df: DataFrame, col: str, max_size: int = 100_000) -> list[str]:
     """Distinct values of ``col``, sorted — the deterministic vocab
-    artifact (persist alongside the model; do NOT recompute on test)."""
+    artifact (persist alongside the model; do NOT recompute on test).
+
+    ``max_size`` guards the one driver-side collect in this module: a
+    one-hot vocabulary is only meaningful at bounded cardinality, and
+    an accidental call on a high-cardinality column (ids, free text)
+    would otherwise flood the driver. The check is a LIMIT-probe, not
+    a full count — it reads at most max_size+1 distinct values before
+    deciding, so the guard itself is cheap even on a 100 TB column."""
+    d = df.select(col).distinct()
+    if d.limit(max_size + 1).count() > max_size:
+        raise ValueError(
+            f"vocabulary({col!r}): more than {max_size} distinct values — "
+            "not a categorical column; raise max_size explicitly if the "
+            "cardinality is intentional (feature-hash or target-encode "
+            "high-cardinality columns instead of one-hot)"
+        )
     return sorted(
-        r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        r[0] for r in d.collect() if r[0] is not None
     )
 
 

@@ -46,6 +46,10 @@ def pagerank(
     changes the arithmetic). On a cluster, swap localCheckpoint for a
     reliable ``checkpoint`` dir so executor loss can't drop rank state.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     verts = (
         edges.select(F.col(src).alias("vid"))
         .union(edges.select(F.col(dst).alias("vid")))

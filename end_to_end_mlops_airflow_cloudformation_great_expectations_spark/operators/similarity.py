@@ -214,12 +214,28 @@ def lsh_topk(
     )
 
 
+def _sample_vectors(prepared: DataFrame, sample_size: int) -> "np.ndarray":
+    """Bounded deterministic training sample: the ``sample_size``
+    smallest ``xxhash64(id)`` rows — a TakeOrdered job (per-partition
+    top-N + driver merge, no full shuffle). Driver memory is bounded
+    at sample_size × dim doubles."""
+    rows = (
+        prepared.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_size)
+        .select("cv")
+        .collect()
+    )
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def _train_coarse_quantizer(
     prepared: DataFrame,
     n_centroids: int,
     seed: int,
     max_iter: int,
     sample_size: int,
+    sample: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Train the IVF coarse quantizer with Lloyd's iterations in numpy
     over a bounded, deterministic sample (FAISS's own discipline: IVF
@@ -232,17 +248,15 @@ def _train_coarse_quantizer(
     (MLlib KMeans) at this cluster-count is all scheduling overhead:
     8 Lloyd rounds over ≤64k sampled vectors is milliseconds in numpy,
     while 8 distributed jobs cost seconds before any data is touched.
+
+    ``sample`` short-circuits the pull: ivfpq_topk trains BOTH its
+    coarse quantizer and its PQ codebooks on the same deterministic
+    sample, so it collects once and passes the array in (one
+    TakeOrdered job per build, not two).
     """
-    rows = (
-        prepared.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
-        .orderBy("__h")
-        .limit(sample_size)
-        .select("cv")
-        .collect()
-    )
-    if not rows:
+    X = _sample_vectors(prepared, sample_size) if sample is None else sample
+    if not len(X):
         raise ValueError("ivf_topk: empty corpus, cannot train quantizer")
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
     kk = min(n_centroids, len(X))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=kk, replace=False)].copy()
@@ -713,17 +727,12 @@ def ivfpq_topk(
         _as_double(F.col(vec_col)).alias("cv"),
     )
     c = _persist_tracked(c)
-    C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
-
-    # --- train PQ codebooks on sample residuals -----------------------
-    rows = (
-        c.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
-        .orderBy("__h")
-        .limit(train_sample)
-        .select("cv")
-        .collect()
+    X = _sample_vectors(c, train_sample)
+    C = _train_coarse_quantizer(
+        c, n_centroids, seed, max_iter, train_sample, sample=X
     )
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+
+    # --- train PQ codebooks on the SAME sample's residuals ------------
     cells = (
         (X**2).sum(axis=1)[:, None]
         - 2.0 * (X @ C.T)

@@ -22,22 +22,25 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     llm,
     reference,
     relational,
+    staged_r05,
     streaming_batch,
     tpch_extra,
 )
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. Round-4
-#: rotation (VERDICT r03 "Next round" item 1) — the FINAL rotation:
-#: the 31 names below are every oracle-backed query that has no
-#: driver-green row in CORRECTNESS_r01/r02/r03 (16 TPC-H extras, the
-#: a_* statistics batch, w_yoy_revenue, the round-3 multimodal ops,
-#: and the banded a2_approx_count_distinct). With these green, every
-#: one of the 160 oracle-backed queries has a driver hash-green row
-#: (rounds 1-3 greened the other 129); only the 9 by-design
-#: rows-only queries stay outside the ledger. The remaining 19 slots
-#: are padded with cheap queries already greened in r01/r02 so the
-#: window stays exactly 50 names (test_registry_order.py pins it).
+#: First 50 = the driver's observed CORRECTNESS window. Round-5
+#: rotation (VERDICT r04 "Next round" item 1): rounds 1-4 greened all
+#: 160 previously-registered oracle-backed queries (CORRECTNESS_r04
+#: closed the ledger at 50/50), so the round-4 names stay in place
+#: (they re-verify for free) and the ELEVEN pad slots they no longer
+#: need rotate in the round-5 staged set — mm_jpeg_decode,
+#: g_pagerank_banded, pack_sequences, a_ewma_user_segmented, the four
+#: ANN recall bands, dedup_minhash_checked,
+#: emb_random_projection_banded, p_epoch_shuffle — each of which
+#: passed tools/check.py at sf0.001+sf0.01 before registration
+#: (tests/test_staged_r05.py). The remaining 8 slots stay padded with
+#: cheap already-green queries so the window is exactly 50 names
+#: (test_registry_order.py pins it).
 _DRIVER_WINDOW_FIRST = [
     # round-3 multimodal additions (local-PASS only so far)
     "mm_png_decode",
@@ -75,18 +78,20 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q19_disjunctive",
     "tpch_q20_bulk_suppliers",
     "tpch_q21_sole_late_supplier",
+    # ---- round-5 flip: the 11 staged queries (staged_r05.py), all
+    # PASS tools/check.py at sf0.001+sf0.01 before registration ----
+    "mm_jpeg_decode",
+    "g_pagerank_banded",
+    "pack_sequences",
+    "a_ewma_user_segmented",
+    "sim_topk_lsh_recall",
+    "sim_topk_ivf_recall",
+    "sim_topk_pq_recall",
+    "sim_topk_ivfpq_recall",
+    "dedup_minhash_checked",
+    "emb_random_projection_banded",
+    "p_epoch_shuffle",
     # ---- pads: cheap, already driver-green (r01/r02) ----
-    "p1_project_filter",
-    "p2_eq_filter",
-    "p3_range_filter",
-    "p4_null_predicate",
-    "p5_string_predicates",
-    "p6_row_provenance",
-    "a2_count_distinct",
-    "a3_rollup",
-    "a3_cube",
-    "a3_grouping_sets",
-    "a10_collect",
     "w1_topk_per_group",
     "w2_lag_lead",
     "set_union_distinct",
@@ -112,28 +117,11 @@ def _reorder() -> None:
 
 _reorder()
 
-# Round-5 staged registrations (see staged_r05.py): import-gated so the
-# round-4 registration freeze holds for the driver's plain environment,
-# and placed AFTER _reorder() so even with the flag set the staged
-# names append BEHIND the pinned 50-name window.
-#
-# ROUND-5 FLIP (mechanical, once CORRECTNESS_r04 confirms the ledger
-# closed): (1) make this import unconditional; (2) replace the first
-# ELEVEN names of _DRIVER_WINDOW_FIRST's pad section with the staged
-# set — mm_jpeg_decode, g_pagerank_banded, pack_sequences,
-# a_ewma_user_segmented, sim_topk_{lsh,ivf,pq,ivfpq}_recall,
-# dedup_minhash_checked, emb_random_projection_banded,
-# p_epoch_shuffle (all PASS
-# tools/check.py at sf0.001+sf0.01 incl. --plain — see
-# tests/test_staged_r05.py); (3) add mm_jpeg_decode, pack_sequences,
-# a_ewma_user_segmented, g_pagerank_banded to bench.HEADLINE
-# (pre-recorded baselines in BASELINE.md "Staged round-5") — the
-# recall/checked/banded twins are verification jobs, not perf paths,
-# and stay out of the headline; (4) drop the gating branch in
-# tests/test_staged_r05.py accordingly.
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_STAGED") == "1":
-    from . import staged_r05  # noqa: F401
+# ROUND-5 FLIP executed (round-4 ledger closed: CORRECTNESS_r04
+# 50/50 green → the registration freeze lifted): staged_r05 is now
+# imported unconditionally with the other query modules, and its 11
+# names occupy the first pad slots of _DRIVER_WINDOW_FIRST above so
+# the driver hash-checks them this round. SPARK_GRAFT_STAGED is no
+# longer consulted.
 
 __all__ = ["QUERIES", "ORACLES"]

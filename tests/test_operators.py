@@ -293,3 +293,19 @@ def test_segmented_ewma_matches_sequential_and_survives_tiny_batches(spark):
         check(segmented_ewma(e).collect())
     finally:
         spark.conf.set(batch_key, old)
+
+
+def test_pagerank_rejects_bad_checkpoint_every(spark):
+    """checkpoint_every is a modulus: 0 would ZeroDivisionError deep
+    in the loop and negatives would silently never truncate lineage —
+    both must fail fast at entry (ADVICE r04)."""
+    import pytest
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank(edges, iterations=2, checkpoint_every=bad)
