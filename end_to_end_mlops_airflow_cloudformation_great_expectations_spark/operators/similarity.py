@@ -401,6 +401,65 @@ def embedding_dedup(
     return embeddings.join(losers, id_col, "left_anti")
 
 
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    chunk_rows: int = 1024,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """LSH-bucketed semantic near-dup pairs — the SCALE path for
+    :func:`embedding_dedup` (whose in-block all-pairs is the documented
+    exactness anchor): multi-table hyperplane buckets replace the
+    blocking column, so the quadratic work is per-bucket
+    (Σ n_bucket²·L), not per-corpus (n²), and every step is LAZY —
+    signature pandas_udf → posexplode into (table, bucket) →
+    per-bucket BLAS tile (:func:`cosine_neardup_pairs_arrow`) →
+    max-agg dedupe across tables. Candidate precision is exact by
+    construction (the tile verifies true cosine against the
+    threshold); recall is the standard 1-(1-p^b)^L curve — b=4/L=16
+    puts cos≥0.35 pairs at ≈0.9+ expected recall, and the registered
+    query pins the measured floor.
+
+    ``max_bucket_size`` is the same skew guard as
+    dedup.minhash_neardup_pairs: boilerplate/hub buckets (the head of
+    a power-law bucket-size distribution) are dropped before the
+    quadratic step — at 100 TB a single mega-bucket would otherwise
+    dominate the stage. The windowed count is per (table, bucket), one
+    shuffle over narrow rows."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    sigs = table_signatures_udf(n_planes, n_tables, seed)
+    buckets = e.select(
+        "id", "v", F.posexplode(sigs("v")).alias("table", "bucket")
+    ).select(
+        (
+            F.col("table").cast("long") * F.lit(2**n_planes) + F.col("bucket")
+        ).alias("block"),
+        F.col("id").alias(id_col),
+        F.col("v").alias(vec_col),
+    )
+    sized = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("block"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    pairs = cosine_neardup_pairs_arrow(
+        sized, "block", threshold, id_col, vec_col, chunk_rows
+    )
+    # the same pair surfaces in every table whose bucket it shares;
+    # the tile cosine is a per-pair BLAS dot (identical across
+    # tables), so max() is pure dedupe, not a value choice
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+
+
 def cosine_neardup_pairs_arrow(
     embeddings: DataFrame,
     block_col: str,

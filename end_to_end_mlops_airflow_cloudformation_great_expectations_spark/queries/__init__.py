@@ -91,6 +91,9 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_minhash_checked",
     "emb_random_projection_banded",
     "p_epoch_shuffle",
+    # ---- round-5 new work, proven at sf0.001+sf0.01+plain before
+    # taking a window slot ----
+    "dedup_embedding_lsh",
     # ---- pads: cheap, already driver-green (r01/r02) ----
     "w1_topk_per_group",
     "w2_lag_lead",
@@ -99,7 +102,6 @@ _DRIVER_WINDOW_FIRST = [
     "set_except",
     "j3_semi_join",
     "j3_anti_join",
-    "o2_global_topk",
 ]
 
 

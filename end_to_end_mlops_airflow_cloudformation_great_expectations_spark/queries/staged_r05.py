@@ -528,3 +528,77 @@ def p_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("pos"),
             )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 new work (post-flip): the LSH-bucketed semantic-dedup scale
+# path, scored against the exact anchor (VERDICT r04 item 3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 300
+    ), t AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS precision_ok,
+           TRUE AS recall_ok
+    FROM t
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup SCALE path, driver-hash-checked (VERDICT r04
+    item 3 — dedup_embedding's in-block all-pairs is the documented
+    exactness anchor; this registers the LSH-bucketed variant that
+    replaces label blocks with hyperplane buckets at 100 TB): run
+    similarity.lsh_neardup_pairs (b=4 planes × L=16 tables, per-bucket
+    BLAS tile, every step lazy — the plan is planlint-visible, unlike
+    the eager anchors) on the vec_id<300 slice and score it against
+    the exact all-pairs truth computed INDEPENDENTLY on both engines —
+    Spark via the expression-form cosine_neardup_pairs whose 6-dp
+    DuckDB parity sim_cosine_neardup has had green since round 1,
+    DuckDB via list_cosine_similarity. The hashed row is (n_truth,
+    precision_ok, recall_ok): n_truth is a real cross-engine integer,
+    precision is zero-tolerance (the per-bucket tile verifies true
+    cosine, so emitted ⊆ truth by construction — measured 0 extras at
+    all three scales), and recall must meet 0.85, under the measured
+    minimum 0.9062 (sf0.001 0.9062 / sf0.01 0.9072 / sf0.1 0.9333;
+    expected 1-(1-p^4)^16 ≈ 0.91 at cos=0.35). Deterministic: seeded
+    hyperplanes, and the closest truth cosine sits 4.2e-5 from the
+    0.35 threshold (pinned in tests) vs ~1e-12 BLAS-vs-fold noise."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    emitted = similarity.lsh_neardup_pairs(
+        e, threshold=0.35, n_planes=4, n_tables=16
+    ).select("id_a", "id_b")
+    truth = similarity.cosine_neardup_pairs(
+        e.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(1))),
+        "__b",
+        threshold=0.35,
+    ).select("id_a", "id_b")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    hits = emitted.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").alias("hits")
+    )
+    extra = emitted.join(truth, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("extra")
+    )
+    return (
+        n_truth.crossJoin(hits)
+        .crossJoin(extra)
+        .select(
+            F.col("n_truth").cast("long").alias("n_truth"),
+            (F.col("extra") == 0).alias("precision_ok"),
+            (F.col("hits") / F.col("n_truth") >= F.lit(0.85)).alias(
+                "recall_ok"
+            ),
+        )
+    )

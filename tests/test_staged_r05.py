@@ -231,3 +231,42 @@ def test_staged_plan_shapes(spark):
     assert set(explain.read_schema_columns(jpg)) <= {"doc_id"}
     jplan = explain.physical_plan(jpg)
     assert "RoundRobinPartitioning" in jplan or "Exchange" in jplan, jplan
+
+
+def test_embedding_lsh_margins_and_recall(spark):
+    """dedup_embedding_lsh's banded check is deterministic only while
+    (a) no truth cosine sits near the 0.35 threshold (BLAS-vs-fold FP
+    noise ~1e-12 must not flip membership) and (b) measured recall
+    keeps clearance over the registered 0.85 floor. Pin both at
+    sf0.001 — measured margin 4.2e-5, recall 0.9062."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    e = catalog.load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    truth = similarity.cosine_neardup_pairs(
+        e.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(1))),
+        "__b",
+        threshold=0.35,
+    ).collect()
+    ts = {(r.id_a, r.id_b) for r in truth}
+    # (a) threshold clearance — also check the NEAR-miss side so a
+    # pair can't cross INTO the set either
+    all_cos = similarity.cosine_neardup_pairs(
+        e.withColumn("__b", F.pmod(F.hash("vec_id"), F.lit(1))),
+        "__b",
+        threshold=0.30,
+    ).collect()
+    assert min(abs(r.cos_sim - 0.35) for r in all_cos) >= 1e-5
+    # (b) recall clearance + exact precision
+    emitted = similarity.lsh_neardup_pairs(
+        e, threshold=0.35, n_planes=4, n_tables=16
+    ).collect()
+    es = {(r.id_a, r.id_b) for r in emitted}
+    assert es <= ts
+    assert len(es & ts) / len(ts) >= 0.88  # registered floor is 0.85
