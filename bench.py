@@ -94,6 +94,11 @@ HEADLINE = [
     "pack_sequences",
     "a_ewma_user_segmented",
     "g_pagerank_banded",
+    # r05 new work: iterative BPE merge-table induction (3 lazy
+    # window-arithmetic rounds) + the LSH-bucketed semantic-dedup
+    # scale path
+    "text_bpe_merges_k",
+    "dedup_embedding_lsh",
 ]
 
 

@@ -94,9 +94,9 @@ _DRIVER_WINDOW_FIRST = [
     # ---- round-5 new work, proven at sf0.001+sf0.01+plain before
     # taking a window slot ----
     "dedup_embedding_lsh",
+    "text_bpe_merges_k",
     # ---- pads: cheap, already driver-green (r01/r02) ----
     "w1_topk_per_group",
-    "w2_lag_lead",
     "set_union_distinct",
     "set_intersect",
     "set_except",

@@ -270,3 +270,75 @@ def test_embedding_lsh_margins_and_recall(spark):
     es = {(r.id_a, r.id_b) for r in emitted}
     assert es <= ts
     assert len(es & ts) / len(ts) >= 0.88  # registered floor is 0.85
+
+
+def test_bpe_merge_rounds_greedy_semantics(spark):
+    """bpe_merge_rounds must reproduce sequential greedy BPE exactly —
+    including the self-adjacent case ("a a a a" merges to "aa aa", run
+    parity, never "aa a a") — and per round: winner counts are
+    non-increasing and the total adjacent-pair count strictly
+    decreases (VERDICT r04 item 4's required property)."""
+    import re
+    from collections import Counter
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        text as T,
+    )
+
+    texts = [
+        "a a a a a b",          # odd/even run parity
+        "a b a b a b",          # overlapping alternation
+        "x a a b y a b",        # mixed runs
+        "the fast key order the fast key",
+        "single",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    k = 4
+    got = sorted(
+        tuple(r) for r in T.bpe_merge_rounds(docs, k=k).collect()
+    )
+
+    corpus = {
+        i: [w for w in re.split(r"\s+", t.lower()) if w]
+        for i, t in enumerate(texts)
+    }
+
+    def count_pairs(c):
+        cnt = Counter()
+        for toks in c.values():
+            for j in range(len(toks) - 1):
+                cnt[(toks[j], toks[j + 1])] += 1
+        return cnt
+
+    def apply_merge(c, a, b):
+        out = {}
+        for d, toks in c.items():
+            res, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    res.append(a + " " + b)
+                    i += 2
+                else:
+                    res.append(toks[i])
+                    i += 1
+            out[d] = res
+        return out
+
+    expected = []
+    prev_cnt = None
+    for r in range(k):
+        cnt = count_pairs(corpus)
+        total = sum(cnt.values())
+        if prev_cnt is not None:
+            assert total < prev_total  # strict pair-count reduction
+        (a, b), n = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        if prev_cnt is not None:
+            assert n <= prev_cnt  # winner counts non-increasing
+        expected.append((r + 1, a, b, n))
+        corpus = apply_merge(corpus, a, b)
+        prev_cnt, prev_total = n, total
+    assert got == sorted(expected)
