@@ -99,6 +99,8 @@ HEADLINE = [
     # scale path
     "text_bpe_merges_k",
     "dedup_embedding_lsh",
+    # 4:2:0 + restart-marker JPEG decode (interleaved-MCU path)
+    "mm_jpeg420_decode",
 ]
 
 

@@ -5,10 +5,11 @@ codec seam one format past PNG).
 Everything here is written from the public JPEG specification
 (ITU-T T.81 / ISO 10918-1) and the JFIF container note, in this
 repo's numpy idiom — no third-party codec, no lifted code. Scope is
-baseline sequential DCT, 8-bit precision, 1 or 3 components with no
-chroma subsampling (Hi=Vi=1), which is exactly what the paired
-encoder below emits. Progressive scans, subsampling, arithmetic
-coding, and restart markers raise cleanly.
+baseline sequential DCT, 8-bit precision, 1 or 3 components, with
+Hi/Vi in {1,2} (4:4:4 and the ubiquitous 4:2:0 chroma subsampling)
+and restart-marker intervals — exactly what the paired encoder below
+emits. Progressive scans, arithmetic coding, and 16-bit quant tables
+raise cleanly.
 
 The pair exists for the same reason as ``_build_bmp``/``_build_png``
 in :mod:`.multimodal`: the container lacks PIL/ffmpeg, so test inputs
@@ -174,20 +175,34 @@ class _BitWriter:
 
 
 def encode_jpeg(
-    img: np.ndarray, quant: np.ndarray | int = 1
+    img: np.ndarray,
+    quant: np.ndarray | int = 1,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an 8-bit image as baseline JFIF JPEG.
 
     ``img``: (H, W) grayscale or (H, W, 3) RGB, uint8, with H and W
-    multiples of 8 (no partial-MCU padding — the synthetic fixtures
-    control their own dims). ``quant``: an 8×8 table or a scalar
-    (scalar 1 → near-lossless, handy for pixel-level oracles).
+    multiples of 8 (multiples of 16 for 4:2:0 — no partial-MCU
+    padding; the synthetic fixtures control their own dims).
+    ``quant``: an 8×8 table or a scalar (scalar 1 → near-lossless,
+    handy for pixel-level oracles). ``subsample``: "444" (Hi=Vi=1
+    everywhere) or "420" (luma 2×2, chroma boxes averaged 2×2 — the
+    near-universal camera/web layout). ``restart_interval``: emit a
+    DRI segment and an RSTm marker every N MCUs (DC predictors
+    reset), 0 = none.
     """
     if img.dtype != np.uint8:
         raise ValueError("expected uint8 image")
     gray = img.ndim == 2
     h, w = img.shape[:2]
-    if h % 8 or w % 8:
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    sub420 = subsample == "420" and not gray
+    if sub420:
+        if h % 16 or w % 16:
+            raise ValueError("4:2:0 dims must be multiples of 16")
+    elif h % 8 or w % 8:
         raise ValueError("dims must be multiples of 8")
     q = (
         np.full((8, 8), int(quant), dtype=np.int64)
@@ -197,6 +212,7 @@ def encode_jpeg(
 
     if gray:
         planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
     else:
         r = img[..., 0].astype(np.float64)
         g = img[..., 1].astype(np.float64)
@@ -206,6 +222,15 @@ def encode_jpeg(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        if sub420:
+            # 2×2 box average (the standard decimation filter)
+            planes[1:] = [
+                pl.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+                for pl in planes[1:]
+            ]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1)] * 3
 
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0/JFIF
@@ -217,8 +242,12 @@ def encode_jpeg(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # Hi=Vi=1, Tq=0
+        hi, vi = samp[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # Tq=0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DRI (restart interval in MCUs)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # DHT: DC0/AC0 (+ DC1/AC1 for chroma)
     tables = [(0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA)]
     if not gray:
@@ -247,12 +276,14 @@ def encode_jpeg(
     # coefficients of each block (for flat fixture blocks that is just
     # the DC — the old dense 64-iteration Python loop per block
     # dominated encode time).
-    nby, nbx = h // 8, w // 8
-    zz_planes = []
+    nbx_c, nby_c, zz_planes = [], [], []
     for plane in planes:
+        ph, pw = plane.shape
+        nby_c.append(ph // 8)
+        nbx_c.append(pw // 8)
         blocks = (
             (plane - 128.0)
-            .reshape(nby, 8, nbx, 8)
+            .reshape(ph // 8, 8, pw // 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(-1, 8, 8)
         )
@@ -260,36 +291,55 @@ def encode_jpeg(
         qc = np.round(coef / q).astype(np.int64)
         zz_planes.append(qc.reshape(-1, 64)[:, ZIGZAG])
 
+    def _encode_block(bw, ci, zz, pred):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, mag = _magnitude(diff)
+        code, length = dc_codes[ci][size]
+        bw.put(code, length)
+        if size:
+            bw.put(mag, size)
+        # AC: visit only nonzero coefficients; runs from index gaps
+        nz = np.flatnonzero(zz[1:]) + 1
+        prev = 0
+        for k in nz:
+            run = int(k) - prev - 1
+            prev = int(k)
+            while run > 15:
+                code, length = ac_codes[ci][0xF0]  # ZRL
+                bw.put(code, length)
+                run -= 16
+            size, mag = _magnitude(int(zz[k]))
+            code, length = ac_codes[ci][(run << 4) | size]
+            bw.put(code, length)
+            bw.put(mag, size)
+        if prev < 63:
+            code, length = ac_codes[ci][0x00]  # EOB
+            bw.put(code, length)
+
+    # Interleaved MCU scan (T.81 A.2.3): an MCU carries Hi×Vi blocks
+    # per component; 4:4:4 degenerates to one block each, which keeps
+    # the 444 byte stream identical to the pre-subsampling encoder.
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
     bw = _BitWriter()
     pred = [0] * len(planes)
-    for bi in range(nby * nbx):
-        for ci in range(len(planes)):
-            zz = zz_planes[ci][bi]
-            # DC
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            size, mag = _magnitude(diff)
-            code, length = dc_codes[ci][size]
-            bw.put(code, length)
-            if size:
-                bw.put(mag, size)
-            # AC: visit only nonzero coefficients; runs from index gaps
-            nz = np.flatnonzero(zz[1:]) + 1
-            prev = 0
-            for k in nz:
-                run = int(k) - prev - 1
-                prev = int(k)
-                while run > 15:
-                    code, length = ac_codes[ci][0xF0]  # ZRL
-                    bw.put(code, length)
-                    run -= 16
-                size, mag = _magnitude(int(zz[k]))
-                code, length = ac_codes[ci][(run << 4) | size]
-                bw.put(code, length)
-                bw.put(mag, size)
-            if prev < 63:
-                code, length = ac_codes[ci][0x00]  # EOB
-                bw.put(code, length)
+    count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                bw.flush()  # byte-align before the marker
+                bw.buf += bytes(
+                    [0xFF, 0xD0 + ((count // restart_interval - 1) % 8)]
+                )
+                pred = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
+                for v in range(vi):
+                    for hh in range(hi):
+                        bidx = (my * vi + v) * nbx_c[ci] + (mx * hi + hh)
+                        _encode_block(bw, ci, zz_planes[ci][bidx], pred)
+            count += 1
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -329,6 +379,21 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Byte-align, consume an RSTm marker, return m (T.81 E.1.2:
+        restart markers sit on byte boundaries between entropy runs;
+        remaining pad bits of the previous run are discarded)."""
+        self._n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        m = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return m
+
 
 def _decode_huffman(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code = 0
@@ -353,16 +418,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
     ``pixels`` is (H, W) for grayscale or (H, W, 3) RGB uint8.
     Validates markers, rebuilds Huffman tables from DHT, entropy-
-    decodes MCUs, dequantizes, inverse-zigzags, IDCTs, and converts
-    YCbCr→RGB. Raises ValueError on anything outside the baseline
-    no-subsampling profile this engine encodes.
+    decodes interleaved MCUs (Hi/Vi ∈ {1,2} — 4:4:4 and 4:2:0 chroma
+    subsampling, with chroma upsampled by sample replication), honors
+    DRI restart intervals (predictor reset + RSTm sequence check),
+    dequantizes, inverse-zigzags, IDCTs, and converts YCbCr→RGB.
+    Raises ValueError on anything outside this baseline profile
+    (progressive, arithmetic coding, 16-bit quant tables, Hi/Vi > 2).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (id, Hi, Vi, tq)
+    restart_interval = 0
     w = h = 0
     scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
     data_start = None
@@ -414,20 +483,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 raise ValueError("only 8-bit precision supported")
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if hv != 0x11:
-                    raise ValueError("chroma subsampling unsupported")
-                comps.append((cid, hv, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"sampling {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 idx = next(
-                    j for j, (cid, _, _) in enumerate(comps) if cid == cs
+                    j for j, (cid, *_rest) in enumerate(comps) if cid == cs
                 )
                 scan.append((idx, tdta >> 4, tdta & 0xF))
             data_start = pos + seglen
@@ -436,7 +506,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if data_start is None or not comps:
         raise ValueError("missing SOS/SOF")
 
-    # entropy data runs until EOI (no restart markers in this profile)
+    # entropy data runs until EOI (RSTm markers inside are consumed
+    # at the restart boundaries below)
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("missing EOI")
@@ -448,48 +519,79 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     # per-block arithmetic, batched np.matmul instead of per-block
     # numpy allocations).
     ncomp = len(comps)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    nb = nby * nbx
-    zz_all = [np.zeros((nb, 64), dtype=np.int64) for _ in range(ncomp)]
+    hmax = max(hi for (_, hi, _, _) in comps)
+    vmax = max(vi for (_, _, vi, _) in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = [(mcuy * vi, mcux * hi) for (_, hi, vi, _) in comps]
+    zz_all = [
+        np.zeros((gy * gx, 64), dtype=np.int64) for gy, gx in grids
+    ]
     tbls = [(huff[(0, td)], huff[(1, ta)]) for (_, td, ta) in scan]
     pred = [0] * ncomp
-    for bi in range(nb):
-        for si, (ci, _, _) in enumerate(scan):
-            dc_tbl, ac_tbl = tbls[si]
-            zz = zz_all[ci][bi]
-            size = _decode_huffman(br, dc_tbl)
-            pred[ci] += _receive_extend(br, size)
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _decode_huffman(br, ac_tbl)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _receive_extend(br, size)
-                k += 1
+
+    def _decode_block(zz, dc_tbl, ac_tbl, ci):
+        size = _decode_huffman(br, dc_tbl)
+        pred[ci] += _receive_extend(br, size)
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _decode_huffman(br, ac_tbl)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _receive_extend(br, size)
+            k += 1
+
+    count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and count and count % restart_interval == 0:
+                m = br.restart()
+                if m != (count // restart_interval - 1) % 8:
+                    raise ValueError(
+                        f"restart marker out of sequence (RST{m})"
+                    )
+                pred = [0] * ncomp
+            for si, (ci, _, _) in enumerate(scan):
+                _, hi, vi, _ = comps[ci]
+                dc_tbl, ac_tbl = tbls[si]
+                gx = grids[ci][1]
+                for v in range(vi):
+                    for hh in range(hi):
+                        bidx = (my * vi + v) * gx + (mx * hi + hh)
+                        _decode_block(zz_all[ci][bidx], dc_tbl, ac_tbl, ci)
+            count += 1
 
     planes = []
     for ci in range(ncomp):
-        qz = quant[comps[ci][2]].ravel()[ZIGZAG].astype(np.float64)
+        _, hi, vi, tq = comps[ci]
+        gy, gx = grids[ci]
+        nb = gy * gx
+        qz = quant[tq].ravel()[ZIGZAG].astype(np.float64)
         coef = np.zeros((nb, 64), dtype=np.float64)
         coef[:, ZIGZAG] = zz_all[ci] * qz
         blocks = (
             np.matmul(np.matmul(_DCT_M.T, coef.reshape(nb, 8, 8)), _DCT_M)
             + 128.0
         )
-        padded = (
-            blocks.reshape(nby, nbx, 8, 8)
+        plane = (
+            blocks.reshape(gy, gx, 8, 8)
             .transpose(0, 2, 1, 3)
-            .reshape(nby * 8, nbx * 8)
+            .reshape(gy * 8, gx * 8)
         )
-        planes.append(padded[:h, :w])
+        # upsample subsampled components by sample replication
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
 
     if ncomp == 1:
         px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
@@ -529,18 +631,34 @@ def _build_jpeg(doc_id: int) -> bytes:
     return encode_jpeg(img, quant=1)
 
 
-def jpeg_metadata(docs):
-    """mapInPandas: synthesize JPEG bytes per doc, decode end-to-end
-    (marker walk → Huffman → dequant → IDCT → YCbCr), emit header
-    fields + top-left and bottom-right pixels.
+def _build_jpeg420(doc_id: int) -> bytes:
+    """Deterministic 32×32 RGB fixture for doc_id, encoded 4:2:0 with
+    a restart marker after every MCU (restart_interval=1 → 3 RSTm
+    markers across the 4 MCUs, so the decoder's predictor-reset and
+    RST sequence check are on the hot path, not just parsed). Flat
+    16×16-aligned quadrants: luma blocks are flat, AND the 2×2 box
+    downsample maps each quadrant to a flat 8×8 chroma block, so every
+    block in every component is a pure DC coefficient at q=1 and the
+    corner pixels stay SQL-predictable exactly as in the 4:4:4
+    fixture. Exactness is measured, not hoped: decode(encode(img)) ==
+    img for ALL pixels over doc_ids 0..4999 (the flat-block pre-
+    rounding error is ≤1/16 per plane sample — DC quantization — and
+    ≤~0.2 px after the YCbCr→RGB matrix, margin ≥0.3 to the rounding
+    boundary; pinned in tests)."""
+    d = int(doc_id)
+    tl = ((d * 37) % 200 + 20, (d * 59) % 200 + 20, (d * 83) % 200 + 20)
+    br = ((d * 101) % 200 + 20, (d * 131) % 200 + 20, (d * 151) % 200 + 20)
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:16, :16] = tl
+    img[16:, 16:] = br
+    img[:16, 16:] = (tl[0], br[1], tl[2])
+    img[16:, :16] = (br[0], tl[1], br[2])
+    return encode_jpeg(img, quant=1, subsample="420", restart_interval=1)
 
-    The decode is CPU-bound per row (~1.6 ms Python/numpy), so
-    parallelism = input partitions. The synthetic path feeds a tiny
-    id-only table that parquet reads as ONE split (measured: 9.9 s on
-    one core vs 1.6 s spread at sf0.1), so widen it to the session's
-    core count when the scan is narrower — an 8-byte-row shuffle. At
-    production scale a real binary-image scan is already wide and the
-    condition is false."""
+
+def _jpeg_meta_mapper(builder):
+    """Shared mapInPandas runner for the JPEG fixture paths (444 and
+    420 differ only in the byte builder)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import _meta_frame
@@ -548,7 +666,7 @@ def jpeg_metadata(docs):
         for pdf in it:
             metas = []
             for d in pdf["doc_id"]:
-                w, h, nc, px = decode_jpeg(_build_jpeg(int(d)))
+                w, h, nc, px = decode_jpeg(builder(int(d)))
                 metas.append(
                     {
                         "width": w,
@@ -564,8 +682,35 @@ def jpeg_metadata(docs):
                 )
             yield _meta_frame(metas, pdf["doc_id"].values, JPEG_META_SCHEMA)
 
+    return run
+
+
+def jpeg420_metadata(docs):
+    """mapInPandas twin of :func:`jpeg_metadata` over the 4:2:0 +
+    restart-interval fixture — same decode path, plus chroma
+    upsampling and RSTm handling exercised per row. Parallelism
+    widening as in jpeg_metadata (narrow id-only scan)."""
     ids = docs.select("doc_id")
     target = docs.sparkSession.sparkContext.defaultParallelism
     if ids.rdd.getNumPartitions() < target:
         ids = ids.repartition(target)
-    return ids.mapInPandas(run, JPEG_META_SCHEMA)
+    return ids.mapInPandas(_jpeg_meta_mapper(_build_jpeg420), JPEG_META_SCHEMA)
+
+
+def jpeg_metadata(docs):
+    """mapInPandas: synthesize JPEG bytes per doc, decode end-to-end
+    (marker walk → Huffman → dequant → IDCT → YCbCr), emit header
+    fields + top-left and bottom-right pixels.
+
+    The decode is CPU-bound per row (~1.6 ms Python/numpy), so
+    parallelism = input partitions. The synthetic path feeds a tiny
+    id-only table that parquet reads as ONE split (measured: 9.9 s on
+    one core vs 1.6 s spread at sf0.1), so widen it to the session's
+    core count when the scan is narrower — an 8-byte-row shuffle. At
+    production scale a real binary-image scan is already wide and the
+    condition is false."""
+    ids = docs.select("doc_id")
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids.mapInPandas(_jpeg_meta_mapper(_build_jpeg), JPEG_META_SCHEMA)

@@ -95,9 +95,9 @@ _DRIVER_WINDOW_FIRST = [
     # taking a window slot ----
     "dedup_embedding_lsh",
     "text_bpe_merges_k",
+    "mm_jpeg420_decode",
     # ---- pads: cheap, already driver-green (r01/r02) ----
     "w1_topk_per_group",
-    "set_union_distinct",
     "set_intersect",
     "set_except",
     "j3_semi_join",

@@ -342,3 +342,53 @@ def test_bpe_merge_rounds_greedy_semantics(spark):
         corpus = apply_merge(corpus, a, b)
         prev_cnt, prev_total = n, total
     assert got == sorted(expected)
+
+
+def test_jpeg420_roundtrip_exact_across_id_sweep():
+    """mm_jpeg420_decode's oracle predicts corner pixels EXACTLY even
+    through 4:2:0 subsampling + restart markers: flat 16×16-aligned
+    quadrants stay flat under 2×2 box decimation, so all blocks are
+    pure DC at q=1. Pin full-image exactness (not just corners)
+    across a stride of the id range, and the restart-marker wire
+    format itself."""
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        jpeg,
+    )
+
+    for d in range(0, 5000, 83):
+        payload = jpeg._build_jpeg420(d)
+        w, h, nc, px = jpeg.decode_jpeg(payload)
+        assert (w, h, nc) == (32, 32, 3)
+        tl = ((d * 37) % 200 + 20, (d * 59) % 200 + 20, (d * 83) % 200 + 20)
+        br = (
+            (d * 101) % 200 + 20,
+            (d * 131) % 200 + 20,
+            (d * 151) % 200 + 20,
+        )
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        img[:16, :16] = tl
+        img[16:, 16:] = br
+        img[:16, 16:] = (tl[0], br[1], tl[2])
+        img[16:, :16] = (br[0], tl[1], br[2])
+        assert np.array_equal(px, img), f"doc_id={d}"
+        # DRI=1 over 4 MCUs → RST0..RST2 in sequence on the wire
+        for m in range(3):
+            assert bytes([0xFF, 0xD0 + m]) in payload
+
+
+def test_jpeg420_rejects_out_of_sequence_restart():
+    """The decoder must verify the RSTm modulo-8 sequence — a skipped
+    restart interval (truncated scan) is data corruption, not noise."""
+    import pytest
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        jpeg,
+    )
+
+    payload = bytearray(jpeg._build_jpeg420(7))
+    i = payload.index(bytes([0xFF, 0xD1]))
+    payload[i + 1] = 0xD3  # RST1 -> RST3
+    with pytest.raises(ValueError, match="restart|Huffman|marker"):
+        jpeg.decode_jpeg(bytes(payload))
