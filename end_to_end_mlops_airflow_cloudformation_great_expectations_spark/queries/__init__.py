@@ -96,9 +96,9 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_embedding_lsh",
     "text_bpe_merges_k",
     "mm_jpeg420_decode",
+    "dedup_incremental_checked",
     # ---- pads: cheap, already driver-green (r01/r02) ----
     "w1_topk_per_group",
-    "set_intersect",
     "set_except",
     "j3_semi_join",
     "j3_anti_join",

@@ -309,3 +309,73 @@ def test_incremental_sketch_rollup_across_batches(spark, tmp_path, events_dir=No
         .collect()
     }
     assert got == exact
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Incoming documents streamed one file per micro-batch, deduped
+    per batch against a PERSISTED MinHash index (postings + hashed
+    shingles written as tables, read back — never recomputed), must
+    produce exactly the pairs the one-shot batch operator finds."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = catalog.load(spark, sf, "documents")
+    tri = lambda c: dedup.word_ngrams(c, 3)  # noqa: E731
+    corpus = d.filter(F.col("doc_id") < 150)
+    batch = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+
+    # persist the index as tables — the thing a production pipeline
+    # maintains incrementally
+    postings_dir = str(tmp_path / "postings")
+    shingles_dir = str(tmp_path / "shingles")
+    p, sh = dedup.minhash_index(corpus, shingle_fn=tri)
+    p.write.parquet(postings_dir)
+    sh.write.parquet(shingles_dir)
+    postings = spark.read.parquet(postings_dir)
+    shingles = spark.read.parquet(shingles_dir)
+
+    # batch twin
+    want = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.minhash_dedup_incremental(
+            batch, postings, shingles, threshold=0.3, shingle_fn=tri
+        ).collect()
+    }
+
+    # stream the batch in 3 files; dedup each micro-batch in
+    # foreachBatch against the static index
+    feed_dir = str(tmp_path / "feed")
+    batch.select("doc_id", "text").withColumn(
+        "part", (F.col("doc_id") % 3).cast("int")
+    ).repartition("part").write.partitionBy("part").parquet(feed_dir)
+    out_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def dedup_batch(bdf, _bid):
+        dedup.minhash_dedup_incremental(
+            bdf, postings, shingles, threshold=0.3, shingle_fn=tri
+        ).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/part=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want and len(want) > 0
