@@ -201,7 +201,11 @@ def nfc_normalize_udf():
 
 
 def bpe_merge_rounds(
-    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_tokens: bool = False,
 ) -> DataFrame:
     """Iterative BPE-style tokenizer induction: ``k`` merge rounds over
     the whitespace-token corpus, returning the chosen merge per round
@@ -232,7 +236,14 @@ def bpe_merge_rounds(
     tokens from round r+1 twice (via the winner and via the stream),
     so plan size grows ~2^k — fine at merge-table scale k ≲ 8; for
     deep tables swap in the pagerank-style localCheckpoint-per-round
-    discipline (operators/graph.py) at the cost of eagerness."""
+    discipline (operators/graph.py) at the cost of eagerness.
+
+    ``return_tokens=True`` returns the TOKENIZED corpus after the k
+    merges — (doc_id, pos, sym) rows — i.e. "apply the trained
+    tokenizer", the other half of tokenizer induction. Note the final
+    round's merge is then applied too (k merges learned, k merges
+    applied), whereas the merge-table output stops at choosing round
+    k's winner."""
     from pyspark.sql import Window
 
     tok = docs.select(
@@ -260,7 +271,7 @@ def bpe_merge_rounds(
                 F.col("cnt"),
             )
         )
-        if r == k - 1:
+        if r == k - 1 and not return_tokens:
             break
         t = ann.crossJoin(F.broadcast(top1.select("a", "b")))
         t = t.withColumn(
@@ -296,6 +307,8 @@ def bpe_merge_rounds(
             .otherwise(F.col("sym"))
             .alias("sym"),
         )
+    if return_tokens:
+        return tok
     out = rounds[0]
     for rdf in rounds[1:]:
         out = out.unionByName(rdf)

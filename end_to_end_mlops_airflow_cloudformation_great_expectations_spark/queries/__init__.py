@@ -97,8 +97,8 @@ _DRIVER_WINDOW_FIRST = [
     "text_bpe_merges_k",
     "mm_jpeg420_decode",
     "dedup_incremental_checked",
+    "text_bpe_apply",
     # ---- pads: cheap, already driver-green (r01/r02) ----
-    "w1_topk_per_group",
     "set_except",
     "j3_semi_join",
     "j3_anti_join",

@@ -810,3 +810,50 @@ def dedup_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_bpe_apply",
+    oracle=(
+        r"""
+    WITH w0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), t0 AS (
+      SELECT doc_id, unnest(ws) AS sym,
+             generate_subscripts(ws, 1) - 1 AS pos
+      FROM w0
+    ),"""
+        + ",".join(_bpe_round_sql(r) for r in range(3))
+        + """
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_syms,
+           CAST(SUM(CASE WHEN sym LIKE '% %' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged_syms
+    FROM t3 GROUP BY doc_id
+    """
+    ),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer (the other half of tokenizer
+    induction — text_bpe_merges_k learns the merge table, this
+    tokenizes the corpus with it): run the same 3 greedy merge rounds
+    and emit per-doc symbol counts after merging, plus how many
+    symbols are fused multi-word units. Every per-doc count is
+    hash-checked against the DuckDB twin's replay of the identical
+    window arithmetic, so the merge APPLICATION (not just the chosen
+    winners) is verified document-by-document cross-engine. Same lazy
+    plan discipline as text_bpe_merges_k."""
+    tok = text.bpe_merge_rounds(
+        _t(spark, sf_dir, "documents"), k=3, return_tokens=True
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_syms"),
+        F.sum(
+            F.when(F.col("sym").contains(" "), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_merged_syms"),
+    )
