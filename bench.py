@@ -101,6 +101,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     # 4:2:0 + restart-marker JPEG decode (interleaved-MCU path)
     "mm_jpeg420_decode",
+    # maximal cross-doc repeated-span extraction (Lee et al. cut step)
+    "dedup_repeated_spans",
 ]
 
 

@@ -797,3 +797,80 @@ def minhash_dedup_incremental(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
+
+
+def positional_word_ngrams(text: Column, n: int = 5) -> Column:
+    """Word n-grams WITH positions preserved (``word_ngrams`` minus
+    the distinct/compaction): element i is the n-gram starting at
+    token i, null for the last n-1 slots (shorter shifted slices
+    propagate nulls through concat). posexplode + isNotNull gives
+    (pos, gram) rows whose pos is the true token offset — the input
+    the span extractor needs."""
+    toks = F.filter(F.split(F.lower(text), "\\s+"), lambda w: F.length(w) > 0)
+    grams = toks
+    for shift in range(1, n):
+        shifted = F.slice(
+            toks, shift + 1, F.greatest(F.size(toks), F.lit(1))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t)
+        )
+    return grams
+
+
+def repeated_span_extract(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL cross-document repeated spans — the Lee et al.
+    "Deduplicating Training Data" extraction step itself, not just the
+    per-doc shared fraction (dedup_span_fraction): for every document,
+    the maximal token runs whose every word n-gram also appears in
+    ≥ ``min_df`` documents. These spans are what a training-data
+    pipeline actually cuts (or down-weights): boilerplate banners,
+    licenses, templated paragraphs.
+
+    Pipeline (all lazy, no UDF): positional n-grams per doc →
+    document frequency over per-doc-DISTINCT grams (partial-agg'd;
+    the df table is the small side) → keep positions whose gram is
+    shared → gaps-and-islands per doc (pos − row_number, the same
+    window arithmetic the BPE merge step uses) → one row per maximal
+    island: (doc_id, span_start, span_len) with span_len counted in
+    TOKENS (run length + n − 1, since a run of m consecutive shared
+    n-grams covers m+n−1 tokens).
+
+    Scale shape: the gram join is fact×df on the gram string — Zipf-
+    hot boilerplate grams are exactly AQE skew-join territory; the
+    islands windows partition by doc_id (bounded per-doc work). At
+    100 TB, hash the gram to a long first to shrink the shuffle
+    (kept as the readable string here because the oracle replays
+    it)."""
+    from pyspark.sql import Window
+
+    pg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(positional_word_ngrams(F.col(text_col), n)).alias(
+            "pos", "gram"
+        ),
+    ).filter(F.col("gram").isNotNull())
+    df_tbl = (
+        pg.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+    shared = pg.join(df_tbl, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = shared.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + F.lit(n)).cast("long").alias(
+            "span_len"
+        ),
+    ).select("doc_id", "span_start", "span_len")

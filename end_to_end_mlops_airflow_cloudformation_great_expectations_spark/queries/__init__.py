@@ -98,8 +98,8 @@ _DRIVER_WINDOW_FIRST = [
     "mm_jpeg420_decode",
     "dedup_incremental_checked",
     "text_bpe_apply",
+    "dedup_repeated_spans",
     # ---- pads: cheap, already driver-green (r01/r02) ----
-    "set_except",
     "j3_semi_join",
     "j3_anti_join",
 ]

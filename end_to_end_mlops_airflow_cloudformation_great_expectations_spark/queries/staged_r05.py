@@ -857,3 +857,53 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_merged_syms"),
     )
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), pg AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     || ' ' || ws[i+3] || ' ' || ws[i+4]
+                     for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))])
+               AS gram,
+             generate_subscripts([ws[i]
+                     for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))], 1)
+               - 1 AS pos
+      FROM w
+    ), df AS (
+      SELECT gram, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, gram FROM pg)
+      GROUP BY gram HAVING COUNT(*) >= 2
+    ), shared AS (
+      SELECT pg.doc_id, pg.pos FROM pg JOIN df USING (gram)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM shared
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated-SPAN extraction (Lee et al.'s
+    actual dedup step — dedup_span_fraction measures the signal, this
+    emits the cuttable spans): every maximal token run whose word
+    5-grams all appear in ≥2 documents, as (doc_id, span_start,
+    span_len). Fully lazy — positional grams, small-side document
+    frequency, gaps-and-islands windows per doc — and the DuckDB twin
+    replays the identical arithmetic, so every span boundary is
+    hash-checked cross-engine."""
+    from ..operators import dedup
+
+    return dedup.repeated_span_extract(_t(spark, sf_dir, "documents"), n=5)

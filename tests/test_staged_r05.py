@@ -392,3 +392,57 @@ def test_jpeg420_rejects_out_of_sequence_restart():
     payload[i + 1] = 0xD3  # RST1 -> RST3
     with pytest.raises(ValueError, match="restart|Huffman|marker"):
         jpeg.decode_jpeg(bytes(payload))
+
+
+def test_repeated_span_extract_semantics(spark):
+    """Span extraction must emit exactly the maximal runs of shared
+    5-grams: planted corpus with a known shared sentence yields the
+    same spans a sequential Python reference computes."""
+    import re
+    from collections import defaultdict
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        dedup,
+    )
+
+    boiler = "all rights reserved by the example corporation of earth"
+    texts = [
+        f"alpha beta gamma {boiler} delta epsilon",
+        f"{boiler} zeta eta theta iota kappa",
+        "totally unique document with no shared content at all here",
+        f"prefix words here then {boiler} and also {boiler} again yes",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.repeated_span_extract(docs, n=5).collect()
+    }
+
+    # reference: shared 5-gram positions -> maximal runs
+    n = 5
+    toks = {
+        i: [w for w in re.split(r"\s+", t.lower()) if w]
+        for i, t in enumerate(texts)
+    }
+    gram_docs = defaultdict(set)
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            gram_docs[" ".join(ts[p : p + n])].add(i)
+    want = set()
+    for i, ts in toks.items():
+        shared = [
+            p
+            for p in range(len(ts) - n + 1)
+            if len(gram_docs[" ".join(ts[p : p + n])]) >= 2
+        ]
+        run = []
+        for p in shared + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                want.add((i, run[0], run[-1] - run[0] + n))
+                run = []
+            if p is not None:
+                run.append(p)
+    assert got == want
+    assert any(ln >= 9 for (_, _, ln) in got)  # the planted span
