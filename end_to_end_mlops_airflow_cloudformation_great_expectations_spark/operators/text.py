@@ -206,6 +206,7 @@ def bpe_merge_rounds(
     text_col: str = "text",
     id_col: str = "doc_id",
     return_tokens: bool = False,
+    persist_rounds: bool = True,
 ) -> DataFrame:
     """Iterative BPE-style tokenizer induction: ``k`` merge rounds over
     the whitespace-token corpus, returning the chosen merge per round
@@ -234,9 +235,15 @@ def bpe_merge_rounds(
     work, never a global sort); pair counting is map-side partial;
     the winner is TakeOrdered(1). The lazy plan references round r's
     tokens from round r+1 twice (via the winner and via the stream),
-    so plan size grows ~2^k — fine at merge-table scale k ≲ 8; for
-    deep tables swap in the pagerank-style localCheckpoint-per-round
-    discipline (operators/graph.py) at the cost of eagerness.
+    so EXECUTION work grows ~2^k unless each round's token stream is
+    cached: ``persist_rounds=True`` (default) marks each round's
+    tokens with a LAZY persist (build stays action-free — the
+    CLAUDE.md laziness rule; measured 3.6 → 2.78 s median at sf0.1
+    for k=3, and the gap widens with k). The cache is the token
+    stream (MEMORY_AND_DISK, spills at corpus scale); pass False to
+    trade recomputation for zero cache pressure. For k ≫ 8 swap in
+    the pagerank-style localCheckpoint-per-round discipline
+    (operators/graph.py) at the cost of eagerness.
 
     ``return_tokens=True`` returns the TOKENIZED corpus after the k
     merges — (doc_id, pos, sym) rows — i.e. "apply the trained
@@ -254,6 +261,10 @@ def bpe_merge_rounds(
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds = []
     for r in range(k):
+        if persist_rounds:
+            from .dedup import _persist_tracked
+
+            tok = _persist_tracked(tok, fresh=(r == 0))
         ann = tok.withColumn("nxt", F.lead("sym").over(w))
         counts = (
             ann.filter(F.col("nxt").isNotNull())
