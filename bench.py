@@ -101,8 +101,9 @@ HEADLINE = [
     "dedup_embedding_lsh",
     # 4:2:0 + restart-marker JPEG decode (interleaved-MCU path)
     "mm_jpeg420_decode",
-    # maximal cross-doc repeated-span extraction (Lee et al. cut step)
+    # maximal cross-doc repeated-span extraction + the applied cut
     "dedup_repeated_spans",
+    "dedup_span_cut",
 ]
 
 

@@ -874,3 +874,70 @@ def repeated_span_extract(
             "span_len"
         ),
     ).select("doc_id", "span_start", "span_len")
+
+
+def repeated_span_cut(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the Lee et al. cut: remove every maximal repeated span
+    found by :func:`repeated_span_extract` from each document and
+    reassemble the remaining tokens. Returns (doc_id, clean_text,
+    n_tokens, n_removed) — n_tokens counts the SURVIVING tokens.
+
+    A token at position p is removed when it lies inside any span
+    [start, start+len): computed by joining the (sparse) span rows to
+    the token stream per doc with a range predicate — spans per doc
+    are few and short relative to the doc, so the join explodes by
+    ~coverage, not |doc|² — then anti-selecting covered positions and
+    rebuilding text with an ordered collect_list (per-doc grouping,
+    bounded state). Docs with no tokens keep an empty clean_text via
+    the left join + coalesce."""
+    spans = repeated_span_extract(docs, n, min_df, id_col, text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("pos", "sym"),
+    )
+    covered = (
+        toks.join(spans, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") < F.col("span_start") + F.col("span_len"))
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "sym"))).sym
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "\\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        )
+        .cast("long")
+        .alias("n_orig"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        (F.col("n_orig") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -99,8 +99,8 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_incremental_checked",
     "text_bpe_apply",
     "dedup_repeated_spans",
-    # ---- pads: cheap, already driver-green (r01/r02) ----
-    "j3_semi_join",
+    "dedup_span_cut",
+    # ---- pad: cheap, already driver-green (r01) ----
     "j3_anti_join",
 ]
 

@@ -907,3 +907,77 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     return dedup.repeated_span_extract(_t(spark, sf_dir, "documents"), n=5)
+
+
+@query(
+    "dedup_span_cut",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), pg AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     || ' ' || ws[i+3] || ' ' || ws[i+4]
+                     for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))])
+               AS gram,
+             generate_subscripts([ws[i]
+                     for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))], 1)
+               - 1 AS pos
+      FROM w
+    ), df AS (
+      SELECT gram, COUNT(*) AS n_docs
+      FROM (SELECT DISTINCT doc_id, gram FROM pg)
+      GROUP BY gram HAVING COUNT(*) >= 2
+    ), shared AS (
+      SELECT pg.doc_id, pg.pos FROM pg JOIN df USING (gram)
+    ), runs AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM shared
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + 5 AS span_len
+      FROM runs GROUP BY doc_id, grp
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS sym,
+             generate_subscripts(ws, 1) - 1 AS pos
+      FROM w
+    ), covered AS (
+      SELECT DISTINCT t.doc_id, t.pos
+      FROM toks t JOIN spans s
+        ON t.doc_id = s.doc_id
+       AND t.pos >= s.span_start AND t.pos < s.span_start + s.span_len
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.sym
+      FROM toks t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(sym, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(LEN(w.ws) - COALESCE(r.n_tokens, 0) AS BIGINT) AS n_removed
+    FROM w LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the Lee et al. cut (dedup_repeated_spans finds the
+    boilerplate spans, this removes them): per doc, the text with
+    every maximal cross-document repeated span deleted, rebuilt from
+    the surviving tokens, plus surviving/removed token counts. The
+    whole CLEANED CORPUS STRING is hash-checked cross-engine — the
+    DuckDB twin replays gram → df → islands → range-join cover →
+    anti-join → ordered string_agg with identical arithmetic. Lazy
+    end-to-end; the span join is sparse (spans per doc ≪ tokens) and
+    the rebuild is per-doc bounded state."""
+    from ..operators import dedup
+
+    return dedup.repeated_span_cut(_t(spark, sf_dir, "documents"), n=5)

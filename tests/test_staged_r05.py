@@ -446,3 +446,28 @@ def test_repeated_span_extract_semantics(spark):
                 run.append(p)
     assert got == want
     assert any(ln >= 9 for (_, _, ln) in got)  # the planted span
+
+
+def test_repeated_span_cut_semantics(spark):
+    """The cut must remove exactly the covered tokens and reassemble
+    the remainder in order; unique docs pass through untouched."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        dedup,
+    )
+
+    boiler = "all rights reserved by the example corporation of earth"
+    texts = [
+        f"alpha beta gamma {boiler} delta epsilon",
+        f"{boiler} zeta eta theta iota kappa",
+        "totally unique document with no shared content at all here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_removed)
+        for r in dedup.repeated_span_cut(docs, n=5).collect()
+    }
+    assert got[0] == ("alpha beta gamma delta epsilon", 5, 9)
+    assert got[1] == ("zeta eta theta iota kappa", 5, 9)
+    assert got[2] == (texts[2], 10, 0)
