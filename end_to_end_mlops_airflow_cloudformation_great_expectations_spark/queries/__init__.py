@@ -100,8 +100,7 @@ _DRIVER_WINDOW_FIRST = [
     "text_bpe_apply",
     "dedup_repeated_spans",
     "dedup_span_cut",
-    # ---- pad: cheap, already driver-green (r01) ----
-    "j3_anti_join",
+    "dedup_levenshtein",
 ]
 
 

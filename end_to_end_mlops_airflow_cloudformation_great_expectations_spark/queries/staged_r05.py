@@ -981,3 +981,106 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
 
     return dedup.repeated_span_cut(_t(spark, sf_dir, "documents"), n=5)
+
+
+@query(
+    "dedup_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t, n_chars
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id
+     AND (a.n_chars // 64) = (b.n_chars // 64)
+    WHERE levenshtein(a.t, b.t) <= 25
+    """,
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level FUZZY dedup (completes the dedup family ladder:
+    exact → fingerprint → MinHash/SimHash shingle → embedding →
+    edit-distance): pairs within a LENGTH BAND (n_chars // 64 — edit
+    distance ≤ 25 implies |len_a − len_b| ≤ 25, so near-dups land in
+    the same or adjacent band; the band is the blocking key that keeps
+    the quadratic in-band, the same contract as every other dedup
+    blocker here) whose lowercase texts are within 25 edits.
+    Spark's built-in levenshtein (JVM, codegen) against DuckDB's —
+    classic Wagner-Fischer on both engines, so the distances
+    hash-match exactly. doc_id<200 slice bounds the oracle-scale
+    quadratic; at 100 TB the band plus a cheap n-gram prefilter
+    bounds it."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = d.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        (F.col("n_chars") / F.lit(64)).cast("long").alias("band"),
+    )
+    a = e.select(
+        F.col("band"),
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("ta"),
+    )
+    b = e.select(
+        F.col("band"),
+        F.col("doc_id").alias("id_b"),
+        F.col("t").alias("tb"),
+    )
+    return (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 25)
+    )
+
+
+@query(
+    "p_group_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+             (doc_id + 7700011) % 4294967296 AS km
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             ((km - km % 65536) // 65536 * 2654435761 % 4294967296
+              * 65536 + km % 65536 * 2654435761) % 4294967296 AS mixed
+      FROM h
+    )
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY mixed, doc_id) AS rn
+      FROM m
+    ) WHERE rn <= 20
+    """,
+)
+def p_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample (reservoir-style n-per-group
+    without rand()): rank docs inside each source by the portable
+    Knuth hash (seed folded into the key; collisions tie-broken on
+    doc_id so the order is total) and keep the first 20. Engine-
+    portable and REPRODUCIBLE — the same sample on every run, engine,
+    and partition layout, which is what makes a training-data
+    subsample auditable; a new seed constant gives a fresh sample.
+    Scale shape: one hash + per-group top-N (partial TakeOrdered
+    inside the window agg at realistic group counts — never a global
+    sort); the p_epoch_shuffle integer-arithmetic convention."""
+    from ..functions.columns import M32, portable_bucket
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = portable_bucket(F.col("doc_id") + F.lit(7700011), M32)
+    w = Window.partitionBy("source").orderBy("mixed", "doc_id")
+    return (
+        d.withColumn("mixed", mixed)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
