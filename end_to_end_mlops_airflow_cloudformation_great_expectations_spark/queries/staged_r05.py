@@ -1084,3 +1084,63 @@ def p_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "dedup_containment",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents WHERE doc_id < 200
+    ), g AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, GREATEST(LEN(ws) - 2, 0))]) AS ng
+      FROM w
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_large,
+           ROUND(CAST(LEN(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / LEN(a.ng), 4) AS containment
+    FROM g a JOIN g b ON a.doc_id <> b.doc_id
+    WHERE LEN(a.ng) > 0
+      AND CAST(LEN(list_intersect(a.ng, b.ng)) AS DOUBLE)
+          / LEN(a.ng) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup — |A∩B| / |A| over word trigram
+    sets: catches sub-document duplication (doc A quoted or embedded
+    inside doc B) that symmetric Jaccard misses whenever the host doc
+    is much larger than the quoted one. Ordered pairs (id_small is
+    the contained side), threshold 0.5. Same expression machinery as
+    ngram_jaccard_pairs (zip_with gram build, array_intersect), same
+    DuckDB twin convention (4-dp rounding grid), doc_id<200 slice
+    bounds the oracle-scale all-pairs; at 100 TB the MinHash postings
+    prefilter (minhash_index) bounds the candidate set — containment
+    candidates share at least one band whenever Jaccard isn't tiny."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = d.select(
+        "doc_id", dedup.word_ngrams(F.col("text"), 3).alias("ng")
+    )
+    a = g.select(
+        F.col("doc_id").alias("id_small"), F.col("ng").alias("ng_a")
+    ).withColumn("__b", F.pmod(F.hash("id_small"), F.lit(1)))
+    b = g.select(
+        F.col("doc_id").alias("id_large"), F.col("ng").alias("ng_b")
+    ).withColumn("__b", F.pmod(F.hash("id_large"), F.lit(1)))
+    inter = F.size(F.array_intersect(F.col("ng_a"), F.col("ng_b")))
+    return (
+        a.join(b, "__b")
+        .filter(F.col("id_small") != F.col("id_large"))
+        .filter(F.size("ng_a") > 0)
+        .select(
+            "id_small",
+            "id_large",
+            F.round(inter / F.size("ng_a"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
