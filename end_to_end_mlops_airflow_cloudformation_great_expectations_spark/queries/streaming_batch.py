@@ -139,6 +139,37 @@ def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t9_stream_stream_join",
+    oracle="""
+    SELECT CAST(v.user_id AS BIGINT) AS user_id,
+           CAST(v.event_id AS BIGINT) AS view_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(FLOOR(EPOCH(v.ts)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase'
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 batch twin: stream-STREAM interval join (purchase attribution
+    to same-user views within the preceding 30 minutes). The exact
+    transformation function the streaming job runs
+    (jobs.stream_stream_join — withWatermark is a no-op on batch
+    inputs); the real two-stream watermarked join is driven in
+    tests/test_streaming_advanced.py and must equal this result."""
+    e = _events(spark, sf_dir)
+    return jobs.stream_stream_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
     "t_doc_intake",
     oracle=r"""
     WITH t AS (

@@ -125,6 +125,48 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
 
 
+def stream_stream_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """T9: stream-STREAM inner join with an event-time range condition —
+    attribute each purchase to the same user's view events in the
+    preceding ``horizon``.
+
+    Both inputs carry watermarks (callers pass ``with_watermark``
+    outputs); together with the time-interval predicate that lets the
+    engine expire buffered rows once ``view.ts < purchase watermark −
+    horizon``, so per-key state is bounded by watermark + horizon, not
+    by stream length — the requirement that makes stream-stream joins
+    viable at all on an unbounded 100 TB/day feed. Per micro-batch the
+    physical plan is a shuffle hash join on user_id; epoch-seconds
+    output for oracle stability (batch twin: t9_stream_stream_join)."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "15 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "15 minutes")
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            F.unix_timestamp("v_ts").cast("long").alias("view_epoch"),
+            F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+        )
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """T6: arbitrary stateful processing — per-user running
     (count, sum) maintained across micro-batches via
@@ -401,6 +443,7 @@ __all__ = [
     "session_agg",
     "dedup_stream",
     "stream_static_join",
+    "stream_stream_join",
     "running_user_totals",
     "run_available_now",
 ]

@@ -183,6 +183,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_t9_jobs_stream_stream_join_equals_registered_twin(spark, tmp_path):
+    """The REGISTERED t9_stream_stream_join twin and a real two-stream
+    watermarked run of the same jobs.stream_stream_join function must
+    produce identical rows on the sf0.001 events feed — the oracle the
+    driver hash-checks is exactly what the streaming job computes."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.streaming_batch import (
+        t9_stream_stream_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = sorted(tuple(r) for r in t9_stream_stream_join(spark, sf_dir).collect())
+
+    # the streaming file source needs a directory, not a single file
+    import shutil
+
+    feed = tmp_path / "t9_feed"
+    feed.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", feed / "part-0.parquet")
+    stream = jobs.read_events_stream(spark, str(feed))
+    joined = jobs.stream_stream_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    jobs.run_available_now(joined, "t9_out", "append")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t9_out").collect())
+    assert got == want and len(got) > 0
+
+
 def test_t2_sliding_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src)
