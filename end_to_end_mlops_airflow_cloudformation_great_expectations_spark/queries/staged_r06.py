@@ -30,6 +30,21 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return catalog.load(spark, sf_dir, table)
 
 
+#: LAZY persist tracking (the operators/dedup.py convention): a query
+#: builder may persist() intermediates — no job runs at build time —
+#: and the next builder call evicts the previous call's caches so a
+#: long-lived session holds one live cache set, not an accumulation.
+_live_caches: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame, *, fresh: bool = True) -> DataFrame:
+    if fresh:
+        while _live_caches:
+            _live_caches.pop().unpersist(blocking=False)
+    _live_caches.append(df.persist())
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch heavy hitters
 # ---------------------------------------------------------------------------
@@ -331,4 +346,138 @@ def w_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("t2").cast("long").alias("click_epoch"),
             F.unix_timestamp("t3").cast("long").alias("purchase_epoch"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA — top principal component via lazy power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 6
+_PCA_GRID = 10000
+
+
+def _pca_oracle_sql(rounds: int) -> str:
+    """DuckDB replay of the SAME centered gram + power iteration —
+    unrolled CTE rounds (the g_pagerank_banded convention: fixed
+    iteration count needs no recursion, and both engines spell the
+    identical arithmetic)."""
+    ctes = ["r0 AS (SELECT i AS j, 0.125 AS vj FROM m)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT g.i, SUM(g.g*r{r-1}.vj) AS w "
+            f"FROM g JOIN r{r-1} ON r{r-1}.j=g.j GROUP BY g.i)"
+        )
+        ctes.append(
+            f"r{r} AS (SELECT i AS j, "
+            f"w / SQRT((SELECT SUM(w*w) FROM w{r})) AS vj FROM w{r})"
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (SELECT i, AVG(v) AS m FROM e GROUP BY i),
+    cnt AS (SELECT COUNT(DISTINCT vec_id) AS n FROM e),
+    s AS (SELECT a.i AS i, b.i AS j, SUM(a.v*b.v) AS s
+          FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    g AS MATERIALIZED (SELECT s.i, s.j, s.s - (SELECT n FROM cnt) * ma.m * mb.m AS g
+          FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j),
+    {", ".join(ctes)}
+    SELECT CAST(j AS BIGINT) AS dim,
+           CAST(FLOOR(vj * {_PCA_GRID}) AS BIGINT) AS comp_band
+    FROM r{rounds}
+    """
+
+
+@query("emb_pca_power_banded", oracle=_pca_oracle_sql(_PCA_ROUNDS))
+def emb_pca_power_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus, computed the
+    way a 1000-executor cluster has to: the d×d centered gram matrix
+    is assembled from PARTITION-LOCAL outer-product partials
+    (mapInPandas emits each partition's X^T X as d² (i,j,s) rows —
+    4096 rows per partition regardless of row count, the
+    treeAggregate-of-outer-products shape MLlib's covariance uses;
+    centering folds in algebraically as G = Σxxᵀ − n·m·mᵀ so no
+    centered copy of the data is ever materialized), then
+    ``_PCA_ROUNDS`` power-iteration rounds run LAZILY as joins/aggs
+    over the 4096-row gram — every round is a broadcast join of the
+    64-row iterate, so the whole fixpoint adds zero wide shuffles and
+    planlint sees the full plan (unlike the eager quantizer fits,
+    which are rows-only by contract).
+
+    Cross-engine oracle (the g_pagerank_banded pattern): DuckDB
+    replays the identical arithmetic — same init (1/8 per component,
+    positive so the sign is pinned), same normalization each round —
+    and both sides quantize components to 1e-4 bands. Measured margin
+    at sf0.001: the closest component sits 2e-3 band-widths from a
+    boundary vs ~1e-13 band-widths of cross-engine summation noise
+    (pinned in tests/test_staged_r06.py)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+
+    def gram_parts(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            G = X.T @ X
+            ii, jj = np.indices(G.shape)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "s": G.ravel()}
+            )
+
+    S = (
+        e.mapInPandas(gram_parts, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    ex = e.select(F.posexplode("embedding").alias("i", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    means = ex.groupBy("i").agg(F.avg("v").alias("m"))
+    cnt = e.agg(F.count("*").alias("n"))
+    # LAZY persist: the gram is referenced by every round and each
+    # round's iterate twice (norm + normalize) — without the cache the
+    # recursive lineage recomputes the gram per reference (measured
+    # 62 s at sf0.001; ~1.5 s with it). No job runs at build time.
+    # coalesce(1): the gram is d² = 4096 rows — every power-iteration
+    # round over it is sub-kilobyte work, and under the driver's PLAIN
+    # session (200 shuffle partitions, no profile confs) the
+    # uncoalesced rounds each scheduled 200-task stages; one partition
+    # makes each round a single-task job. The DATA-sized shuffles
+    # (gram partial agg, means) happen before this point at full
+    # parallelism.
+    G = _persist_tracked(
+        S.join(F.broadcast(means), "i")
+        .join(
+            F.broadcast(means.select(F.col("i").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "i", "j", (F.col("s") - F.col("n") * F.col("m") * F.col("mj")).alias("g")
+        )
+        .coalesce(1)
+    )
+    v = means.select(F.col("i").alias("j"), F.lit(0.125).alias("vj"))
+    for _ in range(_PCA_ROUNDS):
+        w = _persist_tracked(
+            G.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
+            .coalesce(1),
+            fresh=False,
+        )
+        norm = w.agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("i").alias("j"),
+            (F.col("w") / F.sqrt(F.col("nn"))).alias("vj"),
+        )
+    return v.select(
+        F.col("j").cast("long").alias("dim"),
+        F.floor(F.col("vj") * _PCA_GRID).cast("long").alias("comp_band"),
     )

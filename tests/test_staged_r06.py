@@ -85,12 +85,56 @@ def test_funnel_stages_strictly_ordered(spark):
     assert stages[3] > 0
 
 
+def test_pca_power_matches_numpy_and_band_margin(spark):
+    """The lazily-iterated top principal component must match numpy
+    running the identical 6 rounds to ~1e-12, and every component must
+    sit far from its 1e-4 band boundary (the g_pagerank_banded margin
+    discipline: band edges are measured, not hoped for)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _PCA_GRID,
+        _PCA_ROUNDS,
+        emb_pca_power_banded,
+    )
+
+    got = {
+        r.dim: r.comp_band
+        for r in emb_pca_power_banded(spark, SF_DIR).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("embedding")
+        .toPandas()
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Xc = X - X.mean(0)
+    G = Xc.T @ Xc
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(_PCA_ROUNDS):
+        w = G @ v
+        v = w / np.linalg.norm(w)
+    assert len(got) == X.shape[1]
+    for i, vi in enumerate(v):
+        assert got[i] == int(np.floor(vi * _PCA_GRID))
+    # margin: nearest component-to-boundary distance must dwarf
+    # cross-engine float noise (~1e-13 band-widths)
+    frac = (v * _PCA_GRID) % 1.0
+    margin = np.minimum(frac, 1.0 - frac).min()
+    assert margin > 1e-4
+
+
 def test_round6_names_registered_after_window():
     """Round-6 queries append after the pinned 50-name window (no
     slot left this round); they rotate in next round."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
-    for n in ("a_cms_heavy_hitters", "a_ols_multivariate", "w_funnel_conversion"):
+    for n in (
+        "a_cms_heavy_hitters",
+        "a_ols_multivariate",
+        "w_funnel_conversion",
+        "t9_stream_stream_join",
+        "emb_pca_power_banded",
+    ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
