@@ -481,3 +481,181 @@ def emb_pca_power_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         F.floor(F.col("vj") * _PCA_GRID).cast("long").alias("comp_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution / time-series diagnostics / run intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_last_touch_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT CAST(event_id AS BIGINT) AS purchase_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           COALESCE(channel, 'none') AS channel,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS purchase_epoch
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def w_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING non-purchase event (the marketing-analytics
+    primitive behind channel ROI). One pass: a per-user event-time
+    window with ``last(..., ignorenulls=True)`` over rows up to 1
+    PRECEDING — the conditional-carry-forward idiom — then filter to
+    purchases. Deterministic total order (ts, event_id tie-break) so
+    both engines agree on simultaneous events. Window partitioned by
+    user_id: parallel across the key space, no global sort anywhere;
+    at 100 TB this is one shuffle on user_id, state one row per
+    frame."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("long").alias("purchase_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.coalesce(F.col("channel"), F.lit("none")).alias("channel"),
+            F.unix_timestamp("ts").cast("long").alias("purchase_epoch"),
+        )
+    )
+
+
+@query(
+    "a_autocorrelation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), lags AS (
+      SELECT k FROM generate_series(1, 6) AS t(k)
+    ), pairs AS (
+      SELECT l.k, a.x AS x, b.x AS y
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.h = a.h + l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x*x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y*y) - SUM(y) * SUM(y))), 6)
+             AS acf
+    FROM pairs GROUP BY k
+    """,
+)
+def a_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..6 — the seasonality/burstiness diagnostic for a telemetry
+    feed. Scale-correct formulation: NO global ordered window — the
+    hourly series (bounded: one row per hour of corpus time) is
+    self-JOINED at offset h+k per lag, and Pearson r comes from the
+    one-pass sum-of-products identity, so everything is groupBy/join
+    on hour keys at full parallelism. The lag dimension fans out via
+    a 6-row broadcast cross join, one scan of the series for all six
+    lags."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("k"))
+    a = c.crossJoin(F.broadcast(lags))
+    b = c.select((F.col("h")).alias("hb"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("hb") == F.col("h") + F.col("k"))
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx, syy = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    return pairs.groupBy("k").agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    ).select(F.col("k").cast("long").alias("lag"), "n_pairs", "acf")
+
+
+@query(
+    "j_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(MIN(rn) AS BIGINT) AS first_rn,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS run_start_epoch,
+           CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS run_end_epoch
+    FROM o GROUP BY user_id, event_type, rn - rt
+    """,
+)
+def j_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style run intervals: collapse each user's event stream
+    into maximal runs of consecutive equal event_type, with validity
+    bounds — the slowly-changing-dimension build step (state "valid
+    from first_rn for run_len events") and the same gaps-and-islands
+    core as dedup_repeated_spans, here over per-user state instead of
+    corpus positions. Two windows per user partition (global rank +
+    per-type rank; their difference is constant within a run), then
+    one groupBy on (user, type, island) — all partitioned by user_id,
+    nothing global. Deterministic tie-break (ts, event_id) keeps both
+    engines' row numbering identical."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = e.withColumn("rn", F.row_number().over(wu)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        o.groupBy("user_id", "event_type", (F.col("rn") - F.col("rt")).alias("_isl"))
+        .agg(
+            F.min("rn").cast("long").alias("first_rn"),
+            F.count("*").cast("long").alias("run_len"),
+            F.unix_timestamp(F.min("ts")).cast("long").alias("run_start_epoch"),
+            F.unix_timestamp(F.max("ts")).cast("long").alias("run_end_epoch"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            "first_rn",
+            "run_len",
+            "run_start_epoch",
+            "run_end_epoch",
+        )
+    )

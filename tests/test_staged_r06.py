@@ -123,6 +123,37 @@ def test_pca_power_matches_numpy_and_band_margin(spark):
     assert margin > 1e-4
 
 
+def test_attribution_and_runs_invariants(spark):
+    """Semantic pins for the analytics trio: every purchase row in the
+    attribution output, channels are never 'purchase'; SCD2 run
+    lengths partition each user's stream exactly; ACF is a valid
+    correlation (|r| ≤ 1) with lag-monotone pair counts."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_autocorrelation,
+        j_scd2_intervals,
+        w_last_touch_attribution,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_purchases = ev.filter("event_type = 'purchase'").count()
+    att = w_last_touch_attribution(spark, SF_DIR).collect()
+    assert len(att) == n_purchases
+    assert all(r.channel != "purchase" for r in att)
+
+    runs = j_scd2_intervals(spark, SF_DIR).collect()
+    assert sum(r.run_len for r in runs) == ev.count()
+    assert all(r.run_end_epoch >= r.run_start_epoch for r in runs)
+
+    acf = a_autocorrelation(spark, SF_DIR).collect()
+    assert len(acf) == 6
+    by_lag = {r.lag: r for r in acf}
+    for k in range(1, 7):
+        assert abs(by_lag[k].acf) <= 1.0
+        # the hourly series has gaps, so pair counts are not monotone
+        # in lag — but every lag must find a healthy pair population
+        assert by_lag[k].n_pairs > 100
+
+
 def test_round6_names_registered_after_window():
     """Round-6 queries append after the pinned 50-name window (no
     slot left this round); they rotate in next round."""
@@ -135,6 +166,9 @@ def test_round6_names_registered_after_window():
         "w_funnel_conversion",
         "t9_stream_stream_join",
         "emb_pca_power_banded",
+        "w_last_touch_attribution",
+        "a_autocorrelation",
+        "j_scd2_intervals",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
