@@ -659,3 +659,146 @@ def j_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "run_end_epoch",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier as sparse matmul / sequence-pattern regex
+# ---------------------------------------------------------------------------
+
+_CLF_DIM = 1024
+_CLF_SEED = 4000037
+
+
+@query(
+    "text_classifier_score",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+      ) WHERE len(word) > 0
+    ), tf AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % {_CLF_DIM}
+               AS idx,
+             COUNT(*) AS cnt
+      FROM w GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_id,
+             SUM(cnt) AS n_terms,
+             SUM(cnt * (({_cms_oracle_bucket_sql('idx', _CLF_SEED).replace(f'% {_CMS_WIDTH}', '% 2001')}) - 1000)
+                 / 1024.0 / 16) AS score
+      FROM tf GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           ROUND(score, 6) AS score,
+           ROUND(1.0 / (1.0 + EXP(-score)), 6) AS prob,
+           ROUND(score, 6) > 0 AS keep
+    FROM scored
+    """,
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (fastText-style) quality-classifier INFERENCE over the
+    corpus with zero Python in the hot path: hashed bag-of-words
+    features (the enc_feature_hash md5 trick — no vocabulary, fixed
+    {_CLF_DIM}-dim space) scored against a weight vector, as a pure
+    aggregation. The model here is hash-derived (weight(idx) =
+    (portable_bucket(idx+seed, 2001) − 1000)/1024/16 — deterministic
+    and engine-portable, so DuckDB replays inference bit-for-bit at
+    the 1e-6 grid — the divisor is DYADIC (1024·16) so every weight,
+    product and partial sum is exactly representable and the score is
+    order-independent across engines and partitionings); swapping in trained weights turns the weight
+    expression into a broadcast join on idx against a 1024-row
+    weights table — the plan shape does not change. This is the 100 TB
+    quality-filter step (CCNet/fastText LM filtering) expressed as
+    sparse matmul: tokenize → (doc, idx) term counts with map-side
+    partial agg → Σ tf·w per doc → sigmoid; one shuffle on doc_id,
+    no UDF, no model server."""
+    from ..functions.columns import portable_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    idx = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long") % _CLF_DIM
+    tf = (
+        words.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wgt = (
+        (portable_bucket(F.col("idx") + F.lit(_CLF_SEED), 2001) - F.lit(1000))
+        / F.lit(1024.0)
+        / F.lit(16)
+    )
+    scored = tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_terms"),
+        F.sum(F.col("cnt") * wgt).alias("score_raw"),
+    )
+    return scored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_terms",
+        F.round("score_raw", 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score_raw"))), 6).alias(
+            "prob"
+        ),
+        (F.round("score_raw", 6) > 0).alias("keep"),
+    )
+
+
+@query(
+    "w_sequence_pattern",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             STRING_AGG(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(LEN(seq) AS BIGINT) AS seq_len,
+           CAST(LEN(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             AS n_conversions,
+           CAST(LEN(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts
+    FROM s
+    """,
+)
+def w_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex over each user's chronological
+    event-symbol string. Events collapse to one char each (v/c/p/s/e),
+    per-user strings assemble via array_sort of (ts, event_id, sym)
+    structs (deterministic total order — the struct sorts by field
+    order, so the tie-break is built into the sort key) and the
+    pattern engine counts non-overlapping matches: 'vc*p' =
+    view→(clicks)→purchase conversions, 'ee+' = error bursts. The
+    generalization of w_funnel_conversion: ANY sequential pattern
+    without new plan machinery. Per-user state is one bounded string
+    (longest fixture user ~hundreds of events); at 100 TB you shard
+    long histories by session first (t3_session_window), then pattern-
+    match within sessions — same operator, bounded keys."""
+    e = _t(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("sym")
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("ev")).alias("evs"))
+        .select(
+            "user_id",
+            F.concat_ws(
+                "", F.transform(F.col("evs"), lambda x: x["sym"])
+            ).alias("seq"),
+        )
+    )
+    return seq.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_conversions"),
+        F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
+    )

@@ -154,6 +154,88 @@ def test_attribution_and_runs_invariants(spark):
         assert by_lag[k].n_pairs > 100
 
 
+def test_classifier_score_is_exact_and_deterministic(spark):
+    """The hash-derived linear model must reproduce a local numpy
+    replay exactly (dyadic weights ⇒ order-independent sums), and
+    prob must be the sigmoid of the unrounded score to 1e-6."""
+    import hashlib
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+        KNUTH,
+        M32,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _CLF_DIM,
+        _CLF_SEED,
+        text_classifier_score,
+    )
+
+    got = {r.doc_id: r for r in text_classifier_score(spark, SF_DIR).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def bucket(key, n):
+        km = key % M32
+        lo = km % 65536
+        hi = (km - lo) // 65536
+        return ((hi * KNUTH) % M32 * 65536 + lo * KNUTH) % M32 % n
+
+    checked = 0
+    for d in docs:
+        words = [w for w in d.text.lower().split() if w]
+        if not words:
+            assert d.doc_id not in got
+            continue
+        score = 0.0
+        for w in words:
+            idx = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % _CLF_DIM
+            score += (bucket(idx + _CLF_SEED, 2001) - 1000) / 1024.0 / 16
+        r = got[d.doc_id]
+        assert r.n_terms == len(words)
+        # Spark and DuckDB both round HALF AWAY FROM ZERO; python's
+        # round() is banker's — replay with Decimal to match (dyadic
+        # sums land exactly on 5e-7 halfway points, so this matters)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        want = float(
+            Decimal(repr(score)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        assert r.score == want
+        assert abs(r.prob - 1.0 / (1.0 + math.exp(-score))) <= 2e-6
+        checked += 1
+    assert checked > 10
+
+
+def test_sequence_pattern_counts_match_python_regex(spark):
+    """Per-user symbol sequences and regex counts must match a python
+    replay with the same (ts, event_id) total order."""
+    import re
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        w_sequence_pattern,
+    )
+
+    got = {r.user_id: r for r in w_sequence_pattern(spark, SF_DIR).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type[0])
+    assert set(got) == set(seqs)
+    for u, syms in seqs.items():
+        s = "".join(syms)
+        assert got[u].seq_len == len(s)
+        assert got[u].n_conversions == len(re.findall("vc*p", s))
+        assert got[u].n_error_bursts == len(re.findall("ee+", s))
+
+
 def test_round6_names_registered_after_window():
     """Round-6 queries append after the pinned 50-name window (no
     slot left this round); they rotate in next round."""
@@ -169,6 +251,8 @@ def test_round6_names_registered_after_window():
         "w_last_touch_attribution",
         "a_autocorrelation",
         "j_scd2_intervals",
+        "text_classifier_score",
+        "w_sequence_pattern",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
