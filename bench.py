@@ -104,6 +104,19 @@ HEADLINE = [
     # maximal cross-doc repeated-span extraction + the applied cut
     "dedup_repeated_spans",
     "dedup_span_cut",
+    # r06 additions: sketches/stats/analytics batch
+    "p_group_sample",
+    "dedup_containment",
+    "a_cms_heavy_hitters",
+    "a_ols_multivariate",
+    "w_funnel_conversion",
+    "t9_stream_stream_join",
+    "w_last_touch_attribution",
+    "a_autocorrelation",
+    "j_scd2_intervals",
+    "text_classifier_score",
+    "w_sequence_pattern",
+    "emb_pca_power_banded",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Distributed dense linear algebra over embedding columns — the
+sufficient-statistics way.
+
+The core object is the ADDITIVE moment table of an embedding corpus:
+
+    (i, j,  s)   with j >= 0   → S_ij = Σ x_i·x_j   (cross-moments)
+    (i, -1, s)   with i >= 0   → s_i  = Σ x_i       (per-dim sums)
+    (-1, -1, s)               → n                   (row count)
+
+Every row is a SUM over data rows, so moment tables merge by plain
+``groupBy(i, j).sum`` — across partitions (the mapInPandas partials
+here), across micro-batches (streaming/jobs.moment_stats_sink), or
+across whole corpora. That additivity is the 100 TB contract: global
+covariance/PCA never needs a second pass over history, only a merge of
+d²-sized partials (the treeAggregate-of-outer-products shape MLlib's
+RowMatrix uses). Centering folds in algebraically at READ time:
+G_ij = S_ij − s_i·s_j / n, so no centered copy of the data exists.
+
+``power_iteration`` then runs a fixed number of rounds LAZILY as
+broadcast joins over the d²-row gram — no collect, planlint-visible,
+with tracked lazy persists cutting the recursive lineage (each round
+references the gram and its own iterate twice; unpersisted that
+recomputes exponentially — measured 62 s → ~1.5 s at sf0.001 for the
+emb_pca_power_banded query this module was extracted from).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Tracked lazy caches (the operators/dedup.py convention): persist()
+#: runs no job; the next operator call evicts the previous call's
+#: caches so a long-lived session holds one live cache set.
+_live_caches: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame, *, fresh: bool = True) -> DataFrame:
+    if fresh:
+        while _live_caches:
+            _live_caches.pop().unpersist(blocking=False)
+    _live_caches.append(df.persist())
+    return df
+
+
+def moment_partials(e: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The additive (i, j, s) moment table of ``e[vec_col]``.
+
+    Partition-local numpy outer products (d² + d + 1 rows per
+    partition regardless of row count) merged by one bounded-
+    cardinality groupBy — map-side partial aggregation collapses each
+    partition before the shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def parts(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            G = X.T @ X
+            ii, jj = np.indices(G.shape)
+            d = X.shape[1]
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [ii.ravel(), np.arange(d), [-1]]
+                    ).astype("int32"),
+                    "j": np.concatenate(
+                        [jj.ravel(), np.full(d, -1), [-1]]
+                    ).astype("int32"),
+                    "s": np.concatenate([G.ravel(), X.sum(0), [float(len(X))]]),
+                }
+            )
+
+    # coalesce(1): d²+d+1 result rows — the heavy lifting is the
+    # partition-local numpy partials + map-side combine; a single
+    # reduce task beats 200 near-empty ones under the driver's plain
+    # session
+    return (
+        e.select(vec_col)
+        .mapInPandas(parts, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .coalesce(1)
+    )
+
+
+def centered_gram(moments: DataFrame) -> DataFrame:
+    """(i, j, g) centered gram from a moment table:
+    G_ij = S_ij − s_i·s_j / n. Lazy; the d-row sums and 1-row count
+    broadcast. coalesce(1): d² rows — every downstream iteration over
+    it is sub-kilobyte work, and one partition keeps the fixpoint
+    rounds single-task under any shuffle-partition setting."""
+    # the moment table feeds three branches (count, sums, cross) —
+    # persist it or the data-sized mapInPandas pass runs three times
+    moments = _persist_tracked(moments)
+    n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    sums = moments.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("s").alias("si")
+    )
+    return (
+        moments.filter(F.col("j") >= 0)
+        .join(F.broadcast(sums), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("si").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("s") - F.col("si") * F.col("sj") / F.col("n")).alias("g"),
+        )
+        .coalesce(1)
+    )
+
+
+def power_iteration(G: DataFrame, rounds: int, init: float = 0.125) -> DataFrame:
+    """Top-eigenvector fixpoint over an (i, j, g) gram, run lazily.
+
+    Plan-shape discipline: the iterate is carried as ONE single-row
+    array column, so each round's plan references the previous round
+    EXACTLY ONCE — total plan depth grows LINEARLY in ``rounds``. The
+    naive formulation (iterate as a (j, vj) table, joined back into
+    the gram, with the norm as a second reference) doubles the plan
+    per round: 2^rounds nested cached-plan subtrees, which blew up
+    Spark's plan-string generation (OOM in explainString) under the
+    driver's plain session before it blew up compute. The gram
+    collapses once to 64 (i, row-array) rows; each round is then a
+    1-row broadcast cross join + an in-row dot product via
+    aggregate(zip_with(...)) + one 64-row agg to re-normalize —
+    whole-stage-codegen arithmetic, no per-round shuffle, no per-round
+    cache.
+
+    Returns (j, vj). Positive constant ``init`` pins the sign; fixed
+    ``rounds`` keeps the computation replayable by an unrolled-CTE SQL
+    twin (g_pagerank_banded convention)."""
+    # fresh=False: keep centered_gram's moments cache alive when
+    # composed in the same build
+    rows = _persist_tracked(
+        G.groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "g"))),
+                lambda p: p["g"],
+            ).alias("grow")
+        )
+        .coalesce(1),
+        fresh=False,
+    )
+    dim = F.size(F.first("grow"))
+    vrow = rows.agg(
+        F.transform(F.sequence(F.lit(1), dim), lambda _: F.lit(init)).alias("varr")
+    )
+    dot = lambda grow, varr: F.aggregate(  # noqa: E731
+        F.zip_with(grow, varr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(rounds):
+        scored = rows.crossJoin(F.broadcast(vrow)).select(
+            "i", dot(F.col("grow"), F.col("varr")).alias("w")
+        )
+        vrow = scored.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("pairs"),
+            F.sum(F.col("w") * F.col("w")).alias("nn"),
+        ).select(
+            F.transform(
+                F.col("pairs"), lambda p: p["w"] / F.sqrt(F.col("nn"))
+            ).alias("varr")
+        )
+    # posexplode positions are 0-based — exactly the dim ids
+    return vrow.select(F.posexplode("varr").alias("j", "vj"))
+
+
+__all__ = ["moment_partials", "centered_gram", "power_iteration"]

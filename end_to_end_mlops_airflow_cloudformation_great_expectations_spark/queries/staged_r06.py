@@ -30,21 +30,6 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return catalog.load(spark, sf_dir, table)
 
 
-#: LAZY persist tracking (the operators/dedup.py convention): a query
-#: builder may persist() intermediates — no job runs at build time —
-#: and the next builder call evicts the previous call's caches so a
-#: long-lived session holds one live cache set, not an accumulation.
-_live_caches: list[DataFrame] = []
-
-
-def _persist_tracked(df: DataFrame, *, fresh: bool = True) -> DataFrame:
-    if fresh:
-        while _live_caches:
-            _live_caches.pop().unpersist(blocking=False)
-    _live_caches.append(df.persist())
-    return df
-
-
 # ---------------------------------------------------------------------------
 # Count-Min sketch heavy hitters
 # ---------------------------------------------------------------------------
@@ -412,71 +397,23 @@ def emb_pca_power_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both sides quantize components to 1e-4 bands. Measured margin
     at sf0.001: the closest component sits 2e-3 band-widths from a
     boundary vs ~1e-13 band-widths of cross-engine summation noise
-    (pinned in tests/test_staged_r06.py)."""
-    import numpy as np
-    import pandas as pd
+    (pinned in tests/test_staged_r06.py).
+
+    Implementation lives in operators/linalg.py (moment_partials →
+    centered_gram → power_iteration: lazy persists cut the recursive
+    lineage, coalesce(1) keeps each 4096-row round single-task under
+    the driver's plain 200-shuffle-partition session) so the STREAMING
+    sufficient-statistics path (streaming/jobs.moment_stats_sink)
+    computes the identical component from incrementally-merged
+    moments. The gram there is S_ij − s_i·s_j/n while the oracle
+    spells n·m_i·m_j — algebraically equal, floating-point different
+    by ~1e-15, eight orders inside the measured 2e-7 band margin."""
+    from ..operators import linalg
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = 64
-
-    def gram_parts(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            G = X.T @ X
-            ii, jj = np.indices(G.shape)
-            yield pd.DataFrame(
-                {"i": ii.ravel(), "j": jj.ravel(), "s": G.ravel()}
-            )
-
-    S = (
-        e.mapInPandas(gram_parts, "i int, j int, s double")
-        .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
-    )
-    ex = e.select(F.posexplode("embedding").alias("i", "v")).withColumn(
-        "v", F.col("v").cast("double")
-    )
-    means = ex.groupBy("i").agg(F.avg("v").alias("m"))
-    cnt = e.agg(F.count("*").alias("n"))
-    # LAZY persist: the gram is referenced by every round and each
-    # round's iterate twice (norm + normalize) — without the cache the
-    # recursive lineage recomputes the gram per reference (measured
-    # 62 s at sf0.001; ~1.5 s with it). No job runs at build time.
-    # coalesce(1): the gram is d² = 4096 rows — every power-iteration
-    # round over it is sub-kilobyte work, and under the driver's PLAIN
-    # session (200 shuffle partitions, no profile confs) the
-    # uncoalesced rounds each scheduled 200-task stages; one partition
-    # makes each round a single-task job. The DATA-sized shuffles
-    # (gram partial agg, means) happen before this point at full
-    # parallelism.
-    G = _persist_tracked(
-        S.join(F.broadcast(means), "i")
-        .join(
-            F.broadcast(means.select(F.col("i").alias("j"), F.col("m").alias("mj"))),
-            "j",
-        )
-        .crossJoin(F.broadcast(cnt))
-        .select(
-            "i", "j", (F.col("s") - F.col("n") * F.col("m") * F.col("mj")).alias("g")
-        )
-        .coalesce(1)
-    )
-    v = means.select(F.col("i").alias("j"), F.lit(0.125).alias("vj"))
-    for _ in range(_PCA_ROUNDS):
-        w = _persist_tracked(
-            G.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("vj")).alias("w"))
-            .coalesce(1),
-            fresh=False,
-        )
-        norm = w.agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
-        v = w.crossJoin(F.broadcast(norm)).select(
-            F.col("i").alias("j"),
-            (F.col("w") / F.sqrt(F.col("nn"))).alias("vj"),
-        )
+    moments = linalg.moment_partials(e)
+    G = linalg.centered_gram(moments)
+    v = linalg.power_iteration(G, _PCA_ROUNDS)
     return v.select(
         F.col("j").cast("long").alias("dim"),
         F.floor(F.col("vj") * _PCA_GRID).cast("long").alias("comp_band"),

@@ -430,6 +430,65 @@ def run_sketch_rollup(
     q.awaitTermination()
 
 
+def moment_stats_sink(base_dir: str, vec_col: str = "embedding"):
+    """foreachBatch incremental SUFFICIENT-STATISTICS rollup for
+    covariance/PCA: each micro-batch's additive (i, j, s) moment table
+    (operators/linalg.moment_partials — cross-moments, per-dim sums,
+    count) is summed into the stored table and written as the next
+    snapshot version.
+
+    This is how global second-order statistics stay current over an
+    unbounded embedding feed WITHOUT ever re-scanning history: the
+    moment table is d²+d+1 rows regardless of stream length, the merge
+    is associative/commutative (batch arrival order cannot change the
+    result beyond float summation noise), and
+    linalg.centered_gram → power_iteration over the latest snapshot
+    yields the SAME principal component the batch emb_pca_power_banded
+    query computes over the full corpus (equality-at-the-band pinned
+    in tests/test_streaming_advanced.py). Same versioned-snapshot
+    layout as merge_upsert_sink / sketch_rollup_sink."""
+    import os
+    import shutil
+
+    from ..operators.linalg import moment_partials
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = moment_partials(batch_df, vec_col)
+        versions = sorted(
+            (d for d in os.listdir(base_dir) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        ) if os.path.isdir(base_dir) else []
+        merged = new
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            merged = (
+                cur.unionByName(new)
+                .groupBy("i", "j")
+                .agg(F.sum("s").alias("s"))
+            )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_moment_stats(
+    stream: DataFrame, base_dir: str, vec_col: str = "embedding"
+) -> None:
+    """Drive a stream through the incremental moment rollup
+    (availableNow, synchronous)."""
+    q = (
+        stream.writeStream.foreachBatch(moment_stats_sink(base_dir, vec_col))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 __all__ = [
     "read_orders_stream",
     "merge_upsert_sink",
@@ -446,4 +505,6 @@ __all__ = [
     "stream_stream_join",
     "running_user_totals",
     "run_available_now",
+    "moment_stats_sink",
+    "run_moment_stats",
 ]

@@ -211,6 +211,71 @@ def test_t9_jobs_stream_stream_join_equals_registered_twin(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_incremental_moment_stats_equal_batch_pca(spark, tmp_path):
+    """Sufficient-statistics maintenance: feeding the embedding corpus
+    through moment_stats_sink in 3 micro-batches must leave a moment
+    snapshot whose merged statistics match a one-shot batch
+    moment_partials run (~1e-9 relative — float summation order is the
+    only difference), and whose centered-gram power iteration lands on
+    the IDENTICAL 1e-4 component bands as the registered batch
+    emb_pca_power_banded query — incremental maintenance changes
+    nothing the consumer can see."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        linalg,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _PCA_GRID,
+        _PCA_ROUNDS,
+        emb_pca_power_banded,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    feed = tmp_path / "emb_feed"
+    for b in range(3):
+        emb.filter(SF.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    stats_dir = str(tmp_path / "moments")
+    jobs.run_moment_stats(stream, stats_dir)
+
+    import os
+
+    versions = sorted(os.listdir(stats_dir), key=lambda d: int(d[1:]))
+    assert len(versions) >= 1  # stale versions pruned to the latest
+    snap = spark.read.parquet(os.path.join(stats_dir, versions[-1]))
+
+    want = {
+        (r.i, r.j): r.s for r in linalg.moment_partials(emb).collect()
+    }
+    got = {(r.i, r.j): r.s for r in snap.collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v))
+
+    pc_stream = {
+        r.j: int(r.band)
+        for r in linalg.power_iteration(
+            linalg.centered_gram(snap), _PCA_ROUNDS
+        )
+        .select("j", SF.floor(SF.col("vj") * _PCA_GRID).alias("band"))
+        .collect()
+    }
+    pc_batch = {
+        r.dim: r.comp_band for r in emb_pca_power_banded(spark, sf_dir).collect()
+    }
+    assert pc_stream == pc_batch
+
+
 def test_t2_sliding_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src)
