@@ -739,3 +739,65 @@ def w_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_conversions"),
         F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
     )
+
+
+@query(
+    "a_seasonal_residuals",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT h % 24 AS hod,
+             AVG(x) AS m,
+             STDDEV_POP(x) AS sd,
+             COUNT(*) AS n_obs
+      FROM c GROUP BY 1
+    )
+    SELECT c.h AS hour_epoch,
+           CAST(c.h % 24 AS BIGINT) AS hod,
+           CAST(c.x AS BIGINT) AS n_events,
+           ROUND((c.x - b.m) / b.sd, 4) AS z
+    FROM c JOIN b ON b.hod = c.h % 24
+    WHERE b.sd > 0 AND ABS(ROUND((c.x - b.m) / b.sd, 4)) >= 2
+    """,
+)
+def a_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection on the hourly event
+    stream: each hour's count is z-scored against the baseline for
+    ITS HOUR-OF-DAY (the STL-lite two-pass — a plain global z-score
+    flags every rush hour as an anomaly; deseasonalizing first is
+    what makes the alert actionable). Pass 1 aggregates the bounded
+    hourly series; pass 2 joins the 24-row broadcast baseline back
+    and keeps |z| ≥ 2 — the threshold compares the ROUNDED z on both
+    engines so the cut is grid-deterministic. All keys are hour
+    buckets: full parallelism, no windows, no global state."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    b = (
+        c.groupBy((F.col("h") % 24).alias("hod"))
+        .agg(
+            F.avg("x").alias("m"),
+            F.stddev_pop("x").alias("sd"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    z = F.round((F.col("x") - F.col("m")) / F.col("sd"), 4)
+    return (
+        c.withColumn("hod", F.col("h") % 24)
+        .join(F.broadcast(b), "hod")
+        .filter(F.col("sd") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2)
+        .select(
+            F.col("h").alias("hour_epoch"),
+            F.col("hod").cast("long").alias("hod"),
+            F.col("x").cast("long").alias("n_events"),
+            "z",
+        )
+    )

@@ -325,3 +325,42 @@ def test_banded_sketch_rollup_exact_broadcasts(spark):
     handful of rows and must BROADCAST onto the sketch estimates."""
     df = QUERIES["a_sketch_rollup"](spark, SF_DIR)
     assert explain.uses_broadcast_join(df), explain.physical_plan(df)
+
+
+def test_cms_probe_broadcasts_sketch_and_topk_is_take_ordered(spark):
+    """a_cms_heavy_hitters: the ≤192-cell sketch must broadcast to the
+    probe side (losing it means shuffling the probe for a toy-sized
+    build), and the heavy-hitter cut must be TakeOrderedAndProject,
+    never a global sort."""
+    df = QUERIES["a_cms_heavy_hitters"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert explain.uses_take_ordered(df)
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_ols_multivariate_broadcasts_means_and_partial_aggs(spark):
+    """a_ols_multivariate: the 3-row means join must broadcast and both
+    aggregation passes must map-side combine."""
+    df = QUERIES["a_ols_multivariate"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert explain.has_partial_aggregation(df)
+
+
+def test_funnel_has_no_cartesian_or_global_sort(spark):
+    """w_funnel_conversion: three user_id-keyed joins — no cartesian
+    product, no global sort anywhere in the plan."""
+    df = QUERIES["w_funnel_conversion"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_classifier_is_pure_jvm_aggregation(spark):
+    """text_classifier_score: model inference must stay JVM-side — no
+    Python evaluation nodes in the plan, partial aggregation on."""
+    df = QUERIES["text_classifier_score"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain.has_partial_aggregation(df)

@@ -256,3 +256,51 @@ def test_round6_names_registered_after_window():
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
+
+
+def test_classifier_table_weights_equal_expression_weights(spark):
+    """The docstring claim made checkable: swapping the hash-derived
+    weight EXPRESSION for a broadcast-joined 1024-row weights TABLE
+    changes nothing — same scores, same plan family (broadcast hash
+    join instead of inline arithmetic, still zero Python)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+        portable_bucket,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _CLF_DIM,
+        _CLF_SEED,
+        text_classifier_score,
+    )
+
+    want = {r.doc_id: r.score for r in text_classifier_score(spark, SF_DIR).collect()}
+
+    weights = spark.range(_CLF_DIM).select(
+        SF.col("id").alias("idx"),
+        (
+            (portable_bucket(SF.col("id") + SF.lit(_CLF_SEED), 2001) - SF.lit(1000))
+            / SF.lit(1024.0)
+            / SF.lit(16)
+        ).alias("w"),
+    )
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = d.select(
+        "doc_id", SF.explode(SF.split(SF.lower(SF.col("text")), r"\s+")).alias("word")
+    ).filter(SF.length("word") > 0)
+    idx = (
+        SF.conv(SF.substring(SF.md5("word"), 1, 15), 16, 10).cast("long") % _CLF_DIM
+    )
+    tf = (
+        words.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(SF.count("*").alias("cnt"))
+    )
+    got = {
+        r.doc_id: r.score
+        for r in tf.join(SF.broadcast(weights), "idx")
+        .groupBy("doc_id")
+        .agg(SF.round(SF.sum(SF.col("cnt") * SF.col("w")), 6).alias("score"))
+        .collect()
+    }
+    assert got == want
