@@ -117,6 +117,7 @@ HEADLINE = [
     "text_classifier_score",
     "w_sequence_pattern",
     "emb_pca_power_banded",
+    "a_seasonal_residuals",
 ]
 
 
