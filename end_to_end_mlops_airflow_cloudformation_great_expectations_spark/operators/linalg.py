@@ -176,4 +176,136 @@ def power_iteration(G: DataFrame, rounds: int, init: float = 0.125) -> DataFrame
     return vrow.select(F.posexplode("varr").alias("j", "vj"))
 
 
-__all__ = ["moment_partials", "centered_gram", "power_iteration"]
+def moment_partials_by(
+    e: DataFrame, key_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Keyed moment tables: one additive (key, i, j, s) statistics set
+    PER KEY — the vectorized form of fitting one covariance/PCA model
+    per segment. Partition-local numpy per key-group, merged by one
+    bounded groupBy (n_keys × (d²+d+1) rows)."""
+    import numpy as np
+    import pandas as pd
+
+    def parts(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for key, g in pdf.groupby(key_col):
+                X = np.stack(g[vec_col].to_numpy()).astype("float64")
+                G = X.T @ X
+                ii, jj = np.indices(G.shape)
+                d = X.shape[1]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            key_col: key,
+                            "i": np.concatenate(
+                                [ii.ravel(), np.arange(d), [-1]]
+                            ).astype("int32"),
+                            "j": np.concatenate(
+                                [jj.ravel(), np.full(d, -1), [-1]]
+                            ).astype("int32"),
+                            "s": np.concatenate(
+                                [G.ravel(), X.sum(0), [float(len(X))]]
+                            ),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return (
+        e.select(key_col, vec_col)
+        .mapInPandas(parts, f"{key_col} int, i int, j int, s double")
+        .groupBy(key_col, "i", "j")
+        .agg(F.sum("s").alias("s"))
+        .coalesce(1)
+    )
+
+
+def centered_gram_by(moments: DataFrame, key_col: str) -> DataFrame:
+    """(key, i, j, g) centered grams from keyed moments —
+    G_ij = S_ij − s_i·s_j / n per key; the per-key sums/counts
+    broadcast (n_keys × d rows)."""
+    moments = _persist_tracked(moments)
+    n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        key_col, F.col("s").alias("n")
+    )
+    sums = moments.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        key_col, "i", F.col("s").alias("si")
+    )
+    return (
+        moments.filter(F.col("j") >= 0)
+        .join(F.broadcast(sums), [key_col, "i"])
+        .join(
+            F.broadcast(
+                sums.select(
+                    key_col, F.col("i").alias("j"), F.col("si").alias("sj")
+                )
+            ),
+            [key_col, "j"],
+        )
+        .join(F.broadcast(n), key_col)
+        .select(
+            key_col,
+            "i",
+            "j",
+            (F.col("s") - F.col("si") * F.col("sj") / F.col("n")).alias("g"),
+        )
+        .coalesce(1)
+    )
+
+
+def power_iteration_by(
+    G: DataFrame, key_col: str, rounds: int, init: float = 0.125
+) -> DataFrame:
+    """Per-key top-eigenvector fixpoints, all keys advanced together:
+    the iterate is ONE array row per key, each round a broadcast join
+    on the key + in-row dot + per-key re-normalization — the same
+    linear-plan-growth discipline as power_iteration, vectorized over
+    segments. Returns (key, j, vj)."""
+    rows = _persist_tracked(
+        G.groupBy(key_col, "i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "g"))),
+                lambda p: p["g"],
+            ).alias("grow")
+        )
+        .coalesce(1),
+        fresh=False,
+    )
+    vrow = rows.groupBy(key_col).agg(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.first("grow"))), lambda _: F.lit(init)
+        ).alias("varr")
+    )
+    dot = lambda grow, varr: F.aggregate(  # noqa: E731
+        F.zip_with(grow, varr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    for _ in range(rounds):
+        scored = rows.join(F.broadcast(vrow), key_col).select(
+            key_col, "i", dot(F.col("grow"), F.col("varr")).alias("w")
+        )
+        vrow = scored.groupBy(key_col).agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("pairs"),
+            F.sum(F.col("w") * F.col("w")).alias("nn"),
+        ).select(
+            key_col,
+            F.transform(
+                F.col("pairs"), lambda p: p["w"] / F.sqrt(F.col("nn"))
+            ).alias("varr"),
+        )
+    return vrow.select(key_col, F.posexplode("varr").alias("j", "vj"))
+
+
+__all__ = [
+    "moment_partials",
+    "centered_gram",
+    "power_iteration",
+    "moment_partials_by",
+    "centered_gram_by",
+    "power_iteration_by",
+]

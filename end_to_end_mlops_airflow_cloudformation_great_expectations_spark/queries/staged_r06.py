@@ -801,3 +801,75 @@ def a_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z",
         )
     )
+
+
+def _pca_by_label_oracle_sql(rounds: int) -> str:
+    """Grouped replay of the power iteration: identical arithmetic to
+    operators/linalg (centering as s_i·s_j/n, per-label L2 window
+    normalization), unrolled MATERIALIZED CTE rounds."""
+    ctes = ["r0 AS (SELECT label, i AS j, 0.125 AS vj FROM sums)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT g.label, g.i, "
+            f"SUM(g.g*r{r-1}.vj) AS w FROM g "
+            f"JOIN r{r-1} ON r{r-1}.label=g.label AND r{r-1}.j=g.j "
+            f"GROUP BY g.label, g.i)"
+        )
+        ctes.append(
+            f"r{r} AS (SELECT label, i AS j, "
+            f"w / SQRT(SUM(w*w) OVER (PARTITION BY label)) AS vj FROM w{r})"
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), sums AS (
+      SELECT label, i, SUM(v) AS si FROM e GROUP BY label, i
+    ), cnt AS (
+      SELECT label, COUNT(DISTINCT vec_id) AS n FROM e GROUP BY label
+    ), s AS (
+      SELECT a.label, a.i AS i, b.i AS j, SUM(a.v*b.v) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY a.label, a.i, b.i
+    ), g AS MATERIALIZED (
+      SELECT s.label, s.i, s.j,
+             s.s - sa.si * sb.si / cnt.n AS g
+      FROM s
+      JOIN sums sa ON sa.label = s.label AND sa.i = s.i
+      JOIN sums sb ON sb.label = s.label AND sb.i = s.j
+      JOIN cnt ON cnt.label = s.label
+    ),
+    {", ".join(ctes)}
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(j AS BIGINT) AS dim,
+           CAST(FLOOR(vj * {_PCA_GRID}) AS BIGINT) AS comp_band
+    FROM r{rounds}
+    """
+
+
+@query("emb_pca_by_label_banded", oracle=_pca_by_label_oracle_sql(_PCA_ROUNDS))
+def emb_pca_by_label_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED PCA — the top principal component of every label
+    segment, all 10 fits advancing together through one vectorized
+    fixpoint (operators/linalg.*_by): keyed moment partials (numpy per
+    key-group inside each partition), per-key centered grams, and a
+    power iteration whose state is ONE array row per key — broadcast
+    joins on the key column, linear plan growth, zero driver-side
+    math. This is the "fit a model per segment" shape (per-language
+    embedding drift, per-source covariance monitoring) that a loop of
+    10 separate jobs gets catastrophically wrong at 100 TB: here every
+    round is a single tiny join over all segments at once, and the
+    data pass (moment partials) happens exactly once for all 10
+    models. Cross-engine oracle: grouped unrolled-CTE replay, same
+    1e-4 bands; per-label margins pinned in tests."""
+    from ..operators import linalg
+
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    moments = linalg.moment_partials_by(e, "label")
+    G = linalg.centered_gram_by(moments, "label")
+    v = linalg.power_iteration_by(G, "label", _PCA_ROUNDS)
+    return v.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("j").cast("long").alias("dim"),
+        F.floor(F.col("vj") * _PCA_GRID).cast("long").alias("comp_band"),
+    )

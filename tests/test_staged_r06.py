@@ -253,6 +253,8 @@ def test_round6_names_registered_after_window():
         "j_scd2_intervals",
         "text_classifier_score",
         "w_sequence_pattern",
+        "a_seasonal_residuals",
+        "emb_pca_by_label_banded",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -304,3 +306,42 @@ def test_classifier_table_weights_equal_expression_weights(spark):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_pca_matches_numpy_per_label_with_margin(spark):
+    """Every label's banded component must equal a per-label numpy
+    replay of the same 6 rounds, and the minimum distance-to-boundary
+    across all 640 components must dwarf cross-engine noise."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _PCA_GRID,
+        _PCA_ROUNDS,
+        emb_pca_by_label_banded,
+    )
+
+    got = {
+        (r.label, r.dim): r.comp_band
+        for r in emb_pca_by_label_banded(spark, SF_DIR).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("label", "embedding")
+        .toPandas()
+    )
+    margins = []
+    n_labels = 0
+    for label, g in emb.groupby("label"):
+        X = np.stack(g["embedding"].to_numpy()).astype("float64")
+        Xc = X - X.mean(0)
+        G = Xc.T @ Xc
+        v = np.full(X.shape[1], 0.125)
+        for _ in range(_PCA_ROUNDS):
+            w = G @ v
+            v = w / np.linalg.norm(w)
+        for i, vi in enumerate(v):
+            assert got[(label, i)] == int(np.floor(vi * _PCA_GRID))
+        frac = (v * _PCA_GRID) % 1.0
+        margins.append(np.minimum(frac, 1.0 - frac).min())
+        n_labels += 1
+    assert n_labels == 10
+    assert min(margins) > 1e-5
