@@ -289,6 +289,98 @@ def _cell_assign_udf(centroids: "np.ndarray"):
     return assign
 
 
+def ivf_index_build(
+    corpus: DataFrame,
+    base_dir: str,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    train_sample: int = 65536,
+) -> None:
+    """PERSIST an IVF index: the production form of ivf_topk, where
+    the expensive parts — quantizer training and the full-corpus cell
+    assignment — happen ONCE at build time and land on disk:
+
+      {base_dir}/centroids   (cell, centroid)      n_centroids rows
+      {base_dir}/postings/   (neighbor_id, cv) PARTITIONED BY cell
+
+    The postings are a cell-partitioned parquet layout, so a search
+    that probes p cells reads exactly p directories — Spark's
+    partition pruning turns the IVF cell-probe into file-level I/O
+    skipping, which is the entire economics of IVF over a 100 TB
+    corpus (test-pinned via PartitionFilters in the search plan).
+    Quantizer training collects the usual bounded deterministic
+    sample (rows-only discipline, similarity.py:232)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    c = _persist_tracked(c)
+    C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
+    assigned = c.withColumn("cell", _cell_assign_udf(C)(F.col("cv")))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{base_dir}/postings"
+    )
+    cent = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    corpus.sparkSession.createDataFrame(
+        cent, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base_dir}/centroids")
+
+
+def ivf_index_search(
+    queries: DataFrame,
+    base_dir: str,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a PERSISTED IVF index — zero training, zero corpus
+    shuffle, fully LAZY: load the n_centroids-row centroid table
+    (broadcast), rank cells per query, keep n_probe, then join the
+    probe set against the cell-partitioned postings — the cell
+    equi-join becomes dynamic partition pruning on the postings read,
+    so only probed cells' files are scanned. Identical output to
+    ivf_topk run with the same build parameters (test-pinned): the
+    index relocation changes WHERE the work happens, not the answer."""
+    spark = queries.sparkSession
+    cent_df = spark.read.parquet(f"{base_dir}/centroids")
+    postings = spark.read.parquet(f"{base_dir}/postings")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "qv",
+        "cell",
+        cosine(F.col("qv"), F.col("centroid")).alias("c_sim"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.col("cell"))
+    probes = (
+        qc.withColumn("cr", F.row_number().over(wc))
+        .filter(F.col("cr") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = (
+        probes.join(postings, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

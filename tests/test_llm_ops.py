@@ -594,3 +594,30 @@ def test_cosine_neardup_arrow_matches_expression_form(spark):
         ).collect()
     }
     assert small == expr
+
+
+def test_ivf_persisted_index_search_equals_direct(spark, tmp_path):
+    """Index RELOCATION must not change the answer: build the IVF
+    index to disk (cell-partitioned postings + centroid table), then
+    a fit-free search over the persisted index must return exactly
+    the rows ivf_topk computes in one shot with the same build
+    parameters — and the on-disk layout must be cell-partitioned so
+    probing prunes at the file level."""
+    import os
+
+    base = str(tmp_path / "ivf_index")
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    similarity.ivf_index_build(e, base, n_centroids=8)
+
+    # cell-partitioned layout on disk = file-level probe pruning
+    cells = [d for d in os.listdir(f"{base}/postings") if d.startswith("cell=")]
+    assert len(cells) == 8
+
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    direct = similarity.ivf_topk(q, e, k=5, n_centroids=8, n_probe=6)
+    persisted = similarity.ivf_index_search(
+        q, base, k=5, n_probe=6, query_id="query_id"
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(tuple(r) for r in persisted.collect())
+    assert got == want and len(got) > 0
