@@ -873,3 +873,50 @@ def emb_pca_by_label_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("dim"),
         F.floor(F.col("vj") * _PCA_GRID).cast("long").alias("comp_band"),
     )
+
+
+@query(
+    "p_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (({_cms_oracle_bucket_sql('doc_id', 9100017).replace(f'% {_CMS_WIDTH}', '% 4294967296')}) + 1.0)
+               / 4294967297.0 AS uh
+      FROM documents WHERE n_chars > 0
+    ), keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(POW(uh, 1.0 / n_chars), 9) AS skey
+      FROM u
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, skey
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY skey DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 50
+    """,
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement, reproducibly — the
+    Efraimidis–Spirakis exponential-key trick (key = u^(1/w), take
+    top-N) with the repo's portable hash as u, so the same 50-doc
+    quality-weighted sample (weight = n_chars here; any quality score
+    in production) comes out on every engine, run, and partition
+    layout. This is how you take "sample 10 B docs ∝ quality" out of
+    a 100 TB corpus in ONE distributed pass with NO global state:
+    keys are row-local arithmetic, selection is top-N
+    (TakeOrderedAndProject, never a full sort). Keys are rounded to
+    the 1e-9 grid BEFORE ranking on both engines, with doc_id
+    tie-break, so the cross-engine order is total and deterministic
+    despite pow()'s ulp wiggle."""
+    from ..functions.columns import M32, portable_bucket
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    uh = (portable_bucket(F.col("doc_id") + F.lit(9100017), M32) + F.lit(1.0)) / F.lit(
+        4294967297.0
+    )
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(F.pow(uh, F.lit(1.0) / F.col("n_chars")), 9).alias("skey"),
+    )
+    return keyed.orderBy(F.desc("skey"), "doc_id").limit(50)

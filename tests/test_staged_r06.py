@@ -255,6 +255,7 @@ def test_round6_names_registered_after_window():
         "w_sequence_pattern",
         "a_seasonal_residuals",
         "emb_pca_by_label_banded",
+        "p_weighted_sample",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -345,3 +346,45 @@ def test_grouped_pca_matches_numpy_per_label_with_margin(spark):
         n_labels += 1
     assert n_labels == 10
     assert min(margins) > 1e-5
+
+
+def test_weighted_sample_favors_weight_and_is_exact(spark):
+    """Efraimidis–Spirakis sanity: the top-50 weighted sample must be
+    reproducible against a python replay of the identical arithmetic,
+    and its mean weight must exceed the corpus mean (that's what
+    ∝-weight sampling is FOR)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+        KNUTH,
+        M32,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        p_weighted_sample,
+    )
+
+    got = p_weighted_sample(spark, SF_DIR).collect()
+    assert len(got) == 50
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+
+    def bucket(key):
+        km = key % M32
+        lo = km % 65536
+        hi = (km - lo) // 65536
+        return ((hi * KNUTH) % M32 * 65536 + lo * KNUTH) % M32
+
+    keyed = []
+    for d in docs:
+        if d.n_chars <= 0:
+            continue
+        u = (bucket(d.doc_id + 9100017) + 1.0) / 4294967297.0
+        keyed.append((round(u ** (1.0 / d.n_chars), 9), -d.doc_id, d))
+    keyed.sort(reverse=True)
+    want_ids = [k[2].doc_id for k in keyed[:50]]
+    assert sorted(r.doc_id for r in got) == sorted(want_ids)
+
+    mean_w = sum(r.weight for r in got) / len(got)
+    corpus_mean = sum(d.n_chars for d in docs) / len(docs)
+    assert mean_w > corpus_mean
