@@ -920,3 +920,99 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(uh, F.lit(1.0) / F.col("n_chars")), 9).alias("skey"),
     )
     return keyed.orderBy(F.desc("skey"), "doc_id").limit(50)
+
+
+_SH_BITS = 48  # 12 md5 hex digits → fits a signed BIGINT in both engines
+
+
+def _simhash_portable_oracle_sql(max_hamming: int) -> str:
+    """Exact DuckDB replay of the portable SimHash: same md5-derived
+    48-bit token hash, same tf-weighted ±1 bit sums, same sign rule,
+    same Hamming cut — integer arithmetic end-to-end, so the pair set
+    hash-matches with NO band (unlike the xxhash64 production simhash,
+    whose hash function has no DuckDB twin — that one stays rows-only
+    with property tests, and THIS query is its driver-checkable
+    arithmetic witness)."""
+    sums = ", ".join(
+        f"SUM((((h >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(_SH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(_SH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(word), 1, 12) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS word
+        FROM documents WHERE doc_id < 200
+      ) WHERE len(word) > 0
+    ), sums AS (
+      SELECT doc_id, {sums} FROM tok GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig} AS sig FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_portable", oracle=_simhash_portable_oracle_sql(6))
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with an EXACT cross-engine oracle: the
+    production dedup_simhash_pairs runs on xxhash64 (JVM-only, so it
+    is rows-only by necessity); this query runs the IDENTICAL
+    algorithm — tf-weighted ±1 sign sums per bit, sign rule, Hamming
+    cut — over a PORTABLE 48-bit md5 token hash, making every stage
+    of the simhash arithmetic hash-checkable against DuckDB to the
+    exact pair set. Same codegen'd shape as
+    dedup.simhash_signatures: one explode, 48 map-side-partial SUM
+    aggregates, one 48-wide row per doc through the shuffle; the
+    doc_id<200 slice bounds the oracle-scale all-pairs (production
+    uses the chunk-banded candidate join)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tok = d.select("doc_id", F.explode(tokens).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long").alias("h"),
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast(
+                    "int"
+                )
+            ).alias(f"s{b}")
+            for b in range(_SH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(_SH_BITS):
+        sig = sig + F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = sums.select("doc_id", sig.alias("sig"))
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    ).withColumn("__b", F.pmod(F.hash("id_a"), F.lit(1)))
+    b2 = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+    ).withColumn("__b", F.pmod(F.hash("id_b"), F.lit(1)))
+    return (
+        a.join(b2, "__b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )

@@ -256,6 +256,7 @@ def test_round6_names_registered_after_window():
         "a_seasonal_residuals",
         "emb_pca_by_label_banded",
         "p_weighted_sample",
+        "dedup_simhash_portable",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -388,3 +389,34 @@ def test_weighted_sample_favors_weight_and_is_exact(spark):
     mean_w = sum(r.weight for r in got) / len(got)
     corpus_mean = sum(d.n_chars for d in docs) / len(docs)
     assert mean_w > corpus_mean
+
+
+def test_portable_simhash_agrees_with_production_on_strong_pairs(spark):
+    """The md5-48-bit portable simhash and the xxhash64-64-bit
+    production simhash are different hash families over the same
+    algorithm — their CLOSE pairs must substantially agree: every
+    production pair at Hamming ≤ 1/64 bits should sit at small
+    distance in the portable signature too (algorithm parity, not
+    hash parity)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        dedup,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        dedup_simhash_portable,
+    )
+
+    portable = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_simhash_portable(spark, SF_DIR).collect()
+    }
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(SF.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    prod = dedup.simhash_neardup_pairs(d, max_hamming=1).collect()
+    assert prod, "fixture must contain strong near-dup pairs"
+    hits = sum((r.id_a, r.id_b) in portable for r in prod)
+    assert hits / len(prod) >= 0.9
