@@ -118,6 +118,8 @@ HEADLINE = [
     "w_sequence_pattern",
     "emb_pca_power_banded",
     "a_seasonal_residuals",
+    "p_weighted_sample",
+    "dedup_simhash_portable",
 ]
 
 

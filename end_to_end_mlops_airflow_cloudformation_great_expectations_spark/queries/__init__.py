@@ -128,14 +128,15 @@ _reorder()
 #
 # ROUND-7 ROTATION (mechanical, once CORRECTNESS_r05 confirms the 50
 # names above green): every name above already has a driver-green row
-# after round 5, so replace the first 14 slots with the round-6 queue
+# after round 5, so replace the leading slots with the round-6 queue
 # — p_group_sample, dedup_containment, a_cms_heavy_hitters,
 # a_ols_multivariate, w_funnel_conversion, t9_stream_stream_join,
 # w_last_touch_attribution, a_autocorrelation, j_scd2_intervals,
 # text_classifier_score, w_sequence_pattern, a_seasonal_residuals,
-# emb_pca_power_banded, emb_pca_by_label_banded — all proven at
+# emb_pca_power_banded, emb_pca_by_label_banded, p_weighted_sample,
+# dedup_simhash_portable (16 queue slots) — all proven at
 # sf0.001+sf0.01 incl. --plain before registration (COVERAGE.md
-# "Round 6*"), keep the remaining 36 slots as already-green pads, and
+# "Round 6*"), keep the remaining slots as already-green pads, and
 # update test_registry_order/test_staged_r06 window assertions.
 
 __all__ = ["QUERIES", "ORACLES"]
