@@ -477,15 +477,25 @@ def moment_stats_sink(base_dir: str, vec_col: str = "embedding"):
 
 
 def run_moment_stats(
-    stream: DataFrame, base_dir: str, vec_col: str = "embedding"
+    stream: DataFrame,
+    base_dir: str,
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
 ) -> None:
     """Drive a stream through the incremental moment rollup
-    (availableNow, synchronous)."""
-    q = (
-        stream.writeStream.foreachBatch(moment_stats_sink(base_dir, vec_col))
-        .trigger(availableNow=True)
-        .start()
-    )
+    (availableNow, synchronous).
+
+    Unlike the HLL-union and MERGE-upsert sinks, the moment merge is a
+    SUM — associative and commutative but NOT idempotent — so
+    exactly-once across restarts needs the engine's source tracking:
+    pass a durable ``checkpoint`` and a restarted run resumes from the
+    first unprocessed file instead of re-adding history (pinned in
+    tests/test_streaming_advanced.py). Checkpoint-less runs are
+    single-shot backfills."""
+    w = stream.writeStream.foreachBatch(moment_stats_sink(base_dir, vec_col))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
 
 

@@ -276,6 +276,54 @@ def test_incremental_moment_stats_equal_batch_pca(spark, tmp_path):
     assert pc_stream == pc_batch
 
 
+def test_moment_stats_restart_is_exactly_once(spark, tmp_path):
+    """The moment merge is a SUM (not idempotent), so restart safety
+    comes from the checkpoint: run over 2 files, land a 3rd, restart
+    with the SAME checkpoint — only the new file may be added, and the
+    final snapshot must equal a one-shot batch run over all 3 files
+    (exact: the per-file partials are identical either way)."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        linalg,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feed = tmp_path / "emb_feed_ckpt"
+    for b in range(2):
+        emb.filter(SF.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+
+    def stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+
+    stats_dir = str(tmp_path / "moments_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    jobs.run_moment_stats(stream(), stats_dir, checkpoint=ckpt)
+    emb.filter(SF.col("vec_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    jobs.run_moment_stats(stream(), stats_dir, checkpoint=ckpt)
+
+    versions = sorted(os.listdir(stats_dir), key=lambda d: int(d[1:]))
+    snap = spark.read.parquet(os.path.join(stats_dir, versions[-1]))
+    got = {(r.i, r.j): r.s for r in snap.collect()}
+    want = {(r.i, r.j): r.s for r in linalg.moment_partials(emb).collect()}
+    assert set(got) == set(want)
+    # count row is integer-exact: a re-added batch would overshoot it
+    assert got[(-1, -1)] == want[(-1, -1)]
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v))
+
+
 def test_t2_sliding_stream_equals_batch(spark, tmp_path):
     src = str(tmp_path / "src2")
     os.makedirs(src)
