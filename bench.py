@@ -120,6 +120,7 @@ HEADLINE = [
     "a_seasonal_residuals",
     "p_weighted_sample",
     "dedup_simhash_portable",
+    "a_holt_forecast",
 ]
 
 

@@ -1016,3 +1016,79 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
+
+
+@query(
+    "a_holt_forecast",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), o AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY h) AS t FROM c
+    ), n AS (
+      SELECT COUNT(*) AS n FROM o
+    ), fold AS (
+      SELECT t, x, x AS l, CAST(0 AS DOUBLE) AS b FROM o WHERE t = 1
+      UNION ALL
+      SELECT o.t, o.x,
+             0.5 * o.x + 0.5 * (f.l + f.b) AS l,
+             0.25 * (0.5 * o.x + 0.5 * (f.l + f.b) - f.l) + 0.75 * f.b AS b
+      FROM fold f JOIN o ON o.t = f.t + 1
+    ), last AS (
+      SELECT l, b FROM fold WHERE t = (SELECT n FROM n)
+    )
+    SELECT CAST(k AS BIGINT) AS horizon,
+           ROUND(l + k * b, 6) AS forecast
+    FROM last, generate_series(1, 6) AS g(k)
+    """,
+)
+def a_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecasting of the hourly event rate, 1-6
+    hours ahead — the forecasting family: level/trend double
+    exponential smoothing folded over the BOUNDED hourly series (one
+    row per hour of corpus time — the same bounded-series contract as
+    a_autocorrelation/a_seasonal_residuals, so the sequential fold is
+    a one-group applyInPandas over ~thousands of points, never over
+    raw events; raw-event smoothing at 100 TB would first aggregate to
+    this series anyway, in parallel).
+
+    Cross-engine EXACTNESS by construction: α=1/2 and β=1/4 are
+    DYADIC, so every level/trend value is an exact binary float and
+    the DuckDB RECURSIVE CTE replays the identical operation sequence
+    bit-for-bit (the pack_sequences recursive-walk convention) — the
+    6-dp rounding is belt-and-braces, not a band."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = pdf["x"].to_numpy()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "horizon": range(1, 7),
+                "forecast": [level + k * trend for k in range(1, 7)],
+            }
+        )
+
+    # round in a Spark expression, not python: F.round is HALF-UP like
+    # DuckDB's ROUND; python round() is banker's and flips exact
+    # dyadic halfway values (the text_classifier_score lesson)
+    return (
+        c.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(fold, "horizon long, forecast double")
+        .select("horizon", F.round("forecast", 6).alias("forecast"))
+    )

@@ -257,6 +257,7 @@ def test_round6_names_registered_after_window():
         "emb_pca_by_label_banded",
         "p_weighted_sample",
         "dedup_simhash_portable",
+        "a_holt_forecast",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
