@@ -121,6 +121,7 @@ HEADLINE = [
     "p_weighted_sample",
     "dedup_simhash_portable",
     "a_holt_forecast",
+    "a_holt_forecast_by_type",
 ]
 
 

@@ -1092,3 +1092,82 @@ def a_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "horizon long, forecast double")
         .select("horizon", F.round("forecast", 6).alias("forecast"))
     )
+
+
+@query(
+    "a_holt_forecast_by_type",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), o AS (
+      SELECT event_type, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t
+      FROM c
+    ), n AS (
+      SELECT event_type, COUNT(*) AS n FROM o GROUP BY event_type
+    ), fold AS (
+      SELECT event_type, t, x, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM o WHERE t = 1
+      UNION ALL
+      SELECT o.event_type, o.t, o.x,
+             0.5 * o.x + 0.5 * (f.l + f.b) AS l,
+             0.25 * (0.5 * o.x + 0.5 * (f.l + f.b) - f.l) + 0.75 * f.b AS b
+      FROM fold f
+      JOIN o ON o.event_type = f.event_type AND o.t = f.t + 1
+    ), last AS (
+      SELECT f.event_type, f.l, f.b
+      FROM fold f JOIN n ON n.event_type = f.event_type AND f.t = n.n
+    )
+    SELECT event_type,
+           CAST(k AS BIGINT) AS horizon,
+           ROUND(l + k * b, 6) AS forecast
+    FROM last, generate_series(1, 6) AS g(k)
+    """,
+)
+def a_holt_forecast_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt forecasting — one level/trend model per
+    event_type, all advancing through one grouped-map pass (the fleet
+    form of a_holt_forecast, same relationship emb_pca_by_label_banded
+    has to emb_pca_power_banded): per-type hourly series → one
+    applyInPandas fold per key — the NATURAL grouped shape, thousands
+    of independent series at full parallelism with per-task state of
+    one bounded series. Same dyadic α=1/2, β=1/4 ⇒ the per-type
+    recursions are bit-identical to DuckDB's keyed RECURSIVE CTE;
+    Spark-side HALF-UP rounding."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = pdf["x"].to_numpy()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        et = pdf["event_type"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": et,
+                "horizon": range(1, 7),
+                "forecast": [level + k * trend for k in range(1, 7)],
+            }
+        )
+
+    return (
+        c.groupBy("event_type")
+        .applyInPandas(fold, "event_type string, horizon long, forecast double")
+        .select("event_type", "horizon", F.round("forecast", 6).alias("forecast"))
+    )

@@ -258,6 +258,7 @@ def test_round6_names_registered_after_window():
         "p_weighted_sample",
         "dedup_simhash_portable",
         "a_holt_forecast",
+        "a_holt_forecast_by_type",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -421,3 +422,51 @@ def test_portable_simhash_agrees_with_production_on_strong_pairs(spark):
     assert prod, "fixture must contain strong near-dup pairs"
     hits = sum((r.id_a, r.id_b) in portable for r in prod)
     assert hits / len(prod) >= 0.9
+
+
+def test_holt_forecasts_match_python_fold(spark):
+    """Global and per-type Holt forecasts must equal a python replay
+    of the identical dyadic recursion (bit-exact before the 6-dp
+    HALF-UP grid), and horizon-k forecasts must be affine in k."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_holt_forecast,
+        a_holt_forecast_by_type,
+    )
+
+    def rnd(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def fold(xs):
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (nl - level) + 0.75 * trend
+            level = nl
+        return level, trend
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = {}
+    for r in ev:
+        h = int(r.ts.timestamp() // 3600)
+        series.setdefault(r.event_type, {}).setdefault(h, 0)
+        series[r.event_type][h] += 1
+
+    got_g = {r.horizon: r.forecast for r in a_holt_forecast(spark, SF_DIR).collect()}
+    all_hours = {}
+    for per_type in series.values():
+        for h, n in per_type.items():
+            all_hours[h] = all_hours.get(h, 0) + n
+    lvl, tr = fold([float(all_hours[h]) for h in sorted(all_hours)])
+    for k in range(1, 7):
+        assert got_g[k] == rnd(lvl + k * tr)
+
+    got_t = {
+        (r.event_type, r.horizon): r.forecast
+        for r in a_holt_forecast_by_type(spark, SF_DIR).collect()
+    }
+    for et, hs in series.items():
+        lvl, tr = fold([float(hs[h]) for h in sorted(hs)])
+        for k in range(1, 7):
+            assert got_t[(et, k)] == rnd(lvl + k * tr)
