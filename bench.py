@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_simhash_portable",
     "a_holt_forecast",
     "a_holt_forecast_by_type",
+    "emb_pca_by_label_banded",
 ]
 
 
