@@ -1171,3 +1171,81 @@ def a_holt_forecast_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "event_type string, horizon long, forecast double")
         .select("event_type", "horizon", F.round("forecast", 6).alias("forecast"))
     )
+
+
+@query(
+    "emb_pca_project",
+    oracle=f"""
+    {_pca_oracle_sql(_PCA_ROUNDS).split('SELECT CAST(j AS BIGINT)')[0]},
+    proj AS (
+      SELECT e.vec_id,
+             SUM((e.v - m.m) * r.vj) AS coord
+      FROM e
+      JOIN m ON m.i = e.i
+      JOIN r{_PCA_ROUNDS} r ON r.j = e.i
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(FLOOR(coord * {_PCA_GRID}) AS BIGINT) AS coord_band
+    FROM proj
+    """,
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned transform corpus-wide: every embedding's
+    coordinate along the fitted top principal component — the actual
+    pipeline step that follows a PCA fit (drift scoring, 1-d
+    curriculum ordering, whitening's first column). The component and
+    the centering means collapse to two SINGLE-ROW ARRAY broadcasts,
+    so the projection pass is zero-shuffle in-row arithmetic:
+    crossJoin the two 1-row tables, zip_with(x − m, v, ·) →
+    aggregate-sum per row — at 100 TB this is one map-only scan,
+    which is the whole point of separating fit from apply. Banded
+    like the fit (1e-4 grid; measured margin 2.4e-3 band-widths at
+    sf0.01 vs ~1e-13 cross-engine noise); DuckDB twin extends the
+    same unrolled fixpoint CTEs with the projection join."""
+    from ..operators import linalg
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    moments = linalg.moment_partials(e)
+    G = linalg.centered_gram(moments)
+    v = linalg.power_iteration(G, _PCA_ROUNDS)
+    v_arr = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "vj"))), lambda p: p["vj"]
+        ).alias("varr")
+    )
+    n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    m_arr = (
+        moments.filter((F.col("j") == -1) & (F.col("i") >= 0))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("s") / F.col("n")).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda p: p["m"]
+            ).alias("marr")
+        )
+    )
+    centered = lambda x, m: F.zip_with(x, m, lambda a, b: a.cast("double") - b)  # noqa: E731
+    return (
+        e.crossJoin(F.broadcast(v_arr))
+        .crossJoin(F.broadcast(m_arr))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.floor(
+                F.aggregate(
+                    F.zip_with(
+                        centered(F.col("embedding"), F.col("marr")),
+                        F.col("varr"),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * _PCA_GRID
+            )
+            .cast("long")
+            .alias("coord_band"),
+        )
+    )

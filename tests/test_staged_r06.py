@@ -259,6 +259,7 @@ def test_round6_names_registered_after_window():
         "dedup_simhash_portable",
         "a_holt_forecast",
         "a_holt_forecast_by_type",
+        "emb_pca_project",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -470,3 +471,31 @@ def test_holt_forecasts_match_python_fold(spark):
         lvl, tr = fold([float(hs[h]) for h in sorted(hs)])
         for k in range(1, 7):
             assert got_t[(et, k)] == rnd(lvl + k * tr)
+
+
+def test_pca_projection_matches_numpy(spark):
+    """The corpus-wide projection must band-match numpy's Xc·v with
+    the component from the same 6-round fold."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        _PCA_GRID,
+        _PCA_ROUNDS,
+        emb_pca_project,
+    )
+
+    got = {r.vec_id: r.coord_band for r in emb_pca_project(spark, SF_DIR).collect()}
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Xc = X - X.mean(0)
+    G = Xc.T @ Xc
+    v = np.full(X.shape[1], 0.125)
+    for _ in range(_PCA_ROUNDS):
+        w = G @ v
+        v = w / np.linalg.norm(w)
+    coords = Xc @ v
+    for vid, c in zip(emb["vec_id"], coords):
+        assert got[vid] == int(np.floor(c * _PCA_GRID))
