@@ -123,6 +123,7 @@ HEADLINE = [
     "a_holt_forecast",
     "a_holt_forecast_by_type",
     "emb_pca_by_label_banded",
+    "emb_pca_project",
 ]
 
 
