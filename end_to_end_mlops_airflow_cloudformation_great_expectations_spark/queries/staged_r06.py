@@ -1249,3 +1249,95 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coord_band"),
         )
     )
+
+
+@query(
+    "a_ks_test",
+    oracle="""
+    WITH pooled AS (
+      SELECT value, event_type AS tag, event_id FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), sizes AS (
+      SELECT SUM(CASE WHEN tag = 'purchase' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN tag = 'click' THEN 1 ELSE 0 END) AS nb
+      FROM pooled
+    ), ranked AS (
+      SELECT tag,
+             ROW_NUMBER() OVER (ORDER BY value, tag, event_id) AS i,
+             ROW_NUMBER() OVER (PARTITION BY tag
+                                ORDER BY value, event_id) AS r
+      FROM pooled
+    ), gaps AS (
+      SELECT CASE WHEN tag = 'purchase'
+                  THEN ABS(CAST(r AS DOUBLE) / na - CAST(i - r AS DOUBLE) / nb)
+                  ELSE ABS(CAST(i - r AS DOUBLE) / na - CAST(r AS DOUBLE) / nb)
+             END AS d
+      FROM ranked, sizes
+    )
+    SELECT CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(d), 6) AS ks_d,
+           ROUND(2 * EXP(-2 * POW(MAX(d), 2)
+                         * ANY_VALUE(na) * ANY_VALUE(nb)
+                         / (ANY_VALUE(na) + ANY_VALUE(nb))), 6) AS p_approx
+    FROM gaps, sizes
+    """,
+)
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test (purchase vs click value
+    distributions) — completing the hypothesis-test family (Welch t,
+    A/B lift): D = sup|F_A − F_B| WITHOUT any single-partition sort,
+    via the dual-rank identity — give every pooled row its GLOBAL
+    ascending rank i (operators.ranks.attach_global_ranks:
+    range-partitioned sort + broadcast offsets) and its WITHIN-GROUP
+    rank r (per-tag window, parallel by key); then at that row
+    F_own = r/n_own and F_other = (i−r)/n_other, so the ECDF gap is
+    ROW-LOCAL arithmetic and D is one MAX aggregate. Identical
+    tie-break (value, tag, event_id) on both engines makes the
+    statistic exact cross-engine; the asymptotic one-term p-value
+    2·exp(−2D²·n_an_b/(n_a+n_b)) rides along."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import attach_global_ranks
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pooled = e.select("value", F.col("event_type").alias("tag"), "event_id")
+    sizes = pooled.agg(
+        F.count_if(F.col("tag") == "purchase").alias("na"),
+        F.count_if(F.col("tag") == "click").alias("nb"),
+    )
+    g = attach_global_ranks(
+        pooled,
+        sort_cols=[F.asc("value"), F.asc("tag"), F.asc("event_id")],
+        key_cols=[F.col("value"), F.col("tag"), F.col("event_id")],
+        rn_col="i",
+    )
+    wg = Window.partitionBy("tag").orderBy("value", "event_id")
+    r = g.withColumn("r", F.row_number().over(wg))
+    fa = F.when(
+        F.col("tag") == "purchase", F.col("r").cast("double") / F.col("na")
+    ).otherwise((F.col("i") - F.col("r")).cast("double") / F.col("na"))
+    fb = F.when(
+        F.col("tag") == "click", F.col("r").cast("double") / F.col("nb")
+    ).otherwise((F.col("i") - F.col("r")).cast("double") / F.col("nb"))
+    gaps = r.crossJoin(F.broadcast(sizes)).select(
+        F.abs(fa - fb).alias("d"), "na", "nb"
+    )
+    return gaps.agg(
+        F.any_value("na").cast("long").alias("n_a"),
+        F.any_value("nb").cast("long").alias("n_b"),
+        F.round(F.max("d"), 6).alias("ks_d"),
+        F.round(
+            2
+            * F.exp(
+                -2
+                * F.pow(F.max("d"), 2)
+                * F.any_value("na")
+                * F.any_value("nb")
+                / (F.any_value("na") + F.any_value("nb"))
+            ),
+            6,
+        ).alias("p_approx"),
+    )

@@ -260,6 +260,7 @@ def test_round6_names_registered_after_window():
         "a_holt_forecast",
         "a_holt_forecast_by_type",
         "emb_pca_project",
+        "a_ks_test",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -499,3 +500,30 @@ def test_pca_projection_matches_numpy(spark):
     coords = Xc @ v
     for vid, c in zip(emb["vec_id"], coords):
         assert got[vid] == int(np.floor(c * _PCA_GRID))
+
+
+def test_ks_statistic_matches_scipy_style_replay(spark):
+    """KS D from the dual-rank identity must equal the classic sorted
+    two-pointer ECDF computation replayed in python."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_ks_test,
+    )
+
+    row = a_ks_test(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    a = sorted(r.value for r in ev if r.event_type == "purchase")
+    b = sorted(r.value for r in ev if r.event_type == "click")
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    pooled = sorted(set(a) | set(b))
+    import bisect
+
+    d = 0.0
+    for v in pooled:
+        fa = bisect.bisect_right(a, v) / len(a)
+        fb = bisect.bisect_right(b, v) / len(b)
+        d = max(d, abs(fa - fb))
+    assert row.ks_d == round(d, 6)
+    import math
+
+    p = 2 * math.exp(-2 * d * d * len(a) * len(b) / (len(a) + len(b)))
+    assert abs(row.p_approx - p) <= 2e-6
