@@ -124,6 +124,7 @@ HEADLINE = [
     "a_holt_forecast_by_type",
     "emb_pca_by_label_banded",
     "emb_pca_project",
+    "a_ks_test",
 ]
 
 
