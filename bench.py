@@ -125,6 +125,8 @@ HEADLINE = [
     "emb_pca_by_label_banded",
     "emb_pca_project",
     "a_ks_test",
+    "a_mannwhitney_u",
+    "a_chi2_independence",
 ]
 
 

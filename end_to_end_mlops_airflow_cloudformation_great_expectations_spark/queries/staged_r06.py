@@ -1341,3 +1341,146 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_approx"),
     )
+
+
+@query(
+    "a_mannwhitney_u",
+    oracle="""
+    WITH pooled AS (
+      SELECT value, event_type AS tag, event_id FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ), ranked AS (
+      SELECT tag, ROW_NUMBER() OVER (ORDER BY value, tag, event_id) AS i
+      FROM pooled
+    ), agg AS (
+      SELECT SUM(CASE WHEN tag = 'purchase' THEN i ELSE 0 END) AS ra,
+             SUM(CASE WHEN tag = 'purchase' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN tag = 'click' THEN 1 ELSE 0 END) AS nb
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST(ra - na * (na + 1) // 2 AS BIGINT) AS u_stat,
+           ROUND((CAST(ra - na * (na + 1) // 2 AS DOUBLE) - na * nb / 2.0)
+                 / SQRT(na * nb * (na + nb + 1.0) / 12.0), 6) AS z
+    FROM agg
+    """,
+)
+def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) for purchase vs click
+    values — the nonparametric complement to a_welch_ttest, sharing
+    a_ks_test's machinery: pooled global ranks from the distributed
+    ranks operator, then U = ΣR_A − n_A(n_A+1)/2 and the normal
+    approximation z, all from ONE integer aggregation. Deterministic
+    (value, tag, event_id) tie-break keeps the integer rank sum
+    engine-identical; U is exact integer, z rounds on the 1e-6
+    grid."""
+    from ..operators.ranks import attach_global_ranks
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pooled = e.select("value", F.col("event_type").alias("tag"), "event_id")
+    ranked = attach_global_ranks(
+        pooled,
+        sort_cols=[F.asc("value"), F.asc("tag"), F.asc("event_id")],
+        key_cols=[F.col("value"), F.col("tag"), F.col("event_id")],
+        rn_col="i",
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("tag") == "purchase", F.col("i")).otherwise(0)).alias(
+            "ra"
+        ),
+        F.count_if(F.col("tag") == "purchase").alias("na"),
+        F.count_if(F.col("tag") == "click").alias("nb"),
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u.cast("long").alias("u_stat"),
+        F.round(
+            (u.cast("double") - F.col("na") * F.col("nb") / 2.0)
+            / F.sqrt(
+                F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1.0) / 12.0
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@query(
+    "a_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) % 24 AS hod,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT event_type, SUM(o) AS ro FROM obs GROUP BY event_type
+    ), cols_ AS (
+      SELECT hod, SUM(o) AS co FROM obs GROUP BY hod
+    ), tot AS (
+      SELECT SUM(o) AS n FROM obs
+    ), cells AS (
+      SELECT obs.o,
+             CAST(ro AS DOUBLE) * co / n AS e
+      FROM obs JOIN rows_ USING (event_type)
+               JOIN cols_ USING (hod)
+               CROSS JOIN tot
+    )
+    SELECT CAST((SELECT COUNT(*) FROM rows_) - 1 AS BIGINT)
+             * ((SELECT COUNT(*) FROM cols_) - 1) AS df,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2
+    FROM cells
+    """,
+)
+def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between event_type and hour-of-day —
+    the contingency-table member of the test battery (is traffic mix
+    stable across the day?). Three bounded aggregations of the SAME
+    observed table (cells ≤ types×24) + broadcast margins; the χ²
+    sum is a 120-cell reduce. Everything before the margins is one
+    map-side-partial groupBy of the raw events."""
+    e = _t(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) % 24).cast("long").alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("ro"))
+    cols_ = obs.groupBy("hod").agg(F.sum("o").alias("co"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    n_rows = rows_.agg(F.count("*").alias("nr"))
+    n_cols = cols_.agg(F.count("*").alias("nc"))
+    cells = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "hod")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("ro").cast("double") * F.col("co") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    return (
+        cells.agg(
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2"),
+            F.any_value("n").cast("long").alias("n"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("df"),
+            "n",
+            "chi2",
+        )
+    )

@@ -261,6 +261,8 @@ def test_round6_names_registered_after_window():
         "a_holt_forecast_by_type",
         "emb_pca_project",
         "a_ks_test",
+        "a_mannwhitney_u",
+        "a_chi2_independence",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -527,3 +529,49 @@ def test_ks_statistic_matches_scipy_style_replay(spark):
 
     p = 2 * math.exp(-2 * d * d * len(a) * len(b) / (len(a) + len(b)))
     assert abs(row.p_approx - p) <= 2e-6
+
+
+def test_mannwhitney_and_chi2_match_python_replay(spark):
+    """U must equal the classic rank-sum computation and chi2 the
+    direct contingency formula, both replayed in python."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_chi2_independence,
+        a_mannwhitney_u,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+
+    mw = a_mannwhitney_u(spark, SF_DIR).collect()[0]
+    pooled = sorted(
+        (r.value, r.event_type, r.event_id)
+        for r in ev
+        if r.event_type in ("purchase", "click")
+    )
+    ra = sum(i + 1 for i, p in enumerate(pooled) if p[1] == "purchase")
+    na = sum(1 for p in pooled if p[1] == "purchase")
+    nb = len(pooled) - na
+    u = ra - na * (na + 1) // 2
+    assert (mw.n_a, mw.n_b, mw.u_stat) == (na, nb, u)
+    z = (u - na * nb / 2.0) / math.sqrt(na * nb * (na + nb + 1.0) / 12.0)
+    assert abs(mw.z - z) <= 2e-6
+
+    c2 = a_chi2_independence(spark, SF_DIR).collect()[0]
+    obs = {}
+    for r in ev:
+        k = (r.event_type, int(r.ts.timestamp() // 3600) % 24)
+        obs[k] = obs.get(k, 0) + 1
+    rows = {}
+    cols = {}
+    for (t, h), o in obs.items():
+        rows[t] = rows.get(t, 0) + o
+        cols[h] = cols.get(h, 0) + o
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - rows[t] * cols[h] / n) ** 2 / (rows[t] * cols[h] / n)
+        for (t, h), o in obs.items()
+    )
+    assert c2.n == n
+    assert c2.df == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(c2.chi2 - chi2) <= 2e-4
