@@ -5,16 +5,18 @@ registration (the round-5 new-query discipline). They rotate into
 window slots next round once CORRECTNESS_r05 confirms the round-5
 first-timers green.
 
-Contents (SURVEY.md §2.11 extension inventory, round-6 batch):
-
-- ``a_cms_heavy_hitters`` — Count-Min sketch heavy hitters with a
-  cross-engine EXACT oracle (portable integer hashing, so DuckDB
-  replays the identical sketch).
-- ``a_ols_multivariate`` — two-feature OLS via centered normal
-  equations + Cramer's rule, pure aggregation (the distributed
-  closed-form fit; no driver-side linear algebra at all).
-- ``w_funnel_conversion`` — ordered-event funnel (view → click →
-  purchase) via staged conditional min-aggregations.
+Contents (SURVEY.md §2.11 "Round-6 additions" is the full table):
+sketching (a_cms_heavy_hitters), closed-form regression
+(a_ols_multivariate), product analytics (w_funnel_conversion,
+w_last_touch_attribution, w_sequence_pattern, j_scd2_intervals),
+streaming (t9_stream_stream_join batch twin), time series
+(a_autocorrelation, a_seasonal_residuals, a_holt_forecast,
+a_holt_forecast_by_type), distributed linear algebra
+(emb_pca_power_banded, emb_pca_by_label_banded, emb_pca_project —
+operators/linalg.py), corpus sampling (p_weighted_sample), dedup
+(dedup_simhash_portable), classifier inference
+(text_classifier_score), and the hypothesis-test battery
+(a_ks_test, a_mannwhitney_u, a_chi2_independence).
 """
 
 from __future__ import annotations
