@@ -214,9 +214,12 @@ def moment_partials_by(
                 )
             yield pd.concat(out, ignore_index=True)
 
+    # the key keeps ITS OWN type (user_id is long repo-wide; a literal
+    # 'int' would overflow/truncate 64-bit keys at the Arrow boundary)
+    key_ddl = e.schema[key_col].dataType.simpleString()
     return (
         e.select(key_col, vec_col)
-        .mapInPandas(parts, f"{key_col} int, i int, j int, s double")
+        .mapInPandas(parts, f"{key_col} {key_ddl}, i int, j int, s double")
         .groupBy(key_col, "i", "j")
         .agg(F.sum("s").alias("s"))
         .coalesce(1)

@@ -50,15 +50,18 @@ def _cms_buckets(key):
     return [portable_bucket(key + F.lit(s), _CMS_WIDTH) for s in _CMS_SEEDS]
 
 
-def _cms_oracle_bucket_sql(expr: str, seed: int) -> str:
+def _cms_oracle_bucket_sql(expr: str, seed: int, width: int = _CMS_WIDTH) -> str:
     """DuckDB replay of functions.columns.portable_bucket for
-    ``expr + seed`` — the same hi/lo-decomposed Knuth multiplicative
-    hash (see p_group_sample's oracle for the convention)."""
+    ``expr + seed`` with ``width`` buckets — the same hi/lo-decomposed
+    Knuth multiplicative hash (p_group_sample's oracle convention).
+    ``width`` is a parameter, NOT post-hoc string surgery: the hash
+    body contains its own modulus literals, so textual replacement of
+    "% N" could silently rewrite the hash arithmetic."""
     km = f"(({expr}) + {seed}) % 4294967296"
     return (
         f"(((({km}) - ({km}) % 65536) // 65536 * 2654435761 % 4294967296"
         f" * 65536 + ({km}) % 65536 * 2654435761) % 4294967296)"
-        f" % {_CMS_WIDTH}"
+        f" % {width}"
     )
 
 
@@ -625,7 +628,7 @@ _CLF_SEED = 4000037
     ), scored AS (
       SELECT doc_id,
              SUM(cnt) AS n_terms,
-             SUM(cnt * (({_cms_oracle_bucket_sql('idx', _CLF_SEED).replace(f'% {_CMS_WIDTH}', '% 2001')}) - 1000)
+             SUM(cnt * (({_cms_oracle_bucket_sql('idx', _CLF_SEED, width=2001)}) - 1000)
                  / 1024.0 / 16) AS score
       FROM tf GROUP BY doc_id
     )
@@ -641,7 +644,7 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (fastText-style) quality-classifier INFERENCE over the
     corpus with zero Python in the hot path: hashed bag-of-words
     features (the enc_feature_hash md5 trick — no vocabulary, fixed
-    {_CLF_DIM}-dim space) scored against a weight vector, as a pure
+    1024-dim space) scored against a weight vector, as a pure
     aggregation. The model here is hash-derived (weight(idx) =
     (portable_bucket(idx+seed, 2001) − 1000)/1024/16 — deterministic
     and engine-portable, so DuckDB replays inference bit-for-bit at
@@ -882,7 +885,7 @@ def emb_pca_by_label_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH u AS (
       SELECT doc_id, n_chars,
-             (({_cms_oracle_bucket_sql('doc_id', 9100017).replace(f'% {_CMS_WIDTH}', '% 4294967296')}) + 1.0)
+             (({_cms_oracle_bucket_sql('doc_id', 9100017, width=4294967296)}) + 1.0)
                / 4294967297.0 AS uh
       FROM documents WHERE n_chars > 0
     ), keyed AS (

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..schemas import EVENTS
 
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """S8: file-based streaming source over the events layout.
 
@@ -40,8 +41,6 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import types as T
-
-    from ..schemas import EVENTS
 
     try:
         footer = spark.read.parquet(path).schema
@@ -307,6 +306,25 @@ def read_orders_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _snapshot_guard(base_dir: str, batch_id: int):
+    """Versioned-sink replay guard: list snapshot versions and detect a
+    REPLAYED batch. foreachBatch delivers at-least-once — if the sink
+    crashed after writing v{batch_id} but before the checkpoint offset
+    committed, the engine re-delivers the same batch_id on restart.
+    v{batch_id} on disk already CONTAINS that batch, so re-applying
+    would double-add non-idempotent merges (moment SUMs) and, for every
+    sink, overwrite the very directory being read as the "previous"
+    snapshot (Spark's cannot-overwrite-read-path error). Returns
+    (versions, already_applied)."""
+    import os
+
+    versions = sorted(
+        (d for d in os.listdir(base_dir) if d.startswith("v")),
+        key=lambda d: int(d[1:]),
+    ) if os.path.isdir(base_dir) else []
+    return versions, f"v{batch_id}" in versions
+
+
 def merge_upsert_sink(base_dir: str, key: str, order_col: str, tiebreak: str):
     """foreachBatch MERGE-upsert into a versioned parquet snapshot —
     the j_cdc_merge pattern driven incrementally, for sinks without a
@@ -329,10 +347,9 @@ def merge_upsert_sink(base_dir: str, key: str, order_col: str, tiebreak: str):
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        versions = sorted(
-            (d for d in os.listdir(base_dir) if d.startswith("v")),
-            key=lambda d: int(d[1:]),
-        ) if os.path.isdir(base_dir) else []
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
         union = batch_df
         if versions:
             cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
@@ -391,13 +408,12 @@ def sketch_rollup_sink(base_dir: str, group_col: str, id_col: str):
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
         new = batch_df.groupBy(group_col).agg(
             F.hll_sketch_agg(id_col).alias("hll")
         )
-        versions = sorted(
-            (d for d in os.listdir(base_dir) if d.startswith("v")),
-            key=lambda d: int(d[1:]),
-        ) if os.path.isdir(base_dir) else []
         merged = new
         if versions:
             cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
@@ -454,11 +470,10 @@ def moment_stats_sink(base_dir: str, vec_col: str = "embedding"):
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
         new = moment_partials(batch_df, vec_col)
-        versions = sorted(
-            (d for d in os.listdir(base_dir) if d.startswith("v")),
-            key=lambda d: int(d[1:]),
-        ) if os.path.isdir(base_dir) else []
         merged = new
         if versions:
             cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
@@ -517,4 +532,7 @@ __all__ = [
     "run_available_now",
     "moment_stats_sink",
     "run_moment_stats",
+    "running_user_totals_tws",
+    "sketch_rollup_sink",
+    "run_sketch_rollup",
 ]

@@ -520,3 +520,42 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_versioned_sinks_skip_replayed_batches(spark, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME batch_id
+    twice (crash between snapshot write and checkpoint commit) must be
+    a no-op on the second delivery — for the moment sink (whose SUM
+    merge would otherwise double-count) and for the upsert/sketch
+    sinks (which would otherwise overwrite the snapshot directory they
+    are reading)."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.filter(SF.col("vec_id") % 2 == 0)
+
+    base = str(tmp_path / "replay_moments")
+    sink = jobs.moment_stats_sink(base)
+    sink(half, 0)
+    snap1 = {
+        (r.i, r.j): r.s
+        for r in spark.read.parquet(os.path.join(base, "v0")).collect()
+    }
+    sink(half, 0)  # replay of the same batch id: must not double-add
+    snap2 = {
+        (r.i, r.j): r.s
+        for r in spark.read.parquet(os.path.join(base, "v0")).collect()
+    }
+    assert snap2 == snap1
+    assert snap2[(-1, -1)] == half.count()
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(50)
+    ubase = str(tmp_path / "replay_upsert")
+    usink = jobs.merge_upsert_sink(ubase, "user_id", "ts", "event_id")
+    usink(ev, 0)
+    n1 = spark.read.parquet(os.path.join(ubase, "v0")).count()
+    usink(ev, 0)  # would self-read-overwrite without the guard
+    assert spark.read.parquet(os.path.join(ubase, "v0")).count() == n1
