@@ -345,9 +345,20 @@ def ivf_index_search(
     so only probed cells' files are scanned. Identical output to
     ivf_topk run with the same build parameters (test-pinned): the
     index relocation changes WHERE the work happens, not the answer."""
+    import os
+
     spark = queries.sparkSession
     cent_df = spark.read.parquet(f"{base_dir}/centroids")
     postings = spark.read.parquet(f"{base_dir}/postings")
+    # streaming deltas (ivf_index_append): each b{batch_id} directory
+    # is its own cell-partitioned layout — union them in, so a search
+    # always sees base + every appended batch without any rebuild
+    delta_root = f"{base_dir}/postings_delta"
+    if os.path.isdir(delta_root):
+        for d in sorted(os.listdir(delta_root)):
+            postings = postings.unionByName(
+                spark.read.parquet(os.path.join(delta_root, d))
+            )
     q = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -379,6 +390,42 @@ def ivf_index_search(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def ivf_index_append(base_dir: str):
+    """foreachBatch sink: keep a PERSISTED IVF index fresh as new
+    vectors stream in — WITHOUT retraining or rebuilding. Each batch
+    is assigned to cells by the STORED centroids (the n_centroids×dim
+    table is a bounded driver-side read per batch — FAISS's add()
+    discipline) and lands as its own cell-partitioned delta directory
+    ``postings_delta/b{batch_id}``; ivf_index_search unions base +
+    deltas, so queries see appended vectors immediately. Replay-safe:
+    a re-delivered batch_id whose delta directory already exists is a
+    no-op (appending is not idempotent — the same guard contract as
+    streaming/jobs._snapshot_guard). Input rows must carry
+    (neighbor_id, cv) — the postings layout; callers project/cast
+    upstream. Compaction of many small deltas into the base layout is
+    an offline rewrite of the same table (sources/io compaction
+    pattern)."""
+    import os
+
+    import numpy as np
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = os.path.join(base_dir, "postings_delta", f"b{batch_id}")
+        if os.path.isdir(delta):
+            return
+        spark = batch_df.sparkSession
+        cent = (
+            spark.read.parquet(f"{base_dir}/centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        C = np.array([r["centroid"] for r in cent], dtype="float64")
+        assigned = batch_df.withColumn("cell", _cell_assign_udf(C)(F.col("cv")))
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(delta)
+
+    return apply
 
 
 def ivf_topk(

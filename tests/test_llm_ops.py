@@ -621,3 +621,73 @@ def test_ivf_persisted_index_search_equals_direct(spark, tmp_path):
     want = sorted(tuple(r) for r in direct.collect())
     got = sorted(tuple(r) for r in persisted.collect())
     assert got == want and len(got) > 0
+
+
+def test_ivf_index_streaming_append_matches_single_shot(spark, tmp_path):
+    """Incremental index maintenance: building the IVF index on half
+    the corpus and streaming the other half through ivf_index_append
+    in two micro-batches must leave exactly the postings a single
+    append of the same rows produces — and the search must see every
+    appended vector (cell counts match a numpy replay of the stored-
+    centroid assignment; replayed batch ids are no-ops)."""
+    import os
+
+    import numpy as np
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    first = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+    base = str(tmp_path / "ivf_inc")
+    similarity.ivf_index_build(first, base, n_centroids=8)
+
+    def postings_rows(df):
+        return df.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity._as_double(F.col("embedding")).alias("cv"),
+        )
+
+    sink = similarity.ivf_index_append(base)
+    r = postings_rows(rest)
+    b0 = r.filter(F.col("neighbor_id") % 4 == 1)
+    b1 = r.filter(F.col("neighbor_id") % 4 == 3)
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay: must be a no-op
+
+    # single-shot twin
+    twin = str(tmp_path / "ivf_one")
+    similarity.ivf_index_build(first, twin, n_centroids=8)
+    similarity.ivf_index_append(twin)(r, 0)
+
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    got = sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, base, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+    want = sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, twin, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # appended postings == numpy assignment with the STORED centroids
+    cent = spark.read.parquet(f"{base}/centroids").orderBy("cell").collect()
+    C = np.array([x["centroid"] for x in cent])
+    rest_rows = rest.select("vec_id", "embedding").collect()
+    expected = {}
+    for row in rest_rows:
+        x = np.array(row.embedding, dtype="float64")
+        cell = int(((C - x) ** 2).sum(axis=1).argmin())
+        expected[cell] = expected.get(cell, 0) + 1
+    delta_root = os.path.join(base, "postings_delta")
+    got_counts = {}
+    for d in os.listdir(delta_root):
+        for x in spark.read.parquet(os.path.join(delta_root, d)).groupBy(
+            "cell"
+        ).count().collect():
+            got_counts[x.cell] = got_counts.get(x.cell, 0) + x["count"]
+    assert got_counts == expected
