@@ -428,6 +428,35 @@ def ivf_index_append(base_dir: str):
     return apply
 
 
+def ivf_index_compact(spark, base_dir: str) -> None:
+    """Fold accumulated streaming deltas back into the base postings
+    layout — the small-files maintenance step every delta-appending
+    index needs: read base + every ``postings_delta/b*`` directory,
+    rewrite ONE cell-partitioned postings layout (version-then-swap:
+    write to ``postings_new``, atomically rename over the old base),
+    and drop the deltas. Search results are identical before and
+    after (test-pinned); only the file layout changes — fewer, larger
+    per-cell files, restoring scan efficiency after long append
+    streaks."""
+    import os
+    import shutil
+
+    delta_root = os.path.join(base_dir, "postings_delta")
+    if not os.path.isdir(delta_root):
+        return
+    postings = spark.read.parquet(os.path.join(base_dir, "postings"))
+    for d in sorted(os.listdir(delta_root)):
+        postings = postings.unionByName(
+            spark.read.parquet(os.path.join(delta_root, d))
+        )
+    new_dir = os.path.join(base_dir, "postings_new")
+    postings.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+    old_dir = os.path.join(base_dir, "postings")
+    shutil.rmtree(old_dir)
+    os.rename(new_dir, old_dir)
+    shutil.rmtree(delta_root)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

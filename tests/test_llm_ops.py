@@ -691,3 +691,35 @@ def test_ivf_index_streaming_append_matches_single_shot(spark, tmp_path):
         ).count().collect():
             got_counts[x.cell] = got_counts.get(x.cell, 0) + x["count"]
     assert got_counts == expected
+
+
+def test_ivf_index_compaction_preserves_search(spark, tmp_path):
+    """Folding deltas into the base layout must not change a single
+    search row, and must leave no delta directories behind."""
+    import os
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "ivf_cpt")
+    similarity.ivf_index_build(e.filter(F.col("vec_id") % 2 == 0), base, n_centroids=8)
+    rest = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    similarity.ivf_index_append(base)(rest, 0)
+
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    before = sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, base, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+    similarity.ivf_index_compact(spark, base)
+    assert not os.path.isdir(os.path.join(base, "postings_delta"))
+    after = sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, base, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+    assert after == before and len(after) > 0
