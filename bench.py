@@ -127,6 +127,7 @@ HEADLINE = [
     "a_ks_test",
     "a_mannwhitney_u",
     "a_chi2_independence",
+    "sim_triplet_mining",
 ]
 
 

@@ -135,8 +135,8 @@ _reorder()
 # text_classifier_score, w_sequence_pattern, a_seasonal_residuals,
 # emb_pca_power_banded, emb_pca_by_label_banded, p_weighted_sample,
 # dedup_simhash_portable, a_holt_forecast, a_holt_forecast_by_type,
-# emb_pca_project, a_ks_test, a_mannwhitney_u, a_chi2_independence
-# (22 queue slots) — all proven at
+# emb_pca_project, a_ks_test, a_mannwhitney_u, a_chi2_independence,
+# sim_triplet_mining (23 queue slots) — all proven at
 # sf0.001+sf0.01 incl. --plain before registration (COVERAGE.md
 # "Round 6*"), keep the remaining slots as already-green pads, and
 # update test_registry_order/test_staged_r06 window assertions.

@@ -1489,3 +1489,95 @@ def a_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+@query(
+    "sim_triplet_mining",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+             label AS alabel
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv,
+             label AS clabel
+      FROM embeddings
+    ), scored AS (
+      SELECT anchor_id, cand_id, alabel, clabel,
+             ROUND(list_cosine_similarity(av, cv), 6) AS sim
+      FROM a CROSS JOIN c WHERE anchor_id <> cand_id
+    ), pos AS (
+      SELECT anchor_id, cand_id AS pos_id, sim AS pos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, cand_id) AS r
+        FROM scored WHERE clabel = alabel) t WHERE r = 1
+    ), neg AS (
+      SELECT anchor_id, cand_id AS neg_id, sim AS neg_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY sim DESC, cand_id) AS r
+        FROM scored WHERE clabel <> alabel) t WHERE r = 1
+    )
+    SELECT p.anchor_id, pos_id, neg_id, pos_sim, neg_sim,
+           ROUND(pos_sim - neg_sim, 6) AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+)
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIPLET mining for contrastive training: per anchor, the
+    nearest SAME-label vector (positive) and the nearest
+    OTHER-label vector (the HARD negative — the example that actually
+    moves a metric-learning loss, vs easy random negatives) plus the
+    margin between them. One broadcast(anchors) × corpus scan scores
+    every candidate; two windows partitioned by anchor pick the
+    heads. At 100 TB the corpus side comes pre-filtered by ANN
+    (sim_topk_* / the persisted IVF index) and this exact ranking
+    runs over the candidate set — same plan, bounded input. Ranks on
+    the 1e-6-ROUNDED cosine with id tie-break (the
+    sim_topk_bruteforce convention) so both engines agree on ties."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        _as_double(F.col("embedding")).alias("av"),
+        F.col("label").alias("alabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            "alabel",
+            "clabel",
+            F.round(cosine(F.col("av"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), F.col("cand_id"))
+    pos = (
+        scored.filter(F.col("clabel") == F.col("alabel"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", F.col("cand_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    neg = (
+        scored.filter(F.col("clabel") != F.col("alabel"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", F.col("cand_id").alias("neg_id"), F.col("sim").alias("neg_sim"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        F.col("pos_id").cast("long").alias("pos_id"),
+        F.col("neg_id").cast("long").alias("neg_id"),
+        "pos_sim",
+        "neg_sim",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+    )

@@ -263,6 +263,7 @@ def test_round6_names_registered_after_window():
         "a_ks_test",
         "a_mannwhitney_u",
         "a_chi2_independence",
+        "sim_triplet_mining",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -575,3 +576,47 @@ def test_mannwhitney_and_chi2_match_python_replay(spark):
     assert c2.n == n
     assert c2.df == (len(rows) - 1) * (len(cols) - 1)
     assert abs(c2.chi2 - chi2) <= 2e-4
+
+
+def test_triplet_mining_semantics(spark):
+    """Positives share the anchor's label, negatives never do, the
+    positive is the true same-label argmax, and a numpy replay agrees
+    on every chosen id."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        sim_triplet_mining,
+    )
+
+    got = {r.anchor_id: r for r in sim_triplet_mining(spark, SF_DIR).collect()}
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb}
+    lab = {r.vec_id: r.label for r in emb}
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
+    for aid, r in got.items():
+        assert lab[r.pos_id] == lab[aid]
+        assert lab[r.neg_id] != lab[aid]
+        sims_pos = sorted(
+            (
+                (-cos(X[aid], X[c]), c)
+                for c in X
+                if c != aid and lab[c] == lab[aid]
+            )
+        )
+        sims_neg = sorted(
+            (
+                (-cos(X[aid], X[c]), c)
+                for c in X
+                if c != aid and lab[c] != lab[aid]
+            )
+        )
+        assert r.pos_id == sims_pos[0][1]
+        assert r.neg_id == sims_neg[0][1]
+        assert r.margin == round(r.pos_sim - r.neg_sim, 6)
