@@ -128,6 +128,7 @@ HEADLINE = [
     "a_mannwhitney_u",
     "a_chi2_independence",
     "sim_triplet_mining",
+    "p_token_budget_sample",
 ]
 
 

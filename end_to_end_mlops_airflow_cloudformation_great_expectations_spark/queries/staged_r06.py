@@ -1581,3 +1581,75 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_sim",
         F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
     )
+
+
+@query(
+    "p_token_budget_sample",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+               AS n_tokens,
+             (doc_id + 5500003) % 4294967296 AS km
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, n_tokens,
+             ((km - km % 65536) // 65536 * 2654435761 % 4294967296
+              * 65536 + km % 65536 * 2654435761) % 4294967296 AS mixed
+      FROM d
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY mixed, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM m
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def p_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGETED mixture sampling: take documents per source in a
+    reproducible pseudo-random order until each source's TOKEN budget
+    (800 here — ~55% of each fixture source, so the cut genuinely
+    binds at every test scale) is spent — how a pretraining mixture is actually
+    specified ("x billion tokens of web, y of code"), as opposed to
+    doc-count sampling (p_group_sample) which over-weights sources
+    with long documents. Per-source portable-hash order + one running
+    token sum per partition key; the budget cut is on the INCLUSIVE
+    cumulative sum so the result is a deterministic prefix of each
+    source's permutation — integers end-to-end, exact cross-engine.
+    Token counts use the pack_sequences tokenizer regex. At 100 TB:
+    one window per source partition, no global state, and a new seed
+    constant yields a fresh epoch's sample."""
+    from pyspark.sql import Window
+
+    from ..functions.columns import M32, portable_bucket
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).alias("n_tokens"),
+        portable_bucket(F.col("doc_id") + F.lit(5500003), M32).alias("mixed"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("mixed", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 800)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )

@@ -264,6 +264,7 @@ def test_round6_names_registered_after_window():
         "a_mannwhitney_u",
         "a_chi2_independence",
         "sim_triplet_mining",
+        "p_token_budget_sample",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -620,3 +621,52 @@ def test_triplet_mining_semantics(spark):
         assert r.pos_id == sims_pos[0][1]
         assert r.neg_id == sims_neg[0][1]
         assert r.margin == round(r.pos_sim - r.neg_sim, 6)
+
+
+def test_token_budget_sample_semantics(spark):
+    """Every source's kept set is a PREFIX of its hash permutation
+    whose inclusive token sum never exceeds the budget, the budget
+    genuinely binds (some docs dropped per source), and adding the
+    next doc in the permutation would overshoot."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+        KNUTH,
+        M32,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        p_token_budget_sample,
+    )
+
+    got = p_token_budget_sample(spark, SF_DIR).collect()
+    assert got
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tok = {
+        d.doc_id: len(re.findall(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", d.text))
+        for d in docs
+    }
+
+    def mixed(doc_id):
+        km = (doc_id + 5500003) % M32
+        lo = km % 65536
+        hi = (km - lo) // 65536
+        return ((hi * KNUTH) % M32 * 65536 + lo * KNUTH) % M32
+
+    by_source = {}
+    for d in docs:
+        by_source.setdefault(d.source, []).append(d.doc_id)
+    kept = {}
+    for r in got:
+        kept.setdefault(r.source, set()).add(r.doc_id)
+        assert r.cum_tokens <= 800
+        assert r.n_tokens == tok[r.doc_id]
+    for src, ids in by_source.items():
+        order = sorted(ids, key=lambda i: (mixed(i), i))
+        cum, expect = 0, []
+        for i in order:
+            cum += tok[i]
+            if cum > 800:
+                break
+            expect.append(i)
+        assert kept.get(src, set()) == set(expect)
+        assert len(expect) < len(ids), "budget must bind"
