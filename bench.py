@@ -129,6 +129,7 @@ HEADLINE = [
     "a_chi2_independence",
     "sim_triplet_mining",
     "p_token_budget_sample",
+    "a_crosscorrelation",
 ]
 
 

@@ -1653,3 +1653,79 @@ def p_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+@query(
+    "a_crosscorrelation",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ), lags AS (
+      SELECT k FROM generate_series(-3, 3) AS t(k)
+    ), pairs AS (
+      SELECT l.k, a.x AS x, b.y AS y
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.h = a.h + l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND((COUNT(*) * SUM(x*y) - SUM(x) * SUM(y))
+                 / SQRT((COUNT(*) * SUM(x*x) - SUM(x) * SUM(x))
+                        * (COUNT(*) * SUM(y*y) - SUM(y) * SUM(y))), 6)
+             AS ccf
+    FROM pairs GROUP BY k
+    """,
+)
+def a_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly CLICK and
+    PURCHASE rate series at lags −3..+3 — the lead/lag diagnostic
+    (do clicks predict purchases hours ahead?) completing
+    a_autocorrelation's toolkit. Same scale-correct shape: both
+    series come out of ONE grouped scan (conditional sums per hour),
+    the 7 lags fan out via a broadcast cross join, alignment is an
+    hour-key equi-join, and Pearson r uses the one-pass
+    sum-of-products identity — no ordered windows anywhere."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+            "event_type",
+        )
+        .groupBy("h")
+        .agg(
+            F.count_if(F.col("event_type") == "click").cast("double").alias("x"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("k"))
+    a = c.crossJoin(F.broadcast(lags))
+    b = c.select(F.col("h").alias("hb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("hb") == F.col("h") + F.col("k")).select(
+        "k", "x", F.col("yb").alias("y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx, syy = (
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    return pairs.groupBy("k").agg(
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("ccf"),
+    ).select(F.col("k").cast("long").alias("lag"), "n_pairs", "ccf")

@@ -265,6 +265,7 @@ def test_round6_names_registered_after_window():
         "a_chi2_independence",
         "sim_triplet_mining",
         "p_token_budget_sample",
+        "a_crosscorrelation",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -670,3 +671,40 @@ def test_token_budget_sample_semantics(spark):
             expect.append(i)
         assert kept.get(src, set()) == set(expect)
         assert len(expect) < len(ids), "budget must bind"
+
+
+def test_crosscorrelation_symmetric_lags_and_bounds(spark):
+    """CCF sanity: 7 lags, |r| ≤ 1 everywhere, and lag 0 equals the
+    plain Pearson correlation of the two aligned series (python
+    replay)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        a_crosscorrelation,
+    )
+
+    got = {r.lag: r for r in a_crosscorrelation(spark, SF_DIR).collect()}
+    assert set(got) == set(range(-3, 4))
+    for r in got.values():
+        assert abs(r.ccf) <= 1.0
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series = {}
+    for r in ev:
+        if r.event_type not in ("click", "purchase"):
+            continue
+        h = int(r.ts.timestamp() // 3600)
+        xy = series.setdefault(h, [0, 0])
+        xy[0 if r.event_type == "click" else 1] += 1
+    xs = [v[0] for v in series.values()]
+    ys = [v[1] for v in series.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    import math
+
+    r0 = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got[0].n_pairs == n
+    assert got[0].ccf == round(r0, 6)
