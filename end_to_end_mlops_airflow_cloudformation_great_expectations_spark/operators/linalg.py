@@ -168,8 +168,12 @@ def power_iteration(G: DataFrame, rounds: int, init: float = 0.125) -> DataFrame
             F.array_sort(F.collect_list(F.struct("i", "w"))).alias("pairs"),
             F.sum(F.col("w") * F.col("w")).alias("nn"),
         ).select(
+            # try_divide: a degenerate all-identical corpus gives an
+            # exactly-zero gram and nn=0 — NULL components beat an
+            # ANSI DIVIDE_BY_ZERO failing the whole query
             F.transform(
-                F.col("pairs"), lambda p: p["w"] / F.sqrt(F.col("nn"))
+                F.col("pairs"),
+                lambda p: F.try_divide(p["w"], F.sqrt(F.col("nn"))),
             ).alias("varr")
         )
     # posexplode positions are 0-based — exactly the dim ids
@@ -298,7 +302,8 @@ def power_iteration_by(
         ).select(
             key_col,
             F.transform(
-                F.col("pairs"), lambda p: p["w"] / F.sqrt(F.col("nn"))
+                F.col("pairs"),
+                lambda p: F.try_divide(p["w"], F.sqrt(F.col("nn"))),
             ).alias("varr"),
         )
     return vrow.select(key_col, F.posexplode("varr").alias("j", "vj"))

@@ -415,6 +415,11 @@ def ivf_index_append(base_dir: str):
         delta = os.path.join(base_dir, "postings_delta", f"b{batch_id}")
         if os.path.isdir(delta):
             return
+        ledger = os.path.join(base_dir, "compacted_deltas.txt")
+        if os.path.isfile(ledger):
+            with open(ledger) as fh:
+                if f"b{batch_id}" in fh.read().split():
+                    return  # folded into base by ivf_index_compact
         spark = batch_df.sparkSession
         cent = (
             spark.read.parquet(f"{base_dir}/centroids")
@@ -449,11 +454,23 @@ def ivf_index_compact(spark, base_dir: str) -> None:
         postings = postings.unionByName(
             spark.read.parquet(os.path.join(delta_root, d))
         )
+    folded = sorted(os.listdir(delta_root))
     new_dir = os.path.join(base_dir, "postings_new")
     postings.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+    # swap keeps a recoverable state at every step: old base is moved
+    # aside BEFORE the new one takes its place, never deleted first
     old_dir = os.path.join(base_dir, "postings")
-    shutil.rmtree(old_dir)
+    aside = os.path.join(base_dir, "postings_old")
+    os.rename(old_dir, aside)
     os.rename(new_dir, old_dir)
+    shutil.rmtree(aside)
+    # tombstone ledger: the folded batch ids must stay visible to
+    # ivf_index_append's replay guard — deleting the delta dirs alone
+    # would let a post-compaction replay of an already-folded batch_id
+    # append its rows a second time
+    with open(os.path.join(base_dir, "compacted_deltas.txt"), "a") as fh:
+        for d in folded:
+            fh.write(d + "\n")
     shutil.rmtree(delta_root)
 
 
@@ -614,9 +631,19 @@ def lsh_neardup_pairs(
         F.col("id").alias(id_col),
         F.col("v").alias(vec_col),
     )
-    sized = buckets.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("block"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
+    # skew guard via ANTI-join against the (tiny by construction) hot
+    # block set: the block counts aggregate over a NARROW (block)
+    # projection, so the only thing shuffled alongside the vectors is
+    # the grouped-map partitioning the pair stage needs anyway — the
+    # previous window formulation dragged every d-dim array through a
+    # count-only shuffle first
+    hot = (
+        buckets.groupBy("block")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("block")
+    )
+    sized = buckets.join(F.broadcast(hot), "block", "left_anti")
     pairs = cosine_neardup_pairs_arrow(
         sized, "block", threshold, id_col, vec_col, chunk_rows
     )
@@ -744,16 +771,9 @@ def _train_pq_codebooks(
     discipline as the IVF coarse quantizer — at 100 TB the codebooks
     train on a few 10k vectors regardless of corpus size, and the
     driver holds sample_size × dim doubles, nothing more."""
-    rows = (
-        prepared.select("cv", F.xxhash64(F.col("neighbor_id")).alias("__h"))
-        .orderBy("__h")
-        .limit(sample_size)
-        .select("cv")
-        .collect()
-    )
-    if not rows:
+    X = _sample_vectors(prepared, sample_size)
+    if X.size == 0:
         raise ValueError("pq_topk: empty corpus, cannot train codebooks")
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"pq_topk: dim {d} not divisible by m={m}")
@@ -889,7 +909,9 @@ def pq_topk(
     approx = approx.select(
         "query_id",
         "neighbor_id",
-        (adc_dot / (F.col("qnorm") * F.col("xnorm"))).alias("adc_sim"),
+        # try_divide: zero-norm (padded/missing) vectors yield NULL
+        # instead of an ANSI DIVIDE_BY_ZERO — the cosine() discipline
+        F.try_divide(adc_dot, F.col("qnorm") * F.col("xnorm")).alias("adc_sim"),
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("adc_sim"), F.col("neighbor_id")
@@ -1075,9 +1097,9 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                (F.col("qc_dot") + adc_resid)
-                / (F.col("qnorm") * F.col("xnorm"))
+            F.try_divide(
+                F.col("qc_dot") + adc_resid,
+                F.col("qnorm") * F.col("xnorm"),
             ).alias("adc_sim"),
         )
     )

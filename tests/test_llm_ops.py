@@ -723,3 +723,26 @@ def test_ivf_index_compaction_preserves_search(spark, tmp_path):
         ).collect()
     )
     assert after == before and len(after) > 0
+
+
+def test_ivf_append_replay_after_compaction_is_noop(spark, tmp_path):
+    """Compaction must not forget which batches were folded: replaying
+    an already-compacted batch_id appends nothing (the tombstone
+    ledger), so postings counts stay exact."""
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "ivf_tomb")
+    similarity.ivf_index_build(e.filter(F.col("vec_id") % 2 == 0), base, n_centroids=8)
+    rest = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    sink = similarity.ivf_index_append(base)
+    sink(rest, 0)
+    similarity.ivf_index_compact(spark, base)
+    n = spark.read.parquet(f"{base}/postings").count()
+    assert n == e.count()
+    sink(rest, 0)  # replay AFTER compaction: must be a no-op
+    import os
+
+    assert not os.path.isdir(os.path.join(base, "postings_delta"))
+    assert spark.read.parquet(f"{base}/postings").count() == n
