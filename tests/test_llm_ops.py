@@ -746,3 +746,16 @@ def test_ivf_append_replay_after_compaction_is_noop(spark, tmp_path):
 
     assert not os.path.isdir(os.path.join(base, "postings_delta"))
     assert spark.read.parquet(f"{base}/postings").count() == n
+
+
+def test_ivf_index_search_plan_prunes_partitions(spark, tmp_path):
+    """The docstring's economics made checkable: the probed-cell join
+    must reach the postings scan as DYNAMIC PARTITION PRUNING, so a
+    search reads only probed cells' files."""
+    base = str(tmp_path / "ivf_dpp")
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    similarity.ivf_index_build(e, base, n_centroids=8)
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    df = similarity.ivf_index_search(q, base, k=5, n_probe=2, query_id="query_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
