@@ -130,6 +130,7 @@ HEADLINE = [
     "sim_triplet_mining",
     "p_token_budget_sample",
     "a_crosscorrelation",
+    "p_quantile_normalize",
 ]
 
 

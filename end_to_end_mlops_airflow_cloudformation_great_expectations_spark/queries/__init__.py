@@ -136,8 +136,8 @@ _reorder()
 # emb_pca_power_banded, emb_pca_by_label_banded, p_weighted_sample,
 # dedup_simhash_portable, a_holt_forecast, a_holt_forecast_by_type,
 # emb_pca_project, a_ks_test, a_mannwhitney_u, a_chi2_independence,
-# sim_triplet_mining, p_token_budget_sample, a_crosscorrelation
-# (25 queue slots) — all proven at
+# sim_triplet_mining, p_token_budget_sample, a_crosscorrelation,
+# p_quantile_normalize (26 queue slots) — all proven at
 # sf0.001+sf0.01 incl. --plain before registration (COVERAGE.md
 # "Round 6*"), keep the remaining slots as already-green pads, and
 # update test_registry_order/test_staged_r06 window assertions.

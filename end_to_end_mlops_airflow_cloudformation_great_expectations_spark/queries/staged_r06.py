@@ -1729,3 +1729,79 @@ def a_crosscorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ccf"),
     ).select(F.col("k").cast("long").alias("lag"), "n_pairs", "ccf")
+
+
+@query(
+    "p_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ), g AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER () AS n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM d
+    ), mapped AS (
+      SELECT doc_id, source, n_chars,
+             ((2 * r - 1) * n + ns) // (2 * ns) AS pos
+      FROM g
+    )
+    SELECT m.doc_id, m.source,
+           CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(v.n_chars AS BIGINT) AS normalized
+    FROM mapped m JOIN g v ON v.i = m.pos
+    """,
+)
+def p_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across sources (quantile matching): map
+    each document's length onto the GLOBAL value at the same relative
+    rank, so every source's length distribution becomes the pooled
+    one — the batch-effect correction ML pipelines apply when sources
+    have systematically different scales but comparable shapes
+    (a8_group_normalize's z-score assumes Gaussian; this matches the
+    whole distribution). Integer-only midpoint mapping
+    pos = ⌊((2r−1)·N + n_s) / 2n_s⌋ so the transform is exact
+    cross-engine. Scale shape: per-source ranks are partitioned
+    windows; the GLOBAL rank and the rank→value lookup both come from
+    the distributed ranks operator (range-partitioned sort +
+    broadcast offsets) — the lookup join shuffles on integer rank
+    positions, never sorts globally."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import attach_global_ranks
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = attach_global_ranks(
+        d,
+        sort_cols=[F.asc("n_chars"), F.asc("doc_id")],
+        key_cols=[F.col("n_chars"), F.col("doc_id")],
+        rn_col="i",
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = (
+        g.withColumn("r", F.row_number().over(ws))
+        .withColumn("ns", F.count("*").over(Window.partitionBy("source")))
+        .crossJoin(F.broadcast(tot))
+    )
+    mapped = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor(
+            ((2 * F.col("r") - 1) * F.col("n") + F.col("ns"))
+            / (2 * F.col("ns"))
+        )
+        .cast("long")
+        .alias("pos"),
+    )
+    lookup = g.select(F.col("i").alias("pos"), F.col("n_chars").alias("normalized"))
+    return mapped.join(lookup, "pos").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("normalized").cast("long").alias("normalized"),
+    )

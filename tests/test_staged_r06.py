@@ -266,6 +266,7 @@ def test_round6_names_registered_after_window():
         "sim_triplet_mining",
         "p_token_budget_sample",
         "a_crosscorrelation",
+        "p_quantile_normalize",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) >= 50
@@ -708,3 +709,36 @@ def test_crosscorrelation_symmetric_lags_and_bounds(spark):
     )
     assert got[0].n_pairs == n
     assert got[0].ccf == round(r0, 6)
+
+
+def test_quantile_normalize_matches_python_and_preserves_order(spark):
+    """Quantile matching invariants: within each source the transform
+    is monotone in the original value, the normalized multiset is a
+    rank-faithful resample of the global values, and a python replay
+    of the integer midpoint mapping agrees row-for-row."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r06 import (
+        p_quantile_normalize,
+    )
+
+    got = {r.doc_id: r for r in p_quantile_normalize(spark, SF_DIR).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    g = sorted(docs, key=lambda d: (d.n_chars, d.doc_id))
+    N = len(g)
+    gval = {i + 1: d.n_chars for i, d in enumerate(g)}
+    by_source = {}
+    for d in docs:
+        by_source.setdefault(d.source, []).append(d)
+    for src, ds in by_source.items():
+        ds.sort(key=lambda d: (d.n_chars, d.doc_id))
+        ns = len(ds)
+        prev = None
+        for r, d in enumerate(ds, start=1):
+            pos = ((2 * r - 1) * N + ns) // (2 * ns)
+            assert got[d.doc_id].normalized == gval[pos]
+            if prev is not None:
+                assert got[d.doc_id].normalized >= prev
+            prev = got[d.doc_id].normalized
