@@ -29,79 +29,70 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 )
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. Round-5
-#: rotation (VERDICT r04 "Next round" item 1): rounds 1-4 greened all
-#: 160 previously-registered oracle-backed queries (CORRECTNESS_r04
-#: closed the ledger at 50/50), so the round-4 names stay in place
-#: (they re-verify for free) and the ELEVEN pad slots they no longer
-#: need rotate in the round-5 staged set — mm_jpeg_decode,
-#: g_pagerank_banded, pack_sequences, a_ewma_user_segmented, the four
-#: ANN recall bands, dedup_minhash_checked,
-#: emb_random_projection_banded, p_epoch_shuffle — each of which
-#: passed tools/check.py at sf0.001+sf0.01 before registration
-#: (tests/test_staged_r05.py). The remaining 8 slots stay padded with
-#: cheap already-green queries so the window is exactly 50 names
-#: (test_registry_order.py pins it).
+#: First 50 = the driver's observed CORRECTNESS window. ROUND-6
+#: rotation (VERDICT r05 "Next round" item 1): CORRECTNESS_r05 closed
+#: 50/50 green, so every round-5 window name has a driver-green row
+#: and the window rotates to the 26 round-6 queries that were
+#: registered after the 50-slot cutoff last round (each proven at
+#: sf0.001+sf0.01 incl. --plain before registration — COVERAGE.md
+#: "Round 6*", re-verified by the round-5 judge's plain-session pass,
+#: VERDICT.md r05). Remaining 24 slots are cheap already-driver-green
+#: pads (rounds 1-5 ledger) so the window is exactly 50 names
+#: (test_registry_order.py pins it). Greening these 26 closes the
+#: cumulative ledger at 205/205 oracle-backed driver-green.
 _DRIVER_WINDOW_FIRST = [
-    # round-3 multimodal additions (local-PASS only so far)
-    "mm_png_decode",
-    "mm_image_resize",
+    # ---- round-6 queue: never driver-checked, judge-green r05 ----
+    "p_group_sample",
+    "dedup_containment",
+    "a_cms_heavy_hitters",
+    "a_ols_multivariate",
+    "w_funnel_conversion",
+    "t9_stream_stream_join",
+    "w_last_touch_attribution",
+    "a_autocorrelation",
+    "j_scd2_intervals",
+    "text_classifier_score",
+    "w_sequence_pattern",
+    "a_seasonal_residuals",
+    "emb_pca_power_banded",
+    "emb_pca_by_label_banded",
+    "p_weighted_sample",
+    "dedup_simhash_portable",
+    "a_holt_forecast",
+    "a_holt_forecast_by_type",
+    "emb_pca_project",
+    "a_ks_test",
+    "a_mannwhitney_u",
+    "a_chi2_independence",
+    "sim_triplet_mining",
+    "p_token_budget_sample",
+    "a_crosscorrelation",
+    "p_quantile_normalize",
+    # ---- cheap already-driver-green pads (rounds 1-5 ledger) ----
+    "emb_quantize_int8",
+    "tpch_q6_forecast_revenue",
+    "text_unicode_normalize",
+    "t1_tumbling_window",
+    "a_user_entropy",
+    "a7_hash_split",
+    "mm_bmp_decode",
+    "text_fingerprint",
+    "enc_feature_hash",
     "mm_wav_energy",
-    # banded approx distinct (converted to |est-exact|<=bound oracle)
-    "a2_approx_count_distinct",
-    # a_* statistics batch (round-2 additions, judge-local-PASS only)
-    "a_bitmap_distinct",
-    "a_histogram_equiheight",
-    "a_grouped_ols",
-    "a_listagg_ordered",
-    "a_winsorized_mean",
-    "a_cohort_retention",
-    "a_mad_outliers",
-    "a_gini_coefficient",
-    "a_abtest_lift",
-    "a_welch_ttest",
-    # window extra
-    "w_yoy_revenue",
-    # TPC-H extras q2 q4 q7-q14 q16-q21
-    "tpch_q2_min_cost_match",
-    "tpch_q4_late_orders",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_conditional_agg",
-    "tpch_q13_order_histogram",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q20_bulk_suppliers",
-    "tpch_q21_sole_late_supplier",
-    # ---- round-5 flip: the 11 staged queries (staged_r05.py), all
-    # PASS tools/check.py at sf0.001+sf0.01 before registration ----
-    "mm_jpeg_decode",
-    "g_pagerank_banded",
-    "pack_sequences",
-    "a_ewma_user_segmented",
-    "sim_topk_lsh_recall",
-    "sim_topk_ivf_recall",
-    "sim_topk_pq_recall",
-    "sim_topk_ivfpq_recall",
-    "dedup_minhash_checked",
-    "emb_random_projection_banded",
-    "p_epoch_shuffle",
-    # ---- round-5 new work, proven at sf0.001+sf0.01+plain before
-    # taking a window slot ----
-    "dedup_embedding_lsh",
-    "text_bpe_merges_k",
-    "mm_jpeg420_decode",
-    "dedup_incremental_checked",
-    "text_bpe_apply",
-    "dedup_repeated_spans",
-    "dedup_span_cut",
-    "dedup_levenshtein",
+    "a4_pivot_agg",
+    "j_funnel_click_purchase",
+    "mm_media_metadata",
+    "a_rolling_active_users",
+    "mm_wav_decode",
+    "text_token_stats",
+    "enc_target_loo",
+    "a8_group_normalize",
+    "text_pii_redact",
+    "w1_topk_per_group",
+    "p_scd2_history",
+    "dedup_exact",
+    "j_skew_salted_join",
+    "j_cdc_merge",
 ]
 
 
@@ -119,27 +110,12 @@ def _reorder() -> None:
 
 _reorder()
 
-# ROUND-5 FLIP executed (round-4 ledger closed: CORRECTNESS_r04
-# 50/50 green → the registration freeze lifted): staged_r05 is now
-# imported unconditionally with the other query modules, and its 11
-# names occupy the first pad slots of _DRIVER_WINDOW_FIRST above so
-# the driver hash-checks them this round. SPARK_GRAFT_STAGED is no
-# longer consulted.
-#
-# ROUND-7 ROTATION (mechanical, once CORRECTNESS_r05 confirms the 50
-# names above green): every name above already has a driver-green row
-# after round 5, so replace the leading slots with the round-6 queue
-# — p_group_sample, dedup_containment, a_cms_heavy_hitters,
-# a_ols_multivariate, w_funnel_conversion, t9_stream_stream_join,
-# w_last_touch_attribution, a_autocorrelation, j_scd2_intervals,
-# text_classifier_score, w_sequence_pattern, a_seasonal_residuals,
-# emb_pca_power_banded, emb_pca_by_label_banded, p_weighted_sample,
-# dedup_simhash_portable, a_holt_forecast, a_holt_forecast_by_type,
-# emb_pca_project, a_ks_test, a_mannwhitney_u, a_chi2_independence,
-# sim_triplet_mining, p_token_budget_sample, a_crosscorrelation,
-# p_quantile_normalize (26 queue slots) — all proven at
-# sf0.001+sf0.01 incl. --plain before registration (COVERAGE.md
-# "Round 6*"), keep the remaining slots as already-green pads, and
-# update test_registry_order/test_staged_r06 window assertions.
+# ROUND-6 ROTATION executed (CORRECTNESS_r05 50/50 green): the 26
+# round-6 queue names now occupy the leading window slots; the other
+# 24 slots are cheap already-driver-green pads. Once CORRECTNESS_r06
+# confirms them, the cumulative ledger is CLOSED at 205/205
+# oracle-backed driver-green. New queries added this round (IVF
+# lifecycle / moment-sink twins, fit-free PCA apply) may swap into
+# pad slots AFTER proving green at sf0.001+sf0.01 incl. --plain.
 
 __all__ = ["QUERIES", "ORACLES"]

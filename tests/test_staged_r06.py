@@ -236,9 +236,10 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round6_names_registered_after_window():
-    """Round-6 queries append after the pinned 50-name window (no
-    slot left this round); they rotate in next round."""
+def test_round6_names_rotated_into_window():
+    """Round-6 rotation executed (CORRECTNESS_r05 closed 50/50): the
+    round-6 queue now occupies leading driver-window slots so the
+    driver hash-checks every one of them this round."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
@@ -269,7 +270,7 @@ def test_round6_names_registered_after_window():
         "p_quantile_normalize",
     ):
         assert n in qpkg.ORACLES
-        assert names.index(n) >= 50
+        assert names.index(n) < 50
 
 
 def test_classifier_table_weights_equal_expression_weights(spark):
