@@ -315,13 +315,30 @@ def _snapshot_guard(base_dir: str, batch_id: int):
     would double-add non-idempotent merges (moment SUMs) and, for every
     sink, overwrite the very directory being read as the "previous"
     snapshot (Spark's cannot-overwrite-read-path error). Returns
-    (versions, already_applied)."""
-    import os
+    (versions, already_applied).
 
-    versions = sorted(
+    A version directory counts as COMMITTED only if it carries Spark's
+    ``_SUCCESS`` marker: a crash mid-write leaves a partial directory,
+    and treating it as applied would both skip the re-delivered batch
+    AND make the incomplete snapshot the base every later batch merges
+    onto (silent data loss in exactly the at-least-once crash scenario
+    this guard exists for). Partial directories are deleted here so
+    the replayed batch re-applies cleanly."""
+    import os
+    import shutil
+
+    if not os.path.isdir(base_dir):
+        return [], False
+    versions = []
+    for d in sorted(
         (d for d in os.listdir(base_dir) if d.startswith("v")),
         key=lambda d: int(d[1:]),
-    ) if os.path.isdir(base_dir) else []
+    ):
+        path = os.path.join(base_dir, d)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            versions.append(d)
+        else:  # aborted write — remove so the batch re-applies
+            shutil.rmtree(path, ignore_errors=True)
     return versions, f"v{batch_id}" in versions
 
 

@@ -759,3 +759,153 @@ def test_ivf_index_search_plan_prunes_partitions(spark, tmp_path):
     df = similarity.ivf_index_search(q, base, k=5, n_probe=2, query_id="query_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def _ivf_crash_fixture(spark, tmp_path, name):
+    """Build a half-corpus index + one appended delta batch; return
+    (base_dir, query_df, truth) where truth = search rows that every
+    crash-recovery path must reproduce exactly."""
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / name)
+    similarity.ivf_index_build(
+        e.filter(F.col("vec_id") % 2 == 0), base, n_centroids=8
+    )
+    rest = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    similarity.ivf_index_append(base)(rest, 0)
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    truth = sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, base, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+    assert truth
+    return base, q, truth
+
+
+def _search_rows(spark, q, base):
+    return sorted(
+        tuple(x)
+        for x in similarity.ivf_index_search(
+            q, base, k=5, n_probe=6, query_id="query_id"
+        ).collect()
+    )
+
+
+def test_ivf_append_partial_delta_is_redone(spark, tmp_path):
+    """ADVICE r05: a crash mid-write leaves a delta directory WITHOUT
+    _SUCCESS; the replayed batch must re-apply (delete + rewrite), not
+    no-op — otherwise those vectors silently vanish from the index."""
+    import os
+    import shutil
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "ivf_partial")
+    similarity.ivf_index_build(
+        e.filter(F.col("vec_id") % 2 == 0), base, n_centroids=8
+    )
+    rest = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    sink = similarity.ivf_index_append(base)
+    sink(rest, 0)
+    delta = os.path.join(base, "postings_delta", "b0")
+    # simulate the crash: strip the commit marker, truncate contents
+    os.remove(os.path.join(delta, "_SUCCESS"))
+    for d in os.listdir(delta):
+        if d.startswith("cell="):
+            shutil.rmtree(os.path.join(delta, d))
+    # partial deltas are invisible to search (aborted write)...
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    half_only = _search_rows(spark, q, base)
+    # ...and the replay re-applies instead of no-opping
+    sink(rest, 0)
+    assert os.path.exists(os.path.join(delta, "_SUCCESS"))
+    full = _search_rows(spark, q, base)
+    assert full != half_only
+    appended = spark.read.parquet(delta).count()
+    assert appended == rest.count()
+
+
+def test_ivf_compact_precommit_crash_rolls_back(spark, tmp_path):
+    """Crash AFTER postings_new materialized but BEFORE the ledger
+    commit point: recovery must delete postings_new and keep the
+    base+delta state authoritative — search results unchanged, and a
+    re-run compact converges to the folded layout exactly once."""
+    import os
+    import shutil
+
+    base, q, truth = _ivf_crash_fixture(spark, tmp_path, "ivf_precommit")
+    # manufacture the pre-commit crash state: a fully-materialized
+    # postings_new (with _FOLDED manifest) but NO ledger entry
+    twin = str(tmp_path / "ivf_precommit_twin")
+    shutil.copytree(base, twin)
+    similarity.ivf_index_compact(spark, twin)
+    shutil.copytree(
+        os.path.join(twin, "postings"), os.path.join(base, "postings_new")
+    )
+    assert not os.path.isfile(os.path.join(base, "compacted_deltas.txt"))
+    assert _search_rows(spark, q, base) == truth  # rolled back
+    assert not os.path.isdir(os.path.join(base, "postings_new"))
+    similarity.ivf_index_compact(spark, base)  # re-run converges
+    assert _search_rows(spark, q, base) == truth
+    assert spark.read.parquet(os.path.join(base, "postings")).count() == (
+        catalog.load(spark, SF_DIR, "embeddings").count()
+    )
+
+
+def test_ivf_compact_postcommit_crash_rolls_forward(spark, tmp_path):
+    """Crash AFTER the ledger commit point but BEFORE/DURING the swap:
+    recovery must finish the swap and skip the folded delta dirs, so
+    every appended row is counted exactly once (the ADVICE r05
+    double-count scenario)."""
+    import os
+    import shutil
+
+    n_total = catalog.load(spark, SF_DIR, "embeddings").count()
+
+    # state 1: ledger written, swap not started
+    base, q, truth = _ivf_crash_fixture(spark, tmp_path, "ivf_postcommit")
+    twin = str(tmp_path / "ivf_postcommit_twin")
+    shutil.copytree(base, twin)
+    similarity.ivf_index_compact(spark, twin)
+    shutil.copytree(
+        os.path.join(twin, "postings"), os.path.join(base, "postings_new")
+    )
+    with open(os.path.join(base, "compacted_deltas.txt"), "w") as fh:
+        fh.write("b0\n")
+    assert _search_rows(spark, q, base) == truth  # rolled forward
+    assert not os.path.isdir(os.path.join(base, "postings_delta"))
+    assert spark.read.parquet(os.path.join(base, "postings")).count() == n_total
+
+    # state 2: mid-swap — old base moved aside, new not yet in place
+    base2, q2, truth2 = _ivf_crash_fixture(spark, tmp_path, "ivf_midswap")
+    twin2 = str(tmp_path / "ivf_midswap_twin")
+    shutil.copytree(base2, twin2)
+    similarity.ivf_index_compact(spark, twin2)
+    shutil.copytree(
+        os.path.join(twin2, "postings"), os.path.join(base2, "postings_new")
+    )
+    with open(os.path.join(base2, "compacted_deltas.txt"), "w") as fh:
+        fh.write("b0\n")
+    os.rename(
+        os.path.join(base2, "postings"), os.path.join(base2, "postings_old")
+    )
+    assert _search_rows(spark, q2, base2) == truth2
+    assert not os.path.isdir(os.path.join(base2, "postings_old"))
+
+    # state 3: post-swap, delta dirs not yet cleaned — ledger makes
+    # search skip them and a re-run compact must not double-fold
+    base3, q3, truth3 = _ivf_crash_fixture(spark, tmp_path, "ivf_postswap")
+    delta_keep = str(tmp_path / "delta_copy")
+    shutil.copytree(os.path.join(base3, "postings_delta"), delta_keep)
+    similarity.ivf_index_compact(spark, base3)
+    shutil.copytree(delta_keep, os.path.join(base3, "postings_delta"))
+    assert _search_rows(spark, q3, base3) == truth3  # no double-count
+    similarity.ivf_index_compact(spark, base3)  # no double-fold
+    assert _search_rows(spark, q3, base3) == truth3
+    assert spark.read.parquet(os.path.join(base3, "postings")).count() == n_total

@@ -559,3 +559,49 @@ def test_versioned_sinks_skip_replayed_batches(spark, tmp_path):
     n1 = spark.read.parquet(os.path.join(ubase, "v0")).count()
     usink(ev, 0)  # would self-read-overwrite without the guard
     assert spark.read.parquet(os.path.join(ubase, "v0")).count() == n1
+
+
+def test_snapshot_guard_partial_version_is_redone(spark, tmp_path):
+    """ADVICE r05: a crash mid-write leaves a v{batch_id} directory
+    WITHOUT Spark's _SUCCESS marker. The guard must NOT treat it as
+    committed — the re-delivered batch re-applies (partial dir
+    deleted), and later batches must never merge onto a partial
+    snapshot as their base."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b0 = emb.filter(SF.col("vec_id") % 2 == 0)
+    b1 = emb.filter(SF.col("vec_id") % 2 == 1)
+
+    base = str(tmp_path / "partial_moments")
+    sink = jobs.moment_stats_sink(base)
+    sink(b0, 0)
+
+    # simulate the crash: v1 exists but has no _SUCCESS (partial write)
+    partial = os.path.join(base, "v1")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "w") as fh:
+        fh.write("garbage")
+
+    sink(b1, 1)  # redelivery: must delete the partial dir and re-apply
+    assert os.path.exists(os.path.join(base, "v1", "_SUCCESS"))
+    snap = {
+        (r.i, r.j): r.s
+        for r in spark.read.parquet(os.path.join(base, "v1")).collect()
+    }
+    assert snap[(-1, -1)] == emb.count()  # both batches counted once
+
+    # and a partial LATEST version must not become the next base:
+    # batch 2 sees v1 (committed) as base even if a partial v2 exists
+    partial2 = os.path.join(base, "v2")
+    os.makedirs(partial2)
+    b2 = emb.limit(0)
+    sink(b2, 2)
+    snap2 = {
+        (r.i, r.j): r.s
+        for r in spark.read.parquet(os.path.join(base, "v2")).collect()
+    }
+    assert snap2 == snap
