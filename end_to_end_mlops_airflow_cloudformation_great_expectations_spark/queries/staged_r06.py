@@ -1267,17 +1267,21 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN tag = 'click' THEN 1 ELSE 0 END) AS nb
       FROM pooled
     ), ranked AS (
-      SELECT tag,
+      SELECT tag, value,
              ROW_NUMBER() OVER (ORDER BY value, tag, event_id) AS i,
              ROW_NUMBER() OVER (PARTITION BY tag
                                 ORDER BY value, event_id) AS r
       FROM pooled
+    ), blocks AS (
+      SELECT tag, i, r, MAX(i) OVER (PARTITION BY value) AS block_end
+      FROM ranked
     ), gaps AS (
       SELECT CASE WHEN tag = 'purchase'
                   THEN ABS(CAST(r AS DOUBLE) / na - CAST(i - r AS DOUBLE) / nb)
                   ELSE ABS(CAST(i - r AS DOUBLE) / na - CAST(r AS DOUBLE) / nb)
              END AS d
-      FROM ranked, sizes
+      FROM blocks, sizes
+      WHERE i = block_end
     )
     SELECT CAST(ANY_VALUE(na) AS BIGINT) AS n_a,
            CAST(ANY_VALUE(nb) AS BIGINT) AS n_b,
@@ -1297,9 +1301,15 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned sort + broadcast offsets) and its WITHIN-GROUP
     rank r (per-tag window, parallel by key); then at that row
     F_own = r/n_own and F_other = (i−r)/n_other, so the ECDF gap is
-    ROW-LOCAL arithmetic and D is one MAX aggregate. Identical
-    tie-break (value, tag, event_id) on both engines makes the
-    statistic exact cross-engine; the asymptotic one-term p-value
+    ROW-LOCAL arithmetic and D is one MAX aggregate. TIES (ADVICE
+    r05): the gap is evaluated only at TIE-BLOCK BOUNDARY rows
+    (i == max(i) over the value block) — mid-block rows see a
+    partially-included block, which biases D when equal values occur
+    in both groups; at the block end the dual-rank identity yields
+    the textbook right-continuous ECDFs exactly. Both ECDFs jump only
+    at data values, so the block-end maximum IS sup|F_A − F_B|.
+    Identical tie-break (value, tag, event_id) on both engines makes
+    the statistic exact cross-engine; the asymptotic one-term p-value
     2·exp(−2D²·n_an_b/(n_a+n_b)) rides along."""
     from pyspark.sql import Window
 
@@ -1320,15 +1330,20 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn_col="i",
     )
     wg = Window.partitionBy("tag").orderBy("value", "event_id")
-    r = g.withColumn("r", F.row_number().over(wg))
+    wv = Window.partitionBy("value")
+    r = g.withColumn("r", F.row_number().over(wg)).withColumn(
+        "block_end", F.max("i").over(wv)
+    )
     fa = F.when(
         F.col("tag") == "purchase", F.col("r").cast("double") / F.col("na")
     ).otherwise((F.col("i") - F.col("r")).cast("double") / F.col("na"))
     fb = F.when(
         F.col("tag") == "click", F.col("r").cast("double") / F.col("nb")
     ).otherwise((F.col("i") - F.col("r")).cast("double") / F.col("nb"))
-    gaps = r.crossJoin(F.broadcast(sizes)).select(
-        F.abs(fa - fb).alias("d"), "na", "nb"
+    gaps = (
+        r.filter(F.col("i") == F.col("block_end"))
+        .crossJoin(F.broadcast(sizes))
+        .select(F.abs(fa - fb).alias("d"), "na", "nb")
     )
     return gaps.agg(
         F.any_value("na").cast("long").alias("n_a"),
@@ -1355,19 +1370,29 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value, event_type AS tag, event_id FROM events
       WHERE event_type IN ('purchase', 'click')
     ), ranked AS (
-      SELECT tag, ROW_NUMBER() OVER (ORDER BY value, tag, event_id) AS i
+      SELECT tag, value,
+             ROW_NUMBER() OVER (ORDER BY value, tag, event_id) AS i
       FROM pooled
-    ), agg AS (
-      SELECT SUM(CASE WHEN tag = 'purchase' THEN i ELSE 0 END) AS ra,
-             SUM(CASE WHEN tag = 'purchase' THEN 1 ELSE 0 END) AS na,
-             SUM(CASE WHEN tag = 'click' THEN 1 ELSE 0 END) AS nb
+    ), mids AS (
+      SELECT tag,
+             (CAST(MIN(i) OVER (PARTITION BY value) AS DOUBLE)
+              + MAX(i) OVER (PARTITION BY value)) / 2 AS mid,
+             CAST(COUNT(*) OVER (PARTITION BY value) AS DOUBLE) AS t
       FROM ranked
+    ), agg AS (
+      SELECT SUM(CASE WHEN tag = 'purchase' THEN mid ELSE 0 END) AS ra,
+             SUM(CASE WHEN tag = 'purchase' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN tag = 'click' THEN 1 ELSE 0 END) AS nb,
+             SUM(t * t - 1) AS tie3
+      FROM mids
     )
     SELECT CAST(na AS BIGINT) AS n_a,
            CAST(nb AS BIGINT) AS n_b,
-           CAST(ra - na * (na + 1) // 2 AS BIGINT) AS u_stat,
-           ROUND((CAST(ra - na * (na + 1) // 2 AS DOUBLE) - na * nb / 2.0)
-                 / SQRT(na * nb * (na + nb + 1.0) / 12.0), 6) AS z
+           ROUND(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+           ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / SQRT(na * nb / 12.0
+                        * ((na + nb + 1.0)
+                           - tie3 / ((na + nb) * (na + nb - 1.0)))), 6) AS z
     FROM agg
     """,
 )
@@ -1376,10 +1401,16 @@ def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — the nonparametric complement to a_welch_ttest, sharing
     a_ks_test's machinery: pooled global ranks from the distributed
     ranks operator, then U = ΣR_A − n_A(n_A+1)/2 and the normal
-    approximation z, all from ONE integer aggregation. Deterministic
-    (value, tag, event_id) tie-break keeps the integer rank sum
-    engine-identical; U is exact integer, z rounds on the 1e-6
-    grid."""
+    approximation z from ONE aggregation. TIES (ADVICE r05): tied
+    values take the textbook MIDRANK — (min+max)/2 of the global
+    ranks inside the tie block, a per-value window — so the statistic
+    no longer depends on the cross-group tag tie-break, and z uses
+    the tie-corrected variance n_an_b/12·((n+1) − Σ(t³−t)/(n(n−1)))
+    where Σ(t³−t) accumulates per-row as t²−1 (each t-row block
+    contributes t·(t²−1)). U lands on the 0.5 grid (exact in
+    doubles); z rounds on the 1e-6 grid."""
+    from pyspark.sql import Window
+
     from ..operators.ranks import attach_global_ranks
 
     e = _t(spark, sf_dir, "events").filter(
@@ -1392,22 +1423,35 @@ def a_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=[F.col("value"), F.col("tag"), F.col("event_id")],
         rn_col="i",
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("tag") == "purchase", F.col("i")).otherwise(0)).alias(
+    wv = Window.partitionBy("value")
+    mids = ranked.select(
+        "tag",
+        (
+            (F.min("i").over(wv).cast("double") + F.max("i").over(wv)) / 2
+        ).alias("mid"),
+        F.count("*").over(wv).cast("double").alias("t"),
+    )
+    agg = mids.agg(
+        F.sum(F.when(F.col("tag") == "purchase", F.col("mid")).otherwise(0.0)).alias(
             "ra"
         ),
         F.count_if(F.col("tag") == "purchase").alias("na"),
         F.count_if(F.col("tag") == "click").alias("nb"),
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),
     )
-    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0
+    n = F.col("na") + F.col("nb")
     return agg.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
-        u.cast("long").alias("u_stat"),
+        F.round(u, 6).alias("u_stat"),
         F.round(
-            (u.cast("double") - F.col("na") * F.col("nb") / 2.0)
+            (u - F.col("na") * F.col("nb") / 2.0)
             / F.sqrt(
-                F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1.0) / 12.0
+                F.col("na")
+                * F.col("nb")
+                / 12.0
+                * ((n + 1.0) - F.col("tie3") / (n * (n - 1.0)))
             ),
             6,
         ).alias("z"),

@@ -351,7 +351,10 @@ def w_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy("ship_year")
+    # one row per YEAR after the aggregate — a single-partition window
+    # is by design; the literal partition key keeps the identical plan
+    # while silencing WindowExec's "No Partition Defined" warning
+    w = Window.partitionBy(F.lit(1)).orderBy("ship_year")
     return yearly.select(
         "ship_year",
         "revenue",

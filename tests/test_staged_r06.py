@@ -743,3 +743,61 @@ def test_quantile_normalize_matches_python_and_preserves_order(spark):
             if prev is not None:
                 assert got[d.doc_id].normalized >= prev
             prev = got[d.doc_id].normalized
+
+
+def test_ks_and_mwu_match_textbook_definitions_under_ties(spark):
+    """ADVICE r05: with cross-group value ties the dual-rank ECDF and
+    raw rank-sum deviated from the textbook sup-gap / midrank
+    definitions (both engines agreed, so the oracle couldn't catch
+    it). Pin the fixed statistics against an independent numpy
+    replay of the definitions — midranks, tie-corrected variance,
+    ECDFs evaluated at distinct values — on the real events data,
+    which DOES contain cross-group ties (asserted)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("value", "event_type")
+        .collect()
+    )
+    a = np.sort(np.array([r.value for r in ev if r.event_type == "purchase"]))
+    b = np.sort(np.array([r.value for r in ev if r.event_type == "click"]))
+    assert len(np.intersect1d(a, b)) > 0, "fixture lost its cross-group ties"
+
+    # KS: sup over distinct pooled values of |F_a - F_b|
+    vals = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, vals, side="right") / len(a)
+    fb = np.searchsorted(b, vals, side="right") / len(b)
+    d_want = np.abs(fa - fb).max()
+    row = qpkg.QUERIES["a_ks_test"](spark, sf_dir).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.ks_d - round(d_want, 6)) < 1e-9
+
+    # MWU: midranks + tie-corrected normal approximation
+    pooled = np.concatenate([a, b])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_vals = pooled[order]
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    ra = ranks[: len(a)].sum()
+    na, nb = len(a), len(b)
+    n = na + nb
+    u_want = ra - na * (na + 1) / 2.0
+    _, t = np.unique(pooled, return_counts=True)
+    tie3 = (t**3 - t).sum()
+    var = na * nb / 12.0 * ((n + 1.0) - tie3 / (n * (n - 1.0)))
+    z_want = (u_want - na * nb / 2.0) / np.sqrt(var)
+    row = qpkg.QUERIES["a_mannwhitney_u"](spark, sf_dir).collect()[0]
+    assert abs(row.u_stat - round(u_want, 6)) < 1e-6
+    assert abs(row.z - round(z_want, 6)) < 1e-6
