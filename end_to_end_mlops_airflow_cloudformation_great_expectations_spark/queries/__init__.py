@@ -24,6 +24,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     relational,
     staged_r05,
     staged_r06,
+    staged_r07,
     streaming_batch,
     tpch_extra,
 )
@@ -90,9 +91,12 @@ _DRIVER_WINDOW_FIRST = [
     "text_pii_redact",
     "w1_topk_per_group",
     "p_scd2_history",
-    "dedup_exact",
-    "j_skew_salted_join",
-    "j_cdc_merge",
+    # ---- round-7 new work (staged_r07.py): maintenance lifecycle
+    # made driver-visible + fit-free PCA apply, each proven at
+    # sf0.001+sf0.01 incl. --plain before taking these slots ----
+    "ivf_lifecycle_checked",
+    "stream_moment_sink_checked",
+    "emb_pca_apply_artifact",
 ]
 
 
