@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .. import catalog
+from ..operators.ranks import constant_partition_key as _const_pkey
 from .registry import query
 
 
@@ -2205,7 +2206,9 @@ def a_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, window merge over the tiny daily table."""
     e = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").alias("day")
-    w = W.orderBy("d").rangeBetween(-6, 0)
+    # over the tiny DAILY table — constant key silences the WindowExec
+    # warning (see ranks.constant_partition_key)
+    w = W.partitionBy(_const_pkey(F.col("d"))).orderBy("d").rangeBetween(-6, 0)
     if _oracle_scale(sf_dir):
         daily = e.groupBy(day).agg(F.hll_sketch_agg("user_id").alias("s"))
         daily = daily.withColumn(
@@ -2657,7 +2660,12 @@ def w8_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_flag"),
         F.round(
-            F.col("rev_raw") / F.sum("rev_raw").over(W.partitionBy()),
+            F.col("rev_raw")
+            / F.sum("rev_raw").over(
+                # over the ~6 GROUP rows — constant key silences the
+                # WindowExec warning (see ranks.constant_partition_key)
+                W.partitionBy(_const_pkey(F.col("l_returnflag")))
+            ),
             6,
         ).alias("share_of_total"),
     )

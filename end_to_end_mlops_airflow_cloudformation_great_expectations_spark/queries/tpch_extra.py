@@ -352,9 +352,13 @@ def w_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one row per YEAR after the aggregate — a single-partition window
-    # is by design; the literal partition key keeps the identical plan
+    # is by design; the constant partition key keeps the identical plan
     # while silencing WindowExec's "No Partition Defined" warning
-    w = Window.partitionBy(F.lit(1)).orderBy("ship_year")
+    from ..operators.ranks import constant_partition_key
+
+    w = Window.partitionBy(constant_partition_key(F.col("ship_year"))).orderBy(
+        "ship_year"
+    )
     return yearly.select(
         "ship_year",
         "revenue",

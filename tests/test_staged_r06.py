@@ -550,16 +550,30 @@ def test_mannwhitney_and_chi2_match_python_replay(spark):
 
     mw = a_mannwhitney_u(spark, SF_DIR).collect()[0]
     pooled = sorted(
-        (r.value, r.event_type, r.event_id)
+        (r.value, r.event_type)
         for r in ev
         if r.event_type in ("purchase", "click")
     )
-    ra = sum(i + 1 for i, p in enumerate(pooled) if p[1] == "purchase")
+    # textbook MIDRANKS for ties (matches the ADVICE-r05 fix): each
+    # tied-value block of size t gets rank (first+last)/2 and
+    # contributes t^3 - t to the tie correction
+    ra, tie3, i = 0.0, 0.0, 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        mid, t = (i + 1 + j) / 2.0, float(j - i)
+        tie3 += t * t * t - t
+        ra += mid * sum(1 for p in pooled[i:j] if p[1] == "purchase")
+        i = j
     na = sum(1 for p in pooled if p[1] == "purchase")
     nb = len(pooled) - na
-    u = ra - na * (na + 1) // 2
-    assert (mw.n_a, mw.n_b, mw.u_stat) == (na, nb, u)
-    z = (u - na * nb / 2.0) / math.sqrt(na * nb * (na + nb + 1.0) / 12.0)
+    u = ra - na * (na + 1) / 2.0
+    assert (mw.n_a, mw.n_b, mw.u_stat) == (na, nb, round(u, 6))
+    n = na + nb
+    z = (u - na * nb / 2.0) / math.sqrt(
+        na * nb / 12.0 * ((n + 1.0) - tie3 / (n * (n - 1.0)))
+    )
     assert abs(mw.z - z) <= 2e-6
 
     c2 = a_chi2_independence(spark, SF_DIR).collect()[0]
