@@ -131,6 +131,10 @@ HEADLINE = [
     "p_token_budget_sample",
     "a_crosscorrelation",
     "p_quantile_normalize",
+    # r07: the fit-free PCA apply (artifact write + map-only project —
+    # the production projection shape). The lifecycle *_checked twins
+    # are verification jobs, not perf paths, and stay out.
+    "emb_pca_apply_artifact",
 ]
 
 
