@@ -190,6 +190,13 @@ def main() -> None:
             ).save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        # Isolate queries from each other: persist()/localCheckpoint
+        # blocks left by cache-using queries (BPE rounds, ranks
+        # offsets) otherwise accumulate across the 90-query run and
+        # evict later queries' working set — timings then depend on
+        # HEADLINE order, not on the query (observed: bpe_merges_k
+        # +60% once the headline passed ~90 entries).
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
