@@ -22,6 +22,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     llm,
     reference,
     relational,
+    sqlfront,
     staged_r05,
     staged_r06,
     staged_r07,
@@ -121,5 +122,14 @@ _reorder()
 # oracle-backed driver-green. New queries added this round (IVF
 # lifecycle / moment-sink twins, fit-free PCA apply) may swap into
 # pad slots AFTER proving green at sf0.001+sf0.01 incl. --plain.
+#
+# ROUND-8 ROTATION QUEUE (registered after the window this round, all
+# required to be local-green at sf0.001+sf0.01 incl. --plain before
+# landing): the SQL front end passthroughs (sql_regional_rank,
+# sql_silent_customers, sql_priority_share — queries/sqlfront.py) and
+# the round-7 analytics batch (w_markov_transitions, a_theil_sen,
+# a_cusum_changepoint, text_bigram_ppl, emb_centroid_classify —
+# staged_r07.py). Next round: move these 8 into the leading slots,
+# pad the rest with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -245,3 +245,418 @@ def emb_pca_apply_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coord_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 breadth: behavioral analytics (Markov transitions, CUSUM
+# changepoint), robust regression (Theil–Sen), a corpus bigram LM, and
+# nearest-centroid pseudo-labeling — each with an exact/gridded DuckDB
+# twin per the registry's rounding conventions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS prev_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def w_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the behavioral-analytics primitive under session clustering and
+    next-action prediction. One pass: LEAD per user (ts, event_id
+    tie-break makes the sequence deterministic), count each
+    (prev, next) edge, normalize per source state with a window over
+    the BOUNDED |types|² transition table. Scale: the only wide
+    exchange is the per-user window (the natural partitioning events
+    already have); the matrix itself is dimension-table sized."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = pairs.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wp), 6
+        ).alias("prob"),
+    )
+
+
+@query(
+    "a_theil_sen",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             ROUND(SUM(value), 6) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.h - a.h) AS slope
+      FROM hourly a JOIN hourly b USING (event_type)
+      WHERE b.h > a.h
+    ), sl AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             ROUND(median(slope), 6) AS ts_slope
+      FROM pairs GROUP BY 1
+    )
+    SELECT sl.event_type, sl.n_pairs, sl.ts_slope,
+           ROUND(median(h.y - sl.ts_slope * h.h), 6) AS ts_intercept
+    FROM hourly h JOIN sl USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type: median of all pairwise
+    slopes over the HOURLY revenue series, then the median-residual
+    intercept — the breakdown-point-0.29 alternative to the OLS trend
+    (a_grouped_ols family), immune to the value outliers MAD flags.
+
+    Determinism: hourly y is ROUND(SUM,6)-gridded first, so every
+    pairwise slope is identical double arithmetic cross-engine;
+    medians interpolate identically (Spark exact `percentile` /
+    DuckDB DOUBLE `median`) and land on the 1e-6 output grid.
+
+    Scale: the pair join is quadratic in SERIES LENGTH, not corpus
+    size — hours are bounded by the calendar window (H ≈ 720/month ⇒
+    ≤ ~260k pairs/group·month), and the hourly table it self-joins is
+    dimension-sized after the one fact-scan aggregate. For multi-year
+    windows, coarsen the grain (daily ⇒ 365²/2 pairs/year) or switch
+    to the repeated-median variant; the fact scan stays single-pass
+    either way."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    pairs = a.join(b, ["event_type"]).where(
+        F.col("b.h") > F.col("a.h")
+    ).select(
+        "event_type",
+        (
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.h") - F.col("a.h"))
+        ).alias("slope"),
+    )
+    sl = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("ts_slope"),
+    )
+    return (
+        hourly.join(F.broadcast(sl), "event_type")
+        .groupBy("event_type", "n_pairs", "ts_slope")
+        .agg(
+            F.round(
+                F.percentile(
+                    F.col("y") - F.col("ts_slope") * F.col("h"), F.lit(0.5)
+                ),
+                6,
+            ).alias("ts_intercept")
+        )
+    )
+
+
+@query(
+    "a_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             ROUND(AVG(value), 6) AS m
+      FROM events GROUP BY 1, 2
+    ), mu AS (
+      SELECT event_type, ROUND(AVG(m), 6) AS mu FROM hourly GROUP BY 1
+    ), cs AS (
+      SELECT hourly.event_type, hourly.h,
+             SUM(hourly.m - mu.mu) OVER (
+               PARTITION BY hourly.event_type ORDER BY hourly.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS s
+      FROM hourly JOIN mu USING (event_type)
+    ), rk AS (
+      SELECT event_type, h, s,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ABS(s) DESC, h ASC
+             ) AS r
+      FROM cs
+    )
+    SELECT event_type, CAST(h * 3600 AS BIGINT) AS change_epoch,
+           ROUND(ABS(s), 6) AS cusum_peak
+    FROM rk WHERE r = 1
+    """,
+)
+def a_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event_type: running sum of
+    (hourly mean − series mean); the |peak| hour is the classic
+    single-changepoint estimate (where the level shifted), its height
+    the shift evidence. Completes the series-diagnostics family (ACF /
+    CCF / seasonal residuals / Holt) with the detection step.
+
+    Determinism: both the hourly means and the series mean are
+    1e-6-gridded BEFORE the cumsum, and a running window sum is
+    evaluated in ORDER BY sequence on both engines — identical double
+    trajectories, so the argmax can't flip on reorder noise (ties
+    break to the earliest hour). Scale: one fact scan; everything
+    after is windows over the bounded hourly table, partitioned by
+    type."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    mu = hourly.groupBy("event_type").agg(
+        F.round(F.avg("m"), 6).alias("mu")
+    )
+    wcs = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        hourly.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type",
+            "h",
+            F.sum(F.col("m") - F.col("mu")).over(wcs).alias("s"),
+        )
+    )
+    wrk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("h").asc()
+    )
+    return (
+        cs.withColumn("r", F.row_number().over(wrk))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            (F.col("h") * 3600).cast("long").alias("change_epoch"),
+            F.round(F.abs("s"), 6).alias("cusum_peak"),
+        )
+    )
+
+
+@query(
+    "text_bigram_ppl",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest([ws[i] || ' ' || ws[i+1]
+                     for i in generate_series(1, GREATEST(len(ws) - 1, 0))])
+               AS bg
+      FROM w
+    ), uni AS (
+      SELECT COUNT(DISTINCT t.u) AS v
+      FROM (SELECT unnest(ws) AS u FROM w) t
+    ), cnt AS (
+      SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+    ), ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1, SUM(c) AS cw
+      FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-log2((cnt.c + 0.5) / (ctx.cw + 0.5 * uni.v))), 4)
+             AS cross_entropy
+    FROM b
+    JOIN cnt USING (bg)
+    JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1
+    CROSS JOIN uni
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — the second-order upgrade of
+    text_unigram_ppl (the CCNet filtering recipe): per-doc cross-
+    entropy −mean log2 P(w2|w1) under corpus bigram statistics with
+    add-½ smoothing, P = (c(w1,w2)+½)/(ctx(w1)+½V). Context counts
+    ctx(w1)=Σ_w2 c(w1,w2) (doc-final tokens excluded by construction)
+    and V = corpus distinct unigrams.
+
+    Scale shape: bigrams come from one map-only zip of each doc's
+    token array with its own tail (no window, no per-doc shuffle);
+    counts partial-merge map-side; V and the smoothing constant ride
+    along as a broadcast 1-row cross join; the bigram⋈count join
+    shuffles on the bigram key (Zipf-hot bigrams are AQE skew-join
+    territory, same as the unigram twin). Docs with <2 tokens have no
+    bigrams and drop out of the inner join on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda x: F.length(x) > 0,
+        ).alias("ws"),
+    )
+    b = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "  zip_with(slice(ws, 1, size(ws) - 1),"
+                "           slice(ws, 2, size(ws) - 1),"
+                "           (a, b) -> concat(a, ' ', b)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    uni = w.select(F.explode("ws").alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    cnt = b.groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = cnt.groupBy(
+        F.split(F.col("bg"), " ")[0].alias("w1")
+    ).agg(F.sum("c").alias("cw"))
+    return (
+        b.join(cnt, "bg")
+        .join(ctx, F.split(F.col("bg"), " ")[0] == F.col("w1"))
+        .crossJoin(F.broadcast(uni))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2(
+                        (F.col("c") + 0.5)
+                        / (F.col("cw") + 0.5 * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+@query(
+    "emb_centroid_classify",
+    oracle="""
+    WITH ex AS (
+      SELECT clabel, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT CAST(label AS BIGINT) AS clabel,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+    ), cent AS (
+      SELECT clabel, i, ROUND(AVG(x), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ), vex AS (
+      SELECT vec_id, label, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+    ), sims AS (
+      SELECT vex.vec_id, vex.label, cent.clabel,
+             ROUND(SUM(vex.x * cent.c)
+                   / NULLIF(SQRT(SUM(vex.x * vex.x))
+                            * SQRT(SUM(cent.c * cent.c)), 0.0),
+                   6) AS sim
+      FROM vex JOIN cent USING (i)
+      GROUP BY 1, 2, 3
+    ), rk AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, clabel ASC
+             ) AS r
+      FROM sims
+    )
+    SELECT vec_id, label, clabel AS pred_label, (label = clabel) AS correct
+    FROM rk WHERE r = 1
+    """,
+)
+def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid pseudo-labeling (Rocchio classification) — the
+    weak-labeling / label-noise-audit primitive of a training-data
+    pipeline: fit one centroid per label (1e-6-gridded coordinate
+    means), assign every vector to its max-cosine centroid, report
+    prediction vs stored label. The 'correct' column doubles as a
+    label-noise detector (FALSE rows are candidate mislabels).
+
+    Scale shape: centroids are a |labels|×d aggregate of one corpus
+    scan, re-assembled into a |labels|-row array table that BROADCASTS
+    to the classification pass — one more corpus scan, map-only math,
+    and a per-vector window over |labels| candidate rows. Nothing
+    quadratic, nothing collected; the same fit-free discipline as
+    ivf_index_search / emb_pca_apply_artifact (the centroid table
+    could persist as an artifact identically)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("label").cast("long").alias("clabel"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    cent = ex.groupBy("clabel", "i").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c")
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda p: p["c"],
+        ).alias("carr")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "carr", lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqn = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        e.select("vec_id", F.col("label").cast("long").alias("label"), "embedding")
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                F.try_divide(dot, F.sqrt(sqn("embedding")) * F.sqrt(sqn("carr"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wrk = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("clabel").asc()
+    )
+    return (
+        sims.withColumn("r", F.row_number().over(wrk))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("clabel").alias("pred_label"),
+            (F.col("label") == F.col("clabel")).alias("correct"),
+        )
+    )

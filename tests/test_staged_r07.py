@@ -1,0 +1,235 @@
+"""Round-7 additions: SQL front end passthroughs, behavioral/robust
+analytics (Markov, Theil–Sen, CUSUM), bigram LM, nearest-centroid
+classification. Python/numpy replays pin the math; the plan tests pin
+the scale shapes; the oracle equivalence itself is tools/check.py's
+job."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- sqlfront
+
+
+def test_sql_passthroughs_share_one_string():
+    """Module invariant: each sql_* query's DuckDB oracle IS the SQL
+    string the Spark side executes — dialect portability is the point."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        sqlfront,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.registry import (
+        ORACLES,
+    )
+
+    assert ORACLES["sql_regional_rank"] is sqlfront.SQL_REGIONAL_RANK
+    assert ORACLES["sql_silent_customers"] is sqlfront.SQL_SILENT_CUSTOMERS
+    assert ORACLES["sql_priority_share"] is sqlfront.SQL_PRIORITY_SHARE
+
+
+def test_sql_frontend_plans(spark):
+    """The SQL strings must compile to the scale-correct plans: dims
+    broadcast in the star join; NOT EXISTS decorrelates to an anti
+    join (no per-row subquery)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.sqlfront import (
+        sql_regional_rank,
+        sql_silent_customers,
+    )
+
+    star = sql_regional_rank(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in star
+    anti = sql_silent_customers(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in anti
+
+
+def test_run_sql_arbitrary_statement(spark):
+    """run_sql is a real front end: an ad-hoc statement (not one of
+    the registered passthroughs) works against the registered views."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.sqlfront import (
+        run_sql,
+    )
+
+    rows = run_sql(
+        spark,
+        SF_DIR,
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name",
+    ).collect()
+    assert len(rows) == 5 and all(r.n == 1 for r in rows)
+
+
+# ------------------------------------------------------------- analytics
+
+
+def test_markov_rows_are_probabilities(spark):
+    """Per source state the outgoing probabilities sum to 1 (mod the
+    1e-6 grid) and the edge counts sum to Σ_users (n_events_u − 1)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        w_markov_transitions,
+    )
+
+    rows = w_markov_transitions(spark, SF_DIR).collect()
+    by_prev: dict[str, float] = {}
+    total = 0
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.prob
+        total += r.n
+    assert by_prev and all(abs(s - 1.0) <= 1e-4 for s in by_prev.values())
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user: dict[int, int] = {}
+    for e in ev:
+        per_user[e.user_id] = per_user.get(e.user_id, 0) + 1
+    assert total == sum(c - 1 for c in per_user.values() if c > 1)
+
+
+def test_theil_sen_matches_numpy_replay(spark):
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        a_theil_sen,
+    )
+
+    rows = {r.event_type: r for r in a_theil_sen(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    series: dict[str, dict[int, float]] = {}
+    for e in ev:
+        h = int(e.ts.timestamp() // 3600)
+        series.setdefault(e.event_type, {}).setdefault(h, 0.0)
+        series[e.event_type][h] += e.value
+    for t, hs in series.items():
+        pts = sorted((h, round(y, 6)) for h, y in hs.items())
+        slopes = [
+            (y2 - y1) / (h2 - h1)
+            for i, (h1, y1) in enumerate(pts)
+            for (h2, y2) in pts[i + 1 :]
+        ]
+        if not slopes:
+            assert t not in rows
+            continue
+        r = rows[t]
+        assert r.n_pairs == len(slopes)
+        assert r.ts_slope == round(float(np.median(slopes)), 6)
+        resid = [y - r.ts_slope * h for h, y in pts]
+        assert r.ts_intercept == round(float(np.median(resid)), 6)
+
+
+def test_cusum_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        a_cusum_changepoint,
+    )
+
+    rows = {
+        r.event_type: r for r in a_cusum_changepoint(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    acc: dict[str, dict[int, list[float]]] = {}
+    for e in ev:
+        h = int(e.ts.timestamp() // 3600)
+        acc.setdefault(e.event_type, {}).setdefault(h, []).append(e.value)
+    for t, hs in acc.items():
+        means = sorted((h, round(sum(v) / len(v), 6)) for h, v in hs.items())
+        mu = round(sum(m for _, m in means) / len(means), 6)
+        s, best = 0.0, None
+        for h, m in means:
+            s += m - mu
+            # strict > keeps the EARLIEST hour on ties, like the query
+            if best is None or abs(s) > best[1]:
+                best = (h, abs(s))
+        r = rows[t]
+        assert r.change_epoch == best[0] * 3600
+        assert r.cusum_peak == round(best[1], 6)
+
+
+def test_bigram_ppl_matches_python_replay(spark):
+    import re
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        text_bigram_ppl,
+    )
+
+    rows = {r.doc_id: r for r in text_bigram_ppl(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    toks = {
+        d.doc_id: [w for w in re.split(r"\s+", d.text.lower()) if w]
+        for d in docs
+    }
+    cnt: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    vocab = set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    v = len(vocab)
+    for doc_id, ws in toks.items():
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            assert doc_id not in rows
+            continue
+        ce = sum(
+            -math.log2((cnt[bg] + 0.5) / (ctx[bg[0]] + 0.5 * v))
+            for bg in bgs
+        ) / len(bgs)
+        r = rows[doc_id]
+        assert r.n_bigrams == len(bgs)
+        assert abs(r.cross_entropy - ce) <= 2e-4
+
+
+def test_centroid_classify_matches_numpy(spark):
+    import numpy as np
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        emb_centroid_classify,
+    )
+
+    rows = {r.vec_id: r for r in emb_centroid_classify(spark, SF_DIR).collect()}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    X = {e.vec_id: np.array(e.embedding, dtype=np.float64) for e in emb}
+    lab = {e.vec_id: e.label for e in emb}
+    cents = {}
+    for c in set(lab.values()):
+        ids = [i for i in X if lab[i] == c]
+        cents[c] = np.round(np.mean([X[i] for i in ids], axis=0), 6)
+    mislabeled = 0
+    for vid, x in X.items():
+        sims = {
+            c: round(
+                float(x @ cc) / (np.linalg.norm(x) * np.linalg.norm(cc)), 6
+            )
+            for c, cc in cents.items()
+        }
+        pred = min(sorted(sims), key=lambda c: (-sims[c], c))
+        r = rows[vid]
+        assert r.pred_label == pred and r.label == lab[vid]
+        assert r.correct == (pred == lab[vid])
+        mislabeled += 0 if r.correct else 1
+    # fixture labels are only weakly cluster-correlated (measured
+    # accuracy ≈ 0.37 over 10 labels); a miswired classifier sits at
+    # chance (0.10), so require ≥ 2× chance
+    assert 1 - mislabeled / len(X) >= 0.2
+
+
+def test_centroid_classify_broadcasts_centroids(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        emb_centroid_classify,
+    )
+
+    plan = (
+        emb_centroid_classify(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
