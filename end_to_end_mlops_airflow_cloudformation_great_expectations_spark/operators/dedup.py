@@ -863,7 +863,16 @@ def repeated_span_extract(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_df)
     )
-    shared = pg.join(df_tbl, "gram").select("doc_id", "pos")
+    # The df side SCALES WITH THE CORPUS (shared grams grow with the
+    # doc count), so pin a shuffled hash join: near the broadcast
+    # threshold AQE would otherwise pick BHJ from the compressed
+    # shuffle size and the deserialized build can blow the driver —
+    # observed as a broadcast OOM at the 100x/4 GB stress point. SHJ
+    # builds per-partition (spillable) maps and keeps the Zipf-hot
+    # gram skew inside AQE's skew-join handling.
+    shared = pg.join(df_tbl.hint("shuffle_hash"), "gram").select(
+        "doc_id", "pos"
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = shared.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -906,8 +915,15 @@ def repeated_span_cut(
             )
         ).alias("pos", "sym"),
     )
+    # spans / covered / rebuilt all SCALE WITH THE CORPUS — pin
+    # SORT-MERGE joins: AQE broadcast of a near-threshold build side
+    # OOM'd the 100x/4 GB stress point, and a shuffled-hash retry hit
+    # "not enough memory to build hash map" on the per-partition build
+    # (SHJ builds aren't fully spillable); SMJ sorts both sides and
+    # spills freely. All three joins co-partition on doc_id, so the
+    # sorted exchange of the token stream is reused.
     covered = (
-        toks.join(spans, "doc_id")
+        toks.join(spans.hint("merge"), "doc_id")
         .filter(
             (F.col("pos") >= F.col("span_start"))
             & (F.col("pos") < F.col("span_start") + F.col("span_len"))
@@ -915,7 +931,9 @@ def repeated_span_cut(
         .select("doc_id", "pos")
         .distinct()
     )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    kept = toks.join(
+        covered.hint("merge"), ["doc_id", "pos"], "left_anti"
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ", F.array_sort(F.collect_list(F.struct("pos", "sym"))).sym
@@ -933,7 +951,7 @@ def repeated_span_cut(
         .cast("long")
         .alias("n_orig"),
     )
-    return base.join(rebuilt, "doc_id", "left").select(
+    return base.join(rebuilt.hint("merge"), "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),

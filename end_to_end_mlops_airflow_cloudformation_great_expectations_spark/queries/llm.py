@@ -1284,7 +1284,10 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_tbl = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
     return (
-        grams.join(df_tbl, "gram")
+        # df scales with the corpus — pin SHJ so AQE can't broadcast a
+        # near-threshold build side (the repeated_span_extract 100x
+        # OOM lesson, operators/dedup.py)
+        grams.join(df_tbl.hint("shuffle_hash"), "gram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -660,3 +660,196 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("clabel")).alias("correct"),
         )
     )
+
+
+@query(
+    "a_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600) AS BIGINT)
+               AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), cut AS (
+      SELECT MAX(ts) AS mx FROM events
+    ), lab AS (
+      SELECT s.dur,
+             (EPOCH(cut.mx) - EPOCH(s.last_ts)) >= 6 * 3600 AS observed
+      FROM span s CROSS JOIN cut
+    ), alldur AS (
+      SELECT dur, COUNT(*) AS c FROM lab GROUP BY dur
+    ), riskbase AS (
+      SELECT dur,
+             SUM(c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_cnt,
+             SUM(c) OVER () AS n_total
+      FROM alldur
+    ), death AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS d
+      FROM lab WHERE observed GROUP BY dur
+    ), steps AS (
+      SELECT death.dur,
+             CAST(riskbase.n_total - COALESCE(riskbase.before_cnt, 0)
+                  AS BIGINT) AS n_risk,
+             death.d
+      FROM death JOIN riskbase USING (dur)
+    )
+    SELECT dur AS dur_h, n_risk AS n_at_risk, d AS n_deaths,
+           ROUND(CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                        OVER w = 1
+                 THEN 0.0
+                 ELSE EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk)) OVER w)
+                 END, 6) AS km_survival
+    FROM steps
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over user lifetimes — the retention
+    curve done right (a_cohort_retention counts fixed windows; KM
+    handles CENSORING): lifetime = hours between a user's first and
+    last event; users still active in the corpus's final 6 hours are
+    censored (they're not churned, just truncated; the fixture's
+    30-day window has a max inactivity gap of ~31 h, so a 6 h horizon
+    splits observed vs censored — production would use its own churn
+    horizon). S(t) steps down by
+    (1 − d_t/n_t) at each observed churn time, with censored users
+    leaving the risk set silently.
+
+    Determinism: d and n are integers, the factors are identical
+    rationals, and the cumulative product runs as an ORDER-sequenced
+    log-sum window — exp/ln 1-ulp libm drift is absorbed by the 1e-6
+    output grid. The d == n exhaustion step is special-cased to 0
+    explicitly (Spark's log(0) is NULL, DuckDB's is −inf; both hide
+    the true limit). Scale: one fact scan to per-user spans, then
+    everything is windows over the bounded distinct-lifetime table;
+    the cutoff is a broadcast 1-row cross join."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import constant_partition_key as _ck
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 3600
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    cut = e.agg(F.max("ts").alias("mx"))
+    lab = span.crossJoin(F.broadcast(cut)).select(
+        "dur",
+        (
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+            >= 6 * 3600
+        ).alias("observed"),
+    )
+    alldur = lab.groupBy("dur").agg(F.count("*").alias("c"))
+    k = _ck(F.col("dur"))
+    w_before = (
+        Window.partitionBy(k)
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(k).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    riskbase = alldur.select(
+        "dur",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).alias("before_cnt"),
+        F.sum("c").over(w_tot).alias("n_total"),
+    )
+    death = (
+        lab.filter("observed").groupBy("dur").agg(F.count("*").alias("d"))
+    )
+    steps = death.join(riskbase, "dur").select(
+        "dur",
+        (F.col("n_total") - F.col("before_cnt")).cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy(_ck(F.col("dur")))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exhausted = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    logsum = F.sum(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+    ).over(w_cum)
+    return steps.select(
+        F.col("dur").alias("dur_h"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.round(
+            F.when(exhausted == 1, F.lit(0.0)).otherwise(F.exp(logsum)), 6
+        ).alias("km_survival"),
+    )
+
+
+@query(
+    "a_benford_law",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (
+      SELECT SUM(n) AS t FROM cnt
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS obs_freq,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS exp_freq,
+           ROUND(ABS(CAST(n AS DOUBLE) / t - LOG10(1 + 1.0 / digit)), 6)
+             AS abs_dev
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def a_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance profile of order amounts — the
+    fraud/integrity screen from the data-quality family (a13 / p8 /
+    table-checksum): leading-digit frequencies vs log10(1+1/d), with
+    per-digit absolute deviation. TPC-H synthetic prices are roughly
+    uniform-ish, so the deviations themselves are the signal the gate
+    would alert on — the query's contract is the measurement, not
+    conformance.
+
+    Engine parity: the leading digit comes from the BIGINT cents
+    string (ROUND(x·100) is ≥1e-9 away from any .5, so both engines'
+    tie modes agree, and integer-to-string never switches to
+    scientific notation the way double-to-string does). Scale: one
+    scan, 9-row output, broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    cnt = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("obs_freq"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("exp_freq"),
+        F.round(
+            F.abs(
+                F.col("n").cast("double") / F.col("t")
+                - F.log10(1 + 1.0 / F.col("digit"))
+            ),
+            6,
+        ).alias("abs_dev"),
+    )

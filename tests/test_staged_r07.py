@@ -233,3 +233,60 @@ def test_centroid_classify_broadcasts_centroids(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_survival_km_matches_python_replay(spark):
+    """KM estimate replayed directly from the definition: risk sets
+    shrink by deaths AND censored users; S multiplies (1 - d/n) at
+    observed churn times only."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        a_survival_km,
+    )
+
+    rows = a_survival_km(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    first: dict[int, float] = {}
+    last: dict[int, float] = {}
+    for e in ev:
+        t = e.ts.timestamp()
+        first[e.user_id] = min(first.get(e.user_id, t), t)
+        last[e.user_id] = max(last.get(e.user_id, t), t)
+    mx = max(last.values())
+    durs = {
+        u: (int((last[u] - first[u]) // 3600), (mx - last[u]) >= 6 * 3600)
+        for u in first
+    }
+    death_times = sorted({d for d, obs in durs.values() if obs})
+    s = 1.0
+    expect = []
+    for t in death_times:
+        n = sum(1 for d, _ in durs.values() if d >= t)
+        d = sum(1 for dd, obs in durs.values() if obs and dd == t)
+        s *= 1 - d / n
+        expect.append((t, n, d, round(s, 6)))
+    got = sorted((r.dur_h, r.n_at_risk, r.n_deaths, r.km_survival) for r in rows)
+    assert got == expect
+    # survival is a proper monotone step function
+    surv = [x[3] for x in expect]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+def test_benford_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        a_benford_law,
+    )
+
+    rows = {r.digit: r for r in a_benford_law(spark, SF_DIR).collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    cnt: dict[int, int] = {}
+    for o in orders:
+        if o.o_totalprice > 0:
+            d = int(str(int(round(o.o_totalprice * 100)))[0])
+            cnt[d] = cnt.get(d, 0) + 1
+    tot = sum(cnt.values())
+    assert set(rows) == set(cnt)
+    for d, n in cnt.items():
+        r = rows[d]
+        assert r.n == n
+        assert r.obs_freq == round(n / tot, 6)
+        assert r.exp_freq == round(math.log10(1 + 1 / d), 6)

@@ -117,9 +117,15 @@ def run(name: str) -> None:
         master="local[8]",
         extra_conf={"spark.driver.memory": "4g"},
     )
+    # Materialize through the noop sink like runall/bench — .count()
+    # lets Catalyst PRUNE expensive output columns (observed: the
+    # span-cut text reassembly dropped out entirely, undertiming the
+    # query ~8x). The row count is taken untimed afterwards.
     t0 = time.time()
+    QUERIES[name](spark, DST).write.format("noop").mode("overwrite").save()
+    dt = round(time.time() - t0, 1)
     n = QUERIES[name](spark, DST).count()
-    print(f"STRESS10X {name}: {n} rows in {round(time.time() - t0, 1)}s "
+    print(f"STRESS10X {name}: {n} rows in {dt}s "
           f"(4g heap, {REPLICAS}x sf0.1 corpus)")
     spark.stop()
 
