@@ -799,6 +799,259 @@ def minhash_dedup_incremental(
     return verified
 
 
+# ---------------------------------------------------------------------------
+# Persisted MinHash index lifecycle (VERDICT r06 item 6): the on-disk
+# build/append/probe/compact protocol the ANN index already has
+# (operators/similarity.py ivf_index_*), applied to the dedup index —
+# without it, an incremental corpus that churns forever accumulates
+# delta postings unboundedly. Shared commit/ledger/tombstone
+# discipline lives in operators/ledger.py; the MinHash index folds TWO
+# tables per compaction (band-bucket postings + hashed-shingle arrays)
+# under ONE commit point, so any crash leaves them mutually consistent.
+# ---------------------------------------------------------------------------
+
+#: The two tables a persisted MinHash index maintains: ``postings``
+#: (band, bucket, id — the LSH inverted index probes hit) and
+#: ``shingles`` (id, sh — the hashed-shingle arrays exact verification
+#: reads, so verify never touches corpus text).
+_MINHASH_TABLES = ("postings", "shingles")
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    base_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_fn=None,
+) -> None:
+    """Materialize :func:`minhash_index` as the persisted on-disk index
+    ``{base_dir}/postings`` + ``{base_dir}/shingles`` — the durable
+    form the append/probe/compact lifecycle below maintains. One corpus
+    scan; both tables are narrow (3 longs per band per doc; one
+    long-array row per doc)."""
+    postings, shingles = minhash_index(
+        docs, id_col, text_col, k, n_hashes, bands, shingle_fn
+    )
+    postings.write.mode("overwrite").parquet(f"{base_dir}/postings")
+    shingles.write.mode("overwrite").parquet(f"{base_dir}/shingles")
+
+
+def minhash_index_append(
+    base_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_fn=None,
+):
+    """foreachBatch sink: keep a persisted MinHash index fresh as new
+    documents stream in — WITHOUT re-shingling the corpus. Each batch
+    shingles/signs itself (one batch-sized scan) and lands as a delta
+    directory ``{base_dir}/delta/b{batch_id}`` holding BOTH subtables;
+    the root ``_SUCCESS`` marker is written only after both parquet
+    writes finish, so a crash between them leaves an uncommitted delta
+    the replay overwrites (at-least-once → exactly-once, the
+    ivf_index_append/_snapshot_guard contract). A batch id already in
+    the compaction ledger was folded into the base — the tombstone
+    check makes its replay a no-op instead of a double-insert."""
+    import os
+    import shutil
+
+    from . import ledger
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = os.path.join(base_dir, "delta", f"b{batch_id}")
+        marker = os.path.join(delta, "_SUCCESS")
+        if os.path.isdir(delta):
+            if os.path.exists(marker):
+                return  # committed append — replay no-ops
+            shutil.rmtree(delta, ignore_errors=True)  # aborted — redo
+        if f"b{batch_id}" in ledger.read_ledger(base_dir):
+            return  # folded into base by minhash_index_compact
+        postings, shingles = minhash_index(
+            batch_df, id_col, text_col, k, n_hashes, bands, shingle_fn
+        )
+        postings.write.mode("overwrite").parquet(
+            os.path.join(delta, "postings")
+        )
+        shingles.write.mode("overwrite").parquet(
+            os.path.join(delta, "shingles")
+        )
+        with open(marker, "w"):
+            pass
+
+    return apply
+
+
+def _minhash_resolve(spark, base_dir: str) -> tuple[DataFrame, DataFrame]:
+    """READ-ONLY snapshot resolution of a persisted MinHash index:
+    (postings, shingles) as lazy unions of base + committed, unfolded
+    deltas. Never mutates the directory (the ivf_index_search ADVICE
+    r06 discipline — destructive recovery belongs to the compactor,
+    the single writer): a committed-but-unswapped ``{table}_new``
+    already contains the folded deltas, so it is read AS the base;
+    ledger-folded delta dirs are skipped either way, so every appended
+    row is counted exactly once at any crash point."""
+    import os
+
+    from . import ledger as _ledger
+
+    folded = _ledger.read_ledger(base_dir)
+    delta_root = os.path.join(base_dir, "delta")
+    live = []
+    if os.path.isdir(delta_root):
+        live = [
+            d
+            for d in sorted(os.listdir(delta_root))
+            if d not in folded
+            and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
+        ]
+    out = []
+    for table in _MINHASH_TABLES:
+        base_path = os.path.join(base_dir, table)
+        new_dir = os.path.join(base_dir, f"{table}_new")
+        if _ledger.committed_new(base_dir, new_dir):
+            base_path = new_dir
+        df = spark.read.parquet(base_path)
+        for d in live:
+            df = df.unionByName(
+                spark.read.parquet(os.path.join(delta_root, d, table))
+            )
+        out.append(df)
+    return out[0], out[1]
+
+
+def minhash_index_probe(
+    new_docs: DataFrame,
+    base_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_fn=None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Dedup an incoming batch against the PERSISTED index: read-only
+    snapshot of base + deltas → :func:`minhash_dedup_incremental`.
+    Identical output before and after compaction (test- and
+    driver-pinned): maintenance changes WHERE the postings live, never
+    a result row."""
+    postings, shingles = _minhash_resolve(new_docs.sparkSession, base_dir)
+    return minhash_dedup_incremental(
+        new_docs,
+        postings,
+        shingles,
+        id_col,
+        text_col,
+        k,
+        n_hashes,
+        bands,
+        threshold,
+        shingle_fn,
+        max_bucket_size,
+    )
+
+
+def _minhash_recover(base_dir: str) -> None:
+    """Finish or roll back an interrupted compaction — DESTRUCTIVE,
+    writer-only (minhash_index_compact calls it; probe never does).
+    Both subtables commit under ONE ledger write, so recovery decides
+    once and applies to each: committed ``{table}_new`` → roll the
+    swap forward; uncommitted → delete it (base + deltas stay
+    authoritative). Folded delta dirs are removed; unmarked (no
+    ``_SUCCESS``) dirs are left for the append sink's replay — they
+    may be an in-flight append mid-write (ADVICE r06)."""
+    import os
+    import shutil
+
+    from . import ledger as _ledger
+
+    for table in _MINHASH_TABLES:
+        new_dir = os.path.join(base_dir, f"{table}_new")
+        if os.path.isdir(new_dir):
+            if _ledger.committed_new(base_dir, new_dir):
+                _ledger.swap_forward(base_dir, table)
+            else:
+                shutil.rmtree(new_dir, ignore_errors=True)
+        aside = os.path.join(base_dir, f"{table}_old")
+        if os.path.isdir(aside) and os.path.isdir(
+            os.path.join(base_dir, table)
+        ):
+            shutil.rmtree(aside, ignore_errors=True)
+    folded = _ledger.read_ledger(base_dir)
+    delta_root = os.path.join(base_dir, "delta")
+    if os.path.isdir(delta_root):
+        live = [d for d in sorted(os.listdir(delta_root)) if d not in folded]
+        for d in os.listdir(delta_root):
+            if d in folded:
+                shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+        if not live:
+            shutil.rmtree(delta_root, ignore_errors=True)
+
+
+def minhash_index_compact(spark, base_dir: str) -> None:
+    """Fold accumulated append deltas back into the base layout — the
+    small-files maintenance step that keeps an eternally-churning
+    incremental corpus bounded (VERDICT r06 item 6: without this,
+    delta postings accumulate forever). Version-then-swap with ONE
+    atomic commit point for BOTH subtables: write ``postings_new`` and
+    ``shingles_new`` (each carrying the ``_FOLDED`` manifest), commit
+    the folded ids to the ledger atomically (temp+fsync+rename), then
+    swap each table into place. Probe results are identical before and
+    after (test-pinned); only the file layout changes. Crash-
+    recoverable at every step — see :func:`_minhash_recover` — and
+    replay-guarded: ledger entries tombstone folded batch ids so a
+    re-delivered append cannot double-insert."""
+    import os
+    import shutil
+
+    from . import ledger as _ledger
+
+    _minhash_recover(base_dir)
+    delta_root = os.path.join(base_dir, "delta")
+    if not os.path.isdir(delta_root):
+        return
+    already = _ledger.read_ledger(base_dir)
+    folded = [
+        d
+        for d in sorted(os.listdir(delta_root))
+        # skip already-folded ids (double-fold = permanent duplication)
+        # and partial deltas (no root _SUCCESS — possibly an append
+        # mid-write; its replay will redo an aborted one)
+        if d not in already
+        and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
+    ]
+    if not folded:
+        if not os.listdir(delta_root):
+            shutil.rmtree(delta_root, ignore_errors=True)
+        return
+    for table in _MINHASH_TABLES:
+        df = spark.read.parquet(os.path.join(base_dir, table))
+        for d in folded:
+            df = df.unionByName(
+                spark.read.parquet(os.path.join(delta_root, d, table))
+            )
+        new_dir = os.path.join(base_dir, f"{table}_new")
+        df.write.mode("overwrite").parquet(new_dir)
+        _ledger.write_folded_manifest(new_dir, folded)
+    # COMMIT POINT: both _new tables fully materialized; one atomic
+    # ledger write commits the fold for both, so readers/recovery can
+    # never see one table folded and the other not.
+    _ledger.append_ledger_atomic(base_dir, folded)
+    for table in _MINHASH_TABLES:
+        _ledger.swap_forward(base_dir, table)
+    for d in folded:
+        shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+    if not os.listdir(delta_root):
+        shutil.rmtree(delta_root, ignore_errors=True)
+
+
 def positional_word_ngrams(text: Column, n: int = 5) -> Column:
     """Word n-grams WITH positions preserved (``word_ngrams`` minus
     the distinct/compaction): element i is the n-gram starting at

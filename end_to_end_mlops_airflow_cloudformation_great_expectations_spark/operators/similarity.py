@@ -331,25 +331,34 @@ def ivf_index_build(
 
 def _read_compaction_ledger(base_dir: str) -> set:
     """Batch ids already folded into the base postings by
-    ivf_index_compact. The ledger is the compaction COMMIT MANIFEST:
-    it is written after ``postings_new`` is fully materialized but
-    BEFORE the swap, so at every crash point either (a) the ledger is
-    absent/short and the delta dirs are still authoritative, or (b)
-    the ledger lists the folded ids and readers must skip those delta
-    dirs even if a crash left them on disk (skipping prevents the
-    double-count ADVICE r05 flagged)."""
+    ivf_index_compact — see :mod:`.ledger` for the shared protocol
+    (the ledger is the compaction COMMIT MANIFEST and the append
+    tombstone set; readers skip folded delta dirs even if a crash left
+    them on disk, preventing the double-count ADVICE r05 flagged)."""
+    from . import ledger
+
+    return ledger.read_ledger(base_dir)
+
+
+def _committed_postings_new(base_dir: str) -> bool:
+    """True iff ``postings_new`` exists and its compaction COMMITTED
+    (:func:`.ledger.committed_new`). Shared by the compactor's
+    destructive recovery and the search path's read-only snapshot
+    resolution."""
     import os
 
-    ledger = os.path.join(base_dir, "compacted_deltas.txt")
-    if not os.path.isfile(ledger):
-        return set()
-    with open(ledger) as fh:
-        return set(fh.read().split())
+    from . import ledger
+
+    return ledger.committed_new(base_dir, os.path.join(base_dir, "postings_new"))
 
 
 def _recover_compaction(base_dir: str) -> None:
     """Finish or roll back a compaction interrupted by a crash, so
-    search/compact always start from a consistent layout:
+    compact always starts from a consistent layout. DESTRUCTIVE — only
+    ivf_index_compact (the single writer) may call this; the search
+    path resolves a readable snapshot WITHOUT mutating the directory
+    (ADVICE r06: a search racing a live compactor must not delete the
+    compactor's in-flight postings_new).
 
     - ``postings_new`` present but NOT committed (missing ``_SUCCESS``
       / ``_FOLDED`` manifest, or the manifest ids are not yet in the
@@ -368,15 +377,7 @@ def _recover_compaction(base_dir: str) -> None:
     old_dir = os.path.join(base_dir, "postings")
     aside = os.path.join(base_dir, "postings_old")
     if os.path.isdir(new_dir):
-        manifest = os.path.join(new_dir, "_FOLDED")
-        committed = False
-        if os.path.exists(os.path.join(new_dir, "_SUCCESS")) and os.path.isfile(
-            manifest
-        ):
-            with open(manifest) as fh:
-                ids = set(fh.read().split())
-            committed = bool(ids) and ids <= _read_compaction_ledger(base_dir)
-        if committed:
+        if _committed_postings_new(base_dir):
             if os.path.isdir(old_dir):
                 if os.path.isdir(aside):
                     shutil.rmtree(aside)
@@ -389,6 +390,9 @@ def _recover_compaction(base_dir: str) -> None:
     folded = _read_compaction_ledger(base_dir)
     delta_root = os.path.join(base_dir, "postings_delta")
     if os.path.isdir(delta_root):
+        # remove ONLY ledger-listed (folded) dirs; unmarked dirs with no
+        # _SUCCESS may be an in-flight append's partial write (ADVICE
+        # r06) — the append sink's replay will overwrite aborted ones
         live = [d for d in sorted(os.listdir(delta_root)) if d not in folded]
         for d in os.listdir(delta_root):
             if d in folded:
@@ -416,16 +420,26 @@ def ivf_index_search(
     import os
 
     spark = queries.sparkSession
-    _recover_compaction(base_dir)
     cent_df = spark.read.parquet(f"{base_dir}/centroids")
-    postings = spark.read.parquet(f"{base_dir}/postings")
+    # READ-ONLY snapshot resolution (ADVICE r06): the search path never
+    # mutates the index directory — destructive crash recovery belongs
+    # to ivf_index_compact, the single writer. A committed-but-unswapped
+    # ``postings_new`` (crash or live compactor between the ledger
+    # commit and the rename) already contains the folded deltas, so
+    # read IT as the base; otherwise read the current base. Either way
+    # ledger-folded delta dirs are skipped below, so every appended row
+    # is counted exactly once at any crash point — without deleting
+    # anything out from under an in-flight compactor.
+    base_path = f"{base_dir}/postings"
+    if _committed_postings_new(base_dir):
+        base_path = f"{base_dir}/postings_new"
+    postings = spark.read.parquet(base_path)
     # streaming deltas (ivf_index_append): each b{batch_id} directory
     # is its own cell-partitioned layout — union them in, so a search
     # always sees base + every appended batch without any rebuild.
     # Delta ids in the compaction ledger are already folded into the
-    # base (recovery above removes their dirs; the ledger check covers
-    # a racing compactor) and partial deltas (no _SUCCESS) are aborted
-    # writes the append sink will redo — skip both.
+    # base and partial deltas (no _SUCCESS) are aborted writes the
+    # append sink will redo — skip both.
     delta_root = f"{base_dir}/postings_delta"
     folded = _read_compaction_ledger(base_dir)
     if os.path.isdir(delta_root):
@@ -541,6 +555,8 @@ def ivf_index_compact(spark, base_dir: str) -> None:
     import os
     import shutil
 
+    from . import ledger
+
     # start from a consistent layout (a prior compact may have crashed
     # mid-protocol — finish or roll back its swap first)
     _recover_compaction(base_dir)
@@ -558,7 +574,12 @@ def ivf_index_compact(spark, base_dir: str) -> None:
         and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
     ]
     if not folded:
-        shutil.rmtree(delta_root, ignore_errors=True)
+        # nothing committed to fold. Do NOT rmtree the delta root: an
+        # unmarked (no-_SUCCESS) dir may be an in-flight append mid-
+        # write (ADVICE r06); aborted ones are overwritten on replay.
+        # Only drop the root if it is genuinely empty.
+        if not os.listdir(delta_root):
+            shutil.rmtree(delta_root, ignore_errors=True)
         return
     postings = spark.read.parquet(os.path.join(base_dir, "postings"))
     for d in folded:
@@ -572,17 +593,16 @@ def ivf_index_compact(spark, base_dir: str) -> None:
     # (manifest ids ⊆ ledger → roll forward) from a pre-commit crash
     # (roll back). Underscore-prefixed files are ignored by parquet
     # readers, so it rides along through the rename.
-    with open(os.path.join(new_dir, "_FOLDED"), "w") as fh:
-        fh.write("\n".join(folded) + "\n")
-    # COMMIT POINT (ADVICE r05): the ledger is appended after
+    ledger.write_folded_manifest(new_dir, folded)
+    # COMMIT POINT (ADVICE r05): the ledger is committed after
     # postings_new is fully materialized but BEFORE the swap. Crash
     # before this write → recovery deletes postings_new, deltas stay
     # authoritative. Crash after it → recovery finishes the swap and
     # every reader skips the folded delta dirs, so the appended rows
-    # are counted exactly once at every crash point.
-    with open(os.path.join(base_dir, "compacted_deltas.txt"), "a") as fh:
-        for d in folded:
-            fh.write(d + "\n")
+    # are counted exactly once at every crash point. The write itself
+    # is atomic (temp + fsync + rename — ADVICE r06), so a crash can
+    # never persist a PREFIX of the folded ids.
+    ledger.append_ledger_atomic(base_dir, folded)
     # swap keeps a recoverable state at every step: old base is moved
     # aside BEFORE the new one takes its place, never deleted first;
     # _recover_compaction finishes this sequence from any crash point.

@@ -31,46 +31,33 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 )
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. ROUND-6
-#: rotation (VERDICT r05 "Next round" item 1): CORRECTNESS_r05 closed
-#: 50/50 green, so every round-5 window name has a driver-green row
-#: and the window rotates to the 26 round-6 queries that were
-#: registered after the 50-slot cutoff last round (each proven at
-#: sf0.001+sf0.01 incl. --plain before registration — COVERAGE.md
-#: "Round 6*", re-verified by the round-5 judge's plain-session pass,
-#: VERDICT.md r05). Remaining 24 slots are cheap already-driver-green
-#: pads (rounds 1-5 ledger) so the window is exactly 50 names
-#: (test_registry_order.py pins it). Greening these 26 closes the
-#: cumulative ledger at 205/205 oracle-backed driver-green.
+#: First 50 = the driver's observed CORRECTNESS window. ROUND-7
+#: rotation (VERDICT r06 "Next round" item 1): CORRECTNESS_r06 closed
+#: 50/50 green, so every round-6 window name has a driver-green row
+#: and the window rotates to the 10 remaining never-driver-checked
+#: oracle-backed queries — the SQL front end passthroughs and the
+#: round-7 analytics batch — each proven at sf0.001+sf0.01 incl.
+#: --plain this round (and independently judge-verified green in
+#: VERDICT r06) before taking a slot. sql_silent_customers' NOT
+#: EXISTS cutoff was moved inside the data range first (round-6
+#: advice) so the anti join actually filters. Remaining 40 slots are
+#: cheap already-driver-green pads (rounds 1-6 ledger) so the window
+#: is exactly 50 names (test_registry_order.py pins it). Greening
+#: these 10 closes the cumulative ledger at 218/218 oracle-backed
+#: driver-green.
 _DRIVER_WINDOW_FIRST = [
-    # ---- round-6 queue: never driver-checked, judge-green r05 ----
-    "p_group_sample",
-    "dedup_containment",
-    "a_cms_heavy_hitters",
-    "a_ols_multivariate",
-    "w_funnel_conversion",
-    "t9_stream_stream_join",
-    "w_last_touch_attribution",
-    "a_autocorrelation",
-    "j_scd2_intervals",
-    "text_classifier_score",
-    "w_sequence_pattern",
-    "a_seasonal_residuals",
-    "emb_pca_power_banded",
-    "emb_pca_by_label_banded",
-    "p_weighted_sample",
-    "dedup_simhash_portable",
-    "a_holt_forecast",
-    "a_holt_forecast_by_type",
-    "emb_pca_project",
-    "a_ks_test",
-    "a_mannwhitney_u",
-    "a_chi2_independence",
-    "sim_triplet_mining",
-    "p_token_budget_sample",
-    "a_crosscorrelation",
-    "p_quantile_normalize",
-    # ---- cheap already-driver-green pads (rounds 1-5 ledger) ----
+    # ---- round-7 queue: never driver-checked, judge-green r06 ----
+    "sql_regional_rank",
+    "sql_silent_customers",
+    "sql_priority_share",
+    "w_markov_transitions",
+    "a_theil_sen",
+    "a_cusum_changepoint",
+    "text_bigram_ppl",
+    "emb_centroid_classify",
+    "a_survival_km",
+    "a_benford_law",
+    # ---- cheap already-driver-green pads (rounds 1-6 ledger) ----
     "emb_quantize_int8",
     "tpch_q6_forecast_revenue",
     "text_unicode_normalize",
@@ -92,12 +79,25 @@ _DRIVER_WINDOW_FIRST = [
     "text_pii_redact",
     "w1_topk_per_group",
     "p_scd2_history",
-    # ---- round-7 new work (staged_r07.py): maintenance lifecycle
-    # made driver-visible + fit-free PCA apply, each proven at
-    # sf0.001+sf0.01 incl. --plain before taking these slots ----
-    "ivf_lifecycle_checked",
-    "stream_moment_sink_checked",
-    "emb_pca_apply_artifact",
+    "p_group_sample",
+    "dedup_containment",
+    "a_cms_heavy_hitters",
+    "a_ols_multivariate",
+    "w_funnel_conversion",
+    "w_last_touch_attribution",
+    "a_autocorrelation",
+    "j_scd2_intervals",
+    "w_sequence_pattern",
+    "a_seasonal_residuals",
+    "p_weighted_sample",
+    "a_holt_forecast",
+    "a_holt_forecast_by_type",
+    "a_ks_test",
+    "a_mannwhitney_u",
+    "a_chi2_independence",
+    "p_token_budget_sample",
+    "a_crosscorrelation",
+    "p_quantile_normalize",
 ]
 
 
@@ -115,21 +115,17 @@ def _reorder() -> None:
 
 _reorder()
 
-# ROUND-6 ROTATION executed (CORRECTNESS_r05 50/50 green): the 26
-# round-6 queue names now occupy the leading window slots; the other
-# 24 slots are cheap already-driver-green pads. Once CORRECTNESS_r06
-# confirms them, the cumulative ledger is CLOSED at 205/205
-# oracle-backed driver-green. New queries added this round (IVF
-# lifecycle / moment-sink twins, fit-free PCA apply) may swap into
-# pad slots AFTER proving green at sf0.001+sf0.01 incl. --plain.
+# ROUND-7 ROTATION executed (CORRECTNESS_r06 50/50 green): the final
+# 10 never-driver-checked oracle-backed names now occupy the leading
+# window slots; the other 40 are driver-green pads. Once
+# CORRECTNESS_r07 confirms them, the cumulative ledger is CLOSED at
+# 218/218 oracle-backed driver-green (plus the 9 by-design rows-only
+# queries, each with a green banded twin). New queries added in
+# round 7+ follow the same discipline: prove green at sf0.001+sf0.01
+# incl. --plain BEFORE taking a window slot in the NEXT rotation.
 #
-# ROUND-8 ROTATION QUEUE (registered after the window this round, all
-# required to be local-green at sf0.001+sf0.01 incl. --plain before
-# landing): the SQL front end passthroughs (sql_regional_rank,
-# sql_silent_customers, sql_priority_share — queries/sqlfront.py) and
-# the round-7 analytics batch (w_markov_transitions, a_theil_sen,
-# a_cusum_changepoint, text_bigram_ppl, emb_centroid_classify —
-# staged_r07.py). Next round: move these 8 into the leading slots,
-# pad the rest with driver-green names.
+# ROUND-8 ROTATION QUEUE: round-7 additions registered after the
+# window (see COVERAGE.md "Round 7*") — rotate any never-checked
+# names into the leading slots next round.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -77,7 +77,7 @@ WHERE c_acctbal > 0.0
   AND NOT EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey
-      AND o_orderdate >= DATE '2000-01-01'
+      AND o_orderdate >= DATE '1998-06-01'
   )
 GROUP BY c_mktsegment
 """
@@ -114,7 +114,11 @@ def sql_regional_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-front-end passthrough: correlated NOT EXISTS (customers with
     a positive balance and no recent orders) — Catalyst decorrelates it
-    to a left-anti hash join; no per-row subquery execution anywhere."""
+    to a left-anti hash join; no per-row subquery execution anywhere.
+    The 1998-06-01 cutoff sits INSIDE the data's order-date range so the
+    anti join eliminates most-but-not-all rows on both engines (an
+    out-of-range cutoff would make the subquery vacuously empty and the
+    check meaningless — round-6 advice)."""
     return run_sql(spark, sf_dir, SQL_SILENT_CUSTOMERS)
 
 

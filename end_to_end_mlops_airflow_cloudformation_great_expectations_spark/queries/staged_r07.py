@@ -23,7 +23,9 @@ returns.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +37,31 @@ from .registry import ORACLES, query
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return catalog.load(spark, sf_dir, table)
+
+
+_SCRATCH_ROOT = None
+
+
+def _scratch(name: str) -> str:
+    """Process-scoped scratch dir for the lifecycle queries' throwaway
+    indexes/artifacts. ADVICE r06: a per-call ``tempfile.mkdtemp`` that
+    is never removed leaks a full on-disk index per invocation — the
+    driver runs each query twice and bench three times, every round.
+    Instead: ONE root per process, removed at interpreter exit; each
+    query clears and reuses its own named subdirectory, so repeated
+    invocations occupy a single bounded footprint. (The subdir cannot
+    be removed at query-build return — the returned lazy plans still
+    read from it; clearing on the NEXT invocation + atexit on the root
+    covers both the rebuild and the end-of-process cases.)"""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="sg_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    return d
 
 
 def _search_sig(df: DataFrame) -> DataFrame:
@@ -78,7 +105,7 @@ def ivf_lifecycle_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (banded-oracle discipline): deterministic at fixed data."""
     from ..operators import similarity
 
-    base = tempfile.mkdtemp(prefix="sg_ivf_life_")
+    base = _scratch("ivf_life")
     e = _t(spark, sf_dir, "embeddings")
     first = e.filter(F.col("vec_id") % 2 == 0)
     rest = e.filter(F.col("vec_id") % 2 == 1).select(
@@ -152,7 +179,7 @@ def stream_moment_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import linalg
     from ..streaming import jobs
 
-    base = tempfile.mkdtemp(prefix="sg_moments_")
+    base = _scratch("moments")
     e = _t(spark, sf_dir, "embeddings")
     sink = jobs.moment_stats_sink(base)
     for b in range(3):
@@ -216,7 +243,7 @@ def emb_pca_apply_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("marr")
         )
     )
-    artifact_dir = os.path.join(tempfile.mkdtemp(prefix="sg_pca_"), "components")
+    artifact_dir = os.path.join(_scratch("pca_artifact"), "components")
     # the ARTIFACT write: a bounded 1-row table (component + means) —
     # the only eager step; everything corpus-sized below stays lazy
     v_arr.crossJoin(m_arr).coalesce(1).write.mode("overwrite").parquet(
@@ -554,6 +581,30 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Max label cardinality for the centroid broadcast: |labels|×d doubles
+#: must stay a comfortable broadcast (4096 labels × 1024 dims × 8 B ≈
+#: 32 MB); past that nearest-centroid is the wrong tool (use the IVF
+#: index over per-label centroids instead).
+_MAX_CENTROID_LABELS = 4096
+
+
+def _guard_label_cardinality(
+    e: DataFrame, col: str, max_labels: int = _MAX_CENTROID_LABELS
+) -> None:
+    """LIMIT-probe cardinality guard (the encode.vocabulary pattern,
+    encode.py:29): reads at most max_labels+1 distinct values before
+    deciding, so the guard is cheap even on a 100 TB column — it never
+    runs a full distinct-count."""
+    d = e.select(col).distinct()
+    if d.limit(max_labels + 1).count() > max_labels:
+        raise ValueError(
+            f"emb_centroid_classify({col!r}): more than {max_labels} "
+            "distinct labels — not a bounded label column; a centroid "
+            "table this large must not broadcast (index the centroids "
+            "with ivf_index_build and search instead)"
+        )
+
+
 @query(
     "emb_centroid_classify",
     oracle="""
@@ -605,10 +656,16 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-vector window over |labels| candidate rows. Nothing
     quadratic, nothing collected; the same fit-free discipline as
     ivf_index_search / emb_pca_apply_artifact (the centroid table
-    could persist as an artifact identically)."""
+    could persist as an artifact identically). The broadcast is
+    cardinality-GUARDED (VERDICT r06 item 5): nearest-centroid only
+    makes sense at bounded |labels|, and an accidental run against a
+    high-cardinality column (ids, hashes) would silently build a huge
+    broadcast — same failure mode, same LIMIT-probe guard as
+    encode.vocabulary (encode.py:29)."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings")
+    _guard_label_cardinality(e, "label")
     ex = e.select(
         F.col("label").cast("long").alias("clabel"),
         F.posexplode("embedding").alias("i", "x"),
@@ -852,4 +909,94 @@ def a_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("abs_dev"),
+    )
+
+
+def _probe_sig(df: DataFrame) -> DataFrame:
+    """Order-insensitive per-probe-doc signature of an incremental
+    dedup result: the sorted (corpus_id, jaccard) array. jaccard is
+    already rounded to the 1e-4 grid inside minhash_dedup_incremental
+    and every lifecycle path runs the identical arithmetic on the
+    identical shingle arrays, so signature equality is exact."""
+    return df.groupBy("new_id").agg(
+        F.array_sort(F.collect_list(F.struct("corpus_id", "jaccard"))).alias(
+            "sig"
+        )
+    )
+
+
+@query(
+    "dedup_minhash_lifecycle",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS new_id,
+           TRUE AS append_ok, TRUE AS compact_ok
+    FROM documents WHERE doc_id >= 250 AND doc_id < 350
+    """,
+)
+def dedup_minhash_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted MinHash dedup index LIFECYCLE as a driver-checkable
+    invariant (VERDICT r06 item 6 — the ivf_lifecycle_checked pattern
+    applied to dedup): build the index on doc_id<150, stream 150–250
+    through minhash_index_append in two delta batches, and assert per
+    probe document (250≤doc_id<350) that
+
+      probe(base + deltas)    == probe(one-shot index)   (append_ok)
+      probe(compacted base)   == probe(one-shot index)   (compact_ok)
+
+    — i.e. incremental maintenance and compaction change WHERE the
+    postings/shingle tables live (delta dirs, then the folded base),
+    never a single emitted near-dup pair. The one-shot twin indexes
+    doc_id<250 in one build, so both sides share shingle/signature
+    arithmetic exactly. The two pre-compaction probes are collected at
+    build time (bounded: ≤100 probe docs × a handful of pairs) because
+    compaction swaps the directories their lazy plans would re-list;
+    the post-compaction probe stays lazy and exercises the compacted
+    layout — including the read-only snapshot resolution — at driver
+    collect time. All-TRUE oracle (banded-oracle discipline):
+    deterministic at fixed data. Probes at threshold 0.3 on word
+    trigrams find real cross-delta pairs at both oracle scales (1 at
+    sf0.001 — its corpus_id lands in delta batch b1 — and 5 at
+    sf0.01), so the invariant is exercised, not vacuous."""
+    from ..operators import dedup
+
+    base = _scratch("minhash_life")
+    d = _t(spark, sf_dir, "documents")
+    tri = lambda c: dedup.word_ngrams(c, 3)  # noqa: E731
+    kw = dict(threshold=0.3, shingle_fn=tri)
+    probe = d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350))
+
+    inc = os.path.join(base, "inc")
+    dedup.minhash_index_build(d.filter(F.col("doc_id") < 150), inc, shingle_fn=tri)
+    sink = dedup.minhash_index_append(inc, shingle_fn=tri)
+    sink(d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)), 0)
+    sink(d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 250)), 1)
+
+    one = os.path.join(base, "one")
+    dedup.minhash_index_build(d.filter(F.col("doc_id") < 250), one, shingle_fn=tri)
+
+    sig_schema = (
+        "new_id long, sig array<struct<corpus_id: long, jaccard: double>>"
+    )
+    inc_df = spark.createDataFrame(
+        _probe_sig(dedup.minhash_index_probe(probe, inc, **kw)).collect(),
+        sig_schema,
+    )
+    one_df = spark.createDataFrame(
+        _probe_sig(dedup.minhash_index_probe(probe, one, **kw)).collect(),
+        sig_schema,
+    )
+
+    dedup.minhash_index_compact(spark, inc)
+    cpt_df = _probe_sig(dedup.minhash_index_probe(probe, inc, **kw))
+
+    ids = probe.select(F.col("doc_id").cast("long").alias("new_id"))
+    joined = (
+        ids.join(one_df.withColumnRenamed("sig", "one_sig"), "new_id", "left")
+        .join(inc_df.withColumnRenamed("sig", "inc_sig"), "new_id", "left")
+        .join(cpt_df.withColumnRenamed("sig", "cpt_sig"), "new_id", "left")
+    )
+    return joined.select(
+        "new_id",
+        F.col("inc_sig").eqNullSafe(F.col("one_sig")).alias("append_ok"),
+        F.col("cpt_sig").eqNullSafe(F.col("one_sig")).alias("compact_ok"),
     )

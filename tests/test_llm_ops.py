@@ -833,8 +833,10 @@ def test_ivf_append_partial_delta_is_redone(spark, tmp_path):
 
 def test_ivf_compact_precommit_crash_rolls_back(spark, tmp_path):
     """Crash AFTER postings_new materialized but BEFORE the ledger
-    commit point: recovery must delete postings_new and keep the
-    base+delta state authoritative — search results unchanged, and a
+    commit point: search must treat the base+delta state as
+    authoritative WITHOUT mutating the directory (ADVICE r06 — a
+    search racing a live compactor must not delete its in-flight
+    postings_new); the compactor's own recovery rolls back, and a
     re-run compact converges to the folded layout exactly once."""
     import os
     import shutil
@@ -849,9 +851,11 @@ def test_ivf_compact_precommit_crash_rolls_back(spark, tmp_path):
         os.path.join(twin, "postings"), os.path.join(base, "postings_new")
     )
     assert not os.path.isfile(os.path.join(base, "compacted_deltas.txt"))
-    assert _search_rows(spark, q, base) == truth  # rolled back
+    assert _search_rows(spark, q, base) == truth  # uncommitted new ignored
+    # read path is READ-ONLY: the in-flight/crashed postings_new survives
+    assert os.path.isdir(os.path.join(base, "postings_new"))
+    similarity.ivf_index_compact(spark, base)  # writer recovery rolls back
     assert not os.path.isdir(os.path.join(base, "postings_new"))
-    similarity.ivf_index_compact(spark, base)  # re-run converges
     assert _search_rows(spark, q, base) == truth
     assert spark.read.parquet(os.path.join(base, "postings")).count() == (
         catalog.load(spark, SF_DIR, "embeddings").count()
@@ -860,9 +864,11 @@ def test_ivf_compact_precommit_crash_rolls_back(spark, tmp_path):
 
 def test_ivf_compact_postcommit_crash_rolls_forward(spark, tmp_path):
     """Crash AFTER the ledger commit point but BEFORE/DURING the swap:
-    recovery must finish the swap and skip the folded delta dirs, so
-    every appended row is counted exactly once (the ADVICE r05
-    double-count scenario)."""
+    search must read the committed postings_new as the base and skip
+    the folded delta dirs — WITHOUT mutating anything (read-only read
+    path, ADVICE r06) — so every appended row is counted exactly once
+    (the ADVICE r05 double-count scenario); the next compact finishes
+    the swap."""
     import os
     import shutil
 
@@ -878,7 +884,13 @@ def test_ivf_compact_postcommit_crash_rolls_forward(spark, tmp_path):
     )
     with open(os.path.join(base, "compacted_deltas.txt"), "w") as fh:
         fh.write("b0\n")
-    assert _search_rows(spark, q, base) == truth  # rolled forward
+    assert _search_rows(spark, q, base) == truth  # reads committed new
+    # read path left the crash state intact for the writer to recover
+    assert os.path.isdir(os.path.join(base, "postings_new"))
+    assert os.path.isdir(os.path.join(base, "postings_delta"))
+    similarity.ivf_index_compact(spark, base)  # writer finishes the swap
+    assert _search_rows(spark, q, base) == truth
+    assert not os.path.isdir(os.path.join(base, "postings_new"))
     assert not os.path.isdir(os.path.join(base, "postings_delta"))
     assert spark.read.parquet(os.path.join(base, "postings")).count() == n_total
 
@@ -895,8 +907,11 @@ def test_ivf_compact_postcommit_crash_rolls_forward(spark, tmp_path):
     os.rename(
         os.path.join(base2, "postings"), os.path.join(base2, "postings_old")
     )
-    assert _search_rows(spark, q2, base2) == truth2
+    assert _search_rows(spark, q2, base2) == truth2  # still read-only
+    assert os.path.isdir(os.path.join(base2, "postings_old"))
+    similarity.ivf_index_compact(spark, base2)
     assert not os.path.isdir(os.path.join(base2, "postings_old"))
+    assert _search_rows(spark, q2, base2) == truth2
 
     # state 3: post-swap, delta dirs not yet cleaned — ledger makes
     # search skip them and a re-run compact must not double-fold
@@ -909,3 +924,64 @@ def test_ivf_compact_postcommit_crash_rolls_forward(spark, tmp_path):
     similarity.ivf_index_compact(spark, base3)  # no double-fold
     assert _search_rows(spark, q3, base3) == truth3
     assert spark.read.parquet(os.path.join(base3, "postings")).count() == n_total
+
+
+def test_ivf_ledger_commit_is_atomic(spark, tmp_path):
+    """ADVICE r06: the ledger write must be temp+fsync+rename, never an
+    in-place append — a crash can then only leave the old or the new
+    COMPLETE ledger, no torn prefix. Pin the mechanism (no stale .tmp,
+    ids merged not duplicated) and that a pre-existing ledger survives
+    a later compaction's commit."""
+    import os
+
+    base, q, truth = _ivf_crash_fixture(spark, tmp_path, "ivf_ledger")
+    # a second delta batch so compact folds {b0, b1} on top of nothing
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    extra = e.filter(F.col("vec_id") % 2 == 0).limit(7).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    similarity.ivf_index_append(base)(extra, 1)
+    similarity.ivf_index_compact(spark, base)
+    ledger = os.path.join(base, "compacted_deltas.txt")
+    assert not os.path.exists(ledger + ".tmp")
+    with open(ledger) as fh:
+        lines = fh.read().split()
+    assert lines == sorted(set(lines)) and set(lines) == {"b0", "b1"}
+    # a later append+compact MERGES into the ledger atomically
+    similarity.ivf_index_append(base)(extra, 2)
+    similarity.ivf_index_compact(spark, base)
+    with open(ledger) as fh:
+        lines2 = fh.read().split()
+    assert lines2 == sorted(set(lines2)) and set(lines2) == {"b0", "b1", "b2"}
+    assert not os.path.exists(ledger + ".tmp")
+
+
+def test_ivf_compact_preserves_inflight_partial_delta(spark, tmp_path):
+    """ADVICE r06: compact must not delete an unmarked (no-_SUCCESS)
+    delta directory — it may be an append mid-write; only ledger-listed
+    (folded) dirs are removable. The partial dir must survive BOTH the
+    nothing-to-fold path and a real fold of other deltas, and the
+    append sink's replay must then complete it."""
+    import os
+
+    base, q, truth = _ivf_crash_fixture(spark, tmp_path, "ivf_inflight")
+    delta_root = os.path.join(base, "postings_delta")
+    # simulate an in-flight append: a delta dir without _SUCCESS
+    partial = os.path.join(delta_root, "b7")
+    os.makedirs(partial)
+    # real fold of the committed b0 leaves the partial untouched
+    similarity.ivf_index_compact(spark, base)
+    assert os.path.isdir(partial)
+    assert _search_rows(spark, q, base) == truth
+    # nothing-to-fold path (only the partial remains) also preserves it
+    similarity.ivf_index_compact(spark, base)
+    assert os.path.isdir(partial)
+    # the append replay overwrites the aborted write and completes it
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    late = e.limit(5).select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity._as_double(F.col("embedding")).alias("cv"),
+    )
+    similarity.ivf_index_append(base)(late, 7)
+    assert os.path.exists(os.path.join(partial, "_SUCCESS"))

@@ -236,38 +236,25 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round6_names_rotated_into_window():
-    """Round-6 rotation executed (CORRECTNESS_r05 closed 50/50): the
-    round-6 queue now occupies leading driver-window slots so the
-    driver hash-checks every one of them this round."""
+def test_round7_names_rotated_into_window():
+    """Round-7 rotation executed (CORRECTNESS_r06 closed 50/50): the
+    final 10 never-driver-checked oracle-backed queries now occupy
+    leading driver-window slots so the driver hash-checks every one of
+    them this round, closing the cumulative ledger at 218/218."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
     for n in (
-        "a_cms_heavy_hitters",
-        "a_ols_multivariate",
-        "w_funnel_conversion",
-        "t9_stream_stream_join",
-        "emb_pca_power_banded",
-        "w_last_touch_attribution",
-        "a_autocorrelation",
-        "j_scd2_intervals",
-        "text_classifier_score",
-        "w_sequence_pattern",
-        "a_seasonal_residuals",
-        "emb_pca_by_label_banded",
-        "p_weighted_sample",
-        "dedup_simhash_portable",
-        "a_holt_forecast",
-        "a_holt_forecast_by_type",
-        "emb_pca_project",
-        "a_ks_test",
-        "a_mannwhitney_u",
-        "a_chi2_independence",
-        "sim_triplet_mining",
-        "p_token_budget_sample",
-        "a_crosscorrelation",
-        "p_quantile_normalize",
+        "sql_regional_rank",
+        "sql_silent_customers",
+        "sql_priority_share",
+        "w_markov_transitions",
+        "a_theil_sen",
+        "a_cusum_changepoint",
+        "text_bigram_ppl",
+        "emb_centroid_classify",
+        "a_survival_km",
+        "a_benford_law",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) < 50

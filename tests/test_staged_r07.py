@@ -290,3 +290,20 @@ def test_benford_matches_python_replay(spark):
         assert r.n == n
         assert r.obs_freq == round(n / tot, 6)
         assert r.exp_freq == round(math.log10(1 + 1 / d), 6)
+
+
+def test_centroid_classify_guards_label_cardinality(spark):
+    """VERDICT r06 item 5: the |labels|×d centroid broadcast must be
+    cardinality-guarded like encode.vocabulary — a high-cardinality
+    label column (here: vec_id itself) raises instead of silently
+    building a huge broadcast table."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        _guard_label_cardinality,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # fixture label column is bounded — passes
+    _guard_label_cardinality(e, "label")
+    # an id column exceeds a lowered cap — raises before any broadcast
+    with pytest.raises(ValueError, match="distinct labels"):
+        _guard_label_cardinality(e, "vec_id", max_labels=16)
