@@ -135,6 +135,19 @@ HEADLINE = [
     # the production projection shape). The lifecycle *_checked twins
     # are verification jobs, not perf paths, and stay out.
     "emb_pca_apply_artifact",
+    # r07 rotation batch (VERDICT r06 item 2): every registered oracle
+    # query gets a 2x bar before its first driver bench — SQL front end
+    # passthroughs + the analytics batch
+    "sql_regional_rank",
+    "sql_silent_customers",
+    "sql_priority_share",
+    "w_markov_transitions",
+    "a_theil_sen",
+    "a_cusum_changepoint",
+    "text_bigram_ppl",
+    "emb_centroid_classify",
+    "a_survival_km",
+    "a_benford_law",
 ]
 
 
@@ -174,6 +187,23 @@ def main() -> None:
         catalog.load(spark, sf_dir, table).write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # Python/Arrow worker warmup (VERDICT r06 item 3): the media /
+    # mapInPandas queries were the only bench family drifting toward
+    # their 2x bars, clustered by MECHANISM — each pays pyspark worker
+    # fork + numpy/pandas import on its first Arrow task. Workers are
+    # reused across tasks (spark.python.worker.reuse), so one trivial
+    # mapInPandas over every core absorbs that startup exactly like the
+    # table warmup absorbs scan/footer costs.
+    def _warm_python_workers(it):
+        import numpy  # noqa: F401 — the import the media UDFs pay
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+        _warm_python_workers, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # median-of-3 per query (VERDICT r02): the first execution of a
     # plan pays one-time whole-stage-codegen (janino) compile — ~2s on

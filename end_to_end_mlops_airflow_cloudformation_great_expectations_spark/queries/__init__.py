@@ -29,6 +29,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     streaming_batch,
     tpch_extra,
 )
+from . import sqlfront_tpch  # noqa: F401  (after tpch_extra — reuses its oracles)
 from .registry import ORACLES, QUERIES
 
 #: First 50 = the driver's observed CORRECTNESS window. ROUND-7

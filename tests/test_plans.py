@@ -364,3 +364,51 @@ def test_classifier_is_pure_jvm_aggregation(spark):
     plan = explain.physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert explain.has_partial_aggregation(df)
+
+
+def test_sql_tpch_passthroughs_share_oracle_and_plan_family(spark):
+    """VERDICT r06 item 7: the SQL front end claims zero execution-path
+    overhead (sqlfront.py module docstring) — prove it on the TPC-H
+    set. For each passthrough: (a) the oracle IS the DataFrame twin's
+    oracle string by object identity, and (b) the SQL text compiles to
+    the same physical STRATEGY MIX as the hand-built DataFrame program
+    — identical multiset of join operators, identical shuffle
+    (Exchange) count, identical aggregate count. Catalyst may associate
+    the join tree differently than the hand-built order, so the pin is
+    the strategy multiset, not operator order: an extra shuffle or a
+    broadcast downgraded to a sort-merge join fails here."""
+    import re
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.sqlfront_tpch import (
+        TPCH_PASSTHROUGHS,
+    )
+
+    assert len(TPCH_PASSTHROUGHS) >= 5
+
+    def counts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = {}
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "HashAggregate",
+            "TakeOrderedAndProject",
+        ):
+            ops[kind] = len(re.findall(rf"\b{kind}\b", plan))
+        # count shuffles, excluding the reused-exchange printouts
+        ops["Exchange"] = len(
+            re.findall(r"^\s*[:+\-* (\d)]*Exchange ", plan, flags=re.M)
+        )
+        return ops
+
+    for name, twin in TPCH_PASSTHROUGHS.items():
+        assert ORACLES[name] is ORACLES[twin]
+        sql_ops = counts(QUERIES[name](spark, SF_DIR))
+        df_ops = counts(QUERIES[twin](spark, SF_DIR))
+        assert sql_ops == df_ops, f"{name} vs {twin}: {sql_ops} != {df_ops}"
