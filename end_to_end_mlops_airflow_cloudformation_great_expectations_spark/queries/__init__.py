@@ -125,8 +125,14 @@ _reorder()
 # round 7+ follow the same discipline: prove green at sf0.001+sf0.01
 # incl. --plain BEFORE taking a window slot in the NEXT rotation.
 #
-# ROUND-8 ROTATION QUEUE: round-7 additions registered after the
-# window (see COVERAGE.md "Round 7*") — rotate any never-checked
-# names into the leading slots next round.
+# ROUND-8 ROTATION QUEUE (registered after the window this round, all
+# proven local-green at sf0.001+sf0.01 incl. --plain before landing):
+# the TPC-H SQL passthroughs sql_tpch_q1/q5/q6/q12/q14/q17/q18
+# (queries/sqlfront_tpch.py — oracle IS the DataFrame twin's string,
+# plan parity pinned in test_plans.py), dedup_minhash_lifecycle (the
+# persisted MinHash index build/append/probe/compact invariant), and
+# stream_quantile_sink_checked (incremental KLL quantile maintenance).
+# Next round: move these 9 into the leading slots, pad with
+# driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -508,6 +508,74 @@ def moment_stats_sink(base_dir: str, vec_col: str = "embedding"):
     return apply
 
 
+def quantile_sketch_sink(base_dir: str, value_col: str):
+    """foreachBatch incremental QUANTILE sketch rollup (VERDICT r06
+    item 8 — the percentile family's maintenance story, completing the
+    set: HLL for distinct counts, moment tables for covariance/PCA,
+    band postings for dedup, IVF cells for ANN, and now KLL for
+    quantiles): each micro-batch is summarized into a KLL sketch
+    (DataSketches via Spark 4's kll_sketch_agg_double) and merged into
+    the stored 1-row snapshot with kll_merge_agg_double.
+
+    State is ONE ~KB sketch regardless of stream length; the merge is
+    associative/commutative sketch algebra, so any quantile of the
+    entire history is answerable from the latest snapshot without
+    re-scanning (kll_sketch_get_quantile_double), with KLL's ±~1.65%
+    rank-error bound (k=200 default). The snapshot also carries the
+    exact row count n — kll_sketch_get_n is exact, so n doubles as the
+    exactly-once witness: a dropped or double-applied batch shows up
+    as an integer mismatch, not a within-band wiggle. Same versioned
+    layout + _snapshot_guard replay protection as the other sinks."""
+    import os
+    import shutil
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
+        new = batch_df.agg(
+            F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias(
+                "kll"
+            )
+        )
+        merged = new
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            merged = cur.select("kll").unionByName(new).agg(
+                F.kll_merge_agg_double("kll").alias("kll")
+            )
+        merged.select(
+            "kll", F.kll_sketch_get_n_double("kll").alias("n")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_quantile_sketch(
+    stream: DataFrame,
+    base_dir: str,
+    value_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Drive a stream through the incremental quantile sketch rollup
+    (availableNow, synchronous). Like the moment sink, the KLL merge
+    is NOT idempotent — exactly-once across restarts needs a durable
+    ``checkpoint`` (the engine's source tracking); checkpoint-less
+    runs are single-shot backfills."""
+    w = stream.writeStream.foreachBatch(
+        quantile_sketch_sink(base_dir, value_col)
+    )
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def run_moment_stats(
     stream: DataFrame,
     base_dir: str,
@@ -552,4 +620,6 @@ __all__ = [
     "running_user_totals_tws",
     "sketch_rollup_sink",
     "run_sketch_rollup",
+    "quantile_sketch_sink",
+    "run_quantile_sketch",
 ]

@@ -605,3 +605,66 @@ def test_snapshot_guard_partial_version_is_redone(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(base, "v2")).collect()
     }
     assert snap2 == snap
+
+
+def test_quantile_sketch_stream_and_restart(spark, tmp_path):
+    """KLL quantile maintenance (VERDICT r06 item 8): feed orders
+    through quantile_sketch_sink over a real availableNow stream, then
+    land a new file and RESTART with the same checkpoint. Invariants:
+    the snapshot's n is integer-exact vs the full corpus at both
+    points (the exactly-once witness — KLL's n is exact even though
+    quantiles are approximate), and every probe quantile estimate sits
+    within the generous ±0.05 rank band of the exact percentile."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    feed = tmp_path / "ord_feed"
+    for b in range(2):
+        orders.filter(SF.col("o_orderkey") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+
+    def stream():
+        return (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+
+    sink_dir = str(tmp_path / "kll_snap")
+    ckpt = str(tmp_path / "kll_ckpt")
+    jobs.run_quantile_sketch(stream(), sink_dir, "o_totalprice", checkpoint=ckpt)
+
+    def check(df_expected):
+        versions = sorted(os.listdir(sink_dir), key=lambda d: int(d[1:]))
+        snap = spark.read.parquet(os.path.join(sink_dir, versions[-1]))
+        vals = sorted(r.o_totalprice for r in df_expected.collect())
+        n = len(vals)
+        row = snap.select(
+            "n",
+            *[
+                SF.kll_sketch_get_quantile_double("kll", SF.lit(q)).alias(
+                    f"q{int(q * 100)}"
+                )
+                for q in (0.25, 0.5, 0.9)
+            ],
+        ).collect()[0]
+        assert int(row["n"]) == n
+        for q in (0.25, 0.5, 0.9):
+            lo = vals[max(0, int((q - 0.05) * (n - 1)))]
+            hi = vals[min(n - 1, int((q + 0.05) * (n - 1)) + 1)]
+            assert lo <= row[f"q{int(q * 100)}"] <= hi
+
+    check(orders.filter(SF.col("o_orderkey") % 3 != 2))
+
+    # land a third file; SAME checkpoint — only the new file is added
+    orders.filter(SF.col("o_orderkey") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    jobs.run_quantile_sketch(stream(), sink_dir, "o_totalprice", checkpoint=ckpt)
+    check(orders)
