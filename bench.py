@@ -148,6 +148,13 @@ HEADLINE = [
     "emb_centroid_classify",
     "a_survival_km",
     "a_benford_law",
+    # r07 breadth: benchmark decontamination + domain mixture
+    # reweighting. The sql_tpch_* passthroughs are NOT separately
+    # benched: plan parity with their DataFrame twins is test-pinned,
+    # so their bars would duplicate the twins' measurements; the
+    # lifecycle *_checked rows remain verification jobs.
+    "text_decontaminate",
+    "p_domain_reweight",
 ]
 
 

@@ -1052,6 +1052,58 @@ def minhash_index_compact(spark, base_dir: str) -> None:
         shutil.rmtree(delta_root, ignore_errors=True)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    probe: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION (the GPT-3 appendix-C / PaLM
+    discipline): flag every training document that shares at least one
+    word ``n``-gram with a held-out probe set (benchmark / eval
+    corpus), so evaluation data can be cut from the training mix.
+    Returns (id, n_gram_hits, n_grams, hit_frac) for contaminated
+    documents only — n_gram_hits counts the doc's DISTINCT shared
+    grams, hit_frac = hits / distinct grams (1.0 = the whole document
+    is benchmark text).
+
+    Distinct from the dedup family: near-dup dedup asks "are these two
+    documents similar", decontamination asks "does this document leak
+    ANY probe n-gram" — exact, asymmetric, zero-tolerance (a 13-gram
+    hit in GPT-3's recipe is a hit no matter how dissimilar the rest
+    of the page is).
+
+    Scale shape: the probe side is benchmark-sized — its distinct-gram
+    set aggregates to a small table and BROADCASTS, so the corpus side
+    is one scan + a broadcast hash semi-probe per gram, no corpus
+    shuffle. For a probe too large to broadcast, drop the hint and the
+    same plan becomes a shuffle join on the gram key (the corpus side
+    still shuffles gram rows, never text). n-gram extraction is the
+    shared zero-UDF word_ngrams expression."""
+    g = corpus.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("ng"),
+    ).select("id", F.size("ng").alias("n_grams"), F.explode("ng").alias("g"))
+    probe_g = (
+        probe.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    return (
+        g.join(F.broadcast(probe_g), "g")
+        .groupBy("id", "n_grams")
+        .agg(F.count("*").alias("n_gram_hits"))
+        .select(
+            "id",
+            F.col("n_gram_hits").cast("long").alias("n_gram_hits"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("n_gram_hits") / F.col("n_grams"), 6).alias(
+                "hit_frac"
+            ),
+        )
+    )
+
+
 def positional_word_ngrams(text: Column, n: int = 5) -> Column:
     """Word n-grams WITH positions preserved (``word_ngrams`` minus
     the distinct/compaction): element i is the n-gram starting at

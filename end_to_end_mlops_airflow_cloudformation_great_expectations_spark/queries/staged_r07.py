@@ -1099,3 +1099,114 @@ def stream_quantile_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("long") == F.col("n_exact")).alias("n_ok"),
         F.col("est").between(lo, hi).alias("accuracy_ok"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                            || ws[i+3] || ' ' || ws[i+4]
+                            for i in generate_series(1, GREATEST(LEN(ws) - 4, 0))]) AS ng
+      FROM w
+    ), probe AS (
+      SELECT DISTINCT unnest(ng) AS gram FROM g WHERE doc_id >= 400
+    ), corpus AS (
+      SELECT doc_id, LEN(ng) AS n_grams, unnest(ng) AS gram
+      FROM g WHERE doc_id < 400
+    )
+    SELECT doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_hits,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n_grams, 6) AS hit_frac
+    FROM corpus JOIN probe USING (gram)
+    GROUP BY doc_id, n_grams
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table: doc_id≥400
+    plays the held-out benchmark, doc_id<400 the training corpus;
+    every training doc sharing a word 5-gram with the benchmark is
+    flagged with its distinct-hit count and hit fraction
+    (operators/dedup.decontaminate — the GPT-3 eval-leakage discipline,
+    distinct from near-dup dedup: exact, asymmetric, zero-tolerance).
+    The planted near-dup chains in the fixture cross the 400 boundary,
+    so real hits exist at both oracle scales. Probe gram set
+    broadcasts; one corpus scan; zero UDFs."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        d.filter(F.col("doc_id") < 400), d.filter(F.col("doc_id") >= 400), n=5
+    )
+
+
+@query(
+    "p_domain_reweight",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             LEN(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS n_tok
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tok GROUP BY 1
+    )
+    SELECT source, src_tokens, n_docs,
+           ROUND(CAST(src_tokens AS DOUBLE)
+                 / (SELECT SUM(src_tokens) FROM tot), 6) AS corpus_share,
+           ROUND((1.0 / (SELECT COUNT(*) FROM tot))
+                 / (CAST(src_tokens AS DOUBLE)
+                    / (SELECT SUM(src_tokens) FROM tot)), 6) AS weight
+    FROM tot
+    """,
+)
+def p_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (the static data-mixing step of a
+    pretraining pipeline, DoReMi's baseline): measure each source's
+    token share of the corpus and emit the per-source sampling weight
+    that equalizes the mix to the UNIFORM target — weight =
+    target_share / corpus_share, the multiplier a sampler applies per
+    document of that source (compose with p_weighted_sample /
+    p_token_budget_sample to materialize the re-mixed corpus). One
+    corpus scan → a |sources|-row aggregate; the global totals are a
+    1-row broadcast. Token counting shares the whitespace-token
+    expression the text family uses; everything on the 1e-6 grid."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+            )
+        ).alias("n_tok"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    g = tot.agg(
+        F.sum("src_tokens").cast("double").alias("all_tokens"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    return tot.crossJoin(F.broadcast(g)).select(
+        "source",
+        "src_tokens",
+        "n_docs",
+        F.round(F.col("src_tokens") / F.col("all_tokens"), 6).alias(
+            "corpus_share"
+        ),
+        F.round(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("src_tokens") / F.col("all_tokens")),
+            6,
+        ).alias("weight"),
+    )

@@ -307,3 +307,72 @@ def test_centroid_classify_guards_label_cardinality(spark):
     # an id column exceeds a lowered cap — raises before any broadcast
     with pytest.raises(ValueError, match="distinct labels"):
         _guard_label_cardinality(e, "vec_id", max_labels=16)
+
+
+def test_decontaminate_matches_python_replay(spark):
+    """Exact 5-gram leakage replayed from the definition; hit counts
+    are DISTINCT shared grams per doc, fractions on the 1e-6 grid."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        text_decontaminate,
+    )
+
+    rows = {r.id: r for r in text_decontaminate(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    import re as _re
+
+    def grams(t):
+        ws = [w for w in _re.split(r"\s+", t.lower()) if w]
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    probe = set()
+    for d in docs:
+        if d.doc_id >= 400:
+            probe |= grams(d.text)
+    expected = {}
+    for d in docs:
+        if d.doc_id < 400:
+            g = grams(d.text)
+            hits = len(g & probe)
+            if hits:
+                expected[d.doc_id] = (hits, len(g), round(hits / len(g), 6))
+    assert expected, "fixture must contain real leakage"
+    assert set(rows) == set(expected)
+    for i, (h, n, f) in expected.items():
+        assert (rows[i].n_gram_hits, rows[i].n_grams, rows[i].hit_frac) == (
+            h,
+            n,
+            f,
+        )
+
+
+def test_decontaminate_probe_broadcasts(spark):
+    """Scale pin: the benchmark gram set broadcasts; the corpus side
+    never shuffles its text."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        text_decontaminate,
+    )
+
+    plan = (
+        text_decontaminate(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_reweight_is_a_proper_mixture_correction(spark):
+    """Invariants of the uniform-target reweighting: corpus shares sum
+    to 1; share x weight = 1/n_sources for every source (that IS the
+    definition); reweighted mix is uniform."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        p_domain_reweight,
+    )
+
+    rows = p_domain_reweight(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n >= 2
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) <= 1e-4
+    for r in rows:
+        assert abs(r.corpus_share * r.weight - 1.0 / n) <= 1e-4
+        assert r.src_tokens > 0 and r.n_docs > 0
