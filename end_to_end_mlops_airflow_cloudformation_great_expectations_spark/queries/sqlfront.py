@@ -14,7 +14,10 @@ the literal SQL string via ``spark.sql`` and the DuckDB oracle is the
 accepts portable ANSI SQL verbatim, not a Spark-only dialect. Each
 passthrough exercises a different surface: multi-join aggregation with
 a partitioned window, correlated NOT EXISTS, and a CTE pipeline with
-conditional aggregation.
+conditional aggregation. :mod:`.sqlfront_tpch` widens the set to the
+TPC-H headline shapes (q1/q5/q6/q12/q14/q17/q18), reusing each
+DataFrame twin's oracle string verbatim with plan parity pinned in
+tests/test_plans.py.
 
 Scale note: a SQL string compiles to exactly the plan the equivalent
 DataFrame program would (same Catalyst rules: pushdown, pruning, join
