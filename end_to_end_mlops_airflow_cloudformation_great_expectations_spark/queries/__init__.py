@@ -130,9 +130,10 @@ _reorder()
 # the TPC-H SQL passthroughs sql_tpch_q1/q5/q6/q12/q14/q17/q18
 # (queries/sqlfront_tpch.py — oracle IS the DataFrame twin's string,
 # plan parity pinned in test_plans.py), dedup_minhash_lifecycle (the
-# persisted MinHash index build/append/probe/compact invariant), and
-# stream_quantile_sink_checked (incremental KLL quantile maintenance).
-# Next round: move these 9 into the leading slots, pad with
-# driver-green names.
+# persisted MinHash index build/append/probe/compact invariant),
+# stream_quantile_sink_checked (incremental KLL quantile maintenance),
+# text_decontaminate (benchmark n-gram leakage), and p_domain_reweight
+# (uniform-target mixture weights). Next round: move these 11 into the
+# leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]
