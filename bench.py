@@ -155,6 +155,9 @@ HEADLINE = [
     # lifecycle *_checked rows remain verification jobs.
     "text_decontaminate",
     "p_domain_reweight",
+    # r07: BM25 served from the persisted retrieval index (build +
+    # term-pruned query; must equal text_bm25's scores exactly)
+    "text_bm25_indexed",
 ]
 
 

@@ -851,78 +851,30 @@ def minhash_index_append(
     """foreachBatch sink: keep a persisted MinHash index fresh as new
     documents stream in — WITHOUT re-shingling the corpus. Each batch
     shingles/signs itself (one batch-sized scan) and lands as a delta
-    directory ``{base_dir}/delta/b{batch_id}`` holding BOTH subtables;
-    the root ``_SUCCESS`` marker is written only after both parquet
-    writes finish, so a crash between them leaves an uncommitted delta
-    the replay overwrites (at-least-once → exactly-once, the
-    ivf_index_append/_snapshot_guard contract). A batch id already in
-    the compaction ledger was folded into the base — the tombstone
-    check makes its replay a no-op instead of a double-insert."""
-    import os
-    import shutil
-
+    directory holding BOTH subtables under the shared delta-index
+    protocol (:func:`.ledger.delta_append_sink`: root ``_SUCCESS``
+    commit marker, aborted-write redo on replay, ledger tombstones
+    after compaction)."""
     from . import ledger
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        delta = os.path.join(base_dir, "delta", f"b{batch_id}")
-        marker = os.path.join(delta, "_SUCCESS")
-        if os.path.isdir(delta):
-            if os.path.exists(marker):
-                return  # committed append — replay no-ops
-            shutil.rmtree(delta, ignore_errors=True)  # aborted — redo
-        if f"b{batch_id}" in ledger.read_ledger(base_dir):
-            return  # folded into base by minhash_index_compact
+    def tables(batch_df: DataFrame) -> dict:
         postings, shingles = minhash_index(
             batch_df, id_col, text_col, k, n_hashes, bands, shingle_fn
         )
-        postings.write.mode("overwrite").parquet(
-            os.path.join(delta, "postings")
-        )
-        shingles.write.mode("overwrite").parquet(
-            os.path.join(delta, "shingles")
-        )
-        with open(marker, "w"):
-            pass
+        return {"postings": postings, "shingles": shingles}
 
-    return apply
+    return ledger.delta_append_sink(base_dir, tables)
 
 
 def _minhash_resolve(spark, base_dir: str) -> tuple[DataFrame, DataFrame]:
     """READ-ONLY snapshot resolution of a persisted MinHash index:
-    (postings, shingles) as lazy unions of base + committed, unfolded
-    deltas. Never mutates the directory (the ivf_index_search ADVICE
-    r06 discipline — destructive recovery belongs to the compactor,
-    the single writer): a committed-but-unswapped ``{table}_new``
-    already contains the folded deltas, so it is read AS the base;
-    ledger-folded delta dirs are skipped either way, so every appended
-    row is counted exactly once at any crash point."""
-    import os
+    (postings, shingles) via :func:`.ledger.resolve_delta_tables` —
+    never mutates the directory; destructive recovery belongs to the
+    compactor (the single writer)."""
+    from . import ledger
 
-    from . import ledger as _ledger
-
-    folded = _ledger.read_ledger(base_dir)
-    delta_root = os.path.join(base_dir, "delta")
-    live = []
-    if os.path.isdir(delta_root):
-        live = [
-            d
-            for d in sorted(os.listdir(delta_root))
-            if d not in folded
-            and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
-        ]
-    out = []
-    for table in _MINHASH_TABLES:
-        base_path = os.path.join(base_dir, table)
-        new_dir = os.path.join(base_dir, f"{table}_new")
-        if _ledger.committed_new(base_dir, new_dir):
-            base_path = new_dir
-        df = spark.read.parquet(base_path)
-        for d in live:
-            df = df.unionByName(
-                spark.read.parquet(os.path.join(delta_root, d, table))
-            )
-        out.append(df)
-    return out[0], out[1]
+    out = ledger.resolve_delta_tables(spark, base_dir, _MINHASH_TABLES)
+    return out["postings"], out["shingles"]
 
 
 def minhash_index_probe(
@@ -959,97 +911,27 @@ def minhash_index_probe(
 
 
 def _minhash_recover(base_dir: str) -> None:
-    """Finish or roll back an interrupted compaction — DESTRUCTIVE,
-    writer-only (minhash_index_compact calls it; probe never does).
-    Both subtables commit under ONE ledger write, so recovery decides
-    once and applies to each: committed ``{table}_new`` → roll the
-    swap forward; uncommitted → delete it (base + deltas stay
-    authoritative). Folded delta dirs are removed; unmarked (no
-    ``_SUCCESS``) dirs are left for the append sink's replay — they
-    may be an in-flight append mid-write (ADVICE r06)."""
-    import os
-    import shutil
+    """Writer-only destructive recovery
+    (:func:`.ledger.recover_delta_index` over both subtables)."""
+    from . import ledger
 
-    from . import ledger as _ledger
-
-    for table in _MINHASH_TABLES:
-        new_dir = os.path.join(base_dir, f"{table}_new")
-        if os.path.isdir(new_dir):
-            if _ledger.committed_new(base_dir, new_dir):
-                _ledger.swap_forward(base_dir, table)
-            else:
-                shutil.rmtree(new_dir, ignore_errors=True)
-        aside = os.path.join(base_dir, f"{table}_old")
-        if os.path.isdir(aside) and os.path.isdir(
-            os.path.join(base_dir, table)
-        ):
-            shutil.rmtree(aside, ignore_errors=True)
-    folded = _ledger.read_ledger(base_dir)
-    delta_root = os.path.join(base_dir, "delta")
-    if os.path.isdir(delta_root):
-        live = [d for d in sorted(os.listdir(delta_root)) if d not in folded]
-        for d in os.listdir(delta_root):
-            if d in folded:
-                shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
-        if not live:
-            shutil.rmtree(delta_root, ignore_errors=True)
+    ledger.recover_delta_index(base_dir, _MINHASH_TABLES)
 
 
 def minhash_index_compact(spark, base_dir: str) -> None:
     """Fold accumulated append deltas back into the base layout — the
     small-files maintenance step that keeps an eternally-churning
     incremental corpus bounded (VERDICT r06 item 6: without this,
-    delta postings accumulate forever). Version-then-swap with ONE
-    atomic commit point for BOTH subtables: write ``postings_new`` and
-    ``shingles_new`` (each carrying the ``_FOLDED`` manifest), commit
-    the folded ids to the ledger atomically (temp+fsync+rename), then
-    swap each table into place. Probe results are identical before and
-    after (test-pinned); only the file layout changes. Crash-
-    recoverable at every step — see :func:`_minhash_recover` — and
-    replay-guarded: ledger entries tombstone folded batch ids so a
-    re-delivered append cannot double-insert."""
-    import os
-    import shutil
+    delta postings accumulate forever). Both subtables fold under ONE
+    atomic ledger commit via :func:`.ledger.compact_delta_index`
+    (version-then-swap; crash-recoverable at every step; ledger
+    tombstones block replayed appends from double-inserting). Probe
+    results are identical before and after (test- and driver-pinned);
+    only the file layout changes — fewer, larger files, restoring scan
+    efficiency after long append streaks."""
+    from . import ledger
 
-    from . import ledger as _ledger
-
-    _minhash_recover(base_dir)
-    delta_root = os.path.join(base_dir, "delta")
-    if not os.path.isdir(delta_root):
-        return
-    already = _ledger.read_ledger(base_dir)
-    folded = [
-        d
-        for d in sorted(os.listdir(delta_root))
-        # skip already-folded ids (double-fold = permanent duplication)
-        # and partial deltas (no root _SUCCESS — possibly an append
-        # mid-write; its replay will redo an aborted one)
-        if d not in already
-        and os.path.exists(os.path.join(delta_root, d, "_SUCCESS"))
-    ]
-    if not folded:
-        if not os.listdir(delta_root):
-            shutil.rmtree(delta_root, ignore_errors=True)
-        return
-    for table in _MINHASH_TABLES:
-        df = spark.read.parquet(os.path.join(base_dir, table))
-        for d in folded:
-            df = df.unionByName(
-                spark.read.parquet(os.path.join(delta_root, d, table))
-            )
-        new_dir = os.path.join(base_dir, f"{table}_new")
-        df.write.mode("overwrite").parquet(new_dir)
-        _ledger.write_folded_manifest(new_dir, folded)
-    # COMMIT POINT: both _new tables fully materialized; one atomic
-    # ledger write commits the fold for both, so readers/recovery can
-    # never see one table folded and the other not.
-    _ledger.append_ledger_atomic(base_dir, folded)
-    for table in _MINHASH_TABLES:
-        _ledger.swap_forward(base_dir, table)
-    for d in folded:
-        shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
-    if not os.listdir(delta_root):
-        shutil.rmtree(delta_root, ignore_errors=True)
+    ledger.compact_delta_index(spark, base_dir, _MINHASH_TABLES)
 
 
 def decontaminate(

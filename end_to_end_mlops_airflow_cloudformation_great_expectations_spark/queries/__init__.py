@@ -132,8 +132,11 @@ _reorder()
 # plan parity pinned in test_plans.py), dedup_minhash_lifecycle (the
 # persisted MinHash index build/append/probe/compact invariant),
 # stream_quantile_sink_checked (incremental KLL quantile maintenance),
-# text_decontaminate (benchmark n-gram leakage), and p_domain_reweight
-# (uniform-target mixture weights). Next round: move these 11 into the
-# leading slots, pad with driver-green names.
+# text_decontaminate (benchmark n-gram leakage), p_domain_reweight
+# (uniform-target mixture weights), and text_bm25_indexed (the
+# persisted BM25 retrieval index — operators/textindex.py, third
+# instantiation of the shared ledger protocol; oracle IS text_bm25's
+# string). Next round: move these 12 into the leading slots, pad with
+# driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

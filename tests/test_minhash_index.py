@@ -21,7 +21,6 @@ from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators 
 )
 from tests.conftest import SF_DIR
 
-_TRI = staticmethod(lambda c: dedup.word_ngrams(c, 3))
 
 
 def _tri(c):
@@ -218,3 +217,65 @@ def test_ledger_commit_is_atomic(spark, tmp_path):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ------------------------------------------------------- BM25 index
+# (lives here because it exercises the SAME shared delta-index
+# protocol the MinHash tests pin — operators/ledger.py)
+
+
+def test_bm25_index_lifecycle_matches_from_scratch(spark, tmp_path):
+    """The persisted BM25 index must score identically to the
+    from-scratch text_bm25 pass at every lifecycle point: after build,
+    after two streaming appends (tokenizing only the batches), and
+    after compaction. Scores are on the 4dp grid so equality is
+    exact."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        textindex,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.llm import (
+        text_bm25,
+    )
+
+    terms = ["data", "table", "fast"]
+    d = catalog.load(spark, SF_DIR, "documents")
+    truth = sorted(
+        (r.doc_id, r.bm25) for r in text_bm25(spark, SF_DIR).collect()
+    )
+
+    base = str(tmp_path / "bm25_inc")
+    textindex.bm25_index_build(d.filter(F.col("doc_id") < 250), base)
+    sink = textindex.bm25_index_append(base)
+    sink(d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350)), 0)
+    sink(d.filter(F.col("doc_id") >= 350), 1)
+
+    def got():
+        return sorted(
+            (r.doc_id, r.bm25)
+            for r in textindex.bm25_index_query(spark, base, terms).collect()
+        )
+
+    assert got() == truth  # base + deltas
+    textindex.bm25_index_compact(spark, base)
+    assert not os.path.isdir(os.path.join(base, "delta"))
+    assert got() == truth  # compacted
+
+    # replayed appends hit the ledger tombstones — scores unchanged
+    sink(d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350)), 0)
+    assert got() == truth
+
+
+def test_bm25_index_query_prunes_by_term(spark, tmp_path):
+    """The clustered postings layout makes the query's term filter a
+    pushed parquet predicate — the plan must show the pushdown, not a
+    full posting scan followed by a Spark-side filter only."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        textindex,
+    )
+
+    d = catalog.load(spark, SF_DIR, "documents")
+    base = str(tmp_path / "bm25_plan")
+    textindex.bm25_index_build(d, base)
+    df = textindex.bm25_index_query(spark, base, ["data"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "term" in plan
