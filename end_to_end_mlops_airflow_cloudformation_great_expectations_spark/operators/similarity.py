@@ -1310,3 +1310,166 @@ def random_projection(
     return df.select(
         F.col(id_col), make_udf()(_as_double(F.col(vec_col))).alias("proj")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted embedding-dedup index — the fourth instantiation of the
+# shared delta-index protocol (operators/ledger.py; siblings: the IVF
+# ANN index above, the MinHash dedup index and BM25 retrieval index).
+# Closes the incremental-maintenance asymmetry between lexical and
+# SEMANTIC dedup: minhash_index dedups incoming batches against an
+# indexed corpus without re-shingling it; this index does the same for
+# embedding near-dups without re-hashing or re-scanning corpus vectors.
+# ---------------------------------------------------------------------------
+
+#: The two tables a persisted embedding-dedup index maintains:
+#: ``buckets`` (block, id — one narrow row per vector per hash table)
+#: and ``vectors`` (id, v — the double vectors the exact-cosine verify
+#: step reads, so verification never re-reads source embeddings).
+_EMBDEDUP_TABLES = ("buckets", "vectors")
+
+
+def _embdedup_params_path(base_dir: str) -> str:
+    import os
+
+    return os.path.join(base_dir, "_PARAMS.json")
+
+
+def _embdedup_tables(
+    vecs: DataFrame, n_planes: int, n_tables: int, seed: int,
+    id_col: str, vec_col: str,
+) -> dict:
+    e = vecs.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    sigs = table_signatures_udf(n_planes, n_tables, seed)
+    buckets = e.select(
+        "id", F.posexplode(sigs("v")).alias("table", "bucket")
+    ).select(
+        (
+            F.col("table").cast("long") * F.lit(2**n_planes) + F.col("bucket")
+        ).alias("block"),
+        "id",
+    )
+    return {"buckets": buckets, "vectors": e}
+
+
+def embdedup_index_build(
+    embeddings: DataFrame,
+    base_dir: str,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the hyperplane-LSH dedup index of a corpus. The
+    hash parameters are written to ``_PARAMS.json`` so append/probe
+    regenerate the IDENTICAL planes (a mismatched probe would silently
+    miss every bucket — the index is self-describing instead)."""
+    import json
+
+    t = _embdedup_tables(
+        embeddings, n_planes, n_tables, seed, id_col, vec_col
+    )
+    t["buckets"].write.mode("overwrite").parquet(f"{base_dir}/buckets")
+    t["vectors"].write.mode("overwrite").parquet(f"{base_dir}/vectors")
+    with open(_embdedup_params_path(base_dir), "w") as fh:
+        json.dump(
+            {"n_planes": n_planes, "n_tables": n_tables, "seed": seed}, fh
+        )
+
+
+def _embdedup_params(base_dir: str) -> dict:
+    import json
+
+    with open(_embdedup_params_path(base_dir)) as fh:
+        return json.load(fh)
+
+
+def embdedup_index_append(
+    base_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """foreachBatch sink: hash ONLY the batch (with the index's stored
+    parameters) and land its buckets + vectors as a committed delta
+    (shared protocol — :func:`.ledger.delta_append_sink`)."""
+    from . import ledger
+
+    p = _embdedup_params(base_dir)
+
+    return ledger.delta_append_sink(
+        base_dir,
+        lambda batch: _embdedup_tables(
+            batch, p["n_planes"], p["n_tables"], p["seed"], id_col, vec_col
+        ),
+    )
+
+
+def embdedup_index_probe(
+    new_vecs: DataFrame,
+    base_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """Semantic near-dup pairs (new_id, corpus_id, cos_sim) of an
+    incoming batch against the INDEXED corpus — corpus vectors are
+    never re-hashed: the batch computes its own signatures with the
+    stored parameters, probes the bucket table on block id, and the
+    exact-cosine verify joins only candidate ids against the stored
+    vectors (6-dp grid, deterministic). READ-ONLY on the index
+    (resolve_delta_tables), so probes can race appends/compaction.
+    ``max_bucket_size`` drops hub blocks before the candidate join —
+    the same skew guard as lsh_neardup_pairs, computed on the narrow
+    bucket table."""
+    from . import ledger
+
+    spark = new_vecs.sparkSession
+    p = _embdedup_params(base_dir)
+    t = ledger.resolve_delta_tables(spark, base_dir, _EMBDEDUP_TABLES)
+    new_t = _embdedup_tables(
+        new_vecs, p["n_planes"], p["n_tables"], p["seed"], id_col, vec_col
+    )
+    hot = (
+        t["buckets"].groupBy("block")
+        .count()
+        .filter(F.col("count") > max_bucket_size)
+        .select("block")
+    )
+    corpus_buckets = t["buckets"].join(F.broadcast(hot), "block", "left_anti")
+    cands = (
+        new_t["buckets"].withColumnRenamed("id", "new_id")
+        .join(corpus_buckets.withColumnRenamed("id", "corpus_id"), "block")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    nv = new_t["vectors"].select(
+        F.col("id").alias("new_id"), F.col("v").alias("v_new")
+    )
+    cv = t["vectors"].select(
+        F.col("id").alias("corpus_id"), F.col("v").alias("v_corpus")
+    )
+    return (
+        cands.join(nv, "new_id")
+        .join(cv, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            F.round(cosine(F.col("v_new"), F.col("v_corpus")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embdedup_index_compact(spark, base_dir: str) -> None:
+    """Fold append deltas into the base layout (shared protocol —
+    :func:`.ledger.compact_delta_index`; version-then-swap, one atomic
+    ledger commit for both subtables, tombstoned batch ids). Probe
+    results are identical before and after (test-pinned)."""
+    from . import ledger
+
+    ledger.compact_delta_index(spark, base_dir, _EMBDEDUP_TABLES)

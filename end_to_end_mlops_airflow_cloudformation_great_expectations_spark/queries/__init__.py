@@ -136,7 +136,9 @@ _reorder()
 # (uniform-target mixture weights), and text_bm25_indexed (the
 # persisted BM25 retrieval index — operators/textindex.py, third
 # instantiation of the shared ledger protocol; oracle IS text_bm25's
-# string). Next round: move these 12 into the leading slots, pad with
-# driver-green names.
+# string), and dedup_embedding_lifecycle (the persisted SEMANTIC-dedup
+# index — similarity.py embdedup_index_*, fourth instantiation). Next
+# round: move these 13 into the leading slots, pad with driver-green
+# names.
 
 __all__ = ["QUERIES", "ORACLES"]

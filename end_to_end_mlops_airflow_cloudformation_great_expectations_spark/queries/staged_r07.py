@@ -1231,3 +1231,85 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     textindex.bm25_index_build(d, base)
     return textindex.bm25_index_query(spark, base, ["data", "table", "fast"])
+
+
+@query(
+    "dedup_embedding_lifecycle",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS new_id,
+           TRUE AS append_ok, TRUE AS compact_ok
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def dedup_embedding_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SEMANTIC-dedup index lifecycle as a
+    driver-checkable invariant — closes the lexical/semantic
+    incremental-maintenance asymmetry (minhash_index had the
+    build/append/probe/compact story; embeddings now do too, fourth
+    instantiation of the shared ledger protocol,
+    operators/similarity.py embdedup_index_*): build the hyperplane-LSH
+    index on even vec_ids, stream the odds through
+    embdedup_index_append in two delta batches, and assert per probe
+    vector (vec_id<100) that
+
+      probe(base + deltas)   == probe(one-shot index)   (append_ok)
+      probe(compacted base)  == probe(one-shot index)   (compact_ok)
+
+    Signatures come from the index's persisted _PARAMS (same planes on
+    every path), candidates from identical bucket content, and the
+    verify cosine is the same 6-dp expression — so signature equality
+    is exact, not banded. ~100 real pairs at threshold 0.35 at both
+    oracle scales (the fixture's planted semantic near-dups), so the
+    invariant is exercised, not vacuous. Pre-compaction probes are
+    collected at build time (bounded: probe slice × a few pairs);
+    the post-compaction probe stays lazy."""
+    from ..operators import similarity
+
+    base = _scratch("embdedup_life")
+    e = _t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") < 100)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+
+    inc = os.path.join(base, "inc")
+    similarity.embdedup_index_build(e.filter(F.col("vec_id") % 2 == 0), inc)
+    sink = similarity.embdedup_index_append(inc)
+    sink(rest.filter(F.col("vec_id") % 4 == 1), 0)
+    sink(rest.filter(F.col("vec_id") % 4 == 3), 1)
+
+    one = os.path.join(base, "one")
+    similarity.embdedup_index_build(e.filter(F.col("vec_id") % 2 == 0), one)
+    similarity.embdedup_index_append(one)(rest, 0)
+
+    def sig(df: DataFrame) -> DataFrame:
+        return df.groupBy("new_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("corpus_id", "cos_sim"))
+            ).alias("sig")
+        )
+
+    kw = dict(threshold=0.35)
+    sig_schema = (
+        "new_id long, sig array<struct<corpus_id: long, cos_sim: double>>"
+    )
+    inc_df = spark.createDataFrame(
+        sig(similarity.embdedup_index_probe(probe, inc, **kw)).collect(),
+        sig_schema,
+    )
+    one_df = spark.createDataFrame(
+        sig(similarity.embdedup_index_probe(probe, one, **kw)).collect(),
+        sig_schema,
+    )
+    similarity.embdedup_index_compact(spark, inc)
+    cpt_df = sig(similarity.embdedup_index_probe(probe, inc, **kw))
+
+    ids = probe.select(F.col("vec_id").cast("long").alias("new_id"))
+    joined = (
+        ids.join(one_df.withColumnRenamed("sig", "one_sig"), "new_id", "left")
+        .join(inc_df.withColumnRenamed("sig", "inc_sig"), "new_id", "left")
+        .join(cpt_df.withColumnRenamed("sig", "cpt_sig"), "new_id", "left")
+    )
+    return joined.select(
+        "new_id",
+        F.col("inc_sig").eqNullSafe(F.col("one_sig")).alias("append_ok"),
+        F.col("cpt_sig").eqNullSafe(F.col("one_sig")).alias("compact_ok"),
+    )

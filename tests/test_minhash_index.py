@@ -279,3 +279,56 @@ def test_bm25_index_query_prunes_by_term(spark, tmp_path):
     df = textindex.bm25_index_query(spark, base, ["data"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "term" in plan
+
+
+# -------------------------------------------- embedding-dedup index
+# (fourth instantiation of the shared protocol)
+
+
+def test_embdedup_index_lifecycle(spark, tmp_path):
+    """Incremental semantic dedup == one-shot at every lifecycle
+    point; replayed appends hit the ledger tombstones; _PARAMS makes
+    the index self-describing (append/probe regenerate the same
+    planes)."""
+    import json
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    probe = e.filter(F.col("vec_id") < 100)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+
+    def rows(base):
+        return sorted(
+            tuple(r)
+            for r in similarity.embdedup_index_probe(
+                probe, base, threshold=0.35
+            ).collect()
+        )
+
+    inc = str(tmp_path / "ed_inc")
+    similarity.embdedup_index_build(e.filter(F.col("vec_id") % 2 == 0), inc)
+    with open(os.path.join(inc, "_PARAMS.json")) as fh:
+        assert json.load(fh) == {"n_planes": 4, "n_tables": 16, "seed": 42}
+    sink = similarity.embdedup_index_append(inc)
+    sink(rest.filter(F.col("vec_id") % 4 == 1), 0)
+    sink(rest.filter(F.col("vec_id") % 4 == 3), 1)
+
+    one = str(tmp_path / "ed_one")
+    similarity.embdedup_index_build(e.filter(F.col("vec_id") % 2 == 0), one)
+    similarity.embdedup_index_append(one)(rest, 0)
+
+    truth = rows(one)
+    assert truth  # nonvacuous: the fixture's planted near-dups
+    # appended vectors are found (some corpus_id is odd = from a delta)
+    assert any(c % 2 == 1 for _, c, _ in truth)
+    assert rows(inc) == truth
+    similarity.embdedup_index_compact(spark, inc)
+    assert not os.path.isdir(os.path.join(inc, "delta"))
+    assert rows(inc) == truth
+    # replay after compaction: tombstoned, no double-insert
+    sink(rest.filter(F.col("vec_id") % 4 == 1), 0)
+    assert not os.path.isdir(os.path.join(inc, "delta"))
+    assert rows(inc) == truth
