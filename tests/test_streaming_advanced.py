@@ -668,3 +668,61 @@ def test_quantile_sketch_stream_and_restart(spark, tmp_path):
     ).parquet(str(feed))
     jobs.run_quantile_sketch(stream(), sink_dir, "o_totalprice", checkpoint=ckpt)
     check(orders)
+
+
+def test_embdedup_index_streaming_append_equals_batch(spark, tmp_path):
+    """The embedding-dedup index stays correct under a REAL stream:
+    feeding the odd vectors through embdedup_index_append via
+    availableNow micro-batches yields the same probe pairs as the
+    one-shot batch append (foreachBatch batch_ids differ from the
+    direct-call test, so this also exercises multi-delta resolution
+    under engine-assigned ids)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = e.filter(SF.col("vec_id") < 100)
+    rest = e.filter(SF.col("vec_id") % 2 == 1)
+
+    # one-shot twin
+    one = str(tmp_path / "ed_batch")
+    similarity.embdedup_index_build(e.filter(SF.col("vec_id") % 2 == 0), one)
+    similarity.embdedup_index_append(one)(rest, 0)
+    truth = sorted(
+        tuple(r)
+        for r in similarity.embdedup_index_probe(
+            probe, one, threshold=0.35
+        ).collect()
+    )
+    assert truth
+
+    # streamed: 2 files -> 2 availableNow micro-batches
+    feed = tmp_path / "ed_feed"
+    for b in (1, 3):
+        rest.filter(SF.col("vec_id") % 4 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+    inc = str(tmp_path / "ed_stream")
+    similarity.embdedup_index_build(e.filter(SF.col("vec_id") % 2 == 0), inc)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(similarity.embdedup_index_append(inc))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in similarity.embdedup_index_probe(
+            probe, inc, threshold=0.35
+        ).collect()
+    )
+    assert got == truth
