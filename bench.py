@@ -158,6 +158,8 @@ HEADLINE = [
     # r07: BM25 served from the persisted retrieval index (build +
     # term-pruned query; must equal text_bm25's scores exactly)
     "text_bm25_indexed",
+    # r07: fixed-window document chunking (map-only explode)
+    "text_chunk_windows",
 ]
 
 

@@ -324,3 +324,37 @@ def bpe_merge_rounds(
     for rdf in rounds[1:]:
         out = out.unionByName(rdf)
     return out
+
+
+def chunk_tokens(
+    text: Column, size: int = 64, stride: int = 48
+) -> Column:
+    """Fixed-size overlapping token windows — the CHUNKING step every
+    retrieval / pretraining pipeline applies before embedding or
+    packing: window i covers tokens [i·stride, i·stride + size). The
+    final partial window is kept (standard practice — dropping it
+    loses document tails). Returns an array of structs
+    (chunk_id, n_tokens, chunk_text); pure expressions
+    (sequence + slice + array_join), zero shuffle, zero UDF — at 100 TB
+    chunking is a map-only pass whose output feeds repartitioning by
+    chunk count, never the other way around."""
+    toks = words(text)
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - size, F.lit(0)) + stride - 1) / stride) + 1
+    )
+    # guard the empty case explicitly: sequence(0, -1) DESCENDS in
+    # Spark (step defaults to -1 when start > stop), so an empty doc
+    # would otherwise fabricate two phantom chunks
+    return F.when(n_chunks <= 0, F.array()).otherwise(F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.least(n - i * stride, F.lit(size))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(toks, i * stride + 1, size), " "
+            ).alias("chunk_text"),
+        ),
+    ))

@@ -137,8 +137,9 @@ _reorder()
 # persisted BM25 retrieval index — operators/textindex.py, third
 # instantiation of the shared ledger protocol; oracle IS text_bm25's
 # string), and dedup_embedding_lifecycle (the persisted SEMANTIC-dedup
-# index — similarity.py embdedup_index_*, fourth instantiation). Next
-# round: move these 13 into the leading slots, pad with driver-green
+# index — similarity.py embdedup_index_*, fourth instantiation), and
+# text_chunk_windows (fixed-window document chunking, map-only). Next
+# round: move these 14 into the leading slots, pad with driver-green
 # names.
 
 __all__ = ["QUERIES", "ORACLES"]

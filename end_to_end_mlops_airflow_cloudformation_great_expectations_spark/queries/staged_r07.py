@@ -1313,3 +1313,53 @@ def dedup_embedding_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inc_sig").eqNullSafe(F.col("one_sig")).alias("append_ok"),
         F.col("cpt_sig").eqNullSafe(F.col("one_sig")).alias("compact_ok"),
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), n AS (
+      SELECT doc_id, ws, LEN(ws) AS n,
+             CASE WHEN LEN(ws) <= 0 THEN 0
+                  ELSE CAST(FLOOR((GREATEST(LEN(ws) - 64, 0) + 47) / 48)
+                            AS BIGINT) + 1 END AS n_chunks
+      FROM w
+    )
+    , e AS (
+      SELECT doc_id, ws, n,
+             unnest(generate_series(0, CAST(n_chunks AS BIGINT) - 1)) AS i
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(LEAST(n - i * 48, 64) AS BIGINT) AS n_tokens,
+           array_to_string(ws[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document CHUNKING (operators/text.chunk_tokens): fixed 64-token
+    windows at stride 48 (25% overlap), final partial window kept —
+    the step every retrieval / pretraining pipeline applies before
+    embedding or packing. Pure expressions (sequence + slice +
+    array_join), zero UDF, zero shuffle: the plan is a map-only scan
+    whose explode fans out inside the same stage. Hash-checked
+    chunk-for-chunk (ids, token counts, AND the reconstructed chunk
+    text) against the independent DuckDB list-slicing twin."""
+    from ..operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(text_ops.chunk_tokens(F.col("text"), 64, 48)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

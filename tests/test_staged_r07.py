@@ -376,3 +376,44 @@ def test_domain_reweight_is_a_proper_mixture_correction(spark):
     for r in rows:
         assert abs(r.corpus_share * r.weight - 1.0 / n) <= 1e-4
         assert r.src_tokens > 0 and r.n_docs > 0
+
+
+def test_chunk_tokens_edges(spark):
+    """Chunker edge cases: empty/whitespace doc -> zero chunks; doc
+    shorter than one window -> exactly one full-coverage chunk; stride
+    overlap reconstructs the token stream with 16-token overlaps; the
+    final partial window is kept."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.text import (
+        chunk_tokens,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b c"), (3, " ".join(f"t{i}" for i in range(150)))],
+        "doc_id long, text string",
+    ).select("doc_id", chunk_tokens(F.col("text"), 64, 48).alias("cs")).collect()
+    by_id = {r.doc_id: r.cs for r in rows}
+    assert by_id[0] == [] and by_id[1] == []
+    assert len(by_id[2]) == 1
+    assert by_id[2][0].n_tokens == 3 and by_id[2][0].chunk_text == "a b c"
+    cs = by_id[3]  # 150 tokens: windows at 0,48,96 -> 64,64,54 tokens
+    assert [c.n_tokens for c in cs] == [64, 64, 54]
+    assert cs[1].chunk_text.split()[0] == "t48"
+    assert cs[2].chunk_text.split()[-1] == "t149"
+
+
+def test_chunk_windows_plan_is_map_only(spark):
+    """Scale pin: chunking is one scan + Generate — no Exchange
+    anywhere in the plan."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        text_chunk_windows,
+    )
+
+    plan = (
+        text_chunk_windows(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Generate" in plan
