@@ -160,6 +160,8 @@ HEADLINE = [
     "text_bm25_indexed",
     # r07: fixed-window document chunking (map-only explode)
     "text_chunk_windows",
+    # r07: the composed curation chain (quality+lang+dedup+length)
+    "p_curation_verdict",
 ]
 
 

@@ -138,8 +138,10 @@ _reorder()
 # instantiation of the shared ledger protocol; oracle IS text_bm25's
 # string), and dedup_embedding_lifecycle (the persisted SEMANTIC-dedup
 # index — similarity.py embdedup_index_*, fourth instantiation), and
-# text_chunk_windows (fixed-window document chunking, map-only). Next
-# round: move these 14 into the leading slots, pad with driver-green
-# names.
+# text_chunk_windows (fixed-window document chunking, map-only), and
+# p_curation_verdict (the composed C4-style keep/drop chain — quality
+# + language + canonical dedup + length in one scan + one shuffle).
+# Next round: move these 15 into the leading slots, pad with
+# driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1363,3 +1363,105 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+@query(
+    "p_curation_verdict",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), m AS (
+      SELECT doc_id, fp,
+             LEN(ws) AS n_words,
+             list_aggregate(list_transform(ws, x -> CAST(LEN(x) AS DOUBLE)),
+                            'sum') / LEN(ws) AS mwl,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+                 ['the','and','of','to','in','is','a','that','it','for',
+                  'on','with','as','at','by','an'], x))) AS DOUBLE)
+               / LEN(ws) AS swr,
+             CAST(LENGTH(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                  AS DOUBLE) / LENGTH(text) AS pr,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+               ['the','and','of','to','in','is','a','that','it','for'], x))) AS DOUBLE) / LEN(ws) AS s_en,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+               ['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS DOUBLE) / LEN(ws) AS s_de,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+               ['le','la','et','les','des','est','un','une','que','pour'], x))) AS DOUBLE) / LEN(ws) AS s_fr,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+               ['el','la','de','que','y','los','es','un','una','por'], x))) AS DOUBLE) / LEN(ws) AS s_es,
+             CAST(LEN(list_filter(ws, x -> list_contains(
+               ['的','是','了','在','我','有','和','不','人','这'], x))) AS DOUBLE) / LEN(ws) AS s_zh
+      FROM t
+    ), v AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             ROUND((CASE WHEN n_words BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) / 4.0, 2) AS quality,
+             CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                       AND s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                       AND s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                       AND s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                       AND s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) > 0
+                       AND s_zh = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                  ELSE 'und' END AS pred_lang,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS duplicate
+      FROM m
+    )
+    SELECT doc_id, n_words, quality, pred_lang, duplicate,
+           (quality >= 0.75 AND pred_lang = 'en' AND NOT duplicate
+            AND n_words >= 20) AS keep
+    FROM v
+    """,
+)
+def p_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style curation chain as ONE driver-checkable verdict per
+    document — the composition a pretraining intake actually runs:
+    quality heuristics (length band, word shape, stopword mass,
+    punctuation), language gate, canonical-fingerprint dedup (min
+    doc_id keeps), and a minimum-length rule, folded into a single
+    keep/drop with the contributing signals exposed. One corpus scan +
+    ONE shuffle (the fingerprint window); every rule is the same
+    expression the standalone queries check individually
+    (text_quality / text_lang_id / dedup_exact), so this pins that
+    the composition loses nothing."""
+    from pyspark.sql import Window
+
+    from ..operators import text as text_ops
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = d.select(
+        "doc_id",
+        F.size(text_ops.words(t)).cast("long").alias("n_words"),
+        F.round(text_ops.quality_score(t), 2).alias("quality"),
+        text_ops.lang_id(t).alias("pred_lang"),
+        text_ops.fingerprint(t).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    v = base.withColumn(
+        "duplicate", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    return v.select(
+        "doc_id",
+        "n_words",
+        "quality",
+        "pred_lang",
+        "duplicate",
+        (
+            (F.col("quality") >= 0.75)
+            & (F.col("pred_lang") == "en")
+            & ~F.col("duplicate")
+            & (F.col("n_words") >= 20)
+        ).alias("keep"),
+    )

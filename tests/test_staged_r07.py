@@ -417,3 +417,23 @@ def test_chunk_windows_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_curation_verdict_self_consistent_and_nonvacuous(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        p_curation_verdict,
+    )
+
+    rows = p_curation_verdict(spark, SF_DIR).collect()
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+    for r in rows:
+        want = (
+            r.quality >= 0.75
+            and r.pred_lang == "en"
+            and not r.duplicate
+            and r.n_words >= 20
+        )
+        assert r.keep == want
+    # (the fixture's planted near-dups are NOT canonical-exact, so
+    # `duplicate` is all-False here — its correctness is pinned by the
+    # shared-oracle hash check and by dedup_exact's own oracle)
