@@ -339,7 +339,11 @@ def chunk_tokens(
     chunking is a map-only pass whose output feeds repartitioning by
     chunk count, never the other way around."""
     toks = words(text)
-    n = F.size(toks)
+    # coalesce: size(NULL array) is NULL (or -1 under the legacy conf),
+    # and least/greatest IGNORE nulls, so an unguarded NULL text would
+    # fabricate one phantom 64-token chunk with NULL body (caught by
+    # the null-input test)
+    n = F.coalesce(F.size(toks), F.lit(0))
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.floor((F.greatest(n - size, F.lit(0)) + stride - 1) / stride) + 1
     )

@@ -437,3 +437,23 @@ def test_curation_verdict_self_consistent_and_nonvacuous(spark):
     # (the fixture's planted near-dups are NOT canonical-exact, so
     # `duplicate` is all-False here — its correctness is pinned by the
     # shared-oracle hash check and by dedup_exact's own oracle)
+
+
+def test_chunk_tokens_null_text_yields_no_chunks(spark):
+    """NULL text must chunk to an empty array — least/greatest ignore
+    nulls, so the unguarded expression fabricated a phantom 64-token
+    chunk with a NULL body (real corpora contain null fields)."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.text import (
+        chunk_tokens,
+    )
+
+    rows = (
+        spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+        .select("doc_id", chunk_tokens(F.col("text")).alias("cs"))
+        .collect()
+    )
+    by_id = {r.doc_id: r.cs for r in rows}
+    assert by_id[1] == []
+    assert len(by_id[2]) == 1 and by_id[2][0].chunk_text == "a b"
