@@ -140,8 +140,9 @@ _reorder()
 # index — similarity.py embdedup_index_*, fourth instantiation), and
 # text_chunk_windows (fixed-window document chunking, map-only), and
 # p_curation_verdict (the composed C4-style keep/drop chain — quality
-# + language + canonical dedup + length in one scan + one shuffle).
-# Next round: move these 15 into the leading slots, pad with
-# driver-green names.
+# + language + canonical dedup + length in one scan + one shuffle),
+# and sql_window_topk (the window-function dialect surface of the SQL
+# front end). Next round: move these 16 into the leading slots, pad
+# with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -35,8 +35,12 @@ from .registry import ORACLES, query
 from .sqlfront import run_sql
 
 #: passthrough name → the registered DataFrame twin whose oracle SQL
-#: string is executed verbatim by BOTH engines.
+#: string is executed verbatim by BOTH engines. sql_window_topk is not
+#: TPC-H but earns its slot as the WINDOW-function dialect surface
+#: (ROW_NUMBER over a partition, rank-filter subquery) — the remaining
+#: passthroughs cover joins/aggs/HAVING/FILTER/subqueries.
 TPCH_PASSTHROUGHS = {
+    "sql_window_topk": "w1_topk_per_group",
     "sql_tpch_q1": "tpch_q1_pricing_summary",
     "sql_tpch_q5": "tpch_q5_regional_revenue",
     "sql_tpch_q6": "tpch_q6_forecast_revenue",
