@@ -142,7 +142,12 @@ _reorder()
 # p_curation_verdict (the composed C4-style keep/drop chain — quality
 # + language + canonical dedup + length in one scan + one shuffle),
 # and sql_window_topk (the window-function dialect surface of the SQL
-# front end). Next round: move these 16 into the leading slots, pad
-# with driver-green names.
+# front end), and the COMPLETED TPC-H passthrough set — sql_tpch_q2/
+# q4/q7/q8/q9/q10/q11/q13/q15/q16/q19/q20/q21/q22 (21 of 22 shapes now
+# run verbatim through run_sql; q3 stays DataFrame-only because its
+# oracle calls DuckDB's EPOCH(); q15/q22 are the documented
+# plan-divergent pair, snapshot-pinned). All proven local-green at
+# sf0.001+sf0.01 incl. --plain before landing. Next round: move these
+# 30 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -20,11 +20,17 @@ This module must import AFTER :mod:`.relational` and
 :mod:`.tpch_extra` (queries/__init__.py order) — it reuses their
 registered oracle strings verbatim instead of duplicating SQL.
 
-Excluded twins are excluded for DIALECT reasons, not capability:
-q3's oracle calls DuckDB's ``EPOCH()``; q4's relies on
-``+ INTERVAL`` arithmetic whose timestamp semantics differ; q19's uses
-engine-specific array syntax. Their DataFrame builders remain the
-canonical implementations.
+Coverage: 21 of the 22 TPC-H shapes run verbatim. The only exclusion
+is q3, whose oracle calls DuckDB's ``EPOCH()`` (Spark has no such
+routine) — its DataFrame builder remains the canonical
+implementation. Two passthroughs (q15, q22) live in
+:data:`TPCH_PASSTHROUGHS_DIVERGENT`: Catalyst compiles their SQL text
+to a *different but no-worse* strategy mix than the hand-built
+DataFrame program (q15's scalar-subquery max reuses an aggregation
+instead of a second broadcast join; q22's decorrelated AVG subquery
+avoids the twin's BroadcastNestedLoopJoin at the cost of one
+broadcast exchange). Both mixes are snapshot-pinned in
+tests/test_plans.py so either side regressing is caught.
 """
 
 from __future__ import annotations
@@ -42,12 +48,33 @@ from .sqlfront import run_sql
 TPCH_PASSTHROUGHS = {
     "sql_window_topk": "w1_topk_per_group",
     "sql_tpch_q1": "tpch_q1_pricing_summary",
+    "sql_tpch_q2": "tpch_q2_min_cost_match",
+    "sql_tpch_q4": "tpch_q4_late_orders",
     "sql_tpch_q5": "tpch_q5_regional_revenue",
     "sql_tpch_q6": "tpch_q6_forecast_revenue",
+    "sql_tpch_q7": "tpch_q7_nation_volume",
+    "sql_tpch_q8": "tpch_q8_market_share",
+    "sql_tpch_q9": "tpch_q9_product_profit",
+    "sql_tpch_q10": "tpch_q10_returned_items",
+    "sql_tpch_q11": "tpch_q11_important_parts",
     "sql_tpch_q12": "tpch_q12_conditional_agg",
+    "sql_tpch_q13": "tpch_q13_order_histogram",
     "sql_tpch_q14": "tpch_q14_promo_revenue",
+    "sql_tpch_q16": "tpch_q16_supplier_counts",
     "sql_tpch_q17": "tpch_q17_small_qty_revenue",
     "sql_tpch_q18": "tpch_q18_large_orders",
+    "sql_tpch_q19": "tpch_q19_disjunctive",
+    "sql_tpch_q20": "tpch_q20_bulk_suppliers",
+    "sql_tpch_q21": "tpch_q21_sole_late_supplier",
+}
+
+#: passthroughs whose SQL text compiles to a DIFFERENT (no-worse)
+#: physical strategy mix than the hand-built twin — see module
+#: docstring; both mixes are snapshot-pinned in test_plans.py rather
+#: than being held to the strict-equality loop.
+TPCH_PASSTHROUGHS_DIVERGENT = {
+    "sql_tpch_q15": "tpch_q15_top_supplier",
+    "sql_tpch_q22": "tpch_q22_idle_customers",
 }
 
 
@@ -69,5 +96,5 @@ def _register(name: str, twin: str) -> None:
     )
 
 
-for _name, _twin in TPCH_PASSTHROUGHS.items():
+for _name, _twin in {**TPCH_PASSTHROUGHS, **TPCH_PASSTHROUGHS_DIVERGENT}.items():
     _register(_name, _twin)

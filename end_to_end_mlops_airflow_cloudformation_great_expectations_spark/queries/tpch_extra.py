@@ -999,7 +999,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS value_e4
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT partkey, ROUND(value_e4 / 10000.0, 2) AS part_value
+    SELECT partkey,
+           CAST(ROUND(value_e4 / 10000.0, 2) AS DOUBLE) AS part_value
     FROM pv, (SELECT SUM(value_e4) AS grand_total, COUNT(*) AS n_parts
               FROM pv) tot
     WHERE value_e4 * n_parts * 10 > grand_total * 12

@@ -412,3 +412,53 @@ def test_sql_tpch_passthroughs_share_oracle_and_plan_family(spark):
         sql_ops = counts(QUERIES[name](spark, SF_DIR))
         df_ops = counts(QUERIES[twin](spark, SF_DIR))
         assert sql_ops == df_ops, f"{name} vs {twin}: {sql_ops} != {df_ops}"
+
+
+def test_sql_tpch_divergent_passthroughs_pinned(spark):
+    """q15/q22 compile to a different-but-no-worse strategy mix from
+    SQL text than from the hand-built DataFrame program (sqlfront_tpch
+    module docstring). Pin the DIVERGENCE itself: same oracle by
+    identity, and the SQL side must stay free of nested-loop joins and
+    within one exchange of the twin — a regression on either side
+    (e.g. the SQL text suddenly planning a BroadcastNestedLoopJoin, or
+    shuffle counts drifting apart) fails here."""
+    import re
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.sqlfront_tpch import (
+        TPCH_PASSTHROUGHS_DIVERGENT,
+    )
+
+    def counts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = {}
+        for kind in (
+            "BroadcastHashJoin",
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin",
+            "HashAggregate",
+            "TakeOrderedAndProject",
+        ):
+            ops[kind] = len(re.findall(rf"\b{kind}\b", plan))
+        ops["Exchange"] = len(
+            re.findall(r"^\s*[:+\-* (\d)]*Exchange ", plan, flags=re.M)
+        )
+        return ops
+
+    assert set(TPCH_PASSTHROUGHS_DIVERGENT) == {"sql_tpch_q15", "sql_tpch_q22"}
+    for name, twin in TPCH_PASSTHROUGHS_DIVERGENT.items():
+        assert ORACLES[name] is ORACLES[twin]
+        sql_ops = counts(QUERIES[name](spark, SF_DIR))
+        df_ops = counts(QUERIES[twin](spark, SF_DIR))
+        # the SQL plan must never pick up a nested-loop join (q22's
+        # twin carries one by construction; the SQL text avoids it)
+        assert sql_ops["BroadcastNestedLoopJoin"] == 0, (name, sql_ops)
+        assert abs(sql_ops["Exchange"] - df_ops["Exchange"]) <= 1, (
+            name,
+            sql_ops,
+            df_ops,
+        )
