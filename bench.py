@@ -162,6 +162,8 @@ HEADLINE = [
     "text_chunk_windows",
     # r07: the composed curation chain (quality+lang+dedup+length)
     "p_curation_verdict",
+    # r07: in-engine logreg training (5 lazy GD rounds + diagnostic)
+    "train_logreg_banded",
 ]
 
 

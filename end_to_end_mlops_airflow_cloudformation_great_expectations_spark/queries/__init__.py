@@ -26,6 +26,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r05,
     staged_r06,
     staged_r07,
+    staged_r08,
     streaming_batch,
     tpch_extra,
 )
@@ -146,8 +147,11 @@ _reorder()
 # q4/q7/q8/q9/q10/q11/q13/q15/q16/q19/q20/q21/q22 (21 of 22 shapes now
 # run verbatim through run_sql; q3 stays DataFrame-only because its
 # oracle calls DuckDB's EPOCH(); q15/q22 are the documented
-# plan-divergent pair, snapshot-pinned). All proven local-green at
+# plan-divergent pair, snapshot-pinned), and train_logreg_banded (the
+# in-engine logistic-regression trainer, queries/staged_r08.py — 5
+# lazy full-batch GD rounds vs an unrolled-CTE DuckDB twin, the
+# g_pagerank_banded convention). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 30 into the leading slots, pad with driver-green names.
+# 31 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,143 @@
+"""Round-8-queue queries: in-engine model TRAINING.
+
+``train_logreg_banded`` closes the last train/serve asymmetry: the
+engine serves several kinds of learned weights (classifier matmul,
+centroids, PCA projections) but trained none of them lazily inside
+the DataFrame algebra. Here a binary logistic-regression probe is
+trained by 5 full-batch GD rounds (operators/train.logreg_fit — the
+array-of-scalars single-row iterate, linear plan growth, one
+codegen'd aggregate per round) to recover a known linear labeling
+rule over the embeddings corpus, and the DuckDB twin unrolls the SAME
+5 updates as CTEs (the g_pagerank_banded convention): fixed rounds,
+identical expression association order, both sides quantizing weights
+and log-loss to 1e-6 bands, with the integer-exact row count as the
+non-vacuity witness. Band margins are measured and pinned in
+tests/test_train.py, not hoped for.
+
+The label is DERIVED from the data by a fixed linear rule
+(x1 + 2*x2 - x3 > 0) rather than taken from the stored cluster label:
+a rule the model class can represent makes the training trajectory
+meaningful (loss falls from 0.693 toward separation; w1/w2/w3 grow in
+ratio ~1:2:-1) while staying bit-deterministic across engines — both
+sides compute the SAME double expression before comparing to 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators.train import logreg_fit, logreg_logloss
+from .registry import query
+
+_D = 8
+_LR = 4.0
+_ROUNDS = 5
+_BAND = 1_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, table)
+
+
+def _sql_logreg_oracle() -> str:
+    """Unroll the exact GD recurrence as DuckDB CTEs. Generated, not
+    hand-spelled, so the z-expression's association order provably
+    matches operators/train._z (left-associated w1*x1 + ... + b)."""
+    xs = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, _D + 1)
+    )
+    z = " + ".join(f"w.w{i}*d.x{i}" for i in range(1, _D + 1)) + " + w.b"
+    sig = f"1.0/(1.0 + EXP(-({z})))"
+    w0 = ", ".join(f"0.0 AS w{i}" for i in range(1, _D + 1)) + ", 0.0 AS b"
+    rounds = []
+    for k in range(1, _ROUNDS + 1):
+        cols = ", ".join(
+            f"MIN(w.w{i}) + {_LR}*AVG((d.y - {sig})*d.x{i}) AS w{i}"
+            for i in range(1, _D + 1)
+        )
+        rounds.append(
+            f"w{k} AS (SELECT {cols}, "
+            f"MIN(w.b) + {_LR}*AVG(d.y - {sig}) AS b "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+    fin_ws = ", ".join(f"MIN(w.w{i}) AS w{i}" for i in range(1, _D + 1))
+    bands = "\n      UNION ALL ".join(
+        f"SELECT 'w{i}' AS term, CAST(FLOOR(w{i}*{_BAND}) AS BIGINT) AS band FROM fin"
+        for i in range(1, _D + 1)
+    )
+    return f"""
+    WITH data AS (
+      SELECT {xs},
+             CASE WHEN CAST(embedding[1] AS DOUBLE)
+                       + 2.0*CAST(embedding[2] AS DOUBLE)
+                       - CAST(embedding[3] AS DOUBLE) > 0.0
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ), w0 AS (SELECT {w0}),
+    {",".join(rounds)},
+    fin AS (
+      SELECT {fin_ws}, MIN(w.b) AS b,
+             AVG(-(d.y*LN({sig}) + (1.0 - d.y)*LN(1.0 - {sig}))) AS logloss,
+             COUNT(*) AS n
+      FROM data d CROSS JOIN w{_ROUNDS} w
+    )
+    SELECT term, band FROM (
+      {bands}
+      UNION ALL SELECT 'bias', CAST(FLOOR(b*{_BAND}) AS BIGINT) FROM fin
+      UNION ALL SELECT 'logloss', CAST(FLOOR(logloss*{_BAND}) AS BIGINT) FROM fin
+      UNION ALL SELECT 'n', CAST(n AS BIGINT) FROM fin
+    )
+    """
+
+
+def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (x1..x8, y) with the derived linear-rule label."""
+    e = _t(spark, sf_dir, "embeddings")
+    feats = [
+        F.element_at("embedding", i).cast("double").alias(f"x{i}")
+        for i in range(1, _D + 1)
+    ]
+    d = e.select(*feats)
+    return d.withColumn(
+        "y",
+        F.when(
+            F.col("x1") + F.lit(2.0) * F.col("x2") - F.col("x3") > 0.0, 1.0
+        ).otherwise(0.0),
+    )
+
+
+FEATURES = [f"x{i}" for i in range(1, _D + 1)]
+
+
+@query("train_logreg_banded", oracle=_sql_logreg_oracle())
+def train_logreg_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the logistic probe lazily and report (term, band) rows:
+    the 8 weights, the bias, the mean log-loss (all 1e-6-banded) and
+    the integer-exact training-row count. One plan: 5 scans (one per
+    GD round) + 1 diagnostic scan, each a map-side partial aggregate;
+    per-round state is 9 doubles."""
+    data = training_frame(spark, sf_dir)
+    w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=_ROUNDS)
+    fit = logreg_logloss(data, w, FEATURES, "y")
+    pairs = [
+        F.struct(
+            F.lit(f"w{i}").alias("term"),
+            F.floor(F.col(f"w{i}") * _BAND).cast("long").alias("band"),
+        )
+        for i in range(1, _D + 1)
+    ] + [
+        F.struct(
+            F.lit("bias").alias("term"),
+            F.floor(F.col("b") * _BAND).cast("long").alias("band"),
+        ),
+        F.struct(
+            F.lit("logloss").alias("term"),
+            F.floor(F.col("logloss") * _BAND).cast("long").alias("band"),
+        ),
+        F.struct(
+            F.lit("n").alias("term"), F.col("n").cast("long").alias("band")
+        ),
+    ]
+    return fit.select(F.inline(F.array(*pairs)))

@@ -1,0 +1,98 @@
+"""In-engine logistic-regression training (operators/train.py,
+queries/staged_r08.py): learning behavior, band-margin safety for the
+cross-engine oracle, serving-path plan shape, and linear plan growth."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+    logreg_fit,
+    logreg_logloss,
+    logreg_predict,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.plans import (
+    explain,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r08 import (
+    _BAND,
+    _LR,
+    _ROUNDS,
+    FEATURES,
+    training_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _fit_report(spark):
+    data = training_frame(spark, SF_DIR)
+    w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=_ROUNDS)
+    return data, w, logreg_logloss(data, w, FEATURES, "y").collect()[0].asDict()
+
+
+def test_logreg_learns_the_planted_rule(spark):
+    """The label is x1 + 2*x2 - x3 > 0: after 5 GD rounds the loss
+    must have fallen from ln(2) (the w=0 starting loss) and the first
+    three weights must point along (1, 2, -1)."""
+    _, _, rep = _fit_report(spark)
+    assert rep["logloss"] < math.log(2.0) - 0.02
+    assert rep["w1"] > 0 and rep["w2"] > 0 and rep["w3"] < 0
+    assert rep["w2"] > rep["w1"]  # the planted 2x coefficient dominates
+    # the 5 distractor dims stay an order of magnitude smaller
+    planted = abs(rep["w2"])
+    assert all(abs(rep[f"w{i}"]) < planted / 2 for i in range(4, 9))
+
+
+def test_logreg_band_margins_are_safe(spark):
+    """g_pagerank_banded discipline: the 1e-6 quantization must not
+    sit near a FLOOR boundary — measured margin >= 1e-2 band-widths
+    (cross-engine summation noise is ~1e-9 band-widths)."""
+    _, _, rep = _fit_report(spark)
+    for k, v in rep.items():
+        if k == "n":
+            continue
+        frac = (v * _BAND) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-2, (k, v, frac)
+
+
+def test_logreg_fit_plan_is_jvm_partial_agg(spark):
+    """Training stays JVM-side: no Python eval nodes, map-side partial
+    aggregation per GD round, and the data side never shuffles (the
+    only exchanges are the 1-row broadcasts and the 1-row reduces)."""
+    data, w, _ = _fit_report(spark)
+    plan = explain.physical_plan(w)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain.has_partial_aggregation(w)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_logreg_predict_is_map_only(spark):
+    """Serving path: broadcast the 1-row weights, score in a map —
+    no shuffle of the scored data, no Python."""
+    data = training_frame(spark, SF_DIR)
+    w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=2)
+    scored = logreg_predict(data, w, FEATURES)
+    plan = explain.physical_plan(scored)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # probabilities are probabilities
+    row = scored.agg(F.min("p"), F.max("p")).collect()[0]
+    assert 0.0 < row[0] and row[1] < 1.0
+
+
+def test_logreg_plan_growth_is_linear(spark):
+    """The single-row scalar-column iterate references each previous
+    round once: plan STRING length must grow ~linearly in rounds, not
+    double (CLAUDE.md lazy-fixpoint discipline)."""
+    data = training_frame(spark, SF_DIR)
+    sizes = []
+    for r in (2, 4, 8):
+        w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=r)
+        sizes.append(len(explain.physical_plan(w)))
+    g1 = sizes[1] / sizes[0]
+    g2 = sizes[2] / sizes[1]
+    assert g2 < g1 * 1.5 + 0.5, sizes  # doubling plans explode here
+    assert sizes[2] < sizes[0] * 8, sizes
