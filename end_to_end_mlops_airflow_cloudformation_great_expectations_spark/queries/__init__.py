@@ -144,14 +144,15 @@ _reorder()
 # + language + canonical dedup + length in one scan + one shuffle),
 # and sql_window_topk (the window-function dialect surface of the SQL
 # front end), and the COMPLETED TPC-H passthrough set — sql_tpch_q2/
-# q4/q7/q8/q9/q10/q11/q13/q15/q16/q19/q20/q21/q22 (21 of 22 shapes now
-# run verbatim through run_sql; q3 stays DataFrame-only because its
-# oracle calls DuckDB's EPOCH(); q15/q22 are the documented
+# q4/q7/q8/q9/q10/q11/q13/q15/q16/q19/q20/q21/q22 (21 of 22 shapes
+# run verbatim through run_sql; q15/q22 are the documented
 # plan-divergent pair, snapshot-pinned), and train_logreg_banded (the
 # in-engine logistic-regression trainer, queries/staged_r08.py — 5
 # lazy full-batch GD rounds vs an unrolled-CTE DuckDB twin, the
-# g_pagerank_banded convention). All proven local-green at
+# g_pagerank_banded convention), and sql_tpch_q3 (the 22nd TPC-H
+# shape restated portably — EPOCH() is DuckDB-only — self-oracled,
+# plan-parity-pinned vs the twin). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 31 into the leading slots, pad with driver-green names.
+# 32 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -20,10 +20,14 @@ This module must import AFTER :mod:`.relational` and
 :mod:`.tpch_extra` (queries/__init__.py order) — it reuses their
 registered oracle strings verbatim instead of duplicating SQL.
 
-Coverage: 21 of the 22 TPC-H shapes run verbatim. The only exclusion
-is q3, whose oracle calls DuckDB's ``EPOCH()`` (Spark has no such
-routine) — its DataFrame builder remains the canonical
-implementation. Two passthroughs (q15, q22) live in
+Coverage: ALL 22 TPC-H shapes run through the front end — 21 of them
+verbatim on the twin's oracle string. q3's twin oracle calls DuckDB's
+``EPOCH()`` (Spark has no such routine), so ``sql_tpch_q3`` is the
+one RESTATED passthrough: the same Q3 shape with the epoch column
+re-spelled portably (``CAST(CAST(o_orderdate AS DATE) AS
+VARCHAR(10))`` — the only date-output form both parsers accept with
+identical text results), registered self-oracled like the sqlfront.py
+originals and plan-family-pinned against the twin. Two passthroughs (q15, q22) live in
 :data:`TPCH_PASSTHROUGHS_DIVERGENT`: Catalyst compiles their SQL text
 to a *different but no-worse* strategy mix than the hand-built
 DataFrame program (q15's scalar-subquery max reuses an aggregation
@@ -98,3 +102,33 @@ def _register(name: str, twin: str) -> None:
 
 for _name, _twin in {**TPCH_PASSTHROUGHS, **TPCH_PASSTHROUGHS_DIVERGENT}.items():
     _register(_name, _twin)
+
+
+#: q3 restated portably (module docstring): identical joins, filters,
+#: grouping, ordering and LIMIT as tpch_q3_shipping_priority's oracle;
+#: only the epoch output column is re-spelled as an ISO date string.
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1996-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_tpch_q3", oracle=SQL_TPCH_Q3)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 22nd TPC-H shape through the SQL front end: dim-filtered
+    multi-join → agg → ORDER BY + LIMIT (TakeOrderedAndProject). Not a
+    verbatim twin-oracle passthrough — see module docstring — but the
+    strategy mix is pinned against tpch_q3_shipping_priority in
+    test_plans.py like the strict set."""
+    return run_sql(spark, sf_dir, SQL_TPCH_Q3)

@@ -462,3 +462,9 @@ def test_sql_tpch_divergent_passthroughs_pinned(spark):
             sql_ops,
             df_ops,
         )
+    # q3: the one RESTATED passthrough (different oracle string —
+    # EPOCH() is DuckDB-only — same shape): full strategy-mix parity
+    # with the DataFrame twin still holds.
+    sql_ops = counts(QUERIES["sql_tpch_q3"](spark, SF_DIR))
+    df_ops = counts(QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR))
+    assert sql_ops == df_ops, (sql_ops, df_ops)
