@@ -164,6 +164,8 @@ HEADLINE = [
     "p_curation_verdict",
     # r07: in-engine logreg training (5 lazy GD rounds + diagnostic)
     "train_logreg_banded",
+    # r07: in-engine k-means (4 lazy Lloyd rounds, k-group shuffle)
+    "train_kmeans_banded",
 ]
 
 

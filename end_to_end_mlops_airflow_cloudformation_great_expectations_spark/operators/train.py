@@ -95,6 +95,121 @@ def logreg_fit(
     return wrow
 
 
+def _sq_dist(feature_cols: list[str], ci: int):
+    """Squared distance of the row's features to centroid ``ci`` —
+    left-associated sum of squared differences, spelled identically by
+    the SQL twin."""
+    terms = [
+        (F.col(c) - F.col(f"c{ci}_{j}")) * (F.col(c) - F.col(f"c{ci}_{j}"))
+        for j, c in enumerate(feature_cols, start=1)
+    ]
+    return reduce(operator.add, terms)
+
+
+def _assign(feature_cols: list[str], k: int):
+    """argmin-by-distance cluster id with a deterministic lowest-index
+    tie-break: cluster i wins when its distance is <= every later
+    centroid's distance — the exact CASE chain the SQL twin spells, so
+    assignments are bit-identical cross-engine (distances are the same
+    left-associated double expressions)."""
+    dists = [_sq_dist(feature_cols, i) for i in range(1, k + 1)]
+    expr = F.lit(k)
+    # build WHEN chain back to front so earlier centroids take priority
+    for i in range(k - 1, 0, -1):
+        cond = reduce(
+            operator.and_,
+            [dists[i - 1] <= dists[j] for j in range(i, k)],
+        )
+        expr = F.when(cond, F.lit(i)).otherwise(expr)
+    return expr
+
+
+def kmeans_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    k: int,
+    rounds: int,
+    init: list[list[float]],
+) -> DataFrame:
+    """Lloyd's k-means by ``rounds`` fixed iterations, fully lazy.
+
+    Centroids are carried as a SINGLE-ROW DataFrame of ``k*d`` scalar
+    columns ``c{i}_{j}`` (the logreg_fit / power_iteration linear-
+    plan-growth discipline). Each round: one broadcast cross join to
+    assign every row to its nearest centroid (codegen'd CASE chain —
+    no UDFs), one ``groupBy(cluster)`` partial-agg shuffle of at most
+    ``k`` groups for the means, and one ``k``-row collapse back to the
+    single centroid row; empty clusters keep their previous centroid
+    (COALESCE with the carried-through values, which references the
+    previous round zero extra times).
+
+    ``init`` must be explicit (k rows of d floats): deterministic
+    literal starts are what make the computation replayable by the
+    unrolled-CTE oracle — data-dependent seeding (kmeans++) belongs to
+    the caller if wanted, at the cost of oracle replayability.
+    100 TB shape: per-round state is k*d doubles; the assign scan
+    pipelines; the means shuffle carries k groups regardless of data
+    size (map-side partials collapse each partition to <= k rows).
+    """
+    d = len(feature_cols)
+    assert len(init) == k and all(len(r) == d for r in init)
+    spark = df.sparkSession
+    wrow = spark.range(1).select(
+        *[
+            F.lit(float(init[i - 1][j - 1])).alias(f"c{i}_{j}")
+            for i in range(1, k + 1)
+            for j in range(1, d + 1)
+        ]
+    )
+    ccols = [f"c{i}_{j}" for i in range(1, k + 1) for j in range(1, d + 1)]
+    for _ in range(rounds):
+        assigned = df.crossJoin(F.broadcast(wrow)).withColumn(
+            "cl", _assign(feature_cols, k)
+        )
+        per_cluster = assigned.groupBy("cl").agg(
+            *[
+                F.avg(c).alias(f"m{j}")
+                for j, c in enumerate(feature_cols, start=1)
+            ],
+            *[F.first(c).alias(c) for c in ccols],
+        )
+        wrow = per_cluster.agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("cl") == i, F.col(f"m{j}"))),
+                    F.min(f"c{i}_{j}"),
+                ).alias(f"c{i}_{j}")
+                for i in range(1, k + 1)
+                for j in range(1, d + 1)
+            ]
+        )
+    return wrow
+
+
+def kmeans_report(
+    df: DataFrame, centroids: DataFrame, feature_cols: list[str], k: int
+) -> DataFrame:
+    """1-row fit report: final cluster sizes (integer-exact) + total
+    within-cluster squared error, carrying the centroids through."""
+    assigned = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "cl", _assign(feature_cols, k)
+    )
+    dists = [_sq_dist(feature_cols, i) for i in range(1, k + 1)]
+    sse_term = F.lit(None)
+    for i in range(k, 0, -1):
+        sse_term = F.when(F.col("cl") == i, dists[i - 1]).otherwise(sse_term)
+    d = len(feature_cols)
+    ccols = [f"c{i}_{j}" for i in range(1, k + 1) for j in range(1, d + 1)]
+    return assigned.agg(
+        *[F.first(c).alias(c) for c in ccols],
+        *[
+            F.sum(F.when(F.col("cl") == i, 1).otherwise(0)).alias(f"n{i}")
+            for i in range(1, k + 1)
+        ],
+        F.sum(sse_term).alias("sse"),
+    )
+
+
 def logreg_predict(
     df: DataFrame, weights: DataFrame, feature_cols: list[str]
 ) -> DataFrame:

@@ -151,8 +151,10 @@ _reorder()
 # lazy full-batch GD rounds vs an unrolled-CTE DuckDB twin, the
 # g_pagerank_banded convention), and sql_tpch_q3 (the 22nd TPC-H
 # shape restated portably — EPOCH() is DuckDB-only — self-oracled,
-# plan-parity-pinned vs the twin). All proven local-green at
+# plan-parity-pinned vs the twin), and train_kmeans_banded (Lloyd's
+# k-means as the same lazy fixpoint; sizes integer-exact, coords/SSE
+# banded, boundary gaps test-pinned). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 32 into the leading slots, pad with driver-green names.
+# 33 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

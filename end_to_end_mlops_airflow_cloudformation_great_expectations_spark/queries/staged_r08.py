@@ -28,13 +28,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..operators.train import logreg_fit, logreg_logloss
+from ..operators.train import kmeans_fit, kmeans_report, logreg_fit, logreg_logloss
 from .registry import query
 
 _D = 8
 _LR = 4.0
 _ROUNDS = 5
 _BAND = 1_000_000
+
+# k-means probe params (train_kmeans_banded)
+_KM_D = 4
+_KM_K = 3
+_KM_ROUNDS = 4
+_KM_INIT = [[-0.1] * _KM_D, [0.0] * _KM_D, [0.1] * _KM_D]
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -111,6 +117,87 @@ def training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 FEATURES = [f"x{i}" for i in range(1, _D + 1)]
 
 
+def _sql_kmeans_oracle() -> str:
+    """Unroll Lloyd's iterations as DuckDB CTEs mirroring
+    operators/train.kmeans_fit expression-for-expression: same
+    left-associated squared distances, same lowest-index <= tie-break
+    CASE chain, same COALESCE-to-previous empty-cluster rule."""
+    K, D, R = _KM_K, _KM_D, _KM_ROUNDS
+    xs = ", ".join(
+        f"CAST(embedding[{j}] AS DOUBLE) AS x{j}" for j in range(1, D + 1)
+    )
+    w0 = ", ".join(
+        f"CAST({_KM_INIT[i - 1][j - 1]} AS DOUBLE) AS c{i}_{j}"
+        for i in range(1, K + 1)
+        for j in range(1, D + 1)
+    )
+    ccols = [f"c{i}_{j}" for i in range(1, K + 1) for j in range(1, D + 1)]
+
+    def dist(i: int) -> str:
+        return " + ".join(
+            f"(d.x{j} - c.c{i}_{j})*(d.x{j} - c.c{i}_{j})"
+            for j in range(1, D + 1)
+        )
+
+    whens = []
+    for i in range(1, K):
+        cond = " AND ".join(
+            f"({dist(i)}) <= ({dist(jj)})" for jj in range(i + 1, K + 1)
+        )
+        whens.append(f"WHEN {cond} THEN {i}")
+    assign = f"CASE {' '.join(whens)} ELSE {K} END"
+
+    rounds = []
+    for r in range(1, R + 1):
+        carry = ", ".join(f"MIN(c.{c}) AS {c}" for c in ccols)
+        means = ", ".join(f"AVG(d.x{j}) AS m{j}" for j in range(1, D + 1))
+        collapse = ", ".join(
+            f"COALESCE(MAX(CASE WHEN cl = {i} THEN m{j} END), MIN(c{i}_{j}))"
+            f" AS c{i}_{j}"
+            for i in range(1, K + 1)
+            for j in range(1, D + 1)
+        )
+        rounds.append(
+            f"a{r} AS (SELECT d.*, {assign} AS cl "
+            f"FROM data d CROSS JOIN w{r - 1} c), "
+            f"g{r} AS (SELECT cl, {means}, {carry} "
+            f"FROM a{r} d CROSS JOIN w{r - 1} c GROUP BY cl), "
+            f"w{r} AS (SELECT {collapse} FROM g{r})"
+        )
+    # final report: sizes + SSE with the round-R centroids
+    sse = " ".join(
+        f"WHEN cl = {i} THEN {dist(i)}" for i in range(1, K + 1)
+    )
+    coord_rows = "\n      UNION ALL ".join(
+        f"SELECT 'c{i}_{j}' AS term, "
+        f"CAST(FLOOR(c{i}_{j}*{_BAND}) AS BIGINT) AS band FROM w{R}"
+        for i in range(1, K + 1)
+        for j in range(1, D + 1)
+    )
+    size_rows = "\n      UNION ALL ".join(
+        f"SELECT 'n{i}', CAST(SUM(CASE WHEN cl = {i} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) FROM fin"
+        for i in range(1, K + 1)
+    )
+    return f"""
+    WITH data AS (
+      SELECT {xs} FROM embeddings
+    ), w0 AS (SELECT {w0}),
+    {",".join(rounds)},
+    fin AS (
+      SELECT d.*, {assign} AS cl,
+             CASE {sse} END AS sqd
+      FROM data d CROSS JOIN w{R} c
+    )
+    SELECT term, band FROM (
+      {coord_rows}
+      UNION ALL {size_rows}
+      UNION ALL SELECT 'sse',
+        CAST(FLOOR(SUM(sqd)*{_BAND}) AS BIGINT) FROM fin
+    )
+    """
+
+
 @query("train_logreg_banded", oracle=_sql_logreg_oracle())
 def train_logreg_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the logistic probe lazily and report (term, band) rows:
@@ -141,3 +228,51 @@ def train_logreg_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return fit.select(F.inline(F.array(*pairs)))
+
+
+KM_FEATURES = [f"x{j}" for j in range(1, _KM_D + 1)]
+
+
+@query("train_kmeans_banded", oracle=_sql_kmeans_oracle())
+def train_kmeans_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised in-engine training: Lloyd's k-means (k=3, 4 dims,
+    4 fixed rounds from literal inits) over the embeddings corpus —
+    operators/train.kmeans_fit, the same single-row lazy-fixpoint
+    shape as the logistic trainer. Reports (term, band): the 12
+    centroid coordinates and the total within-cluster squared error
+    1e-6-banded, plus the 3 integer-exact cluster sizes. Sizes are
+    exact because ASSIGNMENTS are bit-deterministic cross-engine (the
+    argmin compares identically-associated double expressions; the
+    decision-boundary gap is measured and pinned in test_train.py at
+    >=1e-4 vs ~1e-13 centroid noise)."""
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        *[
+            F.element_at("embedding", j).cast("double").alias(f"x{j}")
+            for j in range(1, _KM_D + 1)
+        ]
+    )
+    cents = kmeans_fit(
+        data, KM_FEATURES, k=_KM_K, rounds=_KM_ROUNDS, init=_KM_INIT
+    )
+    rep = kmeans_report(data, cents, KM_FEATURES, k=_KM_K)
+    pairs = [
+        F.struct(
+            F.lit(f"c{i}_{j}").alias("term"),
+            F.floor(F.col(f"c{i}_{j}") * _BAND).cast("long").alias("band"),
+        )
+        for i in range(1, _KM_K + 1)
+        for j in range(1, _KM_D + 1)
+    ] + [
+        F.struct(
+            F.lit(f"n{i}").alias("term"),
+            F.col(f"n{i}").cast("long").alias("band"),
+        )
+        for i in range(1, _KM_K + 1)
+    ] + [
+        F.struct(
+            F.lit("sse").alias("term"),
+            F.floor(F.col("sse") * _BAND).cast("long").alias("band"),
+        )
+    ]
+    return rep.select(F.inline(F.array(*pairs)))

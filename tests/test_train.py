@@ -9,6 +9,9 @@ import math
 from pyspark.sql import functions as F
 
 from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+    _sq_dist,
+    kmeans_fit,
+    kmeans_report,
     logreg_fit,
     logreg_logloss,
     logreg_predict,
@@ -18,9 +21,14 @@ from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.plans impo
 )
 from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r08 import (
     _BAND,
+    _KM_D,
+    _KM_INIT,
+    _KM_K,
+    _KM_ROUNDS,
     _LR,
     _ROUNDS,
     FEATURES,
+    KM_FEATURES,
     training_frame,
 )
 
@@ -96,3 +104,90 @@ def test_logreg_plan_growth_is_linear(spark):
     g2 = sizes[2] / sizes[1]
     assert g2 < g1 * 1.5 + 0.5, sizes  # doubling plans explode here
     assert sizes[2] < sizes[0] * 8, sizes
+
+
+# ---------------------------------------------------------------------------
+# k-means (train_kmeans_banded)
+# ---------------------------------------------------------------------------
+
+
+def _km_data(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    return e.select(
+        *[
+            F.element_at("embedding", j).cast("double").alias(f"x{j}")
+            for j in range(1, _KM_D + 1)
+        ]
+    )
+
+
+def test_kmeans_improves_and_is_nondegenerate(spark):
+    """4 Lloyd rounds must strictly reduce within-cluster SSE vs the
+    literal inits, and every cluster must stay populated."""
+    data = _km_data(spark)
+    c0 = kmeans_fit(data, KM_FEATURES, k=_KM_K, rounds=0, init=_KM_INIT)
+    cf = kmeans_fit(
+        data, KM_FEATURES, k=_KM_K, rounds=_KM_ROUNDS, init=_KM_INIT
+    )
+    r0 = kmeans_report(data, c0, KM_FEATURES, _KM_K).collect()[0].asDict()
+    rf = kmeans_report(data, cf, KM_FEATURES, _KM_K).collect()[0].asDict()
+    assert rf["sse"] < r0["sse"] * 0.95
+    assert all(rf[f"n{i}"] > 0 for i in range(1, _KM_K + 1))
+
+
+def test_kmeans_assignment_boundary_gap_is_safe(spark):
+    """Cluster SIZES are compared integer-exact cross-engine, so the
+    argmin must be decided by margins far above float noise: at every
+    round (including the final report assignment) the closest point to
+    a decision boundary keeps a best-vs-second-best squared-distance
+    gap >= 1e-6, while cross-engine centroid noise is ~1e-13."""
+    data = _km_data(spark)
+    min_gap = None
+    for r in range(0, _KM_ROUNDS + 1):
+        cents = kmeans_fit(data, KM_FEATURES, k=_KM_K, rounds=r, init=_KM_INIT)
+        j = data.crossJoin(F.broadcast(cents))
+        arr = F.array_sort(
+            F.array(*[_sq_dist(KM_FEATURES, i) for i in range(1, _KM_K + 1)])
+        )
+        gap = j.select((arr[1] - arr[0]).alias("g")).agg(F.min("g")).collect()[
+            0
+        ][0]
+        min_gap = gap if min_gap is None else min(min_gap, gap)
+    assert min_gap > 1e-6, min_gap
+
+
+def test_kmeans_band_margins_are_safe(spark):
+    """Centroid coordinates and SSE are 1e-6-banded: measured margin
+    from every FLOOR boundary >= 1e-3 band-widths."""
+    data = _km_data(spark)
+    cf = kmeans_fit(
+        data, KM_FEATURES, k=_KM_K, rounds=_KM_ROUNDS, init=_KM_INIT
+    )
+    rep = kmeans_report(data, cf, KM_FEATURES, _KM_K).collect()[0].asDict()
+    for k, v in rep.items():
+        if k.startswith("n"):
+            continue
+        frac = (v * _BAND) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-3, (k, v, frac)
+
+
+def test_kmeans_plan_is_jvm_with_bounded_shuffle(spark):
+    """Training is expression-only (no Python nodes); the per-round
+    means shuffle carries at most k groups (partial aggregation on);
+    plan growth over rounds stays linear (single-row iterate)."""
+    data = _km_data(spark)
+    cf = kmeans_fit(
+        data, KM_FEATURES, k=_KM_K, rounds=_KM_ROUNDS, init=_KM_INIT
+    )
+    plan = explain.physical_plan(cf)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert explain.has_partial_aggregation(cf)
+    sizes = []
+    for r in (1, 2, 4):
+        w = kmeans_fit(data, KM_FEATURES, k=_KM_K, rounds=r, init=_KM_INIT)
+        sizes.append(len(explain.physical_plan(w)))
+    assert sizes[2] < sizes[0] * 5, sizes
