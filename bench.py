@@ -166,6 +166,9 @@ HEADLINE = [
     "train_logreg_banded",
     # r07: in-engine k-means (4 lazy Lloyd rounds, k-group shuffle)
     "train_kmeans_banded",
+    # r07: train -> 1-row artifact -> fit-free map-only serving (bar
+    # includes the eager fit+write by construction, like pca_apply)
+    "train_logreg_artifact",
 ]
 
 

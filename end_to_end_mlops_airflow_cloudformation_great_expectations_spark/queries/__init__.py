@@ -153,8 +153,11 @@ _reorder()
 # shape restated portably — EPOCH() is DuckDB-only — self-oracled,
 # plan-parity-pinned vs the twin), and train_kmeans_banded (Lloyd's
 # k-means as the same lazy fixpoint; sizes integer-exact, coords/SSE
-# banded, boundary gaps test-pinned). All proven local-green at
+# banded, boundary gaps test-pinned), and train_logreg_artifact
+# (train -> persisted 1-row weight artifact -> fit-free map-only
+# corpus scoring; oracle re-derives the same 5 GD rounds + scores).
+# All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 33 into the leading slots, pad with driver-green names.
+# 34 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -24,6 +24,8 @@ sides compute the SAME double expression before comparing to 0.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -231,6 +233,90 @@ def train_logreg_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KM_FEATURES = [f"x{j}" for j in range(1, _KM_D + 1)]
+
+#: prediction banding for the artifact-served scores: coarser than the
+#: weight bands because p is per-row (500-5000 boundary draws, not 11)
+#: — measured min margin 3e-4 band-widths vs ~1e-10 cross-engine noise
+#: (pinned in test_train.py).
+_PBAND = 10_000
+
+
+def _sql_logreg_scores_oracle() -> str:
+    """The logreg oracle's CTE chain extended one stage: after the 5
+    unrolled GD rounds, score every row and emit (vec_id, p_band) —
+    what the artifact-served Spark path must reproduce exactly."""
+    xs = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, _D + 1)
+    )
+    z = " + ".join(f"w.w{i}*d.x{i}" for i in range(1, _D + 1)) + " + w.b"
+    sig = f"1.0/(1.0 + EXP(-({z})))"
+    w0 = ", ".join(f"0.0 AS w{i}" for i in range(1, _D + 1)) + ", 0.0 AS b"
+    rounds = []
+    for k in range(1, _ROUNDS + 1):
+        cols = ", ".join(
+            f"MIN(w.w{i}) + {_LR}*AVG((d.y - {sig})*d.x{i}) AS w{i}"
+            for i in range(1, _D + 1)
+        )
+        rounds.append(
+            f"w{k} AS (SELECT {cols}, "
+            f"MIN(w.b) + {_LR}*AVG(d.y - {sig}) AS b "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+    return f"""
+    WITH data AS (
+      SELECT vec_id, {xs},
+             CASE WHEN CAST(embedding[1] AS DOUBLE)
+                       + 2.0*CAST(embedding[2] AS DOUBLE)
+                       - CAST(embedding[3] AS DOUBLE) > 0.0
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ), w0 AS (SELECT {w0}),
+    {",".join(rounds)}
+    SELECT CAST(d.vec_id AS BIGINT) AS vec_id,
+           CAST(FLOOR(({sig})*{_PBAND}) AS BIGINT) AS p_band
+    FROM data d CROSS JOIN w{_ROUNDS} w
+    """
+
+
+@query("train_logreg_artifact", oracle=_sql_logreg_scores_oracle())
+def train_logreg_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the trained model (the
+    emb_pca_apply_artifact discipline applied to the logistic probe):
+    train once, persist the weights as a bounded 1-ROW parquet
+    ARTIFACT, and serve every later scoring pass fit-free — load the
+    artifact, broadcast it, and run a zero-shuffle map-only sigmoid
+    over the corpus. Output (vec_id, p_band) must equal what the
+    in-plan trained weights would score (the oracle re-derives the
+    same 5 GD rounds), pinning that model round-tripping through the
+    artifact loses nothing. The artifact write is the sanctioned
+    bounded eager step (staged_r07 module docstring); the corpus scan
+    stays lazy."""
+    from ..operators.train import logreg_predict
+    from .staged_r07 import _scratch
+
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        "vec_id",
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, _D + 1)
+        ],
+    ).withColumn(
+        "y",
+        F.when(
+            F.col("x1") + F.lit(2.0) * F.col("x2") - F.col("x3") > 0.0, 1.0
+        ).otherwise(0.0),
+    )
+    w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=_ROUNDS)
+    artifact_dir = os.path.join(_scratch("logreg_artifact"), "weights")
+    w.coalesce(1).write.mode("overwrite").parquet(artifact_dir)
+
+    weights = spark.read.parquet(artifact_dir)
+    scored = logreg_predict(data, weights, FEATURES)
+    return scored.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("p") * _PBAND).cast("long").alias("p_band"),
+    )
 
 
 @query("train_kmeans_banded", oracle=_sql_kmeans_oracle())

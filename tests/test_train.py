@@ -191,3 +191,33 @@ def test_kmeans_plan_is_jvm_with_bounded_shuffle(spark):
         w = kmeans_fit(data, KM_FEATURES, k=_KM_K, rounds=r, init=_KM_INIT)
         sizes.append(len(explain.physical_plan(w)))
     assert sizes[2] < sizes[0] * 5, sizes
+
+
+def test_logreg_artifact_serving_is_fit_free_and_margin_safe(spark):
+    """train_logreg_artifact: after the 1-row weight artifact is
+    written, the serving plan must be FIT-FREE (no aggregates — the 5
+    training scans are gone) and map-only over the corpus; the 1e-4
+    prediction bands keep a measured >=1e-4 band-width margin."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r08 import (
+        _PBAND,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+        QUERIES,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+        logreg_predict,
+    )
+
+    df = QUERIES["train_logreg_artifact"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    # the artifact read replaced in-plan training: nothing to aggregate
+    assert "HashAggregate" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # margin of the served probabilities against the 1e-4 grid
+    data = training_frame(spark, SF_DIR)
+    w = logreg_fit(data, FEATURES, "y", lr=_LR, rounds=_ROUNDS)
+    ps = [r.p for r in logreg_predict(data, w, FEATURES).select("p").collect()]
+    m = min(min((p * _PBAND) % 1.0, 1.0 - (p * _PBAND) % 1.0) for p in ps)
+    assert m > 1e-4, m
