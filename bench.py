@@ -169,6 +169,8 @@ HEADLINE = [
     # r07: train -> 1-row artifact -> fit-free map-only serving (bar
     # includes the eager fit+write by construction, like pca_apply)
     "train_logreg_artifact",
+    # r07: per-class confusion/precision/recall eval table
+    "a_classifier_eval",
 ]
 
 

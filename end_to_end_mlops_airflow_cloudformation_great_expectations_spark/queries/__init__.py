@@ -155,9 +155,11 @@ _reorder()
 # k-means as the same lazy fixpoint; sizes integer-exact, coords/SSE
 # banded, boundary gaps test-pinned), and train_logreg_artifact
 # (train -> persisted 1-row weight artifact -> fit-free map-only
-# corpus scoring; oracle re-derives the same 5 GD rounds + scores).
-# All proven local-green at
+# corpus scoring; oracle re-derives the same 5 GD rounds + scores),
+# and a_classifier_eval (per-class confusion/precision/recall over
+# the centroid classifier; counts integer-exact, oracle composes the
+# classifier's oracle as a CTE). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 34 into the leading slots, pad with driver-green names.
+# 35 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -278,6 +278,75 @@ def _sql_logreg_scores_oracle() -> str:
     """
 
 
+def _sql_classifier_eval_oracle() -> str:
+    """Compose the centroid classifier's registered oracle as a CTE
+    and aggregate the standard evaluation table on top — the oracle
+    composes exactly like the Spark side composes the builder."""
+    from .registry import ORACLES
+
+    preds = ORACLES["emb_centroid_classify"]
+    return f"""
+    WITH preds AS ({preds}),
+    lab AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS support,
+             CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM preds GROUP BY label
+    ), pr AS (
+      SELECT pred_label, CAST(COUNT(*) AS BIGINT) AS pred_cnt
+      FROM preds GROUP BY pred_label
+    )
+    SELECT CAST(lab.label AS BIGINT) AS label,
+           lab.support,
+           lab.tp,
+           CAST(COALESCE(pr.pred_cnt, 0) - lab.tp AS BIGINT) AS fp,
+           CAST(lab.support - lab.tp AS BIGINT) AS fn,
+           ROUND(CASE WHEN COALESCE(pr.pred_cnt, 0) = 0 THEN NULL
+                      ELSE CAST(lab.tp AS DOUBLE) / pr.pred_cnt END,
+                 6) AS precision,
+           ROUND(CAST(lab.tp AS DOUBLE) / lab.support, 6) AS recall
+    FROM lab LEFT JOIN pr ON lab.label = pr.pred_label
+    """
+
+
+@query("a_classifier_eval", oracle=_sql_classifier_eval_oracle())
+def a_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model EVALUATION as a first-class operator: the per-class
+    confusion table (support/tp/fp/fn) with precision and recall over
+    the centroid classifier's predictions — counts integer-exact
+    cross-engine (assignments are deterministic: the classifier's
+    1e-6-gridded centroids and lowest-label tie-break), ratios on the
+    6-decimal grid from identical integer divisions. Two bounded
+    aggregates over one prediction pass + a |labels|-row join; at
+    100 TB the eval costs one corpus scan like the classify itself."""
+    from .staged_r07 import emb_centroid_classify
+
+    preds = emb_centroid_classify(spark, sf_dir)
+    lab = preds.groupBy(F.col("label")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(F.col("correct").cast("long")).alias("tp"),
+    )
+    pr = preds.groupBy(F.col("pred_label")).agg(
+        F.count(F.lit(1)).alias("pred_cnt")
+    )
+    j = lab.join(pr, lab.label == pr.pred_label, "left")
+    return j.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("support").cast("long").alias("support"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.coalesce(F.col("pred_cnt"), F.lit(0)) - F.col("tp"))
+        .cast("long")
+        .alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        F.round(
+            F.try_divide(F.col("tp").cast("double"), F.col("pred_cnt")), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("support"), 6
+        ).alias("recall"),
+    )
+
+
 @query("train_logreg_artifact", oracle=_sql_logreg_scores_oracle())
 def train_logreg_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION shape of the trained model (the
