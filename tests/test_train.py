@@ -221,3 +221,50 @@ def test_logreg_artifact_serving_is_fit_free_and_margin_safe(spark):
     ps = [r.p for r in logreg_predict(data, w, FEATURES).select("p").collect()]
     m = min(min((p * _PBAND) % 1.0, 1.0 - (p * _PBAND) % 1.0) for p in ps)
     assert m > 1e-4, m
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """The COALESCE-to-previous rule: an init centroid placed far from
+    every point must attract nothing and survive every round exactly
+    where it started, while the others still update."""
+    rows = [(0.0, 0.0), (0.1, 0.0), (0.0, 0.1), (1.0, 1.0), (1.1, 1.0)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double")
+    far = [99.0, 99.0]
+    init = [[0.0, 0.0], [1.0, 1.0], far]
+    cents = kmeans_fit(df, ["x1", "x2"], k=3, rounds=3, init=init)
+    row = cents.collect()[0].asDict()
+    assert row["c3_1"] == far[0] and row["c3_2"] == far[1]
+    # the live clusters moved to their group means
+    assert abs(row["c1_1"] - 0.1 / 3) < 1e-12
+    assert abs(row["c2_1"] - 1.05) < 1e-12
+    rep = (
+        kmeans_report(df, cents, ["x1", "x2"], 3).collect()[0].asDict()
+    )
+    assert rep["n3"] == 0 and rep["n1"] == 3 and rep["n2"] == 2
+
+
+def test_logreg_degenerate_single_class_stays_finite(spark):
+    """All-one-class labels: the gradient saturates toward +inf bias
+    only in the limit — after finitely many rounds every weight must
+    be finite and the predictions must approach 1."""
+    rows = [(float(i % 3) / 3.0, 1.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "x1 double, y double")
+    w = logreg_fit(df, ["x1"], "y", lr=4.0, rounds=6)
+    row = w.collect()[0].asDict()
+    assert all(math.isfinite(v) for v in row.values()), row
+    ps = [
+        r.p
+        for r in logreg_predict(df, w, ["x1"]).select("p").collect()
+    ]
+    assert min(ps) > 0.9
+
+
+def test_kmeans_single_point_converges_in_one_round(spark):
+    """n=1: the point's cluster lands exactly on it; the other
+    centroids never move (empty every round)."""
+    df = spark.createDataFrame([(0.25, -0.5)], "x1 double, x2 double")
+    init = [[0.0, 0.0], [5.0, 5.0]]
+    cents = kmeans_fit(df, ["x1", "x2"], k=2, rounds=2, init=init)
+    row = cents.collect()[0].asDict()
+    assert row["c1_1"] == 0.25 and row["c1_2"] == -0.5
+    assert row["c2_1"] == 5.0 and row["c2_2"] == 5.0
