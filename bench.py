@@ -171,6 +171,8 @@ HEADLINE = [
     "train_logreg_artifact",
     # r07: per-class confusion/precision/recall eval table
     "a_classifier_eval",
+    # r07: k-anonymity privacy audit (bounded-cardinality groupBy)
+    "a_k_anonymity",
 ]
 
 

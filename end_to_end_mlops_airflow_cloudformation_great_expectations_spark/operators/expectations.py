@@ -134,3 +134,34 @@ def gate_stream(suite: Suite, write_fn):
         write_fn(batch_df, epoch_id)
 
     return _gate
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: list, k: int) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns — the
+    re-identification-risk counterpart to the PII redaction operator
+    (text.pii_redact masks direct identifiers; this measures whether
+    COMBINATIONS of innocuous columns still single people out).
+
+    Returns one row: total distinct QI groups, groups smaller than
+    ``k``, the row count inside those risky groups, and the minimum
+    group size (the dataset's actual anonymity level). All counts are
+    integer-exact — a deterministic audit, not an estimate.
+
+    Scale shape: one exact groupBy over the QI tuple (map-side partial
+    aggregation; cardinality bounded by the QI domain product, not the
+    row count) + one 1-row reduce. No collect, no UDFs.
+    """
+    from pyspark.sql import functions as F
+
+    groups = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("n") < k).cast("long")).cast("long").alias(
+            "groups_below_k"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )

@@ -158,8 +158,10 @@ _reorder()
 # corpus scoring; oracle re-derives the same 5 GD rounds + scores),
 # and a_classifier_eval (per-class confusion/precision/recall over
 # the centroid classifier; counts integer-exact, oracle composes the
-# classifier's oracle as a CTE). All proven local-green at
+# classifier's oracle as a CTE), and a_k_anonymity (privacy audit:
+# re-identification risk of a quasi-identifier tuple, integer-exact
+# GX-role counts). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 35 into the leading slots, pad with driver-green names.
+# 36 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -278,6 +278,45 @@ def _sql_logreg_scores_oracle() -> str:
     """
 
 
+@query(
+    "a_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+)
+def a_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (operators/expectations.k_anonymity_report): does
+    the quasi-identifier tuple (nation, market segment, account-balance
+    band) still single customers out after direct identifiers are
+    stripped? Integer-exact counts; the GX-role deterministic-audit
+    discipline (a13_expectation_metrics) applied to re-identification
+    risk. One exact bounded-cardinality groupBy + a 1-row reduce."""
+    from ..operators.expectations import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5
+    )
+
+
 def _sql_classifier_eval_oracle() -> str:
     """Compose the centroid classifier's registered oracle as a CTE
     and aggregate the standard evaluation table on top — the oracle

@@ -235,3 +235,29 @@ def test_vocabulary_cardinality_guard(spark):
     assert enc.vocabulary(small, "cat", max_size=100) == sorted(
         f"v_{i}" for i in range(7)
     )
+
+
+def test_k_anonymity_report_exact_counts(spark):
+    """k_anonymity_report on a frame with known group sizes: groups
+    (a,1)x3, (a,2)x1, (b,1)x5 at k=3 -> one group of 1 below k."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.expectations import (
+        k_anonymity_report,
+    )
+
+    rows = [("a", 1)] * 3 + [("a", 2)] * 1 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    rep = k_anonymity_report(df, ["q1", "q2"], k=3).collect()[0].asDict()
+    assert rep == {
+        "k": 3,
+        "n_groups": 3,
+        "groups_below_k": 1,
+        "rows_at_risk": 1,
+        "min_group_size": 1,
+    }
+    # a fully k-anonymous frame reports zero risk
+    ok = k_anonymity_report(
+        spark.createDataFrame([("a", 1)] * 4, "q1 string, q2 int"),
+        ["q1", "q2"],
+        k=3,
+    ).collect()[0]
+    assert ok.groups_below_k == 0 and ok.rows_at_risk == 0
