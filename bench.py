@@ -173,6 +173,9 @@ HEADLINE = [
     "a_classifier_eval",
     # r07: k-anonymity privacy audit (bounded-cardinality groupBy)
     "a_k_anonymity",
+    # r07: stream-stream AS-OF join batch twin (T10 — interval join
+    # chained into the finalizing window aggregation)
+    "t10_stream_asof_join",
 ]
 
 

@@ -160,8 +160,11 @@ _reorder()
 # the centroid classifier; counts integer-exact, oracle composes the
 # classifier's oracle as a CTE), and a_k_anonymity (privacy audit:
 # re-identification risk of a quasi-identifier tuple, integer-exact
-# GX-role counts). All proven local-green at
+# GX-role counts), and t10_stream_asof_join (stream-STREAM AS-OF
+# join: watermarked interval join chained into a finalizing window
+# aggregation — two stateful operators; real availableNow run ==
+# batch twin test-pinned). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 36 into the leading slots, pad with driver-green names.
+# 37 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -170,6 +170,47 @@ def t9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t10_stream_asof_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts,
+             p.event_id AS purchase_id, p.ts AS p_ts
+      FROM events v
+      JOIN events p
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase'
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      WHERE v.event_type = 'view'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(view_id AS BIGINT) AS asof_view_id,
+           CAST(FLOOR(EPOCH(v_ts)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(p_ts)) AS BIGINT) AS purchase_epoch
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY purchase_id ORDER BY v_ts DESC, view_id DESC
+    ) = 1
+    """,
+)
+def t10_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 batch twin: stream-STREAM AS-OF join — the latest same-user
+    view within 30 minutes before each purchase, one row per purchase
+    (jobs.stream_asof_join: watermarked interval join chained into a
+    time-window aggregation, Spark's composable substitute for a
+    native streaming as-of operator). The oracle ranks the T9 pair set
+    with the identical (v_ts, view_id) tie-break; the real two-stream
+    watermarked run is driven in tests/test_streaming_advanced.py and
+    must equal this result."""
+    e = _events(spark, sf_dir)
+    return jobs.stream_asof_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@query(
     "t_doc_intake",
     oracle=r"""
     WITH t AS (

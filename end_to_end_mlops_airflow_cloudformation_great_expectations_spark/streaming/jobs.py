@@ -166,6 +166,67 @@ def stream_stream_join(
     )
 
 
+def stream_asof_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    finalize_window: str = "10 minutes",
+) -> DataFrame:
+    """T10: stream-STREAM AS-OF join — each purchase gets the LATEST
+    same-user view in the preceding ``horizon`` (one row per purchase,
+    unlike T9's all-candidates interval join). Structured Streaming
+    has no native as-of operator; this composes the two stateful
+    primitives it does chain (SPARK-42376): the watermarked interval
+    join, then a time-window aggregation over the join output that
+    keeps the max-(v_ts, view_id) candidate per purchase. The
+    tumbling ``finalize_window`` on p_ts is purely the FINALIZATION
+    mechanism — a purchase belongs to exactly one window, so grouping
+    by (window, purchase) never merges purchases; the window just
+    tells the engine when the per-purchase state can be emitted and
+    dropped (watermark passes window end). State is bounded by
+    watermark + horizon on the join buffer and watermark + window on
+    the agg — the same unbounded-feed viability argument as T9.
+
+    Ties on v_ts resolve to the larger view_id (struct max), spelled
+    identically by the batch twin's window ranking. Inner semantics:
+    purchases with no qualifying view produce no row (the left-outer
+    variant needs outer-join null finalization — not composed here).
+
+    In batch mode every operator is a no-op wrapper around the same
+    plan (watermarks ignored, window() an ordinary expression), so one
+    transform function serves the registered twin and the real
+    two-stream run (tests/test_streaming_advanced.py)."""
+    v = views.select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "15 minutes")
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "15 minutes")
+    pairs = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    )
+    best = pairs.groupBy(
+        F.window("p_ts", finalize_window), F.col("p_user"), F.col("purchase_id")
+    ).agg(
+        F.max(F.struct(F.col("v_ts"), F.col("view_id"))).alias("best"),
+        F.max("p_ts").alias("p_ts_out"),
+    )
+    return best.select(
+        F.col("p_user").cast("long").alias("user_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("best.view_id").cast("long").alias("asof_view_id"),
+        F.unix_timestamp("best.v_ts").cast("long").alias("view_epoch"),
+        F.unix_timestamp("p_ts_out").cast("long").alias("purchase_epoch"),
+    )
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """T6: arbitrary stateful processing — per-user running
     (count, sum) maintained across micro-batches via

@@ -726,3 +726,61 @@ def test_embdedup_index_streaming_append_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == truth
+
+
+def test_t10_jobs_stream_asof_join_equals_registered_twin(spark, tmp_path):
+    """T10: a real two-stream watermarked run of jobs.stream_asof_join
+    (interval join chained into the finalizing window aggregation —
+    two stateful operators) must equal the registered batch twin. The
+    feed gets a far-future SENTINEL view+purchase with non-matching
+    user ids: they join nothing, but their event times push the final
+    watermark past every real window so append mode emits all
+    per-purchase state (the no-data micro-batch flushes it)."""
+    import shutil
+
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.streaming_batch import (
+        t10_stream_asof_join,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = sorted(
+        tuple(r) for r in t10_stream_asof_join(spark, sf_dir).collect()
+    )
+
+    feed = tmp_path / "t10_feed"
+    feed.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", feed / "part-0.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    far = ev.agg(SF.max("ts").alias("m")).select(
+        SF.lit(-1).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        (SF.col("m") + SF.expr("INTERVAL 2 HOURS")).alias("ts"),
+        SF.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+        SF.lit("view").alias("event_type"),
+        SF.lit(0.0).alias("value"),
+        SF.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+    ).unionByName(
+        ev.agg(SF.max("ts").alias("m")).select(
+            SF.lit(-2).cast(ev.schema["event_id"].dataType).alias("event_id"),
+            (SF.col("m") + SF.expr("INTERVAL 2 HOURS")).alias("ts"),
+            SF.lit(-2).cast(ev.schema["user_id"].dataType).alias("user_id"),
+            SF.lit("purchase").alias("event_type"),
+            SF.lit(0.0).alias("value"),
+            SF.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+        )
+    )
+    far.select([c.name for c in ev.schema]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "sentinel"))
+    for f in (tmp_path / "sentinel").glob("*.parquet"):
+        shutil.copy(f, feed / "part-1-sentinel.parquet")
+
+    stream = jobs.read_events_stream(spark, str(feed))
+    joined = jobs.stream_asof_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    jobs.run_available_now(joined, "t10_out", "append")
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t10_out").collect())
+    assert got == want and len(got) > 0
