@@ -174,8 +174,9 @@ HEADLINE = [
     # r07: k-anonymity privacy audit (bounded-cardinality groupBy)
     "a_k_anonymity",
     # r07: stream-stream AS-OF join batch twin (T10 — interval join
-    # chained into the finalizing window aggregation)
+    # chained into the finalizing window aggregation) + left variant
     "t10_stream_asof_join",
+    "t10b_stream_asof_left",
 ]
 
 

@@ -163,8 +163,11 @@ _reorder()
 # GX-role counts), and t10_stream_asof_join (stream-STREAM AS-OF
 # join: watermarked interval join chained into a finalizing window
 # aggregation — two stateful operators; real availableNow run ==
-# batch twin test-pinned). All proven local-green at
+# batch twin test-pinned; t10b_stream_asof_left is the LEFT variant
+# — organic purchases kept as null rows; its streaming test needs
+# sentinels on BOTH streams because the global watermark is the
+# min of the two). All proven local-green at
 # sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 37 into the leading slots, pad with driver-green names.
+# 38 into the leading slots, pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

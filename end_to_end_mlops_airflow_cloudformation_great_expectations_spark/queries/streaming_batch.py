@@ -211,6 +211,47 @@ def t10_stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t10b_stream_asof_left",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+             v.event_id AS view_id, v.ts AS v_ts
+      FROM events p
+      LEFT JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view'
+       AND v.ts <= p.ts
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(view_id AS BIGINT) AS asof_view_id,
+           CAST(FLOOR(EPOCH(v_ts)) AS BIGINT) AS view_epoch,
+           CAST(FLOOR(EPOCH(p_ts)) AS BIGINT) AS purchase_epoch
+    FROM pairs
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY purchase_id
+      ORDER BY v_ts DESC NULLS LAST, view_id DESC NULLS LAST
+    ) = 1
+    """,
+)
+def t10b_stream_asof_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 LEFT variant: every purchase keeps a row — the attribution
+    report's interesting rows are exactly the NULL-view ones (organic
+    purchases with no preceding view). Same composed pipeline with the
+    outer interval join; the aggregation needs no change because the
+    outer join emits one all-null match row per unmatched purchase and
+    max(struct) carries its null fields through."""
+    e = _events(spark, sf_dir)
+    return jobs.stream_asof_join(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+
+
+@query(
     "t_doc_intake",
     oracle=r"""
     WITH t AS (

@@ -171,6 +171,7 @@ def stream_asof_join(
     purchases: DataFrame,
     horizon: str = "30 minutes",
     finalize_window: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """T10: stream-STREAM AS-OF join — each purchase gets the LATEST
     same-user view in the preceding ``horizon`` (one row per purchase,
@@ -206,11 +207,12 @@ def stream_asof_join(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
     ).withWatermark("p_ts", "15 minutes")
-    pairs = v.join(
-        p,
+    pairs = p.join(
+        v,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     )
     best = pairs.groupBy(
         F.window("p_ts", finalize_window), F.col("p_user"), F.col("purchase_id")

@@ -784,3 +784,73 @@ def test_t10_jobs_stream_asof_join_equals_registered_twin(spark, tmp_path):
     jobs.run_available_now(joined, "t10_out", "append")
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM t10_out").collect())
     assert got == want and len(got) > 0
+
+
+def test_t10b_stream_asof_left_outer_equals_registered_twin(spark, tmp_path):
+    """T10 left variant: the OUTER interval join chained into the
+    finalizing aggregation — unmatched purchases must surface with
+    null view columns in the real streaming run exactly as in the
+    batch twin (outer-join null rows are emitted at the watermark,
+    then finalized by the window agg)."""
+    import shutil
+
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.streaming_batch import (
+        t10b_stream_asof_left,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = sorted(
+        (tuple((x is None, x) for x in r))
+        for r in t10b_stream_asof_left(spark, sf_dir).collect()
+    )
+    # non-vacuity: the corpus must actually contain organic purchases
+    assert any(r[2][1] is None for r in want)
+
+    feed = tmp_path / "t10b_feed"
+    feed.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", feed / "part-0.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # BOTH sides need a sentinel: the global watermark is the MIN of
+    # the two stream watermarks, so a view-only sentinel would leave
+    # the purchase watermark at the real max and the final purchase's
+    # outer-null row would never evict (found empirically: exactly the
+    # last event went missing).
+    far = ev.agg(SF.max("ts").alias("m")).select(
+        SF.lit(-1).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        (SF.col("m") + SF.expr("INTERVAL 2 HOURS")).alias("ts"),
+        SF.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+        SF.lit("view").alias("event_type"),
+        SF.lit(0.0).alias("value"),
+        SF.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+    ).unionByName(
+        ev.agg(SF.max("ts").alias("m")).select(
+            SF.lit(-2).cast(ev.schema["event_id"].dataType).alias("event_id"),
+            (SF.col("m") + SF.expr("INTERVAL 2 HOURS")).alias("ts"),
+            SF.lit(-2).cast(ev.schema["user_id"].dataType).alias("user_id"),
+            SF.lit("purchase").alias("event_type"),
+            SF.lit(0.0).alias("value"),
+            SF.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+        )
+    )
+    far.select([c.name for c in ev.schema]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "sentinel_b"))
+    for f in (tmp_path / "sentinel_b").glob("*.parquet"):
+        shutil.copy(f, feed / "part-1-sentinel.parquet")
+
+    stream = jobs.read_events_stream(spark, str(feed))
+    joined = jobs.stream_asof_join(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    jobs.run_available_now(joined, "t10b_out", "append")
+    got = sorted(
+        (tuple((x is None, x) for x in r))
+        for r in spark.sql(
+            "SELECT * FROM t10b_out WHERE purchase_id >= 0"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
