@@ -27,6 +27,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r06,
     staged_r07,
     staged_r08,
+    staged_r09,
     streaming_batch,
     tpch_extra,
 )
