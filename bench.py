@@ -177,6 +177,13 @@ HEADLINE = [
     # chained into the finalizing window aggregation) + left variant
     "t10_stream_asof_join",
     "t10b_stream_asof_left",
+    # r07: behavioral/drift analytics batch — batch sessionization,
+    # basket co-occurrence recommender, PSI drift monitor, Mann-Kendall
+    # trend significance
+    "w_sessionize",
+    "rec_item_affinity",
+    "a_psi_drift",
+    "a_mann_kendall",
 ]
 
 
