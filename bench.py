@@ -184,6 +184,14 @@ HEADLINE = [
     "rec_item_affinity",
     "a_psi_drift",
     "a_mann_kendall",
+    # r07: ranking-eval family (exact midrank ROC-AUC, calibration
+    # reliability table, gains/lift deciles) + phrase mining (PMI
+    # collocations) + hybrid retrieval (BM25 ⊕ cosine RRF fusion)
+    "a_roc_auc",
+    "a_calibration_bins",
+    "a_gains_deciles",
+    "text_pmi_collocations",
+    "text_hybrid_rrf",
 ]
 
 

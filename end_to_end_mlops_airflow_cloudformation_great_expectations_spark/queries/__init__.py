@@ -28,6 +28,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r07,
     staged_r08,
     staged_r09,
+    staged_r10,
     streaming_batch,
     tpch_extra,
 )
@@ -167,8 +168,19 @@ _reorder()
 # batch twin test-pinned; t10b_stream_asof_left is the LEFT variant
 # — organic purchases kept as null rows; its streaming test needs
 # sentinels on BOTH streams because the global watermark is the
-# min of the two). All proven local-green at
-# sf0.001+sf0.01 incl. --plain before landing. Next round: move these
-# 38 into the leading slots, pad with driver-green names.
+# min of the two), and the behavioral/drift analytics batch
+# w_sessionize / rec_item_affinity / a_psi_drift / a_mann_kendall
+# (queries/staged_r09.py — batch gaps-and-islands sessionization
+# matching T3's 6h gap, narrow basket-pair co-occurrence recommender,
+# Laplace-smoothed fixed-grid PSI monitor, tie-corrected Mann-Kendall
+# on the hourly grid), and the ranking-eval + retrieval batch
+# a_roc_auc / a_calibration_bins / a_gains_deciles /
+# text_pmi_collocations / text_hybrid_rrf (queries/staged_r10.py —
+# exact midrank ROC-AUC + Gini, reliability bins, NTILE gains/lift,
+# PMI collocation mining, BM25⊕cosine reciprocal-rank fusion whose
+# oracle embeds text_bm25's registered oracle string). All proven
+# local-green at sf0.001+sf0.01 incl. --plain before landing. Next
+# round: move these 47 into the leading slots (two rotations if the
+# window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -504,3 +504,50 @@ def test_psi_drift_single_fact_scan_then_dimension_sized(spark):
     df = QUERIES["a_psi_drift"](spark, SF_DIR)
     plan = explain.physical_plan(df)
     assert plan.count("events.parquet") <= 2, plan
+
+
+def test_eval_family_two_scans_no_cartesian(spark):
+    """a_roc_auc / a_calibration_bins / a_gains_deciles: the centroid
+    scorer is two embeddings scans (fit + score); the 1-row centroid
+    table rides a broadcast nested-loop (intended), never a
+    CartesianProduct; everything after scoring is a 1-row / 10-row
+    aggregate or the documented distributed rank-attach."""
+    for name in ("a_roc_auc", "a_calibration_bins", "a_gains_deciles"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = explain.physical_plan(df)
+        assert plan.count("embeddings.parquet") <= 2, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_pmi_two_token_aggs_take_ordered(spark):
+    """text_pmi_collocations: the INITIAL plan references the
+    documents scan once per branch (2 uni joins + tw + pc + tp = 5),
+    but the uni/pc aggregation exchanges are byte-identical across
+    branches, so AQE collapses them to ReusedExchange at runtime —
+    asserted on the FINAL adaptive plan after execution. The top-k
+    cut is TakeOrderedAndProject, never a global sort."""
+    df = QUERIES["text_pmi_collocations"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("documents.parquet") <= 5, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    df.collect()
+    final = explain.physical_plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert final.count("ReusedExchange") >= 1, final
+
+
+def test_hybrid_rrf_arms_take_ordered(spark):
+    """text_hybrid_rrf: both retrieval arms end in
+    TakeOrderedAndProject (per-partition heads + driver merge), the
+    fusion joins two 50-row sets, and nothing plans a
+    CartesianProduct. Scans stay bounded: bm25's documents branches
+    (dl + tf, each referenced twice in the initial plan) + the sem
+    arm's two embeddings scans (query row + candidates)."""
+    df = QUERIES["text_hybrid_rrf"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert plan.count("documents.parquet") <= 4, plan
+    assert plan.count("embeddings.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
