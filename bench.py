@@ -192,6 +192,10 @@ HEADLINE = [
     "a_gains_deciles",
     "text_pmi_collocations",
     "text_hybrid_rrf",
+    # r07: lazy label-propagation fixpoint + WOE/IV feature screening
+    # (stream_cms_sink_checked is a verification job and stays out)
+    "g_label_propagation",
+    "a_woe_iv",
 ]
 
 

@@ -88,6 +88,76 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seed_id: str = "vid",
+    seed_label: str = "lab",
+) -> DataFrame:
+    """Semi-supervised label propagation over an edge list: ``seeds``
+    carry fixed integer labels; for ``iterations`` synchronous rounds
+    every vertex takes the MAJORITY label among its in-neighbors'
+    previous-round labels (ties break on the smallest label), with
+    seed labels clamped throughout. Returns (id, label) — label NULL
+    for vertices no label ever reached.
+
+    Unlike :func:`pagerank` this stays fully LAZY: the iterate (the
+    label table) is referenced exactly ONCE per round — in the
+    contributions join — while the vertex and seed tables joined back
+    in are static base frames, so the plan grows LINEARLY with
+    ``iterations`` (the lazy-fixpoint discipline from
+    operators/linalg.power_iteration, here with a table-sized iterate;
+    an extra iterate reference in the combine step would double the
+    plan per round). The majority is max(struct(count, -label)) — one
+    aggregation, no per-vertex window.
+
+    Scale: each round is the Pregel message pattern relationally —
+    edges ⋈ labels on src (shuffle on the join key), contributions
+    aggregated by (dst, label) with map-side partial agg, one more
+    bounded agg for the argmax. Skewed hubs are AQE's skew-join
+    problem, same as pagerank. Bounded rounds keep it a fixed-depth
+    DAG."""
+    verts = (
+        edges.select(F.col(src).alias("vid"))
+        .union(edges.select(F.col(dst).alias("vid")))
+        .distinct()
+    )
+    s = seeds.select(
+        F.col(seed_id).alias("vid"), F.col(seed_label).alias("slab")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    lab = verts.join(s, "vid", "left").select(
+        "vid", F.col("slab").alias("lab")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                lab.filter(F.col("lab").isNotNull()).withColumnRenamed(
+                    "vid", "e_src"
+                ),
+                "e_src",
+            )
+            .groupBy(F.col("e_dst").alias("vid"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        maj = contrib.groupBy("vid").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("lab")).alias("nl"))
+            ).alias("m")
+        ).select("vid", (-F.col("m.nl")).alias("mlab"))
+        lab = (
+            verts.join(s, "vid", "left")
+            .join(maj, "vid", "left")
+            .select(
+                "vid", F.coalesce("slab", "mlab").alias("lab")
+            )
+        )
+    return lab.select(F.col("vid").alias("id"), F.col("lab").alias("label"))
+
+
 def triangle_count(
     edges: DataFrame, a_col: str = "src", b_col: str = "dst"
 ) -> DataFrame:

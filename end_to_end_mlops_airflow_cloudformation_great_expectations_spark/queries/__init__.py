@@ -29,6 +29,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r08,
     staged_r09,
     staged_r10,
+    staged_r11,
     streaming_batch,
     tpch_extra,
 )
@@ -178,9 +179,14 @@ _reorder()
 # text_pmi_collocations / text_hybrid_rrf (queries/staged_r10.py —
 # exact midrank ROC-AUC + Gini, reliability bins, NTILE gains/lift,
 # PMI collocation mining, BM25⊕cosine reciprocal-rank fusion whose
-# oracle embeds text_bm25's registered oracle string). All proven
+# oracle embeds text_bm25's registered oracle string), and the
+# graph/screening/sketch-maintenance batch g_label_propagation /
+# a_woe_iv / stream_cms_sink_checked (queries/staged_r11.py — lazy
+# LPA fixpoint with an exact unrolled-CTE twin, WOE/IV screening on
+# the PSI grid, and the incremental CMS sink whose integer cell
+# merge gives a FULL exact oracle). All proven
 # local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 47 into the leading slots (two rotations if the
+# round: move these 50 into the leading slots (two rotations if the
 # window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,346 @@
+"""Round-8-queue queries, fourth batch: graph semi-supervision,
+feature screening, and the incremental frequency sketch.
+
+- ``g_label_propagation`` — semi-supervised majority label
+  propagation (operators/graph.label_propagation), the community /
+  weak-label spreading step GraphX ships as LPA, here as a LAZY
+  bounded-round fixpoint with an unrolled-CTE DuckDB twin (the
+  g_pagerank_banded convention, but integer-exact so no bands).
+- ``a_woe_iv`` — weight-of-evidence / information-value feature
+  screening of the event value against the purchase target, the
+  credit-scoring companion to a_psi_drift (same fixed-grid Laplace
+  smoothing discipline).
+- ``stream_cms_sink_checked`` — the incremental COUNT-MIN sketch
+  (streaming/jobs.cms_cells_sink) made driver-checkable with a FULL
+  exact oracle: the cell merge is integer addition, so the 3-batch
+  streamed sketch equals the one-shot sketch cell-for-cell and DuckDB
+  replays the identical hashes (a_cms_heavy_hitters arithmetic) — no
+  bands anywhere.
+
+All proven green at sf0.001 + sf0.01 (incl. --plain) before
+registration, per the window discipline in queries/__init__.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators.ranks import constant_partition_key
+from .registry import query
+from .staged_r06 import _CMS_SEEDS, _cms_buckets, _cms_oracle_bucket_sql
+from .staged_r07 import _scratch
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, table)
+
+
+_LPA_ROUNDS = 3
+_LPA_SEEDS = 20
+_LPA_CLASSES = 4
+
+_LPA_ORACLE_GRAPH = """
+    edges0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ), verts AS (
+      SELECT DISTINCT src AS vid FROM edges
+      UNION
+      SELECT DISTINCT dst AS vid FROM edges
+    ), seeds AS (
+      SELECT CAST(unnest(generate_series(0, {max_seed})) AS BIGINT) AS vid
+    ), seedlab AS (
+      SELECT vid, vid % {classes} AS slab FROM seeds
+    )
+""".format(max_seed=_LPA_SEEDS - 1, classes=_LPA_CLASSES)
+
+
+def _lpa_round_sql(r: int) -> str:
+    """One unrolled synchronous LPA round: majority (count DESC, label
+    ASC) of in-neighbors' previous labels, seeds clamped."""
+    return f"""
+    , c{r} AS (
+      SELECT e.dst AS vid, l.lab, COUNT(*) AS c
+      FROM edges e JOIN l{r - 1} l ON l.vid = e.src
+      WHERE l.lab IS NOT NULL
+      GROUP BY 1, 2
+    ), m{r} AS (
+      SELECT vid, lab FROM (
+        SELECT vid, lab, ROW_NUMBER() OVER (
+                 PARTITION BY vid ORDER BY c DESC, lab ASC
+               ) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    ), l{r} AS (
+      SELECT v.vid, COALESCE(s.slab, m.lab) AS lab
+      FROM verts v
+      LEFT JOIN seedlab s ON s.vid = v.vid
+      LEFT JOIN m{r} m ON m.vid = v.vid
+    )
+    """
+
+
+@query(
+    "g_label_propagation",
+    oracle=(
+        "WITH "
+        + _LPA_ORACLE_GRAPH
+        + ", l0 AS (SELECT v.vid, s.slab AS lab FROM verts v "
+        "LEFT JOIN seedlab s ON s.vid = v.vid)"
+        + "".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))
+        + f"""
+    SELECT CAST(vid AS BIGINT) AS id, CAST(lab AS BIGINT) AS label
+    FROM l{_LPA_ROUNDS}
+    """
+    ),
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation on the derived order graph
+    (same synthetic topology as g_pagerank_banded): 20 seed vertices
+    carry label vid % 4; 3 synchronous majority rounds spread them
+    (ties → smallest label, seeds clamped). The weak-labeling /
+    community primitive for entity graphs — "label the unlabeled
+    nodes from the few you trust".
+
+    Cross-engine EXACT oracle: the DuckDB twin unrolls the SAME 3
+    rounds as CTEs over the SAME derived graph; every quantity is an
+    integer (counts, labels), the majority tie-break is total, so the
+    comparison is exact — no bands (the g_pagerank_banded convention
+    without needing the bands).
+
+    Scale: operators/graph.label_propagation is fully LAZY with the
+    iterate referenced once per round — linear plan growth; each
+    round is one edges⋈labels shuffle + two bounded aggregations (the
+    Pregel message pattern relationally; majority via max(struct), no
+    per-vertex window)."""
+    from ..operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(_LPA_SEEDS).select(
+        F.col("id").alias("vid"),
+        F.pmod(F.col("id"), F.lit(_LPA_CLASSES)).alias("lab"),
+    )
+    out = label_propagation(both, seeds, iterations=_LPA_ROUNDS)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+_WOE_BINS = 20
+_WOE_W = 25.0  # same fixed grid as a_psi_drift
+
+
+@query(
+    "a_woe_iv",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos,
+             CAST(LEAST(GREATEST(FLOOR(value / {_WOE_W}), 0),
+                        {_WOE_BINS - 1}) AS BIGINT) AS bin
+      FROM events
+    ), grid AS (
+      SELECT CAST(unnest(generate_series(0, {_WOE_BINS - 1})) AS BIGINT)
+               AS bin
+    ), counts AS (
+      SELECT g.bin,
+             CAST(COUNT(*) FILTER (b.is_pos = 1) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) FILTER (b.is_pos = 0) AS BIGINT) AS n_neg
+      FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+      GROUP BY 1
+    ), tot AS (
+      SELECT bin, n_pos, n_neg,
+             SUM(n_pos) OVER () AS tp, SUM(n_neg) OVER () AS tn
+      FROM counts
+    ), w AS (
+      SELECT bin, n_pos, n_neg,
+             (n_pos + 0.5) / (tp + {_WOE_BINS / 2.0}) AS p,
+             (n_neg + 0.5) / (tn + {_WOE_BINS / 2.0}) AS q
+      FROM tot
+    )
+    SELECT bin, n_pos, n_neg,
+           ROUND(LN(p / q), 6) AS woe,
+           ROUND(SUM((p - q) * LN(p / q)) OVER (), 6) AS iv
+    FROM w
+    """,
+)
+def a_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screening of the event
+    value against the purchase target — the credit-scoring feature
+    audit (IV < 0.02 useless, 0.1-0.3 medium, > 0.5 suspicious):
+    fixed-grid bins (a_psi_drift's 20×25 grid), Laplace-smoothed
+    +0.5/bin so empty bins contribute finite terms, WOE = ln(p/q) per
+    bin and IV = Σ(p−q)·WOE attached to every row.
+
+    Determinism: the binning is the portable FLOOR(value/width)
+    clamp; counts are exact longs; p, q are the same double
+    arithmetic on both engines; WOE/IV round onto the 1e-6 grid. The
+    full bin grid is materialized on both sides so smoothing is
+    identical.
+
+    Scale: ONE fact scan to |bins|·2 counts; the totals and IV ride
+    windows over the 20-row counts table (constant-key partition, the
+    bounded-post-aggregation discipline) — a single pass at any
+    corpus size, exactly like the PSI monitor it complements."""
+    e = _t(spark, sf_dir, "events")
+    binned = e.select(
+        (F.col("event_type") == "purchase").cast("int").alias("is_pos"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / _WOE_W), F.lit(0)),
+            F.lit(_WOE_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    grid = spark.range(_WOE_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("is_pos") == 1, 1)).alias("n_pos"),
+            F.count(F.when(F.col("is_pos") == 0, 1)).alias("n_neg"),
+        )
+    )
+    one = constant_partition_key(F.col("bin"))
+    tot = Window.partitionBy(one).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    half = _WOE_BINS / 2.0
+    p = (F.col("n_pos") + 0.5) / (F.sum("n_pos").over(tot) + half)
+    q = (F.col("n_neg") + 0.5) / (F.sum("n_neg").over(tot) + half)
+    w = counts.select(
+        "bin", "n_pos", "n_neg", p.alias("p"), q.alias("q")
+    )
+    return w.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(F.col("p") / F.col("q")), 6).alias("woe"),
+        F.round(
+            F.sum(
+                (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+            ).over(
+                Window.partitionBy(constant_partition_key(F.col("bin")))
+                .rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("iv"),
+    )
+
+
+@query(
+    "stream_cms_sink_checked",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[0])} AS b0,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[1])} AS b1,
+             {_cms_oracle_bucket_sql('user_id', _CMS_SEEDS[2])} AS b2
+      FROM events
+    ), cells AS (
+      SELECT j, bucket, COUNT(*) AS c FROM (
+        SELECT 0 AS j, b0 AS bucket FROM b
+        UNION ALL SELECT 1, b1 FROM b
+        UNION ALL SELECT 2, b2 FROM b
+      ) GROUP BY j, bucket
+    ), exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+    ), top AS (
+      SELECT user_id, exact_count FROM exact
+      ORDER BY exact_count DESC, user_id ASC LIMIT 10
+    ), probe AS (
+      SELECT t.user_id, t.exact_count,
+             {_cms_oracle_bucket_sql('t.user_id', _CMS_SEEDS[0])} AS b0,
+             {_cms_oracle_bucket_sql('t.user_id', _CMS_SEEDS[1])} AS b1,
+             {_cms_oracle_bucket_sql('t.user_id', _CMS_SEEDS[2])} AS b2
+      FROM top t
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+    )
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(LEAST(c0.c, c1.c, c2.c) AS BIGINT) AS est_count,
+           CAST(p.exact_count AS BIGINT) AS exact_count,
+           CAST(LEAST(c0.c, c1.c, c2.c) - p.exact_count AS BIGINT)
+             AS overcount,
+           n.n
+    FROM probe p
+    JOIN cells c0 ON c0.j = 0 AND c0.bucket = p.b0
+    JOIN cells c1 ON c1.j = 1 AND c1.bucket = p.b1
+    JOIN cells c2 ON c2.j = 2 AND c2.bucket = p.b2
+    CROSS JOIN n
+    """,
+)
+def stream_cms_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental FREQUENCY sketch made driver-checkable with a
+    FULL exact oracle (stronger than the moment/quantile sinks' banded
+    checks): push events.user_id through jobs.cms_cells_sink in THREE
+    micro-batches (the at-least-once foreachBatch shape
+    _snapshot_guard protects), then estimate the true top-10 users'
+    frequencies FROM THE STREAMED CELLS. Because the cell merge is
+    integer addition, the 3-batch sketch equals the one-shot sketch
+    cell for cell, and because the d hashes are
+    functions.columns.portable_bucket (a_cms_heavy_hitters), DuckDB
+    replays the identical sketch from the raw table — so est_count,
+    overcount AND the exactly-once witness n (Σ of the j=0 row, which
+    must equal COUNT(*)) are all exact integers. A dropped or
+    double-applied batch shifts n and every estimate; a hash or merge
+    bug shifts est_count — nothing can hide in a band.
+
+    Scale: sketch state is ≤192 cells whatever the stream length or
+    key cardinality; the probe joins the broadcast-small cell table d
+    times. Build-time eagerness (3 sink calls into a scratch dir) is
+    the sanctioned lifecycle exception (ivf_lifecycle_checked
+    pattern)."""
+    from ..streaming import jobs
+
+    base = _scratch("cms")
+    e = _t(spark, sf_dir, "events")
+    sink = jobs.cms_cells_sink(base, "user_id")
+    for b in range(3):
+        sink(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == b), b)
+
+    cells = spark.read.parquet(os.path.join(base, "v2"))
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    probe = top.select(
+        "user_id",
+        "exact_count",
+        F.posexplode(F.array(*_cms_buckets(F.col("user_id")))).alias(
+            "j", "bucket"
+        ),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    n = cells.filter(F.col("j") == 0).agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    return est.crossJoin(F.broadcast(n)).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("long")
+        .alias("overcount"),
+        "n",
+    )

@@ -662,6 +662,90 @@ def run_moment_stats(
     q.awaitTermination()
 
 
+def cms_cells_sink(
+    base_dir: str,
+    key_col: str,
+    seeds: tuple[int, ...] = (1000003, 2000029, 3000073),
+    width: int = 64,
+):
+    """foreachBatch incremental COUNT-MIN sketch rollup — the
+    frequency / heavy-hitter family's maintenance story, completing
+    the incremental-sketch set (HLL distinct, moment tables, KLL
+    quantiles, band postings, IVF cells): each micro-batch's keys are
+    hashed into the d×w cell grid (functions.columns.portable_bucket
+    on seeded keys — the a_cms_heavy_hitters arithmetic, so DuckDB
+    can replay the sketch EXACTLY) and merged into the stored cells
+    snapshot by integer addition, which is associative, commutative
+    and loss-free: the merged table equals the one-shot sketch of the
+    whole history CELL FOR CELL, so the exactly-once check is exact
+    integer equality, not a band.
+
+    State is the (j, bucket, c) table — ≤ d·w rows (192 here) however
+    long the stream runs and whatever the key cardinality; any key's
+    frequency estimate is MIN over its d cells of the latest
+    snapshot. Same versioned layout + _snapshot_guard replay
+    protection as the other sinks; the sum merge is NOT idempotent,
+    hence the guard (and a durable checkpoint for restarts)."""
+    import os
+    import shutil
+
+    from ..functions.columns import portable_bucket
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
+        new = (
+            batch_df.select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            portable_bucket(
+                                F.col(key_col) + F.lit(s), width
+                            )
+                            for s in seeds
+                        ]
+                    )
+                ).alias("j", "bucket")
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+        merged = new
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            merged = (
+                cur.unionByName(new)
+                .groupBy("j", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_cms_cells(
+    stream: DataFrame,
+    base_dir: str,
+    key_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Drive a stream through the incremental CMS rollup
+    (availableNow, synchronous). The cell merge is a SUM — not
+    idempotent — so exactly-once across restarts needs a durable
+    ``checkpoint``; checkpoint-less runs are single-shot backfills."""
+    w = stream.writeStream.foreachBatch(cms_cells_sink(base_dir, key_col))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 __all__ = [
     "read_orders_stream",
     "merge_upsert_sink",
@@ -685,4 +769,6 @@ __all__ = [
     "run_sketch_rollup",
     "quantile_sketch_sink",
     "run_quantile_sketch",
+    "cms_cells_sink",
+    "run_cms_cells",
 ]

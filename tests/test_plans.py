@@ -551,3 +551,47 @@ def test_hybrid_rrf_arms_take_ordered(spark):
     assert plan.count("embeddings.parquet") <= 2, plan
     assert "CartesianProduct" not in plan, plan
 
+def test_label_propagation_lazy_linear_growth(spark):
+    """g_label_propagation: the iterate is referenced once per round,
+    so the logical plan must grow LINEARLY with iterations (an extra
+    iterate reference doubles the plan per round — the lazy-fixpoint
+    discipline). Also: no cartesian products."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0, 0)], ["vid", "lab"])
+
+    def plan_len(k):
+        df = label_propagation(edges, seeds, iterations=k)
+        return len(df._jdf.queryExecution().logical().toString())
+
+    p2, p4, p6 = plan_len(2), plan_len(4), plan_len(6)
+    # Tree NODES grow linearly (iterate referenced once per round), so
+    # the printed string grows at most QUADRATICALLY (round r's text
+    # nests rounds 1..r-1). A second iterate reference would double
+    # the tree per round: string ratio >= 4x for +2 rounds. Pin the
+    # successive ratios well under that doubling signature.
+    assert p4 / p2 < 3.0, (p2, p4)
+    assert p6 / p4 < 2.6, (p4, p6)
+    df = QUERIES["g_label_propagation"](spark, SF_DIR)
+    assert "CartesianProduct" not in explain.physical_plan(df)
+
+
+def test_woe_iv_single_fact_scan(spark):
+    """a_woe_iv: ONE events scan to the 20-cell counts table;
+    totals/IV ride constant-key windows over the bounded table."""
+    df = QUERIES["a_woe_iv"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("events.parquet") <= 1, plan
+
+
+def test_cms_checked_probe_broadcasts_cells(spark):
+    """stream_cms_sink_checked: the probe joins the <=192-cell
+    snapshot via broadcast; the events fact is scanned only for the
+    exact side (<=2 references)."""
+    df = QUERIES["stream_cms_sink_checked"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("events.parquet") <= 2, plan

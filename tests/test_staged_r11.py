@@ -1,0 +1,216 @@
+"""Round-8-queue fourth batch: label propagation, WOE/IV screening,
+incremental CMS sink. Python replays pin the math; the CMS sink gets
+the real-stream + restart + replay-guard treatment the other
+versioned sinks have."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter, defaultdict
+
+from tests.conftest import SF_DIR
+
+KNUTH = 2654435761
+M32 = 4294967296
+
+
+def _portable_bucket(key: int, n: int) -> int:
+    km = (key) % M32
+    lo = km % 65536
+    hi = (km - lo) // 65536
+    mixed = ((hi * KNUTH) % M32 * 65536 + lo * KNUTH) % M32
+    return mixed % n
+
+
+def _graph(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    edges = {
+        (int(r.o_orderkey) % 200, 200 + int(r.o_orderkey) % 190)
+        for r in o.collect()
+    }
+    both = list(edges) + [(d, s) for s, d in edges]
+    return both
+
+
+def _replay_lpa(edges, seeds, rounds):
+    verts = {v for e in edges for v in e}
+    lab = {v: seeds.get(v) for v in verts}
+    for _ in range(rounds):
+        contrib = defaultdict(Counter)
+        for s, d in edges:
+            if lab.get(s) is not None:
+                contrib[d][lab[s]] += 1
+        new = {}
+        for v in verts:
+            if v in seeds:
+                new[v] = seeds[v]
+            elif contrib[v]:
+                # majority, ties -> smallest label
+                best = max(contrib[v].items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = None
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        g_label_propagation,
+    )
+
+    rows = g_label_propagation(spark, SF_DIR).collect()
+    edges = _graph(spark)
+    seeds = {v: v % 4 for v in range(20)}
+    want = _replay_lpa(edges, seeds, 3)
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[r.id] == (r.label if r.label is not None else None), r
+    # labels actually spread beyond the seeds
+    labeled = sum(1 for r in rows if r.label is not None)
+    assert labeled > len(seeds)
+
+
+def test_label_propagation_clamp_and_tiebreak(spark):
+    """Tiny synthetic graph: node 2 hears labels {0 (from seed 0),
+    1 (from seed 1)} with equal counts -> tie breaks to 0; seed labels
+    never change even when neighbors disagree."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 3), (3, 0)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0, 1), (1, 0)], ["vid", "lab"])
+    out = {
+        r.id: r.label
+        for r in label_propagation(edges, seeds, iterations=3).collect()
+    }
+    assert out[0] == 1 and out[1] == 0  # clamped
+    assert out[2] == 0  # tie {1:1, 0:1} -> smallest label
+    assert out[3] == 0  # from node 2's round-1 label
+
+
+def test_woe_iv_matches_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        a_woe_iv,
+    )
+
+    rows = sorted(a_woe_iv(spark, SF_DIR).collect(), key=lambda r: r.bin)
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    pos = Counter()
+    neg = Counter()
+    for t, v in zip(pdf.event_type, pdf.value):
+        b = min(max(int(v // 25.0), 0), 19)
+        (pos if t == "purchase" else neg)[b] += 1
+    tp, tn = sum(pos.values()), sum(neg.values())
+    iv = 0.0
+    woes = {}
+    for b in range(20):
+        p = (pos[b] + 0.5) / (tp + 10.0)
+        q = (neg[b] + 0.5) / (tn + 10.0)
+        woes[b] = math.log(p / q)
+        iv += (p - q) * woes[b]
+    assert [r.bin for r in rows] == list(range(20))
+    for r in rows:
+        assert r.n_pos == pos[r.bin] and r.n_neg == neg[r.bin]
+        assert abs(r.woe - woes[r.bin]) < 1e-5
+        assert abs(r.iv - iv) < 1e-5
+
+
+def _cells_expected(keys):
+    cells = Counter()
+    for k in keys:
+        for j, seed in enumerate((1000003, 2000029, 3000073)):
+            cells[(j, _portable_bucket(k + seed, 64))] += 1
+    return cells
+
+
+def test_cms_sink_stream_and_restart(spark, tmp_path):
+    """Feed events.user_id through cms_cells_sink over a real
+    availableNow stream, then land a new file and RESTART with the
+    same checkpoint. The merged cell table must equal the one-shot
+    Python-replayed sketch EXACTLY at both points (integer merge —
+    nothing is approximate about the cells), which is simultaneously
+    the exactly-once witness and the hash-portability check."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+        jobs,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    feed = tmp_path / "ev_feed"
+    for b in range(2):
+        ev.filter(SF.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+
+    sink_dir = str(tmp_path / "cms_snap")
+    ckpt = str(tmp_path / "cms_ckpt")
+    jobs.run_cms_cells(stream(), sink_dir, "user_id", checkpoint=ckpt)
+
+    def check(df_expected):
+        versions = sorted(os.listdir(sink_dir), key=lambda d: int(d[1:]))
+        snap = {
+            (r.j, r.bucket): r.c
+            for r in spark.read.parquet(
+                os.path.join(sink_dir, versions[-1])
+            ).collect()
+        }
+        keys = [int(r.user_id) for r in df_expected.collect()]
+        assert snap == dict(_cells_expected(keys))
+
+    check(ev.filter(SF.col("event_id") % 3 != 2))
+
+    ev.filter(SF.col("event_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    jobs.run_cms_cells(stream(), sink_dir, "user_id", checkpoint=ckpt)
+    check(ev)
+
+
+def test_cms_sink_replay_guard(spark, tmp_path):
+    """At-least-once delivery: re-applying an already-committed
+    batch_id must be a no-op (the SUM merge is not idempotent, so a
+    missing guard would double every cell)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+        jobs,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    base = str(tmp_path / "cms_guard")
+    sink = jobs.cms_cells_sink(base, "user_id")
+    sink(ev.filter(SF.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)
+    snap = {
+        (r.j, r.bucket): r.c
+        for r in spark.read.parquet(os.path.join(base, "v1")).collect()
+    }
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)  # replay
+    snap2 = {
+        (r.j, r.bucket): r.c
+        for r in spark.read.parquet(os.path.join(base, "v1")).collect()
+    }
+    assert snap2 == snap
+    keys = [int(r.user_id) for r in ev.collect()]
+    assert snap == dict(_cells_expected(keys))
