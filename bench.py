@@ -196,6 +196,9 @@ HEADLINE = [
     # (stream_cms_sink_checked is a verification job and stays out)
     "g_label_propagation",
     "a_woe_iv",
+    # r07: ALS matrix-factorization trainer (distributed factor-table
+    # model; all joins pinned shuffle-side)
+    "train_als_banded",
 ]
 
 

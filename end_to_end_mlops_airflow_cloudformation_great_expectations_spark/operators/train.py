@@ -240,3 +240,104 @@ def logreg_logloss(
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _als_solve(
+    frame: DataFrame,
+    key: str,
+    f1: str,
+    f2: str,
+    rating_col: str,
+    lam: float,
+    out1: str,
+    out2: str,
+) -> DataFrame:
+    """One ALS half-round: per-``key`` ridge solve against the fixed
+    side's rank-2 factors — the normal equations (Σff^T + λI)x = Σr·f
+    collapsed to the closed-form 2×2 inverse. ONE aggregation with
+    map-side partials (5 sums per key), then scalar arithmetic; no
+    window, no collect. The expression association below is mirrored
+    verbatim by the DuckDB oracle."""
+    a11 = F.sum(F.col(f1) * F.col(f1)) + F.lit(lam)
+    a12 = F.sum(F.col(f1) * F.col(f2))
+    a22 = F.sum(F.col(f2) * F.col(f2)) + F.lit(lam)
+    b1 = F.sum(F.col(rating_col) * F.col(f1))
+    b2 = F.sum(F.col(rating_col) * F.col(f2))
+    agg = frame.groupBy(key).agg(
+        a11.alias("a11"),
+        a12.alias("a12"),
+        a22.alias("a22"),
+        b1.alias("b1"),
+        b2.alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return agg.select(
+        key,
+        (
+            (F.col("a22") * F.col("b1") - F.col("a12") * F.col("b2")) / det
+        ).alias(out1),
+        (
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det
+        ).alias(out2),
+    )
+
+
+def als_fit(
+    ratings: DataFrame,
+    iterations: int = 2,
+    lam: float = 0.1,
+    user_col: str = "u",
+    item_col: str = "it",
+    rating_col: str = "r",
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-2 alternating least squares over a (user, item, rating)
+    table — collaborative-filtering factorization as lazy DataFrame
+    algebra, the trainer whose MODEL is distributed: unlike
+    ``logreg_fit``/``kmeans_fit`` (1-row weight state), the user and
+    item factor tables are key-partitioned DataFrames that never
+    visit the driver.
+
+    Deterministic init: item factors are a pure function of the item
+    id (1 + (it%7)/10, 1 − (it%5)/10) computed INLINE in the first
+    user solve — no RNG, no broadcast, replayable in any engine.
+    Each half-round references the opposite side's iterate exactly
+    ONCE (the ratings⋈factors join) so the plan grows linearly in
+    ``iterations``; each half-round costs one fact join (shuffle on
+    the factor key — AQE's skew handling covers power-law users) plus
+    one partial-agged groupBy. λ > 0 keeps every 2×2 system
+    invertible regardless of a key's rating count.
+
+    Returns lazy ``(user_factors(u,u1,u2), item_factors(it,y1,y2))``
+    after ``iterations`` alternations."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    base = ratings.select(
+        F.col(user_col).alias("u"),
+        F.col(item_col).alias("it"),
+        F.col(rating_col).cast("double").alias("r"),
+    )
+    init = base.withColumn(
+        "y1", F.lit(1.0) + (F.col("it") % 7) * F.lit(0.1)
+    ).withColumn("y2", F.lit(1.0) - (F.col("it") % 5) * F.lit(0.1))
+    uf = _als_solve(init, "u", "y1", "y2", "r", lam, "u1", "u2")
+    # Factor joins are PINNED shuffle_hash, never broadcast: at real
+    # scale the factor tables are |users|/|items|-sized — themselves
+    # huge for a 100 TB recommender — and even where they would fit,
+    # a 4 GB/executor 100x stress run showed ~10 concurrent broadcast
+    # materializations (one per plan reference) exhausting the driver
+    # (the dedup_span shuffle-pin lesson: broadcast must never ride a
+    # corpus-scaled training loop). Shuffle-hash keys the exchange on
+    # the factor key with the per-partition hash built from the
+    # factor side — the plan that survives any model size.
+    itf = None
+    for i in range(iterations):
+        itf = _als_solve(
+            base.join(uf.hint("shuffle_hash"), "u"),
+            "it", "u1", "u2", "r", lam, "y1", "y2",
+        )
+        if i < iterations - 1:
+            uf = _als_solve(
+                base.join(itf.hint("shuffle_hash"), "it"),
+                "u", "y1", "y2", "r", lam, "u1", "u2",
+            )
+    return uf, itf

@@ -184,9 +184,12 @@ _reorder()
 # a_woe_iv / stream_cms_sink_checked (queries/staged_r11.py — lazy
 # LPA fixpoint with an exact unrolled-CTE twin, WOE/IV screening on
 # the PSI grid, and the incremental CMS sink whose integer cell
-# merge gives a FULL exact oracle). All proven
+# merge gives a FULL exact oracle), and train_als_banded (rank-2 ALS
+# on the customer×part rating table — operators/train.als_fit, the
+# distributed-model trainer; every join pinned shuffle-side after a
+# real 100x/4GB broadcast OOM). All proven
 # local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 50 into the leading slots (two rotations if the
+# round: move these 51 into the leading slots (two rotations if the
 # window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -470,3 +470,194 @@ def train_kmeans_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return rep.select(F.inline(F.array(*pairs)))
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization (train_als_banded)
+# ---------------------------------------------------------------------------
+
+_ALS_LAM = 0.1
+_ALS_ROUNDS = 2  # alternations: uf1, if1, uf2, if2
+_ALS_NORM_BAND = 1_000  # avg factor norms band on the 1e-3 grid
+
+
+def _sql_als_solve(
+    src: str, key: str, f1: str, f2: str, out1: str, out2: str
+) -> str:
+    """One unrolled ALS half-round in DuckDB mirroring
+    operators/train._als_solve expression for expression (same sums,
+    same closed-form 2x2 association, same +lam placement)."""
+    return f"""
+      SELECT {key},
+             (a22*b1 - a12*b2) / (a11*a22 - a12*a12) AS {out1},
+             (a11*b2 - a12*b1) / (a11*a22 - a12*a12) AS {out2}
+      FROM (
+        SELECT {key},
+               SUM({f1}*{f1}) + {_ALS_LAM} AS a11,
+               SUM({f1}*{f2}) AS a12,
+               SUM({f2}*{f2}) + {_ALS_LAM} AS a22,
+               SUM(r*{f1}) AS b1,
+               SUM(r*{f2}) AS b2
+        FROM {src} GROUP BY {key})
+    """
+
+
+def _sql_als_oracle() -> str:
+    return f"""
+    WITH ratings AS (
+      SELECT o_custkey AS u, l_partkey AS it,
+             CAST(l_quantity AS DOUBLE) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), init AS (
+      SELECT u, it, r,
+             1.0 + (it % 7) * 0.1 AS y1,
+             1.0 - (it % 5) * 0.1 AS y2
+      FROM ratings
+    ), uf1 AS ({_sql_als_solve('init', 'u', 'y1', 'y2', 'u1', 'u2')}),
+    if1 AS ({_sql_als_solve(
+        '(SELECT it, r, u1, u2 FROM ratings JOIN uf1 USING (u))',
+        'it', 'u1', 'u2', 'y1', 'y2')}),
+    uf2 AS ({_sql_als_solve(
+        '(SELECT u, r, y1, y2 FROM ratings JOIN if1 USING (it))',
+        'u', 'y1', 'y2', 'u1', 'u2')}),
+    if2 AS ({_sql_als_solve(
+        '(SELECT it, r, u1, u2 FROM ratings JOIN uf2 USING (u))',
+        'it', 'u1', 'u2', 'y1', 'y2')}),
+    pred AS (
+      SELECT r, (u1*y1 + u2*y2) AS p
+      FROM ratings JOIN uf2 USING (u) JOIN if2 USING (it)
+    ), fin AS (
+      SELECT SQRT(AVG((r - p)*(r - p))) AS rmse,
+             CAST(COUNT(*) AS BIGINT) AS n FROM pred
+    ), un AS (
+      SELECT AVG(u1*u1 + u2*u2) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM uf2
+    ), inorm AS (
+      SELECT AVG(y1*y1 + y2*y2) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM if2
+    )
+    SELECT 'rmse' AS term,
+           CAST(FLOOR(rmse * {_BAND}) AS BIGINT) AS band FROM fin
+    UNION ALL SELECT 'n_ratings', n FROM fin
+    UNION ALL SELECT 'u_norm_avg',
+           CAST(FLOOR(v * {_ALS_NORM_BAND}) AS BIGINT) FROM un
+    UNION ALL SELECT 'n_users', c FROM un
+    UNION ALL SELECT 'i_norm_avg',
+           CAST(FLOOR(v * {_ALS_NORM_BAND}) AS BIGINT) FROM inorm
+    UNION ALL SELECT 'n_items', c FROM inorm
+    """
+
+
+@query("train_als_banded", oracle=_sql_als_oracle())
+def train_als_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering in-engine training: rank-2 alternating
+    least squares on the (customer, part, quantity) rating table —
+    operators/train.als_fit. Completes the trainer family with the
+    DISTRIBUTED-model case: logreg/kmeans carry 1-row weight state,
+    ALS's user/item factor tables are key-partitioned DataFrames that
+    never visit the driver (the shape a 100 TB recommender needs —
+    per-round cost is one fact join + one grouped solve per side,
+    factor state sharded by key).
+
+    Cross-engine check (the g_pagerank_banded convention): the DuckDB
+    twin unrolls the SAME 2 alternations (uf1→if1→uf2→if2) from the
+    SAME deterministic item-id init, with the closed-form 2×2 solve
+    spelled in the SAME association order. Reported: training RMSE
+    (1e-6 band), mean user/item factor norms (1e-3 bands — coarser
+    because they average ~1e3 per-key solves), and exact n_ratings /
+    n_users / n_items longs (the join/solve cardinality witnesses).
+    Band-edge gaps are measured and pinned in test_train.py."""
+    from ..operators.train import als_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # FACT-FACT join builds the rating table: orders' 2-column
+    # projection sits under the static broadcast estimate at small SF,
+    # and at the 100x/4GB stress point Spark broadcast a corpus-scaled
+    # side 15x (one per plan reference) and OOM'd — the dedup_span
+    # lesson verbatim. Pin SMJ: both sides shuffle on the order key,
+    # co-partitioned, flat per-executor memory at any corpus size.
+    ratings = li.join(
+        o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("it"),
+        F.col("l_quantity").cast("double").alias("r"),
+    )
+    uf, itf = als_fit(ratings, iterations=_ALS_ROUNDS, lam=_ALS_LAM)
+    pred = (
+        ratings.join(uf.hint("shuffle_hash"), "u")
+        .join(itf.hint("shuffle_hash"), "it")
+        .select(
+            "r",
+            (
+                F.col("u1") * F.col("y1") + F.col("u2") * F.col("y2")
+            ).alias("p"),
+        )
+    )
+    fin = pred.agg(
+        F.sqrt(F.avg((F.col("r") - F.col("p")) * (F.col("r") - F.col("p"))))
+        .alias("rmse"),
+        F.count("*").alias("n"),
+    )
+    un = uf.agg(
+        F.avg(F.col("u1") * F.col("u1") + F.col("u2") * F.col("u2")).alias(
+            "v"
+        ),
+        F.count("*").alias("c"),
+    )
+    inorm = itf.agg(
+        F.avg(F.col("y1") * F.col("y1") + F.col("y2") * F.col("y2")).alias(
+            "v"
+        ),
+        F.count("*").alias("c"),
+    )
+    rows = fin.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("rmse").alias("term"),
+                    F.floor(F.col("rmse") * _BAND).cast("long").alias("band"),
+                ),
+                F.struct(
+                    F.lit("n_ratings").alias("term"),
+                    F.col("n").cast("long").alias("band"),
+                ),
+            )
+        )
+    )
+    rows_u = un.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("u_norm_avg").alias("term"),
+                    F.floor(F.col("v") * _ALS_NORM_BAND)
+                    .cast("long")
+                    .alias("band"),
+                ),
+                F.struct(
+                    F.lit("n_users").alias("term"),
+                    F.col("c").cast("long").alias("band"),
+                ),
+            )
+        )
+    )
+    rows_i = inorm.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("i_norm_avg").alias("term"),
+                    F.floor(F.col("v") * _ALS_NORM_BAND)
+                    .cast("long")
+                    .alias("band"),
+                ),
+                F.struct(
+                    F.lit("n_items").alias("term"),
+                    F.col("c").cast("long").alias("band"),
+                ),
+            )
+        )
+    )
+    return rows.unionByName(rows_u).unionByName(rows_i)

@@ -595,3 +595,18 @@ def test_cms_checked_probe_broadcasts_cells(spark):
     plan = explain.physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("events.parquet") <= 2, plan
+
+
+def test_als_never_broadcasts(spark):
+    """train_als_banded: every join is pinned shuffle-side — the
+    ratings build (fact-fact, SMJ) and the factor joins
+    (shuffle_hash). At the 100x/4GB stress point the unpinned plan
+    broadcast the corpus-scaled orders projection 15x (one per plan
+    reference) and OOM'd; at real scale the factor tables are
+    |users|/|items|-sized and must not broadcast either."""
+    df = QUERIES["train_als_banded"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 0, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan

@@ -268,3 +268,127 @@ def test_kmeans_single_point_converges_in_one_round(spark):
     row = cents.collect()[0].asDict()
     assert row["c1_1"] == 0.25 and row["c1_2"] == -0.5
     assert row["c2_1"] == 5.0 and row["c2_2"] == 5.0
+
+
+def _als_replay(ratings, rounds=2, lam=0.1):
+    """numpy replay of operators/train.als_fit: per-key closed-form
+    2x2 ridge solves from the same deterministic item-id init."""
+    import numpy as np
+
+    def solve(groups):
+        out = {}
+        for k, rows in groups.items():
+            a11 = sum(f1 * f1 for f1, _, _ in rows) + lam
+            a12 = sum(f1 * f2 for f1, f2, _ in rows)
+            a22 = sum(f2 * f2 for _, f2, _ in rows) + lam
+            b1 = sum(r * f1 for f1, _, r in rows)
+            b2 = sum(r * f2 for _, f2, r in rows)
+            det = a11 * a22 - a12 * a12
+            out[k] = ((a22 * b1 - a12 * b2) / det, (a11 * b2 - a12 * b1) / det)
+        return out
+
+    def group(fixed_side, key_idx):
+        g = {}
+        for u, it, r in ratings:
+            key = (u, it)[key_idx]
+            fk = (u, it)[1 - key_idx]
+            f1, f2 = fixed_side[fk]
+            g.setdefault(key, []).append((f1, f2, r))
+        return g
+
+    itf = {
+        it: (1.0 + (it % 7) * 0.1, 1.0 - (it % 5) * 0.1)
+        for _, it, _ in ratings
+    }
+    uf = solve(group(itf, 0))
+    for i in range(rounds):
+        itf = solve(group(uf, 1))
+        if i < rounds - 1:
+            uf = solve(group(itf, 0))
+    import math
+
+    se = n = 0.0
+    for u, it, r in ratings:
+        p = uf[u][0] * itf[it][0] + uf[u][1] * itf[it][1]
+        se += (r - p) ** 2
+        n += 1
+    return uf, itf, math.sqrt(se / n)
+
+
+def _als_ratings(spark):
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return [
+        (int(r.o_custkey), int(r.l_partkey), float(r.l_quantity))
+        for r in li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).collect()
+    ]
+
+
+def test_als_matches_numpy_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+        als_fit,
+    )
+
+    ratings = _als_ratings(spark)
+    want_uf, want_itf, want_rmse = _als_replay(ratings)
+    df = spark.createDataFrame(ratings, ["u", "it", "r"])
+    uf, itf = als_fit(df, iterations=2, lam=0.1)
+    got_uf = {r.u: (r.u1, r.u2) for r in uf.collect()}
+    got_itf = {r.it: (r.y1, r.y2) for r in itf.collect()}
+    assert set(got_uf) == set(want_uf) and set(got_itf) == set(want_itf)
+    for k, (w1, w2) in want_uf.items():
+        assert abs(got_uf[k][0] - w1) < 1e-8 and abs(got_uf[k][1] - w2) < 1e-8
+    for k, (w1, w2) in want_itf.items():
+        assert (
+            abs(got_itf[k][0] - w1) < 1e-8 and abs(got_itf[k][1] - w2) < 1e-8
+        )
+    # the factorization beats the trivial mean predictor (whose RMSE
+    # is the rating sd) — the honest bar on TPC-H's near-random
+    # quantities, where there is little structure to factor
+    import statistics
+
+    sd = statistics.pstdev([r for _, _, r in ratings])
+    assert want_rmse < sd
+
+
+def test_als_band_margins_are_safe(spark):
+    """The three banded ALS diagnostics must sit far from their FLOOR
+    boundaries (cross-engine summation noise is ~1e-9 band-widths)."""
+    import math
+
+    ratings = _als_ratings(spark)
+    uf, itf, rmse = _als_replay(ratings)
+    u_norm = sum(a * a + b * b for a, b in uf.values()) / len(uf)
+    i_norm = sum(a * a + b * b for a, b in itf.values()) / len(itf)
+    for val, scale, name in (
+        (rmse, 1_000_000, "rmse"),
+        (u_norm, 1_000, "u_norm_avg"),
+        (i_norm, 1_000, "i_norm_avg"),
+    ):
+        frac = (val * scale) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-2, (name, val, frac)
+
+
+def test_als_plan_growth_is_linear(spark):
+    """Each half-round references the opposite iterate once: the plan
+    string must not show the per-round doubling signature."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+        als_fit,
+    )
+
+    df = spark.createDataFrame([(1, 1, 2.0), (1, 2, 3.0)], ["u", "it", "r"])
+
+    def plan_len(k):
+        _, itf = als_fit(df, iterations=k)
+        return len(itf._jdf.queryExecution().logical().toString())
+
+    p2, p4, p6 = plan_len(2), plan_len(4), plan_len(6)
+    assert p4 / p2 < 3.0, (p2, p4)
+    assert p6 / p4 < 2.6, (p4, p6)
