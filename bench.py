@@ -199,6 +199,8 @@ HEADLINE = [
     # r07: ALS matrix-factorization trainer (distributed factor-table
     # model; all joins pinned shuffle-side)
     "train_als_banded",
+    # r07: ALS serving path (cohort scoring + anti-join + per-user topk)
+    "als_recommend_topk",
 ]
 
 

@@ -661,3 +661,110 @@ def train_als_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.unionByName(rows_u).unionByName(rows_i)
+
+
+_REC_COHORT_MOD = 100  # serve the u % 100 == 0 user cohort per batch
+_REC_TOPK = 5
+_REC_BAND = 10_000  # rank on the 1e-4 pred grid (ties -> item asc)
+
+
+@query(
+    "als_recommend_topk",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT o_custkey AS u, l_partkey AS it,
+             CAST(l_quantity AS DOUBLE) AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), init AS (
+      SELECT u, it, r,
+             1.0 + (it % 7) * 0.1 AS y1,
+             1.0 - (it % 5) * 0.1 AS y2
+      FROM ratings
+    ), uf1 AS ({_sql_als_solve('init', 'u', 'y1', 'y2', 'u1', 'u2')}),
+    if1 AS ({_sql_als_solve(
+        '(SELECT it, r, u1, u2 FROM ratings JOIN uf1 USING (u))',
+        'it', 'u1', 'u2', 'y1', 'y2')}),
+    uf2 AS ({_sql_als_solve(
+        '(SELECT u, r, y1, y2 FROM ratings JOIN if1 USING (it))',
+        'u', 'y1', 'y2', 'u1', 'u2')}),
+    if2 AS ({_sql_als_solve(
+        '(SELECT it, r, u1, u2 FROM ratings JOIN uf2 USING (u))',
+        'it', 'u1', 'u2', 'y1', 'y2')}),
+    cohort AS (
+      SELECT * FROM uf2 WHERE u % {_REC_COHORT_MOD} = 0
+    ), pairs AS (
+      SELECT c.u, i.it,
+             CAST(FLOOR((c.u1*i.y1 + c.u2*i.y2) * {_REC_BAND}) AS BIGINT)
+               AS pred_band
+      FROM cohort c CROSS JOIN if2 i
+    ), unrated AS (
+      SELECT p.* FROM pairs p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ratings r WHERE r.u = p.u AND r.it = p.it
+      )
+    )
+    SELECT u, it, pred_band, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY u ORDER BY pred_band DESC, it ASC
+             ) AS rnk
+      FROM unrated
+    ) WHERE rnk <= {_REC_TOPK}
+    """,
+)
+def als_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALS SERVING path: score a user cohort (u % 100 == 0 — the
+    per-batch shard a recommender serves at a time) against every
+    item factor, drop already-rated pairs, keep the top-5 per user.
+    Complements rec_item_affinity (co-occurrence) with the
+    model-based recommender over the SAME trained factors as
+    train_als_banded (identical unrolled recurrence in the oracle).
+
+    Determinism: predictions land on the 1e-4 FLOOR grid BEFORE
+    ranking (cross-engine solve noise is ~1e-11 absolute — gap
+    measured in test_train.py), ties break on item id, so the top-5
+    cut is total.
+
+    Scale: the cohort×items score is |cohort|·|items| with the item
+    FACTOR table broadcast (model-sized, ~24 B/item — fine to ~10⁷
+    items; past that the factors go into ivf_index_build and the
+    scoring becomes an ANN search, the documented index path). The
+    exclusion anti-join touches only the cohort's slice of the fact
+    table; per-user top-5 is one window partitioned BY USER — fully
+    parallel, never a global sort."""
+    from ..operators.train import als_fit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = li.join(
+        o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("it"),
+        F.col("l_quantity").cast("double").alias("r"),
+    )
+    uf, itf = als_fit(ratings, iterations=_ALS_ROUNDS, lam=_ALS_LAM)
+    cohort = uf.filter(F.col("u") % _REC_COHORT_MOD == 0)
+    pairs = cohort.crossJoin(F.broadcast(itf)).select(
+        "u",
+        "it",
+        F.floor(
+            (F.col("u1") * F.col("y1") + F.col("u2") * F.col("y2"))
+            * _REC_BAND
+        )
+        .cast("long")
+        .alias("pred_band"),
+    )
+    rated = ratings.filter(
+        F.col("u") % _REC_COHORT_MOD == 0
+    ).select("u", "it")
+    unrated = pairs.join(rated, ["u", "it"], "left_anti")
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy("u").orderBy(F.desc("pred_band"), F.asc("it"))
+    return (
+        unrated.withColumn("rnk", F.row_number().over(wu))
+        .filter(F.col("rnk") <= _REC_TOPK)
+        .select("u", "it", "pred_band", F.col("rnk").cast("int").alias("rnk"))
+    )

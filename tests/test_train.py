@@ -392,3 +392,41 @@ def test_als_plan_growth_is_linear(spark):
     p2, p4, p6 = plan_len(2), plan_len(4), plan_len(6)
     assert p4 / p2 < 3.0, (p2, p4)
     assert p6 / p4 < 2.6, (p4, p6)
+
+
+def test_als_recommend_matches_replay_and_gaps(spark):
+    """Serving replay: numpy factors -> cohort x items banded scores,
+    drop rated, top-5 per user (band desc, item asc). Also pins the
+    band-edge safety of every OUTPUT row's prediction."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r08 import (
+        als_recommend_topk,
+    )
+
+    rows = als_recommend_topk(spark, "/root/testdata/sf0.001").collect()
+    ratings = _als_ratings(spark)
+    uf, itf, _ = _als_replay(ratings)
+    rated = {(u, it) for u, it, _ in ratings}
+    want = {}
+    for u in uf:
+        if u % 100 != 0:
+            continue
+        cand = []
+        for it, (y1, y2) in itf.items():
+            if (u, it) in rated:
+                continue
+            pred = uf[u][0] * y1 + uf[u][1] * y2
+            band = math.floor(pred * 10_000)
+            # band-edge gap: the pre-floor value must sit clear of the
+            # integer boundary (cross-engine noise ~1e-11 absolute)
+            frac = (pred * 10_000) % 1.0
+            assert min(frac, 1.0 - frac) > 1e-6, (u, it, pred)
+            cand.append((band, it))
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        want[u] = cand[:5]
+    got = {}
+    for r in rows:
+        got.setdefault(r.u, []).append((r.rnk, r.pred_band, r.it))
+    assert set(got) == set(want)
+    for u, lst in got.items():
+        lst.sort()
+        assert [(b, it) for _, b, it in lst] == want[u], u
