@@ -201,6 +201,8 @@ HEADLINE = [
     "train_als_banded",
     # r07: ALS serving path (cohort scoring + anti-join + per-user topk)
     "als_recommend_topk",
+    # r07: deterministic Poisson bootstrap (one scan, B running sums)
+    "a_bootstrap_ci",
 ]
 
 

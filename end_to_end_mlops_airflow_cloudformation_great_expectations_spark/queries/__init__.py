@@ -189,9 +189,11 @@ _reorder()
 # distributed-model trainer; every join pinned shuffle-side after a
 # real 100x/4GB broadcast OOM), and als_recommend_topk (the serving
 # path: cohort x item-factor scoring on the 1e-4 grid, rated pairs
-# anti-joined out, top-5 per user). All proven
+# anti-joined out, top-5 per user), and a_bootstrap_ci (deterministic
+# Poisson bootstrap: portable-hash integer weights, oracle-checked
+# resampling, 1e-6 ROUND-grid mean/SE/percentile-CI). All proven
 # local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 52 into the leading slots (two rotations if the
+# round: move these 53 into the leading slots (two rotations if the
 # window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -344,3 +344,145 @@ def stream_cms_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("overcount"),
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap (a_bootstrap_ci)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+_BOOT_W = 1 << 20  # hash grid for the inverse-CDF lookup
+_BOOT_SEED = 77_777
+#: FLOOR(CDF_Poisson(1)(k) * 2^20) for k = 0..9 — integer thresholds so
+#: the weight lookup is pure integer comparison on both engines.
+_BOOT_T = (
+    385749, 771499, 964373, 1028665, 1044738,
+    1047952, 1048488, 1048565, 1048574, 1048575,
+)
+_BOOT_BAND = 1_000_000
+_BOOT_LO_RANK = 3   # 2.5th percentile of B=100 (3rd smallest)
+_BOOT_HI_RANK = 98  # 97.5th percentile (98th smallest)
+
+
+def _boot_w_case_sql(bucket: str) -> str:
+    whens = " ".join(
+        f"WHEN {bucket} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {whens} ELSE {len(_BOOT_T)} END"
+
+
+@query(
+    "a_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT e.event_id, e.value,
+             CAST(unnest(generate_series(0, {_BOOT_B - 1})) AS BIGINT) AS rep
+      FROM events e
+    ), weighted AS (
+      SELECT rep, value,
+             {_boot_w_case_sql(_cms_oracle_bucket_sql(
+                 f'event_id * {_BOOT_B} + rep + {_BOOT_SEED}', 0, _BOOT_W))}
+               AS w
+      FROM reps
+    ), rmeans AS (
+      SELECT rep, SUM(w * value) / SUM(w) AS m FROM weighted GROUP BY rep
+    ), banded AS (
+      SELECT rep, m, CAST(ROUND(m * {_BOOT_BAND}) AS BIGINT) AS mb,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(ROUND(m * {_BOOT_BAND}) AS BIGINT) ASC, rep ASC
+             ) AS rn
+      FROM rmeans
+    ), stats AS (
+      SELECT CAST(ROUND(STDDEV_SAMP(m) * {_BOOT_BAND}) AS BIGINT) AS se_band
+      FROM rmeans
+    ), point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(AVG(value) * {_BOOT_BAND}) AS BIGINT) AS mean_band
+      FROM events
+    )
+    SELECT p.n, p.mean_band, s.se_band,
+           (SELECT mb FROM banded WHERE rn = {_BOOT_LO_RANK}) AS ci_lo_band,
+           (SELECT mb FROM banded WHERE rn = {_BOOT_HI_RANK}) AS ci_hi_band
+    FROM point p CROSS JOIN stats s
+    """,
+)
+def a_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value with a
+    DETERMINISTIC, engine-portable resample: the Poisson bootstrap
+    (each row enters replicate b with weight ~ Poisson(1)), with the
+    weight drawn by INTEGER inverse-CDF lookup on
+    portable_bucket(event_id·B + b + seed) — the same hash DuckDB
+    replays exactly (a_cms_heavy_hitters arithmetic), so the replicate
+    weights are identical integers on both engines and the whole
+    resampling argument is cross-engine checkable. B=100 replicates;
+    reported: exact n, the point mean, the bootstrap SE, and the
+    [2.5%, 97.5%] percentile CI — all integers on the 1e-6 ROUND
+    grid. ROUND, not FLOOR: the 2-decimal values make Σv/n land
+    EXACTLY on 1e-6 grid points (caught by the replay test), where
+    FLOOR flips on 1-ulp cross-engine noise while ROUND is stable;
+    ROUND's own bad spots are half-grid points, which the replay
+    test's gap check covers.
+
+    This is THE bootstrap at 100 TB: classic index-resampling needs a
+    global materialized sample per replicate (B corpus copies); the
+    Poisson trick turns it into ONE scan with a per-(row, replicate)
+    weight — B·n flat-mapped rows into a B-group aggregation with
+    map-side partials, state = B running sums. Percentiles of the
+    100-row replicate table ride a constant-key window.
+
+    Hypothesis-test siblings (a_ks_test, a_welch_ttest) assume a
+    parametric null; this gives assumption-free uncertainty for ANY
+    plug-in statistic — swap the aggregate to extend."""
+    from ..functions.columns import portable_bucket
+
+    e = _t(spark, sf_dir, "events")
+    reps = e.select(
+        "event_id",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("rep"),
+    )
+    bucket = portable_bucket(
+        F.col("event_id") * _BOOT_B + F.col("rep") + F.lit(_BOOT_SEED),
+        _BOOT_W,
+    )
+    w = F.lit(len(_BOOT_T))
+    for k in range(len(_BOOT_T) - 1, -1, -1):
+        w = F.when(bucket < _BOOT_T[k], k).otherwise(w)
+    rmeans = (
+        reps.select("rep", "value", w.alias("w"))
+        .groupBy("rep")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    one = constant_partition_key(F.col("rep"))
+    rn = F.row_number().over(
+        Window.partitionBy(one).orderBy(
+            F.round(F.col("m") * _BOOT_BAND).cast("long").asc(),
+            F.col("rep").asc(),
+        )
+    )
+    banded = rmeans.select(
+        F.round(F.col("m") * _BOOT_BAND).cast("long").alias("mb"),
+        rn.alias("rn"),
+    )
+    lo = banded.filter(F.col("rn") == _BOOT_LO_RANK).select(
+        F.col("mb").alias("ci_lo_band")
+    )
+    hi = banded.filter(F.col("rn") == _BOOT_HI_RANK).select(
+        F.col("mb").alias("ci_hi_band")
+    )
+    se = rmeans.agg(
+        F.round(F.stddev_samp("m") * _BOOT_BAND)
+        .cast("long")
+        .alias("se_band")
+    )
+    point = e.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value") * _BOOT_BAND).cast("long").alias("mean_band"),
+    )
+    return (
+        point.crossJoin(F.broadcast(se))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

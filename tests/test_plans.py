@@ -610,3 +610,24 @@ def test_als_never_broadcasts(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 0, plan
     assert "SortMergeJoin" in plan, plan
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_bootstrap_partial_aggs_two_scans(spark):
+    """a_bootstrap_ci: the B-replicate flat-map aggregates with
+    map-side partials into B groups; events is scanned at most twice
+    (replicates + point stats); the 100-row replicate table rides
+    constant-key windows; no Python nodes."""
+    df = QUERIES["a_bootstrap_ci"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    # initial plan references the replicate subtree once per consumer
+    # (se / ci_lo / ci_hi) + the point-stats scan; the three replicate
+    # branches share one byte-identical B-group exchange, which AQE
+    # collapses to ReusedExchange at runtime (asserted on the final
+    # adaptive plan) — effective cost is TWO scans.
+    assert plan.count("events.parquet") <= 4, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+    df.collect()
+    final = explain.physical_plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert final.count("ReusedExchange") >= 1, final

@@ -214,3 +214,71 @@ def test_cms_sink_replay_guard(spark, tmp_path):
     assert snap2 == snap
     keys = [int(r.user_id) for r in ev.collect()]
     assert snap == dict(_cells_expected(keys))
+
+
+def test_bootstrap_ci_matches_replay(spark):
+    """Full Python replay of the Poisson bootstrap: identical hash →
+    identical integer weights → identical replicate means; the CI
+    order statistics and band-edge gaps are checked too, plus the
+    statistical sanity bound SE ≈ sd/sqrt(n)."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        _BOOT_B,
+        _BOOT_BAND,
+        _BOOT_HI_RANK,
+        _BOOT_LO_RANK,
+        _BOOT_SEED,
+        _BOOT_T,
+        _BOOT_W,
+        a_bootstrap_ci,
+    )
+
+    row = a_bootstrap_ci(spark, SF_DIR).collect()[0]
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "value")
+        .toPandas()
+    )
+    n = len(pdf)
+    assert row.n == n
+    mean = pdf.value.sum() / n
+    assert row.mean_band == round(mean * _BOOT_BAND)
+
+    def weight(eid, rep):
+        b = _portable_bucket(eid * _BOOT_B + rep + _BOOT_SEED, _BOOT_W)
+        for k, t in enumerate(_BOOT_T):
+            if b < t:
+                return k
+        return len(_BOOT_T)
+
+    ms = []
+    eids = pdf.event_id.values
+    vals = pdf.value.values
+    for rep in range(_BOOT_B):
+        sw = swv = 0.0
+        for eid, v in zip(eids, vals):
+            w = weight(int(eid), rep)
+            sw += w
+            swv += w * v
+        ms.append(swv / sw)
+    banded = sorted(
+        (round(m * _BOOT_BAND), rep) for rep, m in enumerate(ms)
+    )
+    assert row.ci_lo_band == banded[_BOOT_LO_RANK - 1][0]
+    assert row.ci_hi_band == banded[_BOOT_HI_RANK - 1][0]
+    mbar = sum(ms) / len(ms)
+    se = math.sqrt(sum((m - mbar) ** 2 for m in ms) / (len(ms) - 1))
+    assert row.se_band == round(se * _BOOT_BAND)
+    # band-edge gaps: ROUND's unstable spots are the HALF-grid points
+    # (FLOOR's were the grid points — and the point mean lands exactly
+    # ON the grid here, which is why the query uses ROUND): every
+    # banded quantity must sit clear of x.5
+    for v in (mean, se, *ms):
+        frac = (v * _BOOT_BAND) % 1.0
+        assert abs(frac - 0.5) > 1e-4, v
+    # the percentile CI contains the point mean, and the bootstrap SE
+    # is within 3x of the CLT prediction sd/sqrt(n)
+    assert row.ci_lo_band <= row.mean_band <= row.ci_hi_band
+    clt = pdf.value.std(ddof=1) / math.sqrt(n)
+    assert clt / 3 < se < clt * 3
