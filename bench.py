@@ -203,6 +203,8 @@ HEADLINE = [
     "als_recommend_topk",
     # r07: deterministic Poisson bootstrap (one scan, B running sums)
     "a_bootstrap_ci",
+    # r07: split-conformal prediction sets (exact order-statistic qhat)
+    "a_conformal_sets",
 ]
 
 

@@ -191,9 +191,12 @@ _reorder()
 # path: cohort x item-factor scoring on the 1e-4 grid, rated pairs
 # anti-joined out, top-5 per user), and a_bootstrap_ci (deterministic
 # Poisson bootstrap: portable-hash integer weights, oracle-checked
-# resampling, 1e-6 ROUND-grid mean/SE/percentile-CI). All proven
+# resampling, 1e-6 ROUND-grid mean/SE/percentile-CI), and
+# a_conformal_sets (split-conformal prediction sets over the centroid
+# classifier — exact order-statistic q-hat, grid-exact set
+# membership, coverage guarantee replay-pinned). All proven
 # local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 53 into the leading slots (two rotations if the
+# round: move these 54 into the leading slots (two rotations if the
 # window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -638,3 +638,193 @@ def _register_hybrid_rrf() -> None:
 
 
 _register_hybrid_rrf()
+
+
+# ---------------------------------------------------------------------
+# Split-conformal prediction sets over the centroid classifier
+# ---------------------------------------------------------------------
+
+_CP_ALPHA = 0.1
+
+#: Per-(vector, class) cosine similarities to every label centroid on
+#: the 1e-6 grid — the emb_centroid_classify sims, shared by the
+#: conformal calibration and test sides.
+_ALL_SIMS_CTE = """
+    ex AS (
+      SELECT clabel, i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT CAST(label AS BIGINT) AS clabel,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+    ), cent AS (
+      SELECT clabel, i, ROUND(AVG(x), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ), vex AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+             CAST(x AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+    ), sims AS (
+      SELECT vex.vec_id, vex.label, cent.clabel,
+             ROUND(SUM(vex.x * cent.c)
+                   / NULLIF(SQRT(SUM(vex.x * vex.x))
+                            * SQRT(SUM(cent.c * cent.c)), 0.0),
+                   6) AS sim
+      FROM vex JOIN cent USING (i)
+      GROUP BY 1, 2, 3
+    )
+"""
+
+
+@query(
+    "a_conformal_sets",
+    oracle=f"""
+    WITH {_ALL_SIMS_CTE}
+    , calib AS (
+      SELECT vec_id, ROUND(1.0 - sim, 6) AS s
+      FROM sims WHERE vec_id % 2 = 0 AND clabel = label
+    ), nc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib
+    ), ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s ASC, vec_id ASC) AS rk
+      FROM calib
+    ), qhat AS (
+      SELECT r.s AS qhat FROM ranked r CROSS JOIN nc
+      WHERE r.rk = CAST(CEIL((nc.n_calib + 1) * {1 - _CP_ALPHA}) AS BIGINT)
+    ), test AS (
+      SELECT vec_id, label, clabel,
+             CASE WHEN ROUND(1.0 - sim, 6) <= q.qhat THEN 1 ELSE 0 END
+               AS inset
+      FROM sims CROSS JOIN qhat q WHERE vec_id % 2 = 1
+    ), per AS (
+      SELECT vec_id,
+             CAST(SUM(inset) AS BIGINT) AS set_size,
+             MAX(CASE WHEN clabel = label THEN inset ELSE 0 END) AS covered
+      FROM test GROUP BY vec_id
+    )
+    SELECT nc.n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           q.qhat,
+           ROUND(CAST(SUM(set_size) AS DOUBLE) / COUNT(*), 6)
+             AS avg_set_size,
+           ROUND(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 6) AS coverage
+    FROM per CROSS JOIN nc CROSS JOIN qhat q
+    GROUP BY nc.n_calib, q.qhat
+    """,
+)
+def a_conformal_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction sets over the nearest-centroid
+    classifier — distribution-free uncertainty for classification,
+    the eval-family capstone: calibrate the nonconformity score
+    s = 1 − cos(x, centroid_true) on the even vec_ids, take
+    q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score (α = 0.1),
+    and on the odd vec_ids emit the prediction SET
+    {c : 1 − cos(x, centroid_c) ≤ q̂}. Reports n_calib/n_test, q̂,
+    mean set size, and empirical coverage — conformal theory
+    guarantees coverage ≥ 1−α up to finite-sample slack, and the
+    numbers here are exactly checkable because EVERY quantity is
+    either an exact integer or an order statistic / ratio over
+    1e-6-gridded scores (no float bands needed: q̂ IS a grid value,
+    and set membership compares grid values exactly).
+
+    Scale: the sims pass is emb_centroid_classify's shape (two
+    corpus scans + a |labels|-row broadcast); the calibration
+    quantile is ONE distributed rank-attach + a 1-row broadcast of
+    (n, q̂); the test side is map-only against those broadcasts.
+    Nothing quadratic, nothing on the driver."""
+    from ..operators.ranks import attach_global_ranks
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.col("label").cast("long").alias("clabel"),
+        F.posexplode("embedding").alias("i", "x"),
+    )
+    cent = ex.groupBy("clabel", "i").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c")
+    )
+    cent_arr = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda p: p["c"],
+        ).alias("carr")
+    )
+    sims = (
+        e.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            "embedding",
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(
+                _dot(F.col("embedding"), F.col("carr"))
+                / F.nullif(
+                    F.sqrt(_sqnorm(F.col("embedding")))
+                    * F.sqrt(_sqnorm(F.col("carr"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    calib = sims.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("clabel") == F.col("label"))
+    ).select("vec_id", F.round(1.0 - F.col("sim"), 6).alias("s"))
+    nc = calib.agg(F.count("*").alias("n_calib"))
+    ranked = attach_global_ranks(
+        calib,
+        sort_cols=[F.asc("s"), F.asc("vec_id")],
+        key_cols=[F.col("s"), F.col("vec_id")],
+        rn_col="rk",
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(nc))
+        .filter(
+            F.col("rk")
+            == F.ceil((F.col("n_calib") + 1) * F.lit(1 - _CP_ALPHA)).cast(
+                "long"
+            )
+        )
+        .select(F.col("s").alias("qhat"))
+    )
+    test = (
+        sims.filter(F.col("vec_id") % 2 == 1)
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.round(1.0 - F.col("sim"), 6) <= F.col("qhat"))
+            .cast("int")
+            .alias("inset"),
+        )
+    )
+    per = test.groupBy("vec_id").agg(
+        F.sum("inset").cast("long").alias("set_size"),
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("inset")).otherwise(
+                0
+            )
+        ).alias("covered"),
+    )
+    return (
+        per.agg(
+            F.count("*").alias("n_test"),
+            F.round(
+                F.sum("set_size").cast("double") / F.count("*"), 6
+            ).alias("avg_set_size"),
+            F.round(
+                F.sum("covered").cast("double") / F.count("*"), 6
+            ).alias("coverage"),
+        )
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(qhat))
+        .select(
+            "n_calib", "n_test", "qhat", "avg_set_size", "coverage"
+        )
+    )

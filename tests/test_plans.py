@@ -631,3 +631,16 @@ def test_bootstrap_partial_aggs_two_scans(spark):
     final = explain.physical_plan(df)
     assert "isFinalPlan=true" in final, final
     assert final.count("ReusedExchange") >= 1, final
+
+
+def test_conformal_broadcasts_thresholds_no_cartesian(spark):
+    """a_conformal_sets: the sims pass is the emb_centroid_classify
+    shape (two embeddings scans per branch + a |labels|-row
+    broadcast); the calibration quantile is one distributed
+    rank-attach; (n, qhat) ride 1-row broadcasts to the map-only test
+    side. No CartesianProduct, no Python nodes."""
+    df = QUERIES["a_conformal_sets"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan

@@ -210,3 +210,61 @@ def test_hybrid_rrf_matches_arm_replay(spark):
     # the query-by-example doc itself must fuse at rank 1 of the sem arm
     sem_top = [r for r in rows if r.r_sem == 1]
     assert sem_top and sem_top[0].doc_id == 0
+
+
+def test_conformal_sets_match_replay(spark):
+    """Full replay of split-conformal: centroid sims (1e-6 grid),
+    calibration order statistic, prediction sets, coverage. Also
+    asserts the conformal guarantee holds on the test half."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r10 import (
+        a_conformal_sets,
+    )
+
+    row = a_conformal_sets(spark, SF_DIR).collect()[0]
+    pdf = _emb_pdf(spark)
+    mat = np.array([np.array(e, dtype=np.float64) for e in pdf.embedding])
+    labels = pdf.label.values
+    vecids = pdf.vec_id.values
+    cents = {}
+    for c in np.unique(labels):
+        cents[c] = np.round(mat[labels == c].mean(axis=0), 6)
+    sims = {}
+    for idx, v in enumerate(vecids):
+        for c, cent in cents.items():
+            sims[(int(v), int(c))] = round(
+                float(
+                    mat[idx] @ cent
+                    / (np.linalg.norm(mat[idx]) * np.linalg.norm(cent))
+                ),
+                6,
+            )
+    calib = sorted(
+        (round(1.0 - sims[(int(v), int(l))], 6), int(v))
+        for v, l in zip(vecids, labels)
+        if v % 2 == 0
+    )
+    n_calib = len(calib)
+    k = math.ceil((n_calib + 1) * 0.9)
+    qhat = calib[k - 1][0]
+    assert row.n_calib == n_calib
+    assert abs(row.qhat - qhat) < 1e-9
+    sizes, covered = [], []
+    for v, l in zip(vecids, labels):
+        if v % 2 != 1:
+            continue
+        inset = [
+            c for c in cents if round(1.0 - sims[(int(v), int(c))], 6) <= qhat
+        ]
+        sizes.append(len(inset))
+        covered.append(int(l) in inset)
+    assert row.n_test == len(sizes)
+    assert abs(row.avg_set_size - sum(sizes) / len(sizes)) < 1e-6
+    cov = sum(covered) / len(covered)
+    assert abs(row.coverage - cov) < 1e-6
+    # the conformal guarantee (within finite-sample slack): coverage
+    # must not fall materially below 1 - alpha
+    assert cov >= 0.9 - 2.0 / math.sqrt(len(covered))
+    # sets are informative: smaller than the full label set on average
+    assert row.avg_set_size < len(cents)
