@@ -205,6 +205,9 @@ HEADLINE = [
     "a_bootstrap_ci",
     # r07: split-conformal prediction sets (exact order-statistic qhat)
     "a_conformal_sets",
+    # r07: blocked entity resolution (canonicalize-first, vocab-sized
+    # fuzzy step, bounded min-label clustering)
+    "j_entity_resolution",
 ]
 
 

@@ -194,9 +194,12 @@ _reorder()
 # resampling, 1e-6 ROUND-grid mean/SE/percentile-CI), and
 # a_conformal_sets (split-conformal prediction sets over the centroid
 # classifier — exact order-statistic q-hat, grid-exact set
-# membership, coverage guarantee replay-pinned). All proven
+# membership, coverage guarantee replay-pinned), and
+# j_entity_resolution (blocked ER: canonicalize exact dupes first —
+# 42x at sf0.1 — then vocabulary-sized block/score/cluster with an
+# exact unrolled-CTE twin). All proven
 # local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 54 into the leading slots (two rotations if the
+# round: move these 55 into the leading slots (two rotations if the
 # window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -644,3 +644,15 @@ def test_conformal_broadcasts_thresholds_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+
+
+def test_entity_resolution_no_cartesian_bounded_scans(spark):
+    """j_entity_resolution: the fuzzy-quadratic step runs over the
+    DISTINCT-names aggregate (vocabulary-sized), so the plan may
+    reference the part scan per branch but must never plan a
+    CartesianProduct; the CC loop references its iterate once per
+    round (self-loop trick — no per-round doubling)."""
+    df = QUERIES["j_entity_resolution"](spark, SF_DIR)
+    plan = explain.physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -282,3 +282,76 @@ def test_bootstrap_ci_matches_replay(spark):
     assert row.ci_lo_band <= row.mean_band <= row.ci_hi_band
     clt = pdf.value.std(ddof=1) / math.sqrt(n)
     assert clt / 3 < se < clt * 3
+
+
+def test_entity_resolution_matches_unionfind_replay(spark):
+    """Replay ER in Python with blocking + exact-integer Jaccard +
+    UNION-FIND run to FULL convergence — so the test also proves the
+    query's 4 bounded min-label rounds reach the fixpoint on this
+    graph (cluster minima equal), not just some intermediate state.
+    Every synthesized variant must co-cluster with its original."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        j_entity_resolution,
+    )
+
+    rows = j_entity_resolution(spark, SF_DIR).collect()
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/part.parquet")
+        .select("p_partkey", "p_name")
+        .toPandas()
+    )
+    ents = {}
+    for k, name in zip(pdf.p_partkey, pdf.p_name):
+        k = int(k)
+        ents[k] = name.lower().split(" ")
+        if k % 4 == 0:
+            ents[k + 10_000_000] = ents[k] + [f"zz{k % 7}"]
+    blocks = defaultdict(list)
+    for i, ws in ents.items():
+        blocks[ws[0]].append(i)
+    parent = {i: i for i in ents}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for _, ids in blocks.items():
+        for ii in range(len(ids)):
+            for jj in range(ii + 1, len(ids)):
+                a, b = ids[ii], ids[jj]
+                sa, sb = set(ents[a]), set(ents[b])
+                nc = len(sa & sb)
+                if 10 * nc > 6 * (len(sa) + len(sb) - nc):
+                    union(a, b)
+    want = {i: min(j for j in ents if find(j) == find(i)) for i in ents}
+    got = {r.id: (r.cluster_id, r.is_duplicate) for r in rows}
+    assert set(got) == set(want)
+    for i, cl in want.items():
+        assert got[i][0] == cl, (i, got[i], cl)
+        assert got[i][1] == (cl != i)
+    # every variant resolves onto its original's cluster (append-noise
+    # keeps all original tokens: Jaccard = 2/3 > 0.6 by construction)
+    variants = [i for i in ents if i >= 10_000_000]
+    linked = sum(
+        1
+        for i in variants
+        if want[i] == want[i - 10_000_000] or want[i] < 10_000_000
+    )
+    assert linked == len(variants), (linked, len(variants))
+    # the clustering is non-trivial in both directions: real merging
+    # happened (identical 2-word names are genuine duplicates in this
+    # small adjective×noun vocabulary) but not one blob — and since
+    # every match is within a first-word block, no cluster may span
+    # blocks
+    n_clusters = len(set(want.values()))
+    assert 10 < n_clusters < len(ents), n_clusters
+    first = {i: ws[0] for i, ws in ents.items()}
+    for i, cl in want.items():
+        assert first[i] == first[cl], (i, cl)
