@@ -208,6 +208,9 @@ HEADLINE = [
     # r07: blocked entity resolution (canonicalize-first, vocab-sized
     # fuzzy step, bounded min-label clustering)
     "j_entity_resolution",
+    # r07: TextRank keywords (pagerank over the word graph; eager
+    # fixpoint like g_pagerank_banded)
+    "text_textrank_keywords",
 ]
 
 

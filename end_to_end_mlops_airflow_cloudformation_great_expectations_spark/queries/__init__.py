@@ -197,9 +197,11 @@ _reorder()
 # membership, coverage guarantee replay-pinned), and
 # j_entity_resolution (blocked ER: canonicalize exact dupes first —
 # 42x at sf0.1 — then vocabulary-sized block/score/cluster with an
-# exact unrolled-CTE twin). All proven
-# local-green at sf0.001+sf0.01 incl. --plain before landing. Next
-# round: move these 55 into the leading slots (two rotations if the
-# window stays at 50), pad with driver-green names.
+# exact unrolled-CTE twin), and text_textrank_keywords (TextRank:
+# the reused pagerank fixpoint over the vocabulary-sized word
+# co-occurrence graph, g_pagerank_banded banding convention). All
+# proven local-green at sf0.001+sf0.01 incl. --plain before landing.
+# Next round: move these 56 into the leading slots (two rotations if
+# the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

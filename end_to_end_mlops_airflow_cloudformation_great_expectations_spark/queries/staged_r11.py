@@ -676,3 +676,121 @@ def j_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lab") != F.col("id")).alias("is_duplicate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (text_textrank_keywords)
+# ---------------------------------------------------------------------------
+
+_TR_ROUNDS = 5
+_TR_TOPK = 20
+_TR_BAND = 1_000_000
+
+
+def _tr_round_sql(r: int) -> str:
+    return f"""
+    , r{r} AS (
+      SELECT v.vid AS id,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(SUM(r.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN r{r - 1} r ON r.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    )"""
+
+
+@query(
+    "text_textrank_keywords",
+    oracle=r"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1]))
+                 AS pair
+        FROM t)
+      WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs)
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), verts AS (
+      SELECT DISTINCT src AS vid FROM edges
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM verts
+    ), r0 AS (
+      SELECT vid AS id, 1.0 / (SELECT n FROM nn) AS rk FROM verts
+    )"""
+    + "".join(_tr_round_sql(r) for r in range(1, _TR_ROUNDS + 1))
+    + f"""
+    SELECT id AS word,
+           CAST(FLOOR(rk * {_TR_BAND}) AS BIGINT) AS rank_band
+    FROM r{_TR_ROUNDS}
+    ORDER BY rank_band DESC, word ASC
+    LIMIT {_TR_TOPK}
+    """,
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction — PageRank over the word
+    co-occurrence graph (adjacent-word edges, undirected, distinct):
+    the unsupervised keyword/keyphrase-seed primitive of an
+    LLM-data pipeline (Mihalcea & Tarau 2004), reusing
+    operators/graph.pagerank verbatim on a graph whose vertices are
+    WORDS. Top-{topk} by 1e-6-banded rank, word tie-break — the
+    g_pagerank_banded cross-engine convention (the DuckDB twin
+    unrolls the SAME 5 damped iterations over the SAME word graph;
+    band noise margins are the measured 1e-9-band-width summation
+    noise vs ~0.04-band-width minimum gaps).
+
+    Scale: the graph is VOCABULARY-sized (edges = distinct adjacent
+    word pairs — bounded by vocab², not corpus), so the fixpoint cost
+    is independent of corpus row count after the one tokenize+pair
+    scan; the top-k is TakeOrderedAndProject. Like the pagerank it
+    reuses, the operator is eager at call time (the documented
+    iterative exception)."""
+    from ..operators import text as text_ops
+    from ..operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    ws = text_ops.words(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    p = (
+        d.filter(F.size(ws) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = (
+        p.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    ranks = pagerank(e, iterations=_TR_ROUNDS)
+    return (
+        ranks.select(
+            F.col("id").alias("word"),
+            F.floor(F.col("rank") * _TR_BAND).cast("long").alias("rank_band"),
+        )
+        .orderBy(F.desc("rank_band"), F.asc("word"))
+        .limit(_TR_TOPK)
+    )
+
+
+text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.replace(
+    "{topk}", str(_TR_TOPK)
+)

@@ -355,3 +355,54 @@ def test_entity_resolution_matches_unionfind_replay(spark):
     first = {i: ws[0] for i, ws in ents.items()}
     for i, cl in want.items():
         assert first[i] == first[cl], (i, cl)
+
+
+def test_textrank_matches_numpy_replay(spark):
+    """Replay TextRank in plain Python: same word graph (distinct
+    adjacent pairs, symmetric, no self-loops), same 5 damped
+    iterations, same 1e-6 banding — band values must match exactly
+    and every top-20 rank must sit clear of its band edge."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        text_textrank_keywords,
+    )
+
+    rows = text_textrank_keywords(spark, SF_DIR).collect()
+    texts = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .toPandas()
+        .text
+    )
+    edges = set()
+    for t in texts:
+        ws = [w for w in t.lower().split() if w]
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                edges.add((a, b))
+                edges.add((b, a))
+    verts = sorted({a for a, _ in edges})
+    deg = Counter(a for a, _ in edges)
+    n = len(verts)
+    rk = {v: 1.0 / n for v in verts}
+    base = (1.0 - 0.85) / n
+    inbound = defaultdict(list)
+    for a, b in edges:
+        inbound[b].append(a)
+    for _ in range(5):
+        rk = {
+            v: base + 0.85 * sum(rk[u] / deg[u] for u in inbound[v])
+            for v in verts
+        }
+    want = sorted(
+        ((math.floor(r * 1_000_000), w) for w, r in rk.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    assert [(r.rank_band, r.word) for r in rows] == want
+    for w, r in rk.items():
+        frac = (r * 1_000_000) % 1.0
+        if (math.floor(r * 1_000_000), w) in want:
+            assert min(frac, 1.0 - frac) > 1e-3, (w, r)
+    # keywords are real words from the corpus, ranked by connectivity:
+    # the top word must have above-median degree
+    degs = sorted(deg.values())
+    assert deg[rows[0].word] >= degs[len(degs) // 2]

@@ -33,7 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: The *_recall wrappers embed their approx query's build, so any
 #: wrapper around an eager name is eager too; g_pagerank_banded's
 #: pagerank() materializes localCheckpoints at call time.
-EAGER = {"sim_topk_ivf", "dedup_embedding", "g_pagerank_banded"}
+EAGER = {
+    "sim_topk_ivf",
+    "dedup_embedding",
+    "g_pagerank_banded",
+    # TextRank reuses the eager pagerank fixpoint over the word graph
+    "text_textrank_keywords",
+}
 EAGER |= {f"{n}_recall" for n in EAGER if n.startswith("sim_topk_")}
 EAGER.add("sim_topk_ivfpq_recall")  # wraps sim_topk_ivfpq (PQ+IVF fit)
 
