@@ -184,3 +184,71 @@ def triangle_count(
     return wedges.join(ac, ["a", "c"]).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    source_id: str = "vid",
+) -> DataFrame:
+    """Multi-source BFS hop distance over an edge list, bounded to
+    ``iterations`` synchronous rounds: round r computes
+    ``dist_r(v) = 0`` for sources else ``1 + min over in-neighbors of
+    dist_{r-1}(u)``. For an undirected graph this re-derives every
+    settled distance from the shortest-path predecessor each round, so
+    after r rounds ``dist_r(v)`` equals the exact hop distance for
+    every v within r hops; values beyond the horizon are masked to
+    NULL (unsettled), giving the clean contract "exact BFS distance
+    ≤ iterations, NULL otherwise".
+
+    Same lazy-fixpoint discipline as :func:`label_propagation`: the
+    iterate (the distance table) is referenced exactly ONCE per round
+    — in the contributions join — and the combine step joins back only
+    static base frames (vertices, sources), so the plan grows LINEARLY
+    with ``iterations``. Each round is the Pregel message pattern
+    relationally: one shuffle join on the edge source plus one
+    map-side-partial MIN aggregation by destination. Frontier size is
+    bounded by |V|; hub skew is AQE's skew-join case, identical to
+    pagerank/LPA."""
+    verts = (
+        edges.select(F.col(src).alias("vid"))
+        .union(edges.select(F.col(dst).alias("vid")))
+        .distinct()
+    )
+    s = sources.select(F.col(source_id).alias("vid")).withColumn(
+        "is_src", F.lit(True)
+    )
+    dist = verts.join(s, "vid", "left").select(
+        "vid", F.when(F.col("is_src"), F.lit(0)).alias("dist")
+    )
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                dist.filter(F.col("dist").isNotNull()).withColumnRenamed(
+                    "vid", "e_src"
+                ),
+                "e_src",
+            )
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+        )
+        dist = (
+            verts.join(s, "vid", "left")
+            .join(contrib, "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("is_src"), F.lit(0))
+                .otherwise(F.col("nd"))
+                .alias("dist"),
+            )
+        )
+    return dist.select(
+        F.col("vid").alias("id"),
+        F.when(F.col("dist") <= F.lit(iterations), F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )

@@ -136,3 +136,84 @@ def theta_audience_overlap(
         .cast("long")
         .alias("n_a_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable, engine-replayable)
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    members: DataFrame,
+    key_col: str,
+    seeds: tuple[int, ...],
+    n_bits: int,
+) -> DataFrame:
+    """Build a Bloom filter over ``members[key_col]`` as the relational
+    set of SET BIT POSITIONS: k = len(seeds) positions per key via the
+    engine-portable Carter-Wegman-style multiplicative hash
+    (functions.columns.portable_bucket on key+seed — identical integer
+    arithmetic in Spark and DuckDB, unlike xxhash/crc engine builtins).
+
+    The returned frame has ≤ ``n_bits`` rows (one per distinct set
+    position), i.e. it IS the filter in mergeable relational form:
+    union-distinct of two builds = the Bloom OR, and the frame stays
+    small enough to broadcast to any probe scan regardless of member
+    cardinality. Membership semantics are the textbook guarantee —
+    no false negatives ever; false-positive rate governed by
+    (1-e^{-kn/m})^k — and because the hash is portable the WHOLE
+    structure is exactly replayable in SQL (the stream_cms_sink
+    discipline applied to membership instead of frequency)."""
+    from ..functions.columns import portable_bucket
+
+    key = F.col(key_col)
+    return (
+        members.select(
+            F.explode(
+                F.array(
+                    *[
+                        portable_bucket(key + F.lit(s), n_bits)
+                        for s in seeds
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    seeds: tuple[int, ...],
+    n_bits: int,
+) -> DataFrame:
+    """Probe a Bloom filter built by :func:`bloom_build`: returns
+    ``probes`` plus a ``bloom_pos`` boolean — TRUE iff ALL k hash
+    positions of the key are set. Implemented as melt-to-(key, pos) →
+    broadcast join against the bit table → per-key ALL-present
+    aggregation: one map-side-broadcast pass over the probe scan, no
+    shuffle on the (possibly huge) probe side beyond the final
+    per-key agg, which Catalyst partial-aggregates map-side. At 100 TB
+    the filter frame is ≤ n_bits rows no matter how many members went
+    in — the classic "ship the filter to the data" semi-join
+    reduction."""
+    from ..functions.columns import portable_bucket
+
+    key = F.col(key_col)
+    melted = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[portable_bucket(key + F.lit(s), n_bits) for s in seeds]
+            )
+        ).alias("pos"),
+    )
+    marked = melted.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+    )
+    grp = [c for c in probes.columns]
+    return (
+        marked.groupBy(*grp)
+        .agg((F.count("hit") == F.lit(len(seeds))).alias("bloom_pos"))
+    )

@@ -341,3 +341,116 @@ def als_fit(
                 "u", "y1", "y2", "r", lam, "u1", "u2",
             )
     return uf, itf
+
+
+def naive_bayes_fit(
+    tokens: DataFrame,
+    label_col: str = "label",
+    token_col: str = "w",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a multinomial Naive Bayes text classifier from a
+    (doc_id, label, token) table — the third in-engine trainer
+    family (after logreg_fit's GD and kmeans_fit's Lloyd rounds), and
+    the one that needs NO iteration at all: the MLE/MAP model IS two
+    aggregations, which is why NB remains the canonical distributed
+    baseline classifier at corpus scale.
+
+    Returns ``(class_stats, likelihoods)``:
+
+    - ``class_stats``: one row per class — ``log_prior`` =
+      ln(n_docs_c / n_docs), ``denom`` = ln(token_count_c + alpha·V)
+      (V = training vocabulary size), joined against a 1-row corpus
+      aggregate by broadcast cross join (never a collect);
+    - ``likelihoods``: one row per (class, token) seen in training —
+      ``log_num`` = ln(count_{c,w} + alpha). Absent (class, token)
+      pairs contribute ln(alpha); with the default alpha=1 that is 0,
+      so scoring can LEFT-join this sparse table and coalesce misses
+      to 0 instead of densifying the |V|×|C| matrix — the sparsity
+      trick that keeps the model table linear in observed pairs.
+
+    Scale shape: both outputs are partial-agg-friendly groupBys over
+    one token-table scan each; the model is |C| + |observed pairs|
+    rows (≪ corpus), broadcastable to the scoring pass. Everything is
+    lazy and engine-portable (plain counts and ln), so a SQL twin
+    replays the fit exactly."""
+    lbl, tok = F.col(label_col), F.col(token_col)
+    n_docs_c = tokens.groupBy(lbl.alias("nb_label")).agg(
+        F.count_distinct("doc_id").alias("n_docs_c"),
+        F.count("*").alias("n_tok_c"),
+    )
+    totals = tokens.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct(tok).alias("v"),
+    )
+    class_stats = n_docs_c.crossJoin(F.broadcast(totals)).select(
+        "nb_label",
+        F.log(F.col("n_docs_c").cast("double") / F.col("n_docs")).alias(
+            "log_prior"
+        ),
+        F.log(
+            F.col("n_tok_c").cast("double") + F.lit(alpha) * F.col("v")
+        ).alias("denom"),
+    )
+    likelihoods = tokens.groupBy(
+        lbl.alias("nb_label"), tok.alias("nb_token")
+    ).agg(F.log(F.count("*") + F.lit(alpha)).alias("log_num"))
+    return class_stats, likelihoods
+
+
+def naive_bayes_score(
+    tokens: DataFrame,
+    class_stats: DataFrame,
+    likelihoods: DataFrame,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Score a (doc_id, token) table against a :func:`naive_bayes_fit`
+    model: per (doc, class),
+
+        score = log_prior + Σ_tokens (log_num(c, w) − denom(c))
+              = log_prior − n_tokens·denom + Σ log_num,
+
+    with unseen-token log_num coalesced to 0 (= ln(alpha) at alpha=1,
+    see the fit's sparsity contract). Returns one row per doc:
+    ``pred`` = argmax class (FLOOR-gridded score, LARGEST label on a
+    tie — struct-max ordering, which works for string and numeric
+    labels alike; scores are sums of logs, genuinely irrational, so
+    the FLOOR grid is the right band per the band-grid lesson) plus
+    the gridded winning score.
+
+    Scale shape: docs × |C| rows via a broadcast cross join with the
+    class table (|C| is bounded — a classifier's label space), the
+    sparse likelihood join is broadcast when it fits / shuffles on
+    (class, token) otherwise, and the final argmax is a max_by — one
+    partial-aggregated reduction per doc, no window."""
+    cls = class_stats.select(
+        F.col("nb_label").alias("cand"), "log_prior", "denom"
+    )
+    expanded = tokens.crossJoin(F.broadcast(cls)).join(
+        F.broadcast(
+            likelihoods.select(
+                F.col("nb_label").alias("cand"),
+                F.col("nb_token").alias("w"),
+                "log_num",
+            )
+        ),
+        ["cand", "w"],
+        "left",
+    )
+    per_class = expanded.groupBy("doc_id", "cand").agg(
+        F.floor(
+            (
+                F.first("log_prior")
+                - F.count("*") * F.first("denom")
+                + F.sum(F.coalesce(F.col("log_num"), F.lit(0.0)))
+            )
+            * F.lit(float(grid))
+        ).alias("gscore")
+    )
+    return per_class.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("gscore"), F.col("cand"))).alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.cand").alias("pred"),
+        F.col("m.gscore").alias("gscore"),
+    )

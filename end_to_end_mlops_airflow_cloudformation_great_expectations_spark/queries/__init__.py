@@ -30,6 +30,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r09,
     staged_r10,
     staged_r11,
+    staged_r12,
     streaming_batch,
     tpch_extra,
 )
@@ -199,9 +200,18 @@ _reorder()
 # 42x at sf0.1 — then vocabulary-sized block/score/cluster with an
 # exact unrolled-CTE twin), and text_textrank_keywords (TextRank:
 # the reused pagerank fixpoint over the vocabulary-sized word
-# co-occurrence graph, g_pagerank_banded banding convention). All
+# co-occurrence graph, g_pagerank_banded banding convention), and
+# the staged_r12 batch — g_bfs_hops (multi-source BFS distance, the
+# graph family's traversal primitive, exact unrolled-CTE twin on the
+# shared derived graph), a_bloom_filter_checked (portable Bloom
+# filter build+probe, FULL exact oracle incl. the no-false-negative
+# guarantee as a checked value — operators/sketches.bloom_build),
+# train_nb_banded (multinomial Naive Bayes, the CLOSED-FORM third
+# trainer family — operators/train.naive_bayes_fit; argmax margin
+# test-pinned > 2 grid units), and a_rfm_segments (RFM quintile
+# segmentation via the distributed rank-attach NTILE ×3). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 56 into the leading slots (two rotations if
+# Next round: move these 60 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

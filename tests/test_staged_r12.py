@@ -1,0 +1,297 @@
+"""Round-8-queue fifth batch: BFS distances, portable Bloom filter,
+Naive Bayes trainer, RFM segmentation. Python replays pin the math;
+the NB argmax gets the margin guard that makes its confusion counts
+reorder-proof; the Bloom filter gets the structural no-false-negative
+and mergeability invariants."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from tests.conftest import SF_DIR
+
+KNUTH = 2654435761
+M32 = 4294967296
+
+
+def _portable_bucket(key: int, n: int) -> int:
+    km = key % M32
+    lo = km % 65536
+    hi = (km - lo) // 65536
+    mixed = ((hi * KNUTH) % M32 * 65536 + lo * KNUTH) % M32
+    return mixed % n
+
+
+# ---------------------------------------------------------------------------
+# g_bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _graph(spark):
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    edges = {
+        (int(r.o_orderkey) % 200, 200 + int(r.o_orderkey) % 190)
+        for r in o.collect()
+    }
+    return list(edges) + [(d, s) for s, d in edges]
+
+
+def _replay_bfs(edges, sources, rounds):
+    verts = {v for e in edges for v in e}
+    dist = {v: (0 if v in sources else None) for v in verts}
+    for _ in range(rounds):
+        contrib = defaultdict(list)
+        for s, d in edges:
+            if dist.get(s) is not None:
+                contrib[d].append(dist[s] + 1)
+        dist = {
+            v: (0 if v in sources else (min(contrib[v]) if contrib[v] else None))
+            for v in verts
+        }
+    return {v: (d if d is not None and d <= rounds else None) for v, d in dist.items()}
+
+
+def test_bfs_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _BFS_ROUNDS,
+        _BFS_SOURCES,
+        g_bfs_hops,
+    )
+
+    got = {r.id: r.dist for r in g_bfs_hops(spark, SF_DIR).collect()}
+    want = _replay_bfs(_graph(spark), set(range(_BFS_SOURCES)), _BFS_ROUNDS)
+    assert got == want
+    # non-degenerate: some settled at >1 hop, sources at 0
+    assert all(got[v] == 0 for v in range(_BFS_SOURCES))
+    assert any(d is not None and d >= 2 for d in got.values())
+
+
+def test_bfs_handcrafted_path_and_horizon(spark):
+    """Path graph 0-1-2-3-4-5-6 (undirected), source {0}, 4 rounds:
+    exact hop distances within the horizon, NULL beyond it, and an
+    isolated vertex never reached."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    path = [(i, i + 1) for i in range(6)]
+    both = path + [(b, a) for a, b in path] + [(99, 98), (98, 99)]
+    edges = spark.createDataFrame(both, ["src", "dst"])
+    sources = spark.createDataFrame([(0,)], ["vid"])
+    got = {r.id: r.dist for r in bfs_distances(edges, sources, 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: None, 6: None,
+                   98: None, 99: None}
+
+
+# ---------------------------------------------------------------------------
+# a_bloom_filter_checked
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_counts_match_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _BLOOM_BITS,
+        _BLOOM_SEEDS,
+        _BLOOM_SEGMENT,
+        a_bloom_filter_checked,
+    )
+
+    row = a_bloom_filter_checked(spark, SF_DIR).collect()[0]
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    ).collect()
+    members = {int(r.c_custkey) for r in cust
+               if r.c_mktsegment == _BLOOM_SEGMENT}
+    bits = {
+        _portable_bucket(k + s, _BLOOM_BITS)
+        for k in members
+        for s in _BLOOM_SEEDS
+    }
+    n_pos = n_fp = 0
+    for r in cust:
+        k = int(r.c_custkey)
+        pos = all(
+            _portable_bucket(k + s, _BLOOM_BITS) in bits for s in _BLOOM_SEEDS
+        )
+        n_pos += pos
+        n_fp += pos and k not in members
+    assert row.n_members == len(members)
+    assert row.n_probes == len(cust)
+    assert row.n_bloom_pos == n_pos
+    assert row.n_false_pos == n_fp
+    # the structural Bloom guarantee, as a checked value
+    assert row.n_false_neg == 0
+
+
+def test_bloom_build_is_mergeable(spark):
+    """bloom_build(A) ∪ bloom_build(B) == bloom_build(A ∪ B) — the
+    relational bit table is the mergeable sketch form."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    seeds, m = (11, 23, 37), 256
+    a = spark.range(0, 50).withColumnRenamed("id", "k")
+    b = spark.range(50, 100).withColumnRenamed("id", "k")
+    whole = spark.range(0, 100).withColumnRenamed("id", "k")
+    merged = {
+        r.pos
+        for r in bloom_build(a, "k", seeds, m)
+        .union(bloom_build(b, "k", seeds, m))
+        .distinct()
+        .collect()
+    }
+    direct = {r.pos for r in bloom_build(whole, "k", seeds, m).collect()}
+    assert merged == direct
+    assert max(direct) < m and min(direct) >= 0
+
+
+# ---------------------------------------------------------------------------
+# train_nb_banded
+# ---------------------------------------------------------------------------
+
+
+def test_nb_fit_values_handcrafted(spark):
+    """Closed-form fit on a 4-doc corpus: log-priors, denominators and
+    per-(class, token) numerators equal the textbook formulas."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+        naive_bayes_fit,
+    )
+
+    rows = [
+        (1, "spam", "buy"), (1, "spam", "now"), (1, "spam", "buy"),
+        (2, "spam", "cheap"),
+        (3, "ham", "hello"), (3, "ham", "world"),
+        (4, "ham", "hello"),
+    ]
+    toks = spark.createDataFrame(rows, ["doc_id", "label", "w"])
+    cs, lik = naive_bayes_fit(toks)
+    cs_m = {r.nb_label: r for r in cs.collect()}
+    # priors: 2 docs each of 4
+    assert math.isclose(cs_m["spam"].log_prior, math.log(2 / 4))
+    assert math.isclose(cs_m["ham"].log_prior, math.log(2 / 4))
+    # vocab = {buy, now, cheap, hello, world} = 5
+    assert math.isclose(cs_m["spam"].denom, math.log(4 + 5.0))
+    assert math.isclose(cs_m["ham"].denom, math.log(3 + 5.0))
+    lik_m = {(r.nb_label, r.nb_token): r.log_num for r in lik.collect()}
+    assert math.isclose(lik_m[("spam", "buy")], math.log(2 + 1.0))
+    assert math.isclose(lik_m[("ham", "hello")], math.log(2 + 1.0))
+    assert ("ham", "buy") not in lik_m  # sparse: unseen pairs absent
+
+
+def test_nb_argmax_margin_guard(spark):
+    """The confusion counts are integer-exact cross-engine ONLY if no
+    test doc's winner can flip under float-reorder noise (~1e-11 abs on
+    these score magnitudes ⇒ ≪ 1 grid unit at 1e-6, plus ±1 unit of
+    FLOOR boundary wobble). Pin the min winner-vs-runner-up margin > 2
+    grid units for every scored doc."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.encode import (
+        hash_split_col,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.train import (
+        naive_bayes_fit,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = d.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    ).withColumn("split", hash_split_col(F.col("doc_id")))
+    cs, lik = naive_bayes_fit(
+        tok.filter(F.col("split") == "train").drop("split")
+    )
+    test_tok = tok.filter(F.col("split") == "test").select("doc_id", "w")
+    cls = cs.select(F.col("nb_label").alias("cand"), "log_prior", "denom")
+    per_class = (
+        test_tok.crossJoin(F.broadcast(cls))
+        .join(
+            F.broadcast(
+                lik.select(
+                    F.col("nb_label").alias("cand"),
+                    F.col("nb_token").alias("w"),
+                    "log_num",
+                )
+            ),
+            ["cand", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.floor(
+                (
+                    F.first("log_prior")
+                    - F.count("*") * F.first("denom")
+                    + F.sum(F.coalesce(F.col("log_num"), F.lit(0.0)))
+                )
+                * F.lit(1e6)
+            ).alias("gscore")
+        )
+    )
+    by_doc = defaultdict(list)
+    for r in per_class.collect():
+        by_doc[r.doc_id].append(int(r.gscore))
+    margins = []
+    for scores in by_doc.values():
+        scores.sort(reverse=True)
+        margins.append(scores[0] - scores[1])
+    assert min(margins) > 2, f"min NB argmax margin {min(margins)}"
+
+
+def test_nb_confusion_is_complete(spark):
+    """Every held-out doc is scored exactly once and every prediction
+    is a training-set class. (No accuracy floor: the synthetic corpus
+    draws one shared vocabulary for every lang, so the label carries
+    no real text signal — the query's contract is the exact confusion
+    counts, not the accuracy of the fixture.)"""
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        train_nb_banded,
+    )
+
+    rows = train_nb_banded(spark, SF_DIR).collect()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_test = d.filter((F.col("doc_id") * KNUTH) % M32 % 100 >= 80).count()
+    assert sum(r.n for r in rows) == n_test
+    langs = {r.lang for r in d.select("lang").distinct().collect()}
+    assert {r.pred_lang for r in rows} <= langs
+    # multiple classes actually predicted (not a degenerate argmax)
+    assert len({r.pred_lang for r in rows}) >= 2
+
+
+# ---------------------------------------------------------------------------
+# a_rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_tiles_balanced_and_complete(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _RFM_TILES,
+        a_rfm_segments,
+    )
+
+    rows = a_rfm_segments(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for axis in ("r_score", "f_score", "m_score"):
+        per_tile = Counter()
+        for r in rows:
+            per_tile[getattr(r, axis)] += r.n_customers
+        assert set(per_tile) == set(range(1, _RFM_TILES + 1))
+        # NTILE balance: tile sizes differ by at most 1
+        assert max(per_tile.values()) - min(per_tile.values()) <= 1
+    # money grid: 2-decimal sums
+    for r in rows:
+        assert abs(r.sum_monetary * 100 - round(r.sum_monetary * 100)) < 1e-6
