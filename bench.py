@@ -211,6 +211,13 @@ HEADLINE = [
     # r07: TextRank keywords (pagerank over the word graph; eager
     # fixpoint like g_pagerank_banded)
     "text_textrank_keywords",
+    # r07: staged_r12 batch — BFS traversal (lazy bounded-round
+    # fixpoint), portable Bloom filter (build+probe, exact replay),
+    # closed-form Naive Bayes trainer, RFM quintile segmentation
+    "g_bfs_hops",
+    "a_bloom_filter_checked",
+    "train_nb_banded",
+    "a_rfm_segments",
 ]
 
 
