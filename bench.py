@@ -218,6 +218,12 @@ HEADLINE = [
     "a_bloom_filter_checked",
     "train_nb_banded",
     "a_rfm_segments",
+    # r07: staged_r12 second batch — k-core peeling, grid-bucketed
+    # spatial radius join, HHI concentration, k-fold CV assignment
+    "g_kcore",
+    "j_spatial_radius",
+    "a_hhi",
+    "p_crossval_folds",
 ]
 
 

@@ -252,3 +252,58 @@ def bfs_distances(
         .cast("long")
         .alias("dist"),
     )
+
+
+def kcore_bounded(
+    edges: DataFrame,
+    k: DataFrame | int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Bounded-round k-core peeling over a SYMMETRIC edge list (pass
+    both directions, so per-source counts are full degrees): each
+    round drops every vertex with degree < k and every edge touching
+    one, the cascade that defines the k-core. ``rounds`` bounds the
+    peel — the result after r rounds is an over-approximation of the
+    true k-core (vertices a deeper cascade would remove may survive),
+    the same bounded-fixpoint contract as :func:`pagerank` /
+    :func:`label_propagation`, and exactly replayable by an unrolled
+    SQL twin. ``k`` may be an int or a 1-row DataFrame with column
+    ``k`` (data-derived thresholds join in by broadcast — never a
+    collect).
+
+    Returns surviving (id, deg) — degree measured on the final
+    surviving edge set.
+
+    Iterative ⇒ eager at call time (the documented lazy-build
+    exception). Each round references the edge iterate three times
+    (degree + two semi-joins), so lineage grows 3^r between
+    truncations — ``localCheckpoint`` every ``checkpoint_every``
+    rounds caps the analyzer tree (the pagerank discipline; swap for
+    reliable ``checkpoint`` on a cluster). Per round: one groupBy
+    shuffle + two LEFT SEMI joins on the survivor set, which AQE
+    turns into broadcasts once peeling shrinks it."""
+    if isinstance(k, int):
+        k_df = edges.sparkSession.range(1).select(F.lit(k).alias("k"))
+    else:
+        k_df = k
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
+    for it in range(rounds):
+        deg = e.groupBy("s").agg(F.count("*").alias("c"))
+        sur = (
+            deg.crossJoin(F.broadcast(k_df))
+            .filter(F.col("c") >= F.col("k"))
+            .select("s")
+        )
+        e = e.join(sur, "s", "left_semi").join(
+            sur.withColumnRenamed("s", "d"), "d", "left_semi"
+        )
+        if (it + 1) % checkpoint_every == 0 or it == rounds - 1:
+            e = e.localCheckpoint(eager=True)
+    return e.groupBy("s").agg(F.count("*").alias("deg")).select(
+        F.col("s").alias("id"), F.col("deg").cast("long").alias("deg")
+    )

@@ -209,9 +209,17 @@ _reorder()
 # train_nb_banded (multinomial Naive Bayes, the CLOSED-FORM third
 # trainer family — operators/train.naive_bayes_fit; argmax margin
 # test-pinned > 2 grid units), and a_rfm_segments (RFM quintile
-# segmentation via the distributed rank-attach NTILE ×3). All
+# segmentation via the distributed rank-attach NTILE ×3), and the
+# second staged_r12 batch — g_kcore (bounded-round k-core peeling on
+# the user×day behavior graph, data-derived threshold as a 1-row
+# broadcast, exact unrolled twin), j_spatial_radius (grid-bucketed
+# spatial radius join: 1°-cell candidates + haversine verify vs the
+# brute-force twin, 19 m boundary gap test-pinned), a_hhi
+# (Herfindahl + CR4 market concentration per region), and
+# p_crossval_folds (k-fold CV assignment, a7_hash_split generalized
+# to k folds). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 60 into the leading slots (two rotations if
+# Next round: move these 64 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

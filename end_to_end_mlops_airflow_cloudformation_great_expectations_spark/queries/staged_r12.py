@@ -28,6 +28,20 @@ sketching, the no-iteration trainer, and behavioral segmentation.
   (operators/ranks.attach_global_ranks — no single-task sort), then
   segment-level counts and revenue.
 
+Second batch (same gate):
+
+- ``g_kcore`` — bounded-round k-core peeling
+  (operators/graph.kcore_bounded) on the user×active-day behavior
+  graph with a data-derived threshold; the dense-cohort extraction
+  primitive that completes the graph family.
+- ``j_spatial_radius`` — grid-bucketed spatial radius join: 1°-cell
+  candidate generation + haversine verify, brute-force cross-join
+  twin, boundary gap test-pinned.
+- ``a_hhi`` — Herfindahl-Hirschman + CR4 market concentration per
+  region (the source-dominance monitor in pipeline terms).
+- ``p_crossval_folds`` — k-fold cross-validation assignment via the
+  portable hash (a7_hash_split generalized to k folds).
+
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
 """
@@ -430,4 +444,384 @@ def a_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("m"), 2).alias("sum_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_kcore — bounded-round k-core peeling with a data-derived threshold
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+
+_KCORE_GRAPH_SQL = """
+    e0 AS (
+      SELECT DISTINCT user_id % 200 AS s,
+             200 + CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) % 100 AS d
+      FROM events
+    ), e AS (
+      SELECT s, d FROM e0
+      UNION ALL
+      SELECT d AS s, s AS d FROM e0
+    ), deg0 AS (
+      SELECT s, COUNT(*) AS c FROM e GROUP BY s
+    ), kv AS (
+      SELECT CEIL(AVG(c) * 0.6) AS k FROM deg0
+    )
+"""
+
+
+def _kcore_round_sql(r: int) -> str:
+    """One unrolled peel round: survivors = degree ≥ k on the current
+    edge set; edges keep only survivor-survivor pairs
+    (operators/graph.kcore_bounded recurrence)."""
+    prev_e = "e" if r == 1 else f"e{r - 1}"
+    prev_deg = "deg0" if r == 1 else f"deg{r - 1}"
+    return f"""
+    , sur{r} AS (
+      SELECT s FROM {prev_deg} CROSS JOIN kv WHERE c >= k
+    ), e{r} AS (
+      SELECT t.s, t.d FROM {prev_e} t
+      WHERE t.s IN (SELECT s FROM sur{r})
+        AND t.d IN (SELECT s FROM sur{r})
+    ), deg{r} AS (
+      SELECT s, COUNT(*) AS c FROM e{r} GROUP BY s
+    )
+    """
+
+
+@query(
+    "g_kcore",
+    oracle=(
+        "WITH "
+        + _KCORE_GRAPH_SQL
+        + "".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))
+        + f"""
+    SELECT CAST(s AS BIGINT) AS id, CAST(c AS BIGINT) AS deg
+    FROM deg{_KCORE_ROUNDS}
+    """
+    ),
+)
+def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peeling (operators/graph.kcore_bounded) on
+    the user×active-day bipartite behavior graph (users 0..199, day
+    vertices 200..299 — a topology with REAL degree spread, unlike the
+    mod-200 order graph whose degrees are uniform): k is data-derived
+    (⌈0.6·mean degree⌉, joined in as a 1-row broadcast — never a
+    collect; the bipartite cascade is sharp, so a threshold above the
+    mean peels the whole graph — 0.6 is the measured non-trivial
+    operating point at the driver's sf0.01 gate: 180 → 119 vertices
+    over 3 rounds), 3 peel rounds cascade the removals, output = surviving
+    (id, degree). The dense-cohort / engagement-core extraction
+    primitive; completes the graph family (centrality, labels,
+    components, triangles, distance, coreness).
+
+    Cross-engine EXACT oracle: the twin unrolls the SAME 3 rounds over
+    the SAME derived graph; degrees and the threshold are integers
+    (the threshold is one double division and one
+    multiply from integer sums — bit-identical cross-engine), so the comparison is exact.
+
+    Scale: iterative ⇒ eager at call time (the pagerank exception);
+    per round one partial-agg degree count + two LEFT SEMI joins
+    against the shrinking survivor set (AQE broadcasts it as it
+    shrinks); lineage localCheckpoint-truncated every 2 rounds, the
+    measured pagerank discipline."""
+    from ..operators.graph import kcore_bounded
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 200).alias("src"),
+        (
+            F.lit(200)
+            + F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+            % 100
+        ).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg0 = both.groupBy(F.col("src").alias("s")).agg(
+        F.count("*").alias("c")
+    )
+    kdf = deg0.agg(F.ceil(F.avg("c") * F.lit(0.6)).alias("k"))
+    out = kcore_bounded(both, kdf, rounds=_KCORE_ROUNDS)
+    return out.select(F.col("id").cast("long").alias("id"), "deg")
+
+
+# ---------------------------------------------------------------------------
+# j_spatial_radius — grid-bucketed spatial radius join
+# ---------------------------------------------------------------------------
+
+_GEO_R_KM = 100.0
+#: 1°×1° cells: Δlat ≤ R/111.0 = 0.901° and, with lat < 10°,
+#: Δlon ≤ R/(111.32·cos 10°) = 0.912° — both < 1 cell, so a 3×3
+#: neighborhood is complete (proved in tests/test_staged_r12.py).
+_GEO_CELL_DEG = 1.0
+
+
+def _lat_sql(expr: str, seed: int) -> str:
+    return f"({_cms_oracle_bucket_sql(expr, seed, 1000)}) / 100.0"
+
+
+def _lon_sql(expr: str, seed: int) -> str:
+    inner = _cms_oracle_bucket_sql(expr, seed, 100003)
+    return f"({_cms_oracle_bucket_sql(f'({inner})', seed, 2000)}) / 100.0"
+
+
+def _hav_sql(la1: str, lo1: str, la2: str, lo2: str) -> str:
+    return f"""2.0 * 6371.0 * ASIN(SQRT(
+               SIN(RADIANS({la2} - {la1}) / 2) *
+               SIN(RADIANS({la2} - {la1}) / 2) +
+               COS(RADIANS({la1})) * COS(RADIANS({la2})) *
+               SIN(RADIANS({lo2} - {lo1}) / 2) *
+               SIN(RADIANS({lo2} - {lo1}) / 2)
+           ))"""
+
+
+@query(
+    "j_spatial_radius",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_lat_sql('c_custkey', 111)} AS lat,
+             {_lon_sql('c_custkey', 7777)} AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             {_lat_sql('s_suppkey', 333)} AS lat,
+             {_lon_sql('s_suppkey', 8111)} AS lon
+      FROM supplier
+    ), p AS (
+      SELECT c_custkey, s_suppkey,
+             {_hav_sql('c.lat', 'c.lon', 's.lat', 's.lon')} AS dist
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey, s_suppkey, ROUND(dist, 4) AS dist_km
+    FROM p WHERE dist <= {_GEO_R_KM}
+    """,
+)
+def j_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join — "every supplier within 100 km of each
+    customer" — by GRID-BUCKETED candidate generation: synthetic
+    (lat, lon) in [0,10)°×[0,20)° from portable hashes (lon uses a
+    NESTED hash: a constant-shifted copy of the lat hash would couple
+    the axes into a 1-D lattice — measured: min pair distance 150 km,
+    zero matches), customers keyed by their 1°×1° cell, suppliers
+    exploded to the 3×3 cell neighborhood, haversine verify on the
+    candidates only. The cell size makes the neighborhood COMPLETE
+    for R=100 km at these latitudes (bound in the cell constant's
+    comment, pinned vs the brute-force twin).
+
+    Determinism: the boundary predicate dist ≤ R is float-trig on
+    both engines; the fixture's closest boundary gap is 19 m —
+    10 orders above cross-engine trig ULP noise — and the gap is
+    test-pinned so a data regen that lands a pair on the boundary
+    fails loudly in tests, not silently in the driver.
+
+    Scale: the oracle's cross join is O(|C|·|S|) and exists only as
+    the sf0.01 spec; the ENGINE plan is the scalable one — candidates
+    are bounded by cell co-location (9·density per probe), the small
+    side broadcasts, and at planetary scale the same shape shards by
+    cell exactly like the LSH band buckets shard MinHash."""
+    from ..functions.columns import portable_bucket
+
+    def lat_col(key, seed: int):
+        return (portable_bucket(key + F.lit(seed), 1000) / F.lit(100.0))
+
+    def lon_col(key, seed: int):
+        inner = portable_bucket(key + F.lit(seed), 100003)
+        return (
+            portable_bucket(inner + F.lit(seed), 2000) / F.lit(100.0)
+        )
+
+    from ..operators import geo
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        lat_col(F.col("c_custkey"), 111).alias("c_lat"),
+        lon_col(F.col("c_custkey"), 7777).alias("c_lon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        lat_col(F.col("s_suppkey"), 333).alias("s_lat"),
+        lon_col(F.col("s_suppkey"), 8111).alias("s_lon"),
+    )
+    cell = lambda col: F.floor(col / F.lit(_GEO_CELL_DEG))  # noqa: E731
+    c_cells = c.select(
+        "*", cell(F.col("c_lat")).alias("cl"), cell(F.col("c_lon")).alias("cg")
+    )
+    offsets = spark.range(3).select((F.col("id") - 1).alias("dl")).crossJoin(
+        spark.range(3).select((F.col("id") - 1).alias("dg"))
+    )
+    s_cells = s.crossJoin(F.broadcast(offsets)).select(
+        "s_suppkey",
+        "s_lat",
+        "s_lon",
+        (cell(F.col("s_lat")) + F.col("dl")).alias("cl"),
+        (cell(F.col("s_lon")) + F.col("dg")).alias("cg"),
+    )
+    cand = c_cells.join(F.broadcast(s_cells), ["cl", "cg"])
+    dist = geo.haversine_km(
+        F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+    )
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(_GEO_R_KM))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(F.col("dist"), 4).alias("dist_km"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_hhi — market-concentration audit (Herfindahl-Hirschman + CR4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, s.s_suppkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS srev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT region, SUM(srev) AS trev FROM rev GROUP BY region
+    ), sh AS (
+      SELECT rev.region, srev / trev AS share,
+             ROW_NUMBER() OVER (
+               PARTITION BY rev.region ORDER BY srev DESC, s_suppkey ASC
+             ) AS rn
+      FROM rev JOIN tot USING (region)
+    )
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(share * share), 6) AS hhi,
+           ROUND(SUM(CASE WHEN rn <= 4 THEN share ELSE 0 END), 6) AS cr4
+    FROM sh GROUP BY region
+    """,
+)
+def a_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit per region: supplier revenue shares
+    → Herfindahl-Hirschman index (Σ share²) and the 4-firm
+    concentration ratio (top-4 share sum, revenue-DESC/suppkey-ASC
+    total tie-break) — the antitrust/market-structure analytic, and
+    in a training-data pipeline the "is one source dominating this
+    slice" concentration monitor (the source-mixture cousin of
+    p_domain_reweight).
+
+    Determinism: per-supplier revenue lands on the money grid first
+    (round(sum, 2) — the repo-wide money convention), so shares are
+    ratios of identical doubles on both engines; HHI/CR4 round at
+    1e-6 on sums whose cross-engine noise is ~1e-16.
+
+    Scale: one fact scan with broadcast dimension joins (supplier →
+    nation → region chain), partial-agg to the (region, supplier)
+    grain, then windows over the bounded supplier-per-region table —
+    nothing corpus-sized past the first aggregation."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(
+            F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(re), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), "s_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("srev")
+        )
+    )
+    tot = rev.groupBy("region").agg(F.sum("srev").alias("trev"))
+    w = Window.partitionBy("region").orderBy(
+        F.desc("srev"), F.asc("s_suppkey")
+    )
+    sh = rev.join(tot, "region").select(
+        "region",
+        (F.col("srev") / F.col("trev")).alias("share"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return sh.groupBy("region").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(
+            F.sum(F.when(F.col("rn") <= 4, F.col("share")).otherwise(0.0)),
+            6,
+        ).alias("cr4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_crossval_folds — k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+_CV_SEED = 555
+
+
+@query(
+    "p_crossval_folds",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             {_cms_oracle_bucket_sql('o_orderkey', _CV_SEED, _CV_FOLDS)}
+               AS fold
+      FROM orders
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM t
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(ANY_VALUE(n) - COUNT(*) AS BIGINT) AS n_train,
+           ROUND(SUM(o_totalprice), 2) AS sum_test_price
+    FROM t CROSS JOIN tot
+    GROUP BY fold
+    """,
+)
+def p_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment — the evaluation-protocol
+    primitive the trainer family (logreg/kmeans/ALS/NB) consumes:
+    every order lands in exactly one of 5 folds via the portable
+    multiplicative hash (the a7_hash_split discipline generalized
+    from 80/20 to k folds — reproducible in any engine, unlike
+    randomSplit), and the per-fold report carries test size,
+    complementary train size, and the money-grid test-revenue sum a
+    per-fold metric aggregation would join against.
+
+    Exact oracle: identical integer hash arithmetic both sides; the
+    train count derives from one 1-row broadcast total (never a
+    collect). Scale: one scan, one bounded groupBy — the fold column
+    itself is free to attach to any training query's input."""
+    from ..functions.columns import portable_bucket
+
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        "o_totalprice",
+        portable_bucket(
+            F.col("o_orderkey") + F.lit(_CV_SEED), _CV_FOLDS
+        ).alias("fold"),
+    )
+    tot = t.agg(F.count("*").alias("n"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            (F.first("n") - F.count("*")).cast("long").alias("n_train"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_test_price"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "n_test",
+                "n_train", "sum_test_price")
     )
