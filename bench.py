@@ -224,6 +224,11 @@ HEADLINE = [
     "j_spatial_radius",
     "a_hhi",
     "p_crossval_folds",
+    # r07: staged_r12 third batch — DiD causal estimator, retention
+    # streaks, deterministic-Laplace DP count release
+    "a_diff_in_diff",
+    "w_activity_streaks",
+    "p_dp_noised_counts",
 ]
 
 

@@ -217,9 +217,14 @@ _reorder()
 # brute-force twin, 19 m boundary gap test-pinned), a_hhi
 # (Herfindahl + CR4 market concentration per region), and
 # p_crossval_folds (k-fold CV assignment, a7_hash_split generalized
-# to k folds). All
+# to k folds), and the third staged_r12 batch — a_diff_in_diff (the
+# two-period DiD causal estimator; rounds ONCE at the money-grid
+# cell sums so the estimate is bit-stable), w_activity_streaks
+# (day-grain gaps-and-islands retention streaks, exact integers),
+# and p_dp_noised_counts (deterministic-Laplace DP count release,
+# FLOOR-banded with the band-edge gap test-pinned). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 64 into the leading slots (two rotations if
+# Next round: move these 67 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -42,6 +42,17 @@ Second batch (same gate):
 - ``p_crossval_folds`` — k-fold cross-validation assignment via the
   portable hash (a7_hash_split generalized to k folds).
 
+Third batch (same gate):
+
+- ``a_diff_in_diff`` — two-period difference-in-differences, the
+  causal estimator the a/b family lacked; rounding once at the
+  money-grid cell sums makes everything downstream bit-stable.
+- ``w_activity_streaks`` — longest consecutive-active-day streak per
+  user (day-grain gaps-and-islands, the retention classic).
+- ``p_dp_noised_counts`` — Laplace-mechanism count release with a
+  deterministic inverse-CDF draw (the DP companion to
+  a_k_anonymity; a_bootstrap_ci's replayable-randomness discipline).
+
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
 """
@@ -824,4 +835,263 @@ def p_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("fold").cast("long").alias("fold"), "n_test",
                 "n_train", "sum_test_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_diff_in_diff — two-period difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+_DID_SEED = 99
+
+
+@query(
+    "a_diff_in_diff",
+    oracle=f"""
+    WITH d AS (
+      SELECT value,
+             {_cms_oracle_bucket_sql('user_id', _DID_SEED, 2)} = 1
+               AS treated,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), cut AS (
+      SELECT CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid FROM d
+    ), cells AS (
+      SELECT treated, day >= mid AS post,
+             COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+      FROM d CROSS JOIN cut GROUP BY 1, 2
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN treated AND post THEN n END) AS n_t_post,
+        MAX(CASE WHEN treated AND NOT post THEN n END) AS n_t_pre,
+        MAX(CASE WHEN NOT treated AND post THEN n END) AS n_c_post,
+        MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c_pre,
+        MAX(CASE WHEN treated AND post THEN s END) AS s_t_post,
+        MAX(CASE WHEN treated AND NOT post THEN s END) AS s_t_pre,
+        MAX(CASE WHEN NOT treated AND post THEN s END) AS s_c_post,
+        MAX(CASE WHEN NOT treated AND NOT post THEN s END) AS s_c_pre
+      FROM cells
+    )
+    SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           ROUND((s_t_post / n_t_post - s_t_pre / n_t_pre)
+                 - (s_c_post / n_c_post - s_c_pre / n_c_pre), 6) AS did
+    FROM w
+    """,
+)
+def a_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period difference-in-differences — the workhorse causal
+    estimator the a/b family lacked (a_abtest_lift compares arms at
+    one point; DiD nets out a shared time trend): treatment = the
+    portable user hash-split, periods split at the corpus's midpoint
+    day (1-row broadcast — never a collect), outcome = event value.
+    Output: the four cell sizes and the DiD point estimate.
+
+    Determinism: rounding happens ONCE, at the money-grid cell sums
+    (the repo-wide round(sum, 2) convention) — every downstream mean
+    and the estimate itself are then deterministic functions of
+    identical doubles on both engines, so the final ROUND(…, 6) is
+    bit-stable by construction (no half-grid exposure: identical
+    inputs → identical output).
+
+    Scale: one fact scan into 4 cells (map-side partial agg); the
+    midpoint joins back as a 1-row broadcast. Nothing keyed, nothing
+    skewed, nothing collected."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "value",
+        (portable_bucket(F.col("user_id") + F.lit(_DID_SEED), 2) == 1).alias(
+            "treated"
+        ),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    )
+    cut = d.agg(
+        F.floor((F.min("day") + F.max("day")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    cells = (
+        d.crossJoin(F.broadcast(cut))
+        .groupBy("treated", (F.col("day") >= F.col("mid")).alias("post"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+
+    def cell(t: bool, p: bool, col: str):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col(col))
+        )
+
+    w = cells.agg(
+        cell(True, True, "n").alias("n_t_post"),
+        cell(True, False, "n").alias("n_t_pre"),
+        cell(False, True, "n").alias("n_c_post"),
+        cell(False, False, "n").alias("n_c_pre"),
+        cell(True, True, "s").alias("s_t_post"),
+        cell(True, False, "s").alias("s_t_pre"),
+        cell(False, True, "s").alias("s_c_post"),
+        cell(False, False, "s").alias("s_c_pre"),
+    )
+    return w.select(
+        F.col("n_t_pre").cast("long").alias("n_t_pre"),
+        F.col("n_t_post").cast("long").alias("n_t_post"),
+        F.col("n_c_pre").cast("long").alias("n_c_pre"),
+        F.col("n_c_post").cast("long").alias("n_c_post"),
+        F.round(
+            (F.col("s_t_post") / F.col("n_t_post")
+             - F.col("s_t_pre") / F.col("n_t_pre"))
+            - (F.col("s_c_post") / F.col("n_c_post")
+               - F.col("s_c_pre") / F.col("n_c_pre")),
+            6,
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w_activity_streaks — longest consecutive-day streak per user
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the retention/
+    engagement classic (the DAY-grain gaps-and-islands twin of
+    w_sessionize's second-grain sessions): distinct active days, the
+    day − row_number island key, run lengths, then per-user longest
+    streak / active-day total / streak count.
+
+    Exact oracle: everything is integer day arithmetic and counts on
+    a total per-user order — no bands.
+
+    Scale: one distinct (user, day) projection of the fact scan, one
+    per-user window (the user_id exchange), two bounded aggregations.
+    Day grain means per-user state is ≤ a few thousand rows even for
+    years of history — the same bounded-state argument as the hourly
+    series family."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(w)).alias("grp")
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_dp_noised_counts — deterministic Laplace-mechanism count release
+# ---------------------------------------------------------------------------
+
+_DP_SEED = 424_243
+_DP_W = 1 << 20  # uniform grid for the inverse-CDF draw
+_DP_EPS = 1.0    # epsilon; sensitivity 1 (event-level) => b = 1/eps
+_DP_BAND = 1_000_000
+
+
+@query(
+    "p_dp_noised_counts",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day FROM events
+    ), c AS (
+      SELECT day, COUNT(*) AS n FROM d GROUP BY day
+    ), u AS (
+      SELECT day, n,
+             ({_cms_oracle_bucket_sql('day', _DP_SEED, _DP_W)} + 0.5)
+               / {_DP_W}.0 - 0.5 AS v
+      FROM c
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR((n + CASE WHEN v < 0.0
+                              THEN LN(1.0 + 2.0 * v) / {_DP_EPS}
+                              ELSE -LN(1.0 - 2.0 * v) / {_DP_EPS} END)
+                      * {_DP_BAND}.0) AS BIGINT) AS released_band
+    FROM u
+    """,
+)
+def p_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release — the differential-privacy
+    companion to a_k_anonymity's re-identification audit: per-day
+    event counts plus Laplace(1/ε) noise via the DETERMINISTIC
+    inverse-CDF draw (portable-hash uniform on a 2^20 grid → signed
+    log transform), ε=1 at event-level sensitivity 1. Deterministic
+    noise is what makes the mechanism an oracle-checkable engine
+    operator (the a_bootstrap_ci discipline: replayable randomness,
+    engine-portable integer hash); a production release would swap
+    the hash for a sealed RNG and drop the true count — kept here as
+    the non-vacuity witness, exactly like the bootstrap keeps its
+    resample sums.
+
+    Noise is genuinely irrational (a log of a dyadic rational) ⇒
+    FLOOR 1e-6 banding per the band-grid lesson; the uniform draw
+    can never hit v = ±0.5 (grid offset +0.5 of an integer < 2^20),
+    so LN's argument is bounded away from 0.
+
+    Scale: one scan, one bounded groupBy (days), map-only noise
+    columns — the release table is calendar-sized."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("long")
+        .alias("day")
+    ).groupBy("day").agg(F.count("*").alias("n"))
+    u = c.select(
+        "day",
+        "n",
+        (
+            (portable_bucket(F.col("day") + F.lit(_DP_SEED), _DP_W)
+             + F.lit(0.5))
+            / F.lit(float(_DP_W))
+            - F.lit(0.5)
+        ).alias("v"),
+    )
+    noise = F.when(
+        F.col("v") < 0.0, F.log(1.0 + 2.0 * F.col("v")) / F.lit(_DP_EPS)
+    ).otherwise(-F.log(1.0 - 2.0 * F.col("v")) / F.lit(_DP_EPS))
+    return u.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.floor((F.col("n") + noise) * F.lit(float(_DP_BAND)))
+        .cast("long")
+        .alias("released_band"),
     )

@@ -451,3 +451,107 @@ def test_crossval_folds_partition(spark):
     assert sum(r.n_test for r in rows) == o_n
     for r in rows:
         assert r.n_train == o_n - r.n_test
+
+
+# ---------------------------------------------------------------------------
+# a_diff_in_diff / w_activity_streaks / p_dp_noised_counts
+# ---------------------------------------------------------------------------
+
+
+def test_did_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DID_SEED,
+        a_diff_in_diff,
+    )
+
+    row = a_diff_in_diff(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    ).collect()
+    days = [int(r.ts.timestamp() // 86400) for r in ev]
+    mid = (min(days) + max(days)) // 2
+    cells = defaultdict(lambda: [0, 0.0])
+    for r, day in zip(ev, days):
+        treated = _portable_bucket(int(r.user_id) + _DID_SEED, 2) == 1
+        post = day >= mid
+        c = cells[(treated, post)]
+        c[0] += 1
+        c[1] += r.value
+    for k in cells:
+        cells[k][1] = round(cells[k][1], 2)
+    assert row.n_t_pre == cells[(True, False)][0]
+    assert row.n_t_post == cells[(True, True)][0]
+    assert row.n_c_pre == cells[(False, False)][0]
+    assert row.n_c_post == cells[(False, True)][0]
+    want = round(
+        (cells[(True, True)][1] / cells[(True, True)][0]
+         - cells[(True, False)][1] / cells[(True, False)][0])
+        - (cells[(False, True)][1] / cells[(False, True)][0]
+           - cells[(False, False)][1] / cells[(False, False)][0]),
+        6,
+    )
+    assert abs(row.did - want) < 2e-6
+    # all four cells populated (the estimator is defined)
+    assert min(c[0] for c in cells.values()) > 0
+
+
+def test_streaks_match_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        w_activity_streaks,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts"
+    ).collect()
+    by_user = defaultdict(set)
+    for r in ev:
+        by_user[int(r.user_id)].add(int(r.ts.timestamp() // 86400))
+    want = {}
+    for u, ds in by_user.items():
+        ds = sorted(ds)
+        runs = []
+        run = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+        want[u] = (max(runs), len(ds), len(runs))
+    got = {
+        r.user_id: (r.longest_streak, r.n_active_days, r.n_streaks)
+        for r in w_activity_streaks(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_dp_noise_replay_and_floor_gap(spark):
+    """The released band replays in Python exactly, the noise respects
+    the Laplace inverse-CDF magnitude bound, and no (n + noise)·1e6
+    sits near a FLOOR boundary (cross-engine float noise ~1e-9 band
+    units cannot flip a band)."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DP_EPS,
+        _DP_SEED,
+        _DP_W,
+        p_dp_noised_counts,
+    )
+
+    rows = p_dp_noised_counts(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    max_noise = math.log(_DP_W) / _DP_EPS + 1
+    for r in rows:
+        v = (_portable_bucket(r.day + _DP_SEED, _DP_W) + 0.5) / _DP_W - 0.5
+        if v < 0:
+            noise = math.log(1.0 + 2.0 * v) / _DP_EPS
+        else:
+            noise = -math.log(1.0 - 2.0 * v) / _DP_EPS
+        x = (r.n + noise) * 1e6
+        assert math.floor(x) == r.released_band
+        assert abs(noise) <= max_noise
+        # FLOOR-boundary gap: distance to the nearest band edge
+        frac = x - math.floor(x)
+        assert min(frac, 1 - frac) > 1e-4, f"band-edge gap {frac} at day {r.day}"
