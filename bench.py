@@ -229,6 +229,9 @@ HEADLINE = [
     "a_diff_in_diff",
     "w_activity_streaks",
     "p_dp_noised_counts",
+    # r07: propensity-score matching (logreg propensity + scan-carry
+    # nearest-control matching via attach_running_last)
+    "a_propensity_match",
 ]
 
 

@@ -182,3 +182,62 @@ def global_row_number(
     return attach_global_ranks(
         df, sort_cols, key_cols, rn_col=out_col, num_partitions=num_partitions
     )
+
+
+def attach_running_last(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: Column,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the RUNNING LAST NON-NULL of ``value_col`` over the
+    total order given by ``sort_cols`` (frame: unbounded preceding →
+    current row) — SQL's ``LAST_VALUE(x IGNORE NULLS)`` over a global
+    ORDER BY, without the single-task global window: the scan-carry
+    pattern. Range-partition by the sort order, compute the local
+    running last within each partition, reduce each partition to its
+    final non-null value (a bounded offsets table), prefix-carry
+    those across partitions with one tiny window, and coalesce
+    local-with-carry. Works for any value type (pack a struct to
+    carry several fields from the SAME source row atomically).
+
+    The partitioning is pinned with the same lazy localCheckpoint as
+    :func:`attach_global_ranks` (RangePartitioner boundary sampling
+    is not deterministic across separate executions — both branches
+    of the self-join must read the same stored blocks)."""
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    s = (
+        df.withColumn("__rl_v", value_col)
+        .repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = s.withColumn(
+        "__rl_local", F.last("__rl_v", ignorenulls=True).over(w_local)
+    )
+    per_part = s.groupBy(_PID).agg(
+        F.last("__rl_v", ignorenulls=True).alias("__rl_fin")
+    )
+    _one = constant_partition_key(F.col(_PID))
+    w_prev = Window.partitionBy(_one).orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = per_part.select(
+        _PID,
+        F.last("__rl_fin", ignorenulls=True).over(w_prev).alias("__rl_carry"),
+    )
+    out = local.join(carry, _PID)
+    return out.select(
+        *[c for c in df.columns],
+        F.coalesce(F.col("__rl_local"), F.col("__rl_carry")).alias(out_col),
+    )

@@ -222,9 +222,13 @@ _reorder()
 # cell sums so the estimate is bit-stable), w_activity_streaks
 # (day-grain gaps-and-islands retention streaks, exact integers),
 # and p_dp_noised_counts (deterministic-Laplace DP count release,
-# FLOOR-banded with the band-edge gap test-pinned). All
+# FLOOR-banded with the band-edge gap test-pinned), and
+# a_propensity_match (propensity-score 1-NN matching: in-engine
+# logreg propensity + two attach_running_last scan-carry passes —
+# the distributed LAST_VALUE IGNORE NULLS primitive, ranks.py — with
+# an integer gap argmin; the trainer-composition flagship). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 67 into the leading slots (two rotations if
+# Next round: move these 68 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -52,6 +52,12 @@ Third batch (same gate):
 - ``p_dp_noised_counts`` — Laplace-mechanism count release with a
   deterministic inverse-CDF draw (the DP companion to
   a_k_anonymity; a_bootstrap_ci's replayable-randomness discipline).
+- ``a_propensity_match`` — propensity-score 1-NN matching (ATT): the
+  in-engine logreg fits the propensity, each treated unit matches
+  its nearest control by score via two scan-carry passes
+  (operators/ranks.attach_running_last — distributed LAST_VALUE
+  IGNORE NULLS, no single-task window). The trainer-composition
+  flagship and the third causal estimator.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -64,7 +70,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..operators.encode import hash_split_col
-from ..operators.ranks import attach_global_ranks
+from ..operators.ranks import attach_global_ranks, attach_running_last
 from ..operators.sketches import bloom_build, bloom_probe
 from ..operators.train import naive_bayes_fit, naive_bayes_score
 from .registry import query
@@ -1094,4 +1100,200 @@ def p_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("n") + noise) * F.lit(float(_DP_BAND)))
         .cast("long")
         .alias("released_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_propensity_match — propensity-score 1-NN matching (ATT estimator)
+# ---------------------------------------------------------------------------
+
+_PSM_SEED = 17
+_PSM_LR = 0.5
+_PSM_ROUNDS = 5
+_PSM_D = 3
+_PSM_GRID = 1_000_000
+
+
+def _psm_oracle() -> str:
+    """Generated DuckDB twin: the staged_r08 logreg unroll (same
+    left-associated z, same GD recurrence) over the per-customer
+    features, then scoring, then the two LAST_VALUE IGNORE NULLS
+    matching scans with the SAME total orders as the Spark
+    attach_running_last passes."""
+    z = " + ".join(f"w.w{i}*d.x{i}" for i in range(1, _PSM_D + 1)) + " + w.b"
+    sig = f"1.0/(1.0 + EXP(-({z})))"
+    w0 = ", ".join(f"0.0 AS w{i}" for i in range(1, _PSM_D + 1)) + ", 0.0 AS b"
+    rounds = []
+    for k in range(1, _PSM_ROUNDS + 1):
+        cols = ", ".join(
+            f"MIN(w.w{i}) + {_PSM_LR}*AVG((d.y - {sig})*d.x{i}) AS w{i}"
+            for i in range(1, _PSM_D + 1)
+        )
+        rounds.append(
+            f"w{k} AS (SELECT {cols}, "
+            f"MIN(w.b) + {_PSM_LR}*AVG(d.y - {sig}) AS b "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+    treat = _cms_oracle_bucket_sql("c.c_custkey", _PSM_SEED, 2)
+    return f"""
+    WITH agg AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             ROUND(SUM(o_totalprice), 2) AS s2,
+             ROUND(MAX(o_totalprice), 2) AS mx
+      FROM orders GROUP BY o_custkey
+    ), data AS (
+      SELECT c.c_custkey AS key, c.c_acctbal AS outcome,
+             CAST(n AS DOUBLE) / 10.0 AS x1,
+             s2 / 10000000.0 AS x2,
+             mx / 1000000.0 AS x3,
+             CASE WHEN {treat} = 1 THEN 1.0 ELSE 0.0 END AS y
+      FROM agg JOIN customer c ON c.c_custkey = agg.o_custkey
+    ), w0 AS (SELECT {w0}),
+    {",".join(rounds)},
+    scored AS (
+      SELECT d.key, d.y, d.outcome,
+             CAST(FLOOR(({sig}) * {_PSM_GRID}.0) AS BIGINT) AS g
+      FROM data d CROSS JOIN w{_PSM_ROUNDS} w
+    ), ob AS (
+      SELECT key, y, outcome, g,
+             LAST_VALUE(CASE WHEN y = 0.0 THEN g END IGNORE NULLS)
+               OVER wb AS bg,
+             LAST_VALUE(CASE WHEN y = 0.0 THEN outcome END IGNORE NULLS)
+               OVER wb AS bo,
+             LAST_VALUE(CASE WHEN y = 0.0 THEN g END IGNORE NULLS)
+               OVER wa AS ag,
+             LAST_VALUE(CASE WHEN y = 0.0 THEN outcome END IGNORE NULLS)
+               OVER wa AS ao
+      FROM scored
+      WINDOW wb AS (ORDER BY g ASC, y ASC, key ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wa AS (ORDER BY g DESC, y ASC, key DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), m AS (
+      SELECT key, outcome,
+             CASE WHEN ag IS NULL
+                       OR (bg IS NOT NULL AND (g - bg) <= (ag - g))
+                  THEN bo ELSE ao END AS mo
+      FROM ob WHERE y = 1.0
+    ), fin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+             CAST(COUNT(mo) AS BIGINT) AS n_matched,
+             ROUND(SUM(outcome - mo), 2) AS sum_diff
+      FROM m
+    )
+    SELECT n_treated, n_matched, sum_diff,
+           ROUND(sum_diff / n_matched, 6) AS att
+    FROM fin
+    """
+
+
+@query("a_propensity_match", oracle=_psm_oracle())
+def a_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching — the third causal estimator
+    (a_abtest_lift = randomized lift, a_diff_in_diff = parallel
+    trends; PSM = observational confound adjustment), and the
+    flagship TRAINER COMPOSITION: the in-engine logistic regression
+    (operators/train.logreg_fit, 5 lazy GD rounds) fits the
+    propensity of the hash-split "treatment" from per-customer order
+    features, every unit is scored fit-free, and each treated unit is
+    matched to its nearest control BY SCORE via two scan-carry passes
+    (operators/ranks.attach_running_last — LAST_VALUE IGNORE NULLS
+    over a total order WITHOUT a single-task window: nearest control
+    at-or-below in score order, nearest at-or-above in the reversed
+    order, then an integer argmin of the two gaps). Output: treated /
+    matched counts, the money-grid sum of matched outcome
+    differences, and the ATT point estimate.
+
+    Determinism: scores land on the FLOOR 1e-6 grid (min distance of
+    p·1e6 from the FLOOR boundaries is test-pinned ≫ cross-engine
+    noise); after that every comparison is integer (gap argmin,
+    below-preferred ties) over a total order (score, treated, key)
+    replicated verbatim in the twin's WINDOW clauses; the ATT rounds
+    once at the money grid and once at 1e-6 on identical doubles
+    (the a_diff_in_diff discipline).
+
+    Scale: fit = 5 codegen'd aggregates over the feature table;
+    scoring is map-only; matching = two range-partitioned scan-carry
+    passes over the DIMENSION-sized unit table (no quadratic
+    candidate set, no single-task sort) — the same shape at any
+    corpus size since units aggregate the fact table first."""
+    from ..functions.columns import portable_bucket
+    from ..operators.train import _sigmoid, _z, logreg_fit
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("s2"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+    data = agg.join(
+        c, F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("outcome"),
+        (F.col("n").cast("double") / F.lit(10.0)).alias("x1"),
+        (F.col("s2") / F.lit(10000000.0)).alias("x2"),
+        (F.col("mx") / F.lit(1000000.0)).alias("x3"),
+        F.when(
+            portable_bucket(F.col("c_custkey") + F.lit(_PSM_SEED), 2) == 1,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    wrow = logreg_fit(
+        data, ["x1", "x2", "x3"], "y", lr=_PSM_LR, rounds=_PSM_ROUNDS
+    )
+    scored = data.crossJoin(F.broadcast(wrow)).select(
+        "key",
+        "y",
+        "outcome",
+        F.floor(_sigmoid(_z(["x1", "x2", "x3"])) * F.lit(float(_PSM_GRID)))
+        .cast("long")
+        .alias("g"),
+    )
+    cpack = F.when(
+        F.col("y") == 0.0, F.struct(F.col("g").alias("cg"),
+                                    F.col("outcome").alias("co"))
+    )
+    below = attach_running_last(
+        scored,
+        [F.asc("g"), F.asc("y"), F.asc("key")],
+        cpack,
+        "below",
+    )
+    both = attach_running_last(
+        below,
+        [F.desc("g"), F.asc("y"), F.desc("key")],
+        cpack,
+        "above",
+    )
+    m = both.filter(F.col("y") == 1.0).select(
+        "key",
+        "outcome",
+        F.when(
+            F.col("above").isNull()
+            | (
+                F.col("below").isNotNull()
+                & (
+                    (F.col("g") - F.col("below.cg"))
+                    <= (F.col("above.cg") - F.col("g"))
+                )
+            ),
+            F.col("below.co"),
+        )
+        .otherwise(F.col("above.co"))
+        .alias("mo"),
+    )
+    fin = m.agg(
+        F.count("*").alias("n_treated"),
+        F.count("mo").alias("n_matched"),
+        F.round(F.sum(F.col("outcome") - F.col("mo")), 2).alias("sum_diff"),
+    )
+    return fin.select(
+        "n_treated",
+        "n_matched",
+        "sum_diff",
+        F.round(F.col("sum_diff") / F.col("n_matched"), 6).alias("att"),
     )

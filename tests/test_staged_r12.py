@@ -555,3 +555,133 @@ def test_dp_noise_replay_and_floor_gap(spark):
         # FLOOR-boundary gap: distance to the nearest band edge
         frac = x - math.floor(x)
         assert min(frac, 1 - frac) > 1e-4, f"band-edge gap {frac} at day {r.day}"
+
+
+# ---------------------------------------------------------------------------
+# a_propensity_match / attach_running_last
+# ---------------------------------------------------------------------------
+
+
+def test_attach_running_last_multi_partition(spark):
+    """Scan-carry last-non-null == a single-partition reference, in
+    ascending AND descending order, across many range partitions."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators.ranks import (
+        attach_running_last,
+    )
+
+    rows = [(i, f"v{i}" if i % 7 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    asc = {
+        r.k: r.rl
+        for r in attach_running_last(
+            df, [F.asc("k")], F.col("v"), "rl", num_partitions=13
+        ).collect()
+    }
+    want_asc = {i: f"v{(i // 7) * 7}" for i in range(200)}
+    assert asc == want_asc
+    desc = {
+        r.k: r.rl
+        for r in attach_running_last(
+            df, [F.desc("k")], F.col("v"), "rl", num_partitions=13
+        ).collect()
+    }
+    want_desc = {
+        i: (f"v{((i + 6) // 7) * 7}" if ((i + 6) // 7) * 7 < 200 else None)
+        for i in range(200)
+    }
+    assert desc == want_desc
+
+
+def _psm_replay(spark):
+    """Pure-Python replay of the full propensity pipeline at SF_DIR."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _PSM_GRID,
+        _PSM_LR,
+        _PSM_ROUNDS,
+        _PSM_SEED,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    c = {int(r.c_custkey): r.c_acctbal
+         for r in spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()}
+    agg = defaultdict(lambda: [0, 0.0, 0.0])
+    for r in o:
+        a = agg[int(r.o_custkey)]
+        a[0] += 1
+        a[1] += r.o_totalprice
+        a[2] = max(a[2], r.o_totalprice)
+    data = []
+    for k, (n, s, mx) in agg.items():
+        x = (n / 10.0, round(s, 2) / 10000000.0, round(mx, 2) / 1000000.0)
+        y = 1.0 if _portable_bucket(k + _PSM_SEED, 2) == 1 else 0.0
+        data.append((k, c[k], x, y))
+    w = [0.0, 0.0, 0.0]
+    b = 0.0
+    for _ in range(_PSM_ROUNDS):
+        gs = [0.0, 0.0, 0.0]
+        gb = 0.0
+        for _, _, x, y in data:
+            z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2] + b
+            r = y - 1.0 / (1.0 + math.exp(-z))
+            for i in range(3):
+                gs[i] += r * x[i]
+            gb += r
+        n = len(data)
+        w = [w[i] + _PSM_LR * gs[i] / n for i in range(3)]
+        b = b + _PSM_LR * gb / n
+    units = []
+    for k, out, x, y in data:
+        z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2] + b
+        p = 1.0 / (1.0 + math.exp(-z))
+        units.append((k, y, out, math.floor(p * _PSM_GRID), p))
+    return units
+
+
+def test_psm_replay_and_grid_gap(spark):
+    """Python replay of fit → score → match reproduces the query's
+    counts and ATT; and no unit's propensity sits near a FLOOR grid
+    boundary (cross-engine float noise ~1e-9 grid units)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _PSM_GRID,
+        a_propensity_match,
+    )
+
+    units = _psm_replay(spark)
+    # FLOOR-grid gap pin
+    for _, _, _, g, p in units:
+        frac = p * _PSM_GRID - g
+        assert min(frac, 1 - frac) > 1e-4, f"grid gap {frac}"
+    # matching replay: order (g, y, key)
+    fwd = sorted(units, key=lambda u: (u[3], u[1], u[0]))
+    below = {}
+    lastc = None
+    for k, y, out, g, _ in fwd:
+        if y == 0.0:
+            lastc = (g, out)
+        below[k] = lastc
+    above = {}
+    lastc = None
+    for k, y, out, g, _ in sorted(units, key=lambda u: (-u[3], u[1], -u[0])):
+        if y == 0.0:
+            lastc = (g, out)
+        above[k] = lastc
+    diffs = []
+    for k, y, out, g, _ in units:
+        if y != 1.0:
+            continue
+        bl, ab = below[k], above[k]
+        if ab is None or (bl is not None and (g - bl[0]) <= (ab[0] - g)):
+            mo = bl[1]
+        else:
+            mo = ab[1]
+        diffs.append(out - mo)
+    row = a_propensity_match(spark, SF_DIR).collect()[0]
+    n_treated = sum(1 for u in units if u[1] == 1.0)
+    assert row.n_treated == n_treated
+    assert row.n_matched == len(diffs)
+    assert abs(row.sum_diff - round(sum(diffs), 2)) < 0.02
+    assert abs(row.att - round(round(sum(diffs), 2) / len(diffs), 6)) < 2e-6
