@@ -232,6 +232,10 @@ HEADLINE = [
     # r07: propensity-score matching (logreg propensity + scan-carry
     # nearest-control matching via attach_running_last)
     "a_propensity_match",
+    # r07: CUPED readout, link prediction, one-way ANOVA
+    "a_cuped",
+    "g_link_prediction",
+    "a_anova_oneway",
 ]
 
 

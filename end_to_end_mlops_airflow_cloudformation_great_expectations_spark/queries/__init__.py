@@ -226,9 +226,15 @@ _reorder()
 # a_propensity_match (propensity-score 1-NN matching: in-engine
 # logreg propensity + two attach_running_last scan-carry passes —
 # the distributed LAST_VALUE IGNORE NULLS primitive, ranks.py — with
-# an integer gap argmin; the trainer-composition flagship). All
+# an integer gap argmin; the trainer-composition flagship), and
+# a_cuped (CUPED variance-reduced lift readout — money-grid user
+# sums, one moment scan, 1-row theta broadcast), and
+# g_link_prediction (common-neighbor/Jaccard link scores as EXACT
+# integers via the triangle-shape wedge join), and a_anova_oneway
+# (one-way ANOVA F from one moment scan — completes the hypothesis
+# battery). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 68 into the leading slots (two rotations if
+# Next round: move these 71 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

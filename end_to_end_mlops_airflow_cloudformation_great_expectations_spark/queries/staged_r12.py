@@ -58,6 +58,14 @@ Third batch (same gate):
   (operators/ranks.attach_running_last — distributed LAST_VALUE
   IGNORE NULLS, no single-task window). The trainer-composition
   flagship and the third causal estimator.
+- ``a_cuped`` — CUPED variance-reduced experiment readout (θ from
+  one moment scan, adjusted lift vs raw lift) — the fourth
+  experimentation arm.
+- ``g_link_prediction`` — common-neighbor / Jaccard link scores as
+  EXACT integers (numerator + union size), the triangle-shape wedge
+  join at a min-support cut.
+- ``a_anova_oneway`` — one-way ANOVA F across order priorities from
+  one moment scan; completes the hypothesis-test battery.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -1296,4 +1304,305 @@ def a_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         "sum_diff",
         F.round(F.col("sum_diff") / F.col("n_matched"), 6).alias("att"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_cuped — CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_cuped",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, value,
+             {_cms_oracle_bucket_sql('user_id', _DID_SEED, 2)} = 1
+               AS treated,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+      FROM events
+    ), cut AS (
+      SELECT CAST((MIN(day) + MAX(day)) // 2 AS BIGINT) AS mid FROM d
+    ), users AS (
+      SELECT user_id, BOOL_OR(treated) AS treated,
+             ROUND(SUM(CASE WHEN day < mid THEN value ELSE 0 END), 2) AS pre,
+             ROUND(SUM(CASE WHEN day >= mid THEN value ELSE 0 END), 2)
+               AS post
+      FROM d CROSS JOIN cut GROUP BY user_id
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+             SUM(pre * pre) AS sxx, SUM(pre * post) AS sxy
+      FROM users
+    ), th AS (
+      SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+             sx / n AS mx
+      FROM mom
+    ), adj AS (
+      SELECT treated, post - theta * (pre - mx) AS y
+      FROM users CROSS JOIN th
+    ), arms AS (
+      SELECT treated, COUNT(*) AS n, SUM(y) AS s
+      FROM adj GROUP BY treated
+    ), raw AS (
+      SELECT treated, COUNT(*) AS n, SUM(post) AS s
+      FROM users GROUP BY treated
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM raw WHERE treated) AS n_t,
+           (SELECT CAST(n AS BIGINT) FROM raw WHERE NOT treated) AS n_c,
+           ROUND((SELECT theta FROM th), 6) AS theta,
+           ROUND((SELECT s / n FROM raw WHERE treated)
+                 - (SELECT s / n FROM raw WHERE NOT treated), 6)
+             AS raw_lift,
+           ROUND((SELECT s / n FROM arms WHERE treated)
+                 - (SELECT s / n FROM arms WHERE NOT treated), 6)
+             AS cuped_lift
+    """,
+)
+def a_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard variance-reduction readout that completes the
+    experimentation family (a_abtest_lift = raw lift, a_diff_in_diff
+    = trend-netting, a_propensity_match = confound matching; CUPED =
+    precision): per-user pre/post outcome sums split at the corpus
+    midpoint day, θ = cov(pre, post)/var(pre) from one moment
+    aggregate, adjusted outcome y = post − θ·(pre − mean_pre), lift
+    re-read on the adjusted values.
+
+    Determinism: per-user pre/post land on the money grid first
+    (round(sum, 2)); the moment sums over those identical doubles
+    carry ~1e-12 relative cross-engine noise into θ and the lifts,
+    rounded at 1e-6 (the a_diff_in_diff discipline, one extra moment
+    layer).
+
+    Scale: one fact scan to user grain, one 5-number moment reduce,
+    θ and mean ride a 1-row broadcast back over the user table, two
+    bounded arm aggregates. Nothing collected, nothing quadratic."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "value",
+        (portable_bucket(F.col("user_id") + F.lit(_DID_SEED), 2) == 1).alias(
+            "treated"
+        ),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400))
+        .cast("long")
+        .alias("day"),
+    )
+    cut = d.agg(
+        F.floor((F.min("day") + F.max("day")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    users = (
+        d.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.max("treated").alias("treated"),
+            F.round(
+                F.sum(F.when(F.col("day") < F.col("mid"), F.col("value"))
+                      .otherwise(0.0)),
+                2,
+            ).alias("pre"),
+            F.round(
+                F.sum(F.when(F.col("day") >= F.col("mid"), F.col("value"))
+                      .otherwise(0.0)),
+                2,
+            ).alias("post"),
+        )
+    )
+    mom = users.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    th = mom.select(
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+    )
+    adj = users.crossJoin(F.broadcast(th)).select(
+        "treated",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mx"))
+        ).alias("y"),
+    )
+    arms = adj.groupBy("treated").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    raw = users.groupBy("treated").agg(
+        F.count("*").alias("n"), F.sum("post").alias("s")
+    )
+
+    def pick(df, flag, col):
+        return F.max(F.when(F.col("treated") == flag, F.col(col)))
+
+    raw1 = raw.agg(
+        pick(raw, True, "n").cast("long").alias("n_t"),
+        pick(raw, False, "n").cast("long").alias("n_c"),
+        (pick(raw, True, "s") / pick(raw, True, "n")).alias("mt"),
+        (pick(raw, False, "s") / pick(raw, False, "n")).alias("mc"),
+    )
+    arm1 = arms.agg(
+        (pick(arms, True, "s") / pick(arms, True, "n")).alias("at"),
+        (pick(arms, False, "s") / pick(arms, False, "n")).alias("ac"),
+    )
+    return (
+        raw1.crossJoin(arm1)
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_t",
+            "n_c",
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round(F.col("mt") - F.col("mc"), 6).alias("raw_lift"),
+            F.round(F.col("at") - F.col("ac"), 6).alias("cuped_lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_link_prediction — common-neighbor / Jaccard link scores
+# ---------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 5
+
+
+@query(
+    "g_link_prediction",
+    oracle=(
+        "WITH "
+        + _LPA_ORACLE_GRAPH
+        + f""", left_e AS (
+      SELECT src AS a, dst AS r FROM edges WHERE src < 200
+    ), deg AS (
+      SELECT a, COUNT(*) AS d FROM left_e GROUP BY a
+    ), pairs AS (
+      SELECT x.a AS a, y.a AS b, COUNT(*) AS common
+      FROM left_e x JOIN left_e y ON x.r = y.r AND x.a < y.a
+      GROUP BY 1, 2
+    )
+    SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common,
+           CAST(da.d + db.d - p.common AS BIGINT) AS union_size
+    FROM pairs p
+    JOIN deg da ON da.a = p.a
+    JOIN deg db ON db.a = p.b
+    WHERE p.common >= {_LP_MIN_COMMON}
+    """
+    ),
+)
+def g_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the derived order graph —
+    the recommender/graph-completion primitive ("which same-side
+    vertices share enough structure to suggest a missing edge"):
+    wedge join over the bipartite edges (left vertex pairs through a
+    shared right neighbor, oriented a < b so each pair counts once),
+    common-neighbor count + the Jaccard NUMERATOR/DENOMINATOR as
+    exact integers (common, |Γa ∪ Γb|) at a min-support cut — no
+    float scores anywhere, so the oracle is EXACT.
+
+    Scale: the wedge join is the triangle_count shape — fan-out
+    bounded by the right-side degree; min-support prunes before the
+    degree joins; at power-law scale the hot right-vertices are AQE
+    skew-join work, and a cap on wedge fan-out (the dedup hot-bucket
+    discipline) would bound the quadratic step explicitly."""
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("a"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("r"),
+    ).distinct()
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    x = edges.withColumnRenamed("a", "xa")
+    y = edges.withColumnRenamed("a", "yb")
+    pairs = (
+        x.join(y, "r")
+        .filter(F.col("xa") < F.col("yb"))
+        .groupBy(F.col("xa").alias("a"), F.col("yb").alias("b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= _LP_MIN_COMMON)
+    )
+    da = deg.select(F.col("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("common").cast("long").alias("common"),
+            (F.col("da") + F.col("db") - F.col("common"))
+            .cast("long")
+            .alias("union_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_anova_oneway — one-way ANOVA F statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(o_totalprice) AS s, SUM(o_totalprice * o_totalprice) AS ss
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss,
+             COUNT(*) AS k
+      FROM g
+    ), parts AS (
+      SELECT (SELECT SUM(s * s / n) FROM g) - t.s * t.s / t.n AS ssb,
+             t.ss - (SELECT SUM(s * s / n) FROM g) AS ssw,
+             t.k AS k, t.n AS n
+      FROM tot t
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def a_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of order value across the 5 order
+    priorities — the k-group mean-difference test that completes the
+    hypothesis battery (KS/Mann-Whitney = 2-sample, χ² = categorical
+    independence; ANOVA = k-sample means): between/within sum-of-
+    squares from ONE moment scan (SSB = Σ sᵢ²/nᵢ − S²/N,
+    SSW = ΣSS − Σ sᵢ²/nᵢ), F = (SSB/(k−1))/(SSW/(N−k)).
+
+    Determinism: group moments are float sums of money-grid values
+    (~1e-12 relative cross-engine noise); F is O(1), rounded at 1e-6.
+
+    Scale: one partial-agg scan to k=5 group moments; everything
+    after is arithmetic on a 5-row table."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgs"),
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (
+                (F.col("sgs") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("k") - 1)
+            )
+            / ((F.col("ss") - F.col("sgs")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
     )

@@ -685,3 +685,106 @@ def test_psm_replay_and_grid_gap(spark):
     assert row.n_matched == len(diffs)
     assert abs(row.sum_diff - round(sum(diffs), 2)) < 0.02
     assert abs(row.att - round(round(sum(diffs), 2) / len(diffs), 6)) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# a_cuped / g_link_prediction / a_anova_oneway
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DID_SEED,
+        a_cuped,
+    )
+
+    row = a_cuped(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    ).collect()
+    days = [int(r.ts.timestamp() // 86400) for r in ev]
+    mid = (min(days) + max(days)) // 2
+    agg = defaultdict(lambda: [0.0, 0.0])
+    for r, day in zip(ev, days):
+        u = agg[int(r.user_id)]
+        u[0 if day < mid else 1] += r.value
+    users = {
+        u: (round(pre, 2), round(post, 2),
+            _portable_bucket(u + _DID_SEED, 2) == 1)
+        for u, (pre, post) in agg.items()
+    }
+    n = len(users)
+    sx = sum(p for p, _, _ in users.values())
+    sy = sum(q for _, q, _ in users.values())
+    sxx = sum(p * p for p, _, _ in users.values())
+    sxy = sum(p * q for p, q, _ in users.values())
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    mx = sx / n
+    arm = defaultdict(lambda: [0, 0.0, 0.0])
+    for p, q, t in users.values():
+        a = arm[t]
+        a[0] += 1
+        a[1] += q
+        a[2] += q - theta * (p - mx)
+    assert row.n_t == arm[True][0] and row.n_c == arm[False][0]
+    assert abs(row.theta - theta) < 1e-5
+    raw = arm[True][1] / arm[True][0] - arm[False][1] / arm[False][0]
+    cup = arm[True][2] / arm[True][0] - arm[False][2] / arm[False][0]
+    assert abs(row.raw_lift - raw) < 1e-4
+    assert abs(row.cuped_lift - cup) < 1e-4
+
+
+def test_link_prediction_exact_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _LP_MIN_COMMON,
+        g_link_prediction,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_orderkey")
+    edges = {
+        (int(r.o_orderkey) % 200, 200 + int(r.o_orderkey) % 190)
+        for r in o.collect()
+    }
+    nbrs = defaultdict(set)
+    for a, r in edges:
+        nbrs[a].add(r)
+    want = {}
+    keys = sorted(nbrs)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            common = len(nbrs[a] & nbrs[b])
+            if common >= _LP_MIN_COMMON:
+                want[(a, b)] = (common, len(nbrs[a] | nbrs[b]))
+    got = {
+        (r.a, r.b): (r.common, r.union_size)
+        for r in g_link_prediction(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_anova_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_anova_oneway,
+    )
+
+    row = a_anova_oneway(spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    g = defaultdict(lambda: [0, 0.0, 0.0])
+    for r in o:
+        a = g[r.o_orderpriority]
+        a[0] += 1
+        a[1] += r.o_totalprice
+        a[2] += r.o_totalprice**2
+    n = sum(a[0] for a in g.values())
+    s = sum(a[1] for a in g.values())
+    ss = sum(a[2] for a in g.values())
+    sgs = sum(a[1] ** 2 / a[0] for a in g.values())
+    k = len(g)
+    ssb = sgs - s * s / n
+    ssw = ss - sgs
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.k == k and row.n == n
+    assert abs(row.f_stat - f) < 1e-4
+    assert row.f_stat > 0
