@@ -236,6 +236,9 @@ HEADLINE = [
     "a_cuped",
     "g_link_prediction",
     "a_anova_oneway",
+    # r07: quantile (median) regression trainer (5 lazy subgradient
+    # rounds — the robust trainer family)
+    "train_qr_banded",
 ]
 
 

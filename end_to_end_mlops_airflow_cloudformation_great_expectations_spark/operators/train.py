@@ -454,3 +454,54 @@ def naive_bayes_score(
         F.col("m.cand").alias("pred"),
         F.col("m.gscore").alias("gscore"),
     )
+
+
+def quantile_reg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    target_col: str,
+    tau: float = 0.5,
+    lr: float = 1.0,
+    rounds: int = 5,
+) -> DataFrame:
+    """Train linear QUANTILE regression (pinball / check loss) by
+    ``rounds`` full-batch subgradient steps from w=0 — the fourth
+    trainer family, and the ROBUST one: τ=0.5 is median regression
+    (outlier-resistant where OLS is not), other τ fit conditional
+    quantiles (the data-quality cutoff curves an intake pipeline
+    thresholds against). Returns the 1-row weights DataFrame
+    ``w1..wd, b`` — entirely lazy.
+
+    Update: w_j += lr · AVG(ψ(y − z)·x_j), ψ(r) = τ − 1{r < 0} —
+    the pinball-loss subgradient. ψ is DISCONTINUOUS at r = 0, so
+    cross-engine replay has one extra obligation the smooth sigmoid
+    never had: if any residual sits within float-reorder noise of 0
+    the indicator can flip and the trajectories diverge beyond the
+    bands. The caller's tests must pin the minimum |residual| per
+    round ≫ noise (see tests/test_staged_r12.py) — same idea as the
+    kmeans boundary-gap pins.
+
+    Scale shape: identical to :func:`logreg_fit` — a 1-row broadcast
+    iterate (linear plan growth), one whole-stage-codegen aggregate
+    per round, no Python, no collect, ``rounds`` scans total."""
+    spark = df.sparkSession
+    wrow = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{i}") for i in range(1, len(feature_cols) + 1)],
+        F.lit(0.0).alias("b"),
+    )
+    for _ in range(rounds):
+        joined = df.crossJoin(F.broadcast(wrow))
+        resid = F.col(target_col) - _z(feature_cols)
+        psi = F.lit(tau) - F.when(resid < 0.0, F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+        wrow = joined.agg(
+            *[
+                (F.first(f"w{i}") + F.lit(lr) * F.avg(psi * F.col(c))).alias(
+                    f"w{i}"
+                )
+                for i, c in enumerate(feature_cols, start=1)
+            ],
+            (F.first("b") + F.lit(lr) * F.avg(psi)).alias("b"),
+        )
+    return wrow

@@ -232,9 +232,12 @@ _reorder()
 # g_link_prediction (common-neighbor/Jaccard link scores as EXACT
 # integers via the triangle-shape wedge join), and a_anova_oneway
 # (one-way ANOVA F from one moment scan — completes the hypothesis
-# battery). All
+# battery), and train_qr_banded (quantile/median regression — the
+# robust trainer: 5 lazy subgradient rounds, generated unrolled
+# oracle, min-|residual| pin guards the discontinuous pinball
+# indicator, exact-dyadic bias documented). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 71 into the leading slots (two rotations if
+# Next round: move these 72 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

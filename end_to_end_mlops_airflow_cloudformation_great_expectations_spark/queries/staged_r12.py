@@ -66,6 +66,10 @@ Third batch (same gate):
   join at a min-support cut.
 - ``a_anova_oneway`` — one-way ANOVA F across order priorities from
   one moment scan; completes the hypothesis-test battery.
+- ``train_qr_banded`` — quantile (median) regression
+  (operators/train.quantile_reg_fit): 5 lazy subgradient rounds, the
+  ROBUST fifth trainer; the discontinuous pinball ψ gets a
+  min-|residual| pin so indicators can't flip cross-engine.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -1606,3 +1610,134 @@ def a_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train_qr_banded — quantile (median) regression trainer
+# ---------------------------------------------------------------------------
+
+_QR_D = 4
+_QR_TAU = 0.5
+_QR_LR = 1.0
+_QR_ROUNDS = 5
+_QR_BAND = 1_000_000
+
+
+def _qr_oracle() -> str:
+    """Unrolled subgradient recurrence (the staged_r08 logreg oracle
+    convention): same left-associated z, same ψ CASE, same
+    association order per update."""
+    xs = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, _QR_D + 1)
+    )
+    z = " + ".join(f"w.w{i}*d.x{i}" for i in range(1, _QR_D + 1)) + " + w.b"
+    psi = f"({_QR_TAU} - CASE WHEN (d.y - ({z})) < 0.0 THEN 1.0 ELSE 0.0 END)"
+    w0 = ", ".join(f"0.0 AS w{i}" for i in range(1, _QR_D + 1)) + ", 0.0 AS b"
+    rounds = []
+    for k in range(1, _QR_ROUNDS + 1):
+        cols = ", ".join(
+            f"MIN(w.w{i}) + {_QR_LR}*AVG({psi}*d.x{i}) AS w{i}"
+            for i in range(1, _QR_D + 1)
+        )
+        rounds.append(
+            f"w{k} AS (SELECT {cols}, "
+            f"MIN(w.b) + {_QR_LR}*AVG({psi}) AS b "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+    fin_ws = ", ".join(f"MIN(w.w{i}) AS w{i}" for i in range(1, _QR_D + 1))
+    bands = "\n      UNION ALL ".join(
+        f"SELECT 'w{i}' AS term, CAST(FLOOR(w{i}*{_QR_BAND}) AS BIGINT)"
+        f" AS band FROM fin"
+        for i in range(1, _QR_D + 1)
+    )
+    return f"""
+    WITH data AS (
+      SELECT {xs},
+             CAST(embedding[1] AS DOUBLE)
+               + 2.0*CAST(embedding[2] AS DOUBLE)
+               - CAST(embedding[3] AS DOUBLE)
+               + CAST(embedding[4] AS DOUBLE) AS y
+      FROM embeddings
+    ), w0 AS (SELECT {w0}),
+    {",".join(rounds)},
+    fin AS (
+      SELECT {fin_ws}, MIN(w.b) AS b,
+             AVG(GREATEST({_QR_TAU}*(d.y - ({z})),
+                          ({_QR_TAU} - 1.0)*(d.y - ({z})))) AS pinball,
+             COUNT(*) AS n
+      FROM data d CROSS JOIN w{_QR_ROUNDS} w
+    )
+    SELECT term, band FROM (
+      {bands}
+      UNION ALL SELECT 'bias', CAST(FLOOR(b*{_QR_BAND}) AS BIGINT) FROM fin
+      UNION ALL SELECT 'pinball',
+                       CAST(FLOOR(pinball*{_QR_BAND}) AS BIGINT) FROM fin
+      UNION ALL SELECT 'n', CAST(n AS BIGINT) FROM fin
+    )
+    """
+
+
+@query("train_qr_banded", oracle=_qr_oracle())
+def train_qr_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine QUANTILE regression (operators/train.quantile_reg_fit,
+    τ=0.5 — median regression, the robust fourth trainer family after
+    logreg / k-means / ALS / NB): 5 lazy full-batch subgradient rounds
+    recover the linear target y = x1 + 2·x2 − x3 + x4 over the
+    embeddings corpus; reported as FLOOR-banded weights, bias, mean
+    pinball loss, and the integer-exact row count (the
+    train_logreg_banded report shape, same generated-oracle
+    convention).
+
+    Determinism: the pinball subgradient ψ(r) = τ − 1{r<0} is
+    DISCONTINUOUS, so the one extra cross-engine obligation is that
+    no residual sits near 0 at any round — tests replay the
+    trajectory and pin the minimum |r| per round ≫ float-reorder
+    noise (the kmeans boundary-gap discipline applied to a trainer).
+
+    Scale: identical to logreg_fit — 1-row broadcast iterate, one
+    codegen'd aggregate per round, 5 scans total, no Python."""
+    from ..operators.train import _z, quantile_reg_fit
+
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, _QR_D + 1)
+        ]
+    ).withColumn(
+        "y",
+        F.col("x1") + F.lit(2.0) * F.col("x2") - F.col("x3") + F.col("x4"),
+    )
+    feats = [f"x{i}" for i in range(1, _QR_D + 1)]
+    wrow = quantile_reg_fit(
+        data, feats, "y", tau=_QR_TAU, lr=_QR_LR, rounds=_QR_ROUNDS
+    )
+    joined = data.crossJoin(F.broadcast(wrow))
+    resid = F.col("y") - _z(feats)
+    fin = joined.agg(
+        *[F.first(f"w{i}").alias(f"w{i}") for i in range(1, _QR_D + 1)],
+        F.first("b").alias("b"),
+        F.avg(
+            F.greatest(
+                F.lit(_QR_TAU) * resid, F.lit(_QR_TAU - 1.0) * resid
+            )
+        ).alias("pinball"),
+        F.count("*").alias("n"),
+    )
+    band = lambda c: F.floor(F.col(c) * F.lit(float(_QR_BAND))).cast(  # noqa: E731
+        "long"
+    )
+    rows = [
+        fin.select(F.lit(f"w{i}").alias("term"), band(f"w{i}").alias("band"))
+        for i in range(1, _QR_D + 1)
+    ] + [
+        fin.select(F.lit("bias").alias("term"), band("b").alias("band")),
+        fin.select(F.lit("pinball").alias("term"), band("pinball").alias("band")),
+        fin.select(
+            F.lit("n").alias("term"), F.col("n").cast("long").alias("band")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -788,3 +788,81 @@ def test_anova_matches_python_replay(spark):
     assert row.k == k and row.n == n
     assert abs(row.f_stat - f) < 1e-4
     assert row.f_stat > 0
+
+
+# ---------------------------------------------------------------------------
+# train_qr_banded
+# ---------------------------------------------------------------------------
+
+
+def test_qr_replay_residual_gaps_and_band_margins(spark):
+    """Replay the 5 subgradient rounds in Python: (a) trajectory
+    matches the query's bands; (b) at every round the minimum
+    |residual| is ≫ float-reorder noise, so the discontinuous ψ
+    indicator can't flip cross-engine; (c) every banded quantity sits
+    away from its FLOOR boundary."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _QR_BAND,
+        _QR_D,
+        _QR_LR,
+        _QR_ROUNDS,
+        _QR_TAU,
+        train_qr_banded,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    data = []
+    for r in e:
+        x = [float(v) for v in r.embedding[:_QR_D]]
+        y = x[0] + 2.0 * x[1] - x[2] + x[3]
+        data.append((x, y))
+    w = [0.0] * _QR_D
+    b = 0.0
+    min_abs_resid = float("inf")
+    for _ in range(_QR_ROUNDS):
+        gs = [0.0] * _QR_D
+        gb = 0.0
+        for x, y in data:
+            z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2] + w[3] * x[3] + b
+            r = y - z
+            if r != 0.0:
+                min_abs_resid = min(min_abs_resid, abs(r))
+            psi = _QR_TAU - (1.0 if r < 0.0 else 0.0)
+            for i in range(_QR_D):
+                gs[i] += psi * x[i]
+            gb += psi
+        n = len(data)
+        w = [w[i] + _QR_LR * gs[i] / n for i in range(_QR_D)]
+        b = b + _QR_LR * gb / n
+    pin = sum(
+        max(_QR_TAU * (y - (sum(wi * xi for wi, xi in zip(w, x)) + b)),
+            (_QR_TAU - 1.0) * (y - (sum(wi * xi for wi, xi in zip(w, x)) + b)))
+        for x, y in data
+    ) / len(data)
+    got = {r.term: r.band for r in train_qr_banded(spark, SF_DIR).collect()}
+    vals = {f"w{i}": w[i - 1] for i in range(1, _QR_D + 1)}
+    vals["bias"] = b
+    for term, v in vals.items():
+        # replay uses a different summation order than the engines, so
+        # allow the band to differ by 1; the ENGINE comparison itself
+        # is the oracle's job
+        assert abs(got[term] - math.floor(v * _QR_BAND)) <= 1, term
+        if term == "bias":
+            # the bias update is AVG(psi) with psi ∈ {±0.5}: an
+            # ORDER-INDEPENDENT exact dyadic sum, bit-identical
+            # cross-engine (given identical indicators, which the
+            # min-|residual| pin below guarantees) — it may sit
+            # exactly ON a grid point and both engines still FLOOR it
+            # identically, so no margin is required.
+            continue
+        # FLOOR-margin: the true value is away from the band edge
+        frac = v * _QR_BAND - math.floor(v * _QR_BAND)
+        assert min(frac, 1 - frac) > 1e-3, (term, frac)
+    assert abs(got["pinball"] - math.floor(pin * _QR_BAND)) <= 1
+    assert got["n"] == len(data)
+    # the ψ-flip guard: residuals never near the discontinuity
+    assert min_abs_resid > 1e-6, f"min |residual| {min_abs_resid}"
+    # the trainer actually learned the rule's shape (w2 ≈ 2·w1 sign)
+    assert vals["w2"] > vals["w1"] > 0 and vals["w3"] < 0
