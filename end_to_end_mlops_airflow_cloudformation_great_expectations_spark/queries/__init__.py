@@ -235,9 +235,12 @@ _reorder()
 # battery), and train_qr_banded (quantile/median regression — the
 # robust trainer: 5 lazy subgradient rounds, generated unrolled
 # oracle, min-|residual| pin guards the discontinuous pinball
-# indicator, exact-dyadic bias documented). All
+# indicator, exact-dyadic bias documented), and a_effect_sizes
+# (Cohen's d + two-proportion z, one 2-group moment scan), and
+# g_assortativity (Newman degree assortativity from EXACT integer
+# moments — deterministic ROUND, not a band). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 72 into the leading slots (two rotations if
+# Next round: move these 74 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -70,6 +70,10 @@ Third batch (same gate):
   (operators/train.quantile_reg_fit): 5 lazy subgradient rounds, the
   ROBUST fifth trainer; the discontinuous pinball ψ gets a
   min-|residual| pin so indicators can't flip cross-engine.
+- ``a_effect_sizes`` — Cohen's d + two-proportion z from one 2-group
+  moment scan (magnitude-in-noise-units companion to the lifts).
+- ``g_assortativity`` — Newman degree assortativity as EXACT integer
+  moments + one final division (deterministic ROUND, not a band).
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -1741,3 +1745,217 @@ def train_qr_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# a_effect_sizes — Cohen's d + two-proportion z (experiment readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_effect_sizes",
+    oracle=f"""
+    WITH d AS (
+      SELECT value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+             {_cms_oracle_bucket_sql('user_id', _DID_SEED, 2)} = 1
+               AS treated
+      FROM events
+    ), g AS (
+      SELECT treated, COUNT(*) AS n, SUM(value) AS s,
+             SUM(value * value) AS ss, SUM(conv) AS c
+      FROM d GROUP BY treated
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN treated THEN n END) AS nt,
+        MAX(CASE WHEN NOT treated THEN n END) AS nc,
+        MAX(CASE WHEN treated THEN s END) AS st,
+        MAX(CASE WHEN NOT treated THEN s END) AS sc,
+        MAX(CASE WHEN treated THEN ss END) AS sst,
+        MAX(CASE WHEN NOT treated THEN ss END) AS ssc,
+        MAX(CASE WHEN treated THEN c END) AS ct,
+        MAX(CASE WHEN NOT treated THEN c END) AS cc
+      FROM g
+    ), calc AS (
+      SELECT nt, nc,
+             (st / nt - sc / nc)
+               / SQRT(((sst - st * st / nt) + (ssc - sc * sc / nc))
+                      / (nt + nc - 2)) AS cohens_d,
+             (CAST(ct AS DOUBLE) / nt - CAST(cc AS DOUBLE) / nc)
+               / SQRT((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                      * (1.0 - CAST(ct + cc AS DOUBLE) / (nt + nc))
+                      * (1.0 / nt + 1.0 / nc)) AS z_prop
+      FROM w
+    )
+    SELECT CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+           ROUND(cohens_d, 6) AS cohens_d, ROUND(z_prop, 6) AS z_prop
+    FROM calc
+    """,
+)
+def a_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the hash-split experiment — what
+    a readout reports NEXT TO the lifts (a_abtest_lift gives the
+    difference, these give its magnitude in noise units): Cohen's d
+    on event value (pooled-SD standardization) and the two-proportion
+    z statistic on purchase conversion, both from ONE 2-group moment
+    scan.
+
+    Determinism: moments over the money-grid values carry ~1e-12
+    relative cross-engine noise; both statistics are O(1) and round
+    at 1e-6 (the a_anova_oneway discipline).
+
+    Scale: one fact scan, two groups, pure arithmetic after."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+        (portable_bucket(F.col("user_id") + F.lit(_DID_SEED), 2) == 1).alias(
+            "treated"
+        ),
+    )
+    g = d.groupBy("treated").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("conv").alias("c"),
+    )
+
+    def pick(flag, col):
+        return F.max(F.when(F.col("treated") == flag, F.col(col)))
+
+    w = g.agg(
+        pick(True, "n").alias("nt"),
+        pick(False, "n").alias("nc"),
+        pick(True, "s").alias("st"),
+        pick(False, "s").alias("sc"),
+        pick(True, "ss").alias("sst"),
+        pick(False, "ss").alias("ssc"),
+        pick(True, "c").alias("ct"),
+        pick(False, "c").alias("cc"),
+    )
+    pool = (
+        (F.col("sst") - F.col("st") * F.col("st") / F.col("nt"))
+        + (F.col("ssc") - F.col("sc") * F.col("sc") / F.col("nc"))
+    ) / (F.col("nt") + F.col("nc") - 2)
+    p = (F.col("ct") + F.col("cc")).cast("double") / (
+        F.col("nt") + F.col("nc")
+    )
+    return w.select(
+        F.col("nt").cast("long").alias("n_t"),
+        F.col("nc").cast("long").alias("n_c"),
+        F.round(
+            (F.col("st") / F.col("nt") - F.col("sc") / F.col("nc"))
+            / F.sqrt(pool),
+            6,
+        ).alias("cohens_d"),
+        F.round(
+            (
+                F.col("ct").cast("double") / F.col("nt")
+                - F.col("cc").cast("double") / F.col("nc")
+            )
+            / F.sqrt(
+                p * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("nt") + F.lit(1.0) / F.col("nc"))
+            ),
+            6,
+        ).alias("z_prop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_assortativity — degree assortativity coefficient (exact moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_assortativity",
+    oracle=(
+        "WITH "
+        + _LPA_ORACLE_GRAPH
+        + """, deg AS (
+      SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src
+    ), pe AS (
+      SELECT CAST(a.d AS BIGINT) AS dx, CAST(b.d AS BIGINT) AS dy
+      FROM edges e
+      JOIN deg a ON a.vid = e.src
+      JOIN deg b ON b.vid = e.dst
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+             CAST(SUM(dy * dy) AS BIGINT) AS syy,
+             CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      FROM pe
+    )
+    SELECT n AS n_edges,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM mom
+    """
+    ),
+)
+def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the derived order graph — Newman's
+    "do hubs attach to hubs" coefficient, the graph-health scalar a
+    pipeline monitors next to the component/triangle counts: Pearson
+    correlation of (deg(src), deg(dst)) over the SYMMETRIC directed
+    edge list.
+
+    Determinism: EXACT by construction — degrees are integers, the
+    five moment sums are integer-valued and below 2^53 (summed as
+    BIGINT on both engines), so the single final division/sqrt runs
+    on bit-identical inputs; ROUND(…, 6) is then deterministic, not
+    a band.
+
+    Scale: one degree aggregation + two dimension-bounded joins back
+    onto the edge list + one moment reduce — the triangle_count cost
+    envelope without the wedge explosion."""
+    o = _t(spark, sf_dir, "orders")
+    e0 = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("d")
+    )
+    pe = (
+        edges.join(deg.withColumnRenamed("vid", "src"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.withColumnRenamed("vid", "dst").withColumnRenamed("d", "dy"),
+            "dst",
+        )
+        .select(F.col("dx").cast("long"), F.col("dy").cast("long"))
+    )
+    mom = pe.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -866,3 +866,64 @@ def test_qr_replay_residual_gaps_and_band_margins(spark):
     assert min_abs_resid > 1e-6, f"min |residual| {min_abs_resid}"
     # the trainer actually learned the rule's shape (w2 ≈ 2·w1 sign)
     assert vals["w2"] > vals["w1"] > 0 and vals["w3"] < 0
+
+
+# ---------------------------------------------------------------------------
+# a_effect_sizes / g_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_effect_sizes_match_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DID_SEED,
+        a_effect_sizes,
+    )
+
+    row = a_effect_sizes(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    g = defaultdict(lambda: [0, 0.0, 0.0, 0])
+    for r in ev:
+        t = _portable_bucket(int(r.user_id) + _DID_SEED, 2) == 1
+        a = g[t]
+        a[0] += 1
+        a[1] += r.value
+        a[2] += r.value**2
+        a[3] += r.event_type == "purchase"
+    nt, st, sst, ct = g[True]
+    nc, sc, ssc, cc = g[False]
+    pool = ((sst - st * st / nt) + (ssc - sc * sc / nc)) / (nt + nc - 2)
+    d = (st / nt - sc / nc) / math.sqrt(pool)
+    p = (ct + cc) / (nt + nc)
+    z = (ct / nt - cc / nc) / math.sqrt(p * (1 - p) * (1 / nt + 1 / nc))
+    assert row.n_t == nt and row.n_c == nc
+    assert abs(row.cohens_d - d) < 1e-4
+    assert abs(row.z_prop - z) < 1e-4
+
+
+def test_assortativity_exact_replay_and_bounds(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        g_assortativity,
+    )
+
+    row = g_assortativity(spark, SF_DIR).collect()[0]
+    edges0 = {
+        (int(r.o_orderkey) % 200, 200 + int(r.o_orderkey) % 190)
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey").collect()
+    }
+    edges = list(edges0) + [(d, s) for s, d in edges0]
+    deg = Counter(s for s, _ in edges)
+    n = len(edges)
+    sx = sum(deg[s] for s, _ in edges)
+    sy = sum(deg[d] for _, d in edges)
+    sxx = sum(deg[s] ** 2 for s, _ in edges)
+    syy = sum(deg[d] ** 2 for _, d in edges)
+    sxy = sum(deg[s] * deg[d] for s, d in edges)
+    r = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert row.n_edges == n
+    assert abs(row.assortativity - round(r, 6)) < 2e-6
+    assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
