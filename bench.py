@@ -239,6 +239,9 @@ HEADLINE = [
     # r07: quantile (median) regression trainer (5 lazy subgradient
     # rounds — the robust trainer family)
     "train_qr_banded",
+    # r07: corpus-stats monitors — vocabulary churn + Zipf-law fit
+    "a_vocab_drift",
+    "text_zipf_fit",
 ]
 
 

@@ -238,9 +238,12 @@ _reorder()
 # indicator, exact-dyadic bias documented), and a_effect_sizes
 # (Cohen's d + two-proportion z, one 2-group moment scan), and
 # g_assortativity (Newman degree assortativity from EXACT integer
-# moments — deterministic ROUND, not a band). All
+# moments — deterministic ROUND, not a band), and a_vocab_drift
+# (token-level Jaccard churn between corpus batches — integer-exact),
+# and text_zipf_fit (Zipf slope of the frequency curve: distributed
+# rank-attach + OLS moments). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 74 into the leading slots (two rotations if
+# Next round: move these 76 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -74,6 +74,10 @@ Third batch (same gate):
   moment scan (magnitude-in-noise-units companion to the lifts).
 - ``g_assortativity`` — Newman degree assortativity as EXACT integer
   moments + one final division (deterministic ROUND, not a band).
+- ``a_vocab_drift`` — vocabulary churn (Jaccard + new-token rate)
+  between corpus batches, the token-level drift monitor.
+- ``text_zipf_fit`` — Zipf-law slope/intercept/R² of the frequency
+  curve via the distributed rank-attach + one OLS moment reduce.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -1958,4 +1962,179 @@ def g_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_vocab_drift — vocabulary churn between corpus batches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_vocab_drift",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id % 2 = 0 AS batch_a,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS w
+      FROM documents
+    ), va AS (
+      SELECT DISTINCT w FROM tok WHERE batch_a
+    ), vb AS (
+      SELECT DISTINCT w FROM tok WHERE NOT batch_a
+    ), m AS (
+      SELECT (SELECT COUNT(*) FROM va) AS n_a,
+             (SELECT COUNT(*) FROM vb) AS n_b,
+             (SELECT COUNT(*) FROM va JOIN vb USING (w)) AS n_common
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6)
+             AS jaccard,
+           ROUND(1.0 - CAST(n_common AS DOUBLE) / n_b, 6) AS new_rate
+    FROM m
+    """,
+)
+def a_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary churn between two corpus batches (even vs odd
+    doc_id — the stand-in for "yesterday's crawl vs today's") — the
+    token-level drift monitor an intake pipeline runs next to
+    a_psi_drift's value-level one: batch vocabularies, their overlap,
+    the Jaccard similarity and the new-token rate. A collapsing
+    Jaccard or spiking new_rate is the canonical signal of a source
+    change / encoding regression upstream.
+
+    Determinism: all counts are integers; the two ratios divide
+    identical BIGINTs, so ROUND is deterministic — exact oracle.
+
+    Scale: one tokenize scan, two DISTINCTs, one vocabulary-sized
+    join — vocabulary-bounded state, the text_tfidf shape."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2 == 0).alias("batch_a"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w"),
+    )
+    va = tok.filter(F.col("batch_a")).select("w").distinct()
+    vb = tok.filter(~F.col("batch_a")).select("w").distinct()
+    common = va.join(vb, "w").agg(F.count("*").alias("n_common"))
+    counts = (
+        va.agg(F.count("*").alias("n_a"))
+        .crossJoin(vb.agg(F.count("*").alias("n_b")))
+        .crossJoin(common)
+    )
+    return counts.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.lit(1.0) - F.col("n_common").cast("double") / F.col("n_b"), 6
+        ).alias("new_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf-law slope of the corpus frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+
+
+@query(
+    "text_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> len(x) > 0)) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+      FROM cnt
+    ), pts AS (
+      SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM mom
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency curve — the
+    corpus-health scalar (natural text reads slope ≈ −1; templated /
+    synthetic / deduplicated-to-death corpora drift off it): OLS of
+    ln(freq) on ln(rank) over the top-500 tokens, rank assigned by
+    the DISTRIBUTED rank-attach over the (count DESC, token ASC)
+    total order.
+
+    Determinism: ranks and counts are integers on a total order; the
+    log points are then identical doubles, OLS moments carry ~1e-14
+    reorder noise, statistics round at 1e-6.
+
+    Scale: one tokenize scan into vocabulary-bounded counts, one
+    rank-attach (no single-task sort), a 500-row moment reduce."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = attach_global_ranks(
+        cnt,
+        sort_cols=[F.desc("c"), F.asc("w")],
+        key_cols=[F.col("c"), F.col("w")],
+        rn_col="r",
+    )
+    pts = ranked.filter(F.col("r") <= _ZIPF_TOP).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
     )

@@ -927,3 +927,62 @@ def test_assortativity_exact_replay_and_bounds(spark):
     assert row.n_edges == n
     assert abs(row.assortativity - round(r, 6)) < 2e-6
     assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# a_vocab_drift / text_zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_drift_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_vocab_drift,
+    )
+
+    row = a_vocab_drift(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    va, vb = set(), set()
+    for r in docs:
+        ws = [w for w in r.text.lower().split() if w]
+        (va if r.doc_id % 2 == 0 else vb).update(ws)
+    assert row.n_a == len(va)
+    assert row.n_b == len(vb)
+    assert row.n_common == len(va & vb)
+    assert abs(row.jaccard - len(va & vb) / len(va | vb)) < 1e-6
+    assert abs(row.new_rate - (1 - len(va & vb) / len(vb))) < 1e-6
+
+
+def test_zipf_fit_matches_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _ZIPF_TOP,
+        text_zipf_fit,
+    )
+
+    row = text_zipf_fit(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "text"
+    ).collect()
+    cnt = Counter(w for r in docs for w in r.text.lower().split() if w)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.log(r + 1), math.log(c))
+        for r, (_, c) in enumerate(ranked[:_ZIPF_TOP])
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row.n_points == n
+    assert abs(row.slope - slope) < 1e-4
+    assert abs(row.r2 - r2) < 1e-4
+    # a frequency curve always slopes down, and the fit explains most
+    # of the variance on this synthetic corpus
+    assert row.slope < 0 and 0 < row.r2 <= 1
