@@ -242,6 +242,8 @@ HEADLINE = [
     # r07: corpus-stats monitors — vocabulary churn + Zipf-law fit
     "a_vocab_drift",
     "text_zipf_fit",
+    # r07: decision-stump split search (one wide conditional-sum scan)
+    "train_stump_banded",
 ]
 
 

@@ -241,9 +241,12 @@ _reorder()
 # moments — deterministic ROUND, not a band), and a_vocab_drift
 # (token-level Jaccard churn between corpus batches — integer-exact),
 # and text_zipf_fit (Zipf slope of the frequency curve: distributed
-# rank-attach + OLS moments). All
+# rank-attach + OLS moments), and train_stump_banded (decision-stump
+# Gini split search — |F|x|T| candidates from ONE wide
+# conditional-sum scan, integer counts => deterministic gain bands;
+# the tree trainer family). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 76 into the leading slots (two rotations if
+# Next round: move these 77 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -78,6 +78,10 @@ Third batch (same gate):
   between corpus batches, the token-level drift monitor.
 - ``text_zipf_fit`` — Zipf-law slope/intercept/R² of the frequency
   curve via the distributed rank-attach + one OLS moment reduce.
+- ``train_stump_banded`` — decision-stump Gini split search as ONE
+  wide conditional-sum aggregate scan (the histogram-GBDT building
+  block) — the TREE trainer family; integer counts make the gain
+  band deterministic.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2138,3 +2142,168 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train_stump_banded — decision-stump split search (tree family)
+# ---------------------------------------------------------------------------
+
+_STUMP_D = 3
+_STUMP_THRESHOLDS = [round(-0.4 + 0.1 * i, 1) for i in range(9)]  # -0.4..0.4
+_STUMP_BAND = 1_000_000
+
+
+def _stump_oracle() -> str:
+    """Generated twin: the same |F|×|T| conditional sums in one scan,
+    the same gain formula, the same (gain DESC, feature ASC,
+    threshold ASC) argmax."""
+    xs = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}"
+        for i in range(1, _STUMP_D + 1)
+    )
+    cells = []
+    for f in range(1, _STUMP_D + 1):
+        for t in _STUMP_THRESHOLDS:
+            tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+            cells.append(
+                f"SUM(CASE WHEN x{f} <= {t} THEN 1 ELSE 0 END) AS nl_{tag}, "
+                f"SUM(CASE WHEN x{f} <= {t} AND y = 1 THEN 1 ELSE 0 END)"
+                f" AS pl_{tag}"
+            )
+    unions = []
+    for f in range(1, _STUMP_D + 1):
+        for t in _STUMP_THRESHOLDS:
+            tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+            unions.append(
+                f"SELECT {f} AS feature, {t} AS threshold, "
+                f"nl_{tag} AS nl, pl_{tag} AS pl, n, pos FROM mom"
+            )
+    return f"""
+    WITH data AS (
+      SELECT {xs},
+             CASE WHEN CAST(embedding[1] AS DOUBLE)
+                       + 2.0*CAST(embedding[2] AS DOUBLE)
+                       - CAST(embedding[3] AS DOUBLE) > 0.0
+                  THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(y) AS pos, {", ".join(cells)}
+      FROM data
+    ), cand AS (
+      {" UNION ALL ".join(unions)}
+    ), scored AS (
+      SELECT feature, threshold, nl, n - nl AS nr,
+             CAST(FLOOR((
+               (1.0 - POW(CAST(pos AS DOUBLE)/n, 2)
+                    - POW(1.0 - CAST(pos AS DOUBLE)/n, 2))
+               - (CAST(nl AS DOUBLE)/n) *
+                 (CASE WHEN nl = 0 THEN 0.0 ELSE
+                   1.0 - POW(CAST(pl AS DOUBLE)/nl, 2)
+                       - POW(1.0 - CAST(pl AS DOUBLE)/nl, 2) END)
+               - (CAST(n - nl AS DOUBLE)/n) *
+                 (CASE WHEN n - nl = 0 THEN 0.0 ELSE
+                   1.0 - POW(CAST(pos - pl AS DOUBLE)/(n - nl), 2)
+                       - POW(1.0 - CAST(pos - pl AS DOUBLE)/(n - nl), 2) END)
+             ) * {_STUMP_BAND}.0) AS BIGINT) AS gain_band
+      FROM cand
+    )
+    SELECT CAST(feature AS BIGINT) AS feature, threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           gain_band
+    FROM scored
+    ORDER BY gain_band DESC, feature ASC, threshold ASC
+    LIMIT 1
+    """
+
+
+@query("train_stump_banded", oracle=_stump_oracle())
+def train_stump_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction — the TREE trainer family (the
+    histogram-based split search every GBDT round runs, at depth 1):
+    exhaustive Gini-gain search over |features| × |thresholds|
+    candidate splits computed as ONE wide conditional-sum aggregate
+    scan (54 SUM(CASE…) columns — no per-candidate passes, no
+    shuffle), then a 27-row argmax with a total tie-break
+    (gain DESC, feature ASC, threshold ASC). Recovers the same
+    embedded linear rule the logreg/QR probes train against.
+
+    Determinism: all split counts are integers (exact cross-engine);
+    the Gini gain divides identical integers, so the FLOOR band is
+    computed on bit-identical doubles — deterministic, and the argmax
+    total order makes the winner unique.
+
+    Scale: the canonical distributed-tree shape — one scan producing
+    a fixed-width sufficient-statistics row, candidate scoring on
+    driver-sized data. A full GBDT layers this: per-node conditional
+    sums keyed by node id, same one-scan property."""
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, _STUMP_D + 1)
+        ]
+    ).withColumn(
+        "y",
+        F.when(
+            F.col("x1") + F.lit(2.0) * F.col("x2") - F.col("x3") > 0.0, 1
+        ).otherwise(0),
+    )
+    aggs = [F.count("*").alias("n"), F.sum("y").alias("pos")]
+    tags = []
+    for f in range(1, _STUMP_D + 1):
+        for t in _STUMP_THRESHOLDS:
+            tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+            tags.append((f, t, tag))
+            cond = F.col(f"x{f}") <= F.lit(t)
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"nl_{tag}")
+            )
+            aggs.append(
+                F.sum(F.when(cond & (F.col("y") == 1), 1).otherwise(0)).alias(
+                    f"pl_{tag}"
+                )
+            )
+    mom = data.agg(*aggs)
+    cands = [
+        mom.select(
+            F.lit(f).alias("feature"),
+            F.lit(t).alias("threshold"),
+            F.col(f"nl_{tag}").alias("nl"),
+            F.col(f"pl_{tag}").alias("pl"),
+            "n",
+            "pos",
+        )
+        for f, t, tag in tags
+    ]
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+
+    def gini(p_num, n_tot):
+        p = p_num.cast("double") / n_tot
+        return F.lit(1.0) - F.pow(p, 2) - F.pow(F.lit(1.0) - p, 2)
+
+    parent = gini(F.col("pos"), F.col("n"))
+    left = F.when(F.col("nl") == 0, F.lit(0.0)).otherwise(
+        gini(F.col("pl"), F.col("nl"))
+    )
+    right = F.when(F.col("n") - F.col("nl") == 0, F.lit(0.0)).otherwise(
+        gini(F.col("pos") - F.col("pl"), F.col("n") - F.col("nl"))
+    )
+    gain = (
+        parent
+        - (F.col("nl").cast("double") / F.col("n")) * left
+        - ((F.col("n") - F.col("nl")).cast("double") / F.col("n")) * right
+    )
+    scored = cand.select(
+        F.col("feature").cast("long").alias("feature"),
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+        F.floor(gain * F.lit(float(_STUMP_BAND))).cast("long").alias(
+            "gain_band"
+        ),
+    )
+    return scored.orderBy(
+        F.desc("gain_band"), F.asc("feature"), F.asc("threshold")
+    ).limit(1)

@@ -986,3 +986,56 @@ def test_zipf_fit_matches_python_replay(spark):
     # a frequency curve always slopes down, and the fit explains most
     # of the variance on this synthetic corpus
     assert row.slope < 0 and 0 < row.r2 <= 1
+
+
+# ---------------------------------------------------------------------------
+# train_stump_banded
+# ---------------------------------------------------------------------------
+
+
+def test_stump_matches_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _STUMP_BAND,
+        _STUMP_D,
+        _STUMP_THRESHOLDS,
+        train_stump_banded,
+    )
+
+    row = train_stump_banded(spark, SF_DIR).collect()[0]
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    data = []
+    for r in e:
+        x = [float(v) for v in r.embedding[:_STUMP_D]]
+        y = 1 if x[0] + 2.0 * x[1] - x[2] > 0.0 else 0
+        data.append((x, y))
+    n = len(data)
+    pos = sum(y for _, y in data)
+
+    def gini(p, m):
+        if m == 0:
+            return 0.0
+        q = p / m
+        return 1.0 - q * q - (1.0 - q) * (1.0 - q)
+
+    best = None
+    for f in range(_STUMP_D):
+        for t in _STUMP_THRESHOLDS:
+            nl = sum(1 for x, _ in data if x[f] <= t)
+            pl = sum(1 for x, y in data if x[f] <= t and y == 1)
+            gain = (
+                gini(pos, n)
+                - nl / n * gini(pl, nl)
+                - (n - nl) / n * gini(pos - pl, n - nl)
+            )
+            key = (-math.floor(gain * _STUMP_BAND), f + 1, t)
+            if best is None or key < best[0]:
+                best = (key, f + 1, t, nl, n - nl)
+    _, bf, bt, bnl, bnr = best
+    assert (row.feature, row.threshold) == (bf, bt)
+    assert (row.n_left, row.n_right) == (bnl, bnr)
+    assert row.n_left + row.n_right == n
+    assert row.gain_band == -best[0][0]
+    # the stump finds real signal on the embedded rule
+    assert row.gain_band > 0
