@@ -244,6 +244,8 @@ HEADLINE = [
     "text_zipf_fit",
     # r07: decision-stump split search (one wide conditional-sum scan)
     "train_stump_banded",
+    # r07: depth-2 tree (per-node split search, one scan per level)
+    "train_tree2_banded",
 ]
 
 

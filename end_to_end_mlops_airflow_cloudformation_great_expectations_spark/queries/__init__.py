@@ -244,9 +244,13 @@ _reorder()
 # rank-attach + OLS moments), and train_stump_banded (decision-stump
 # Gini split search — |F|x|T| candidates from ONE wide
 # conditional-sum scan, integer counts => deterministic gain bands;
-# the tree trainer family). All
+# the tree trainer family), and train_tree2_banded (the depth-2
+# tree: broadcast winner routes nodes, level 1 re-searches PER NODE
+# in one grouped scan — one scan per LEVEL; candidates explode off
+# the wide moment row, never a per-candidate union, which re-derived
+# the aggregate 27x and was measured 4-8x slower). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 77 into the leading slots (two rotations if
+# Next round: move these 78 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

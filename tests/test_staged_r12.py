@@ -1039,3 +1039,63 @@ def test_stump_matches_python_replay(spark):
     assert row.gain_band == -best[0][0]
     # the stump finds real signal on the embedded rule
     assert row.gain_band > 0
+
+
+def test_tree2_matches_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _STUMP_BAND,
+        _STUMP_D,
+        _STUMP_THRESHOLDS,
+        train_tree2_banded,
+    )
+
+    rows = {r.node: r for r in train_tree2_banded(spark, SF_DIR).collect()}
+    assert set(rows) == {"root", "L", "R"}
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    data = []
+    for r in e:
+        x = [float(v) for v in r.embedding[:_STUMP_D]]
+        y = 1 if x[0] + 2.0 * x[1] - x[2] > 0.0 else 0
+        data.append((x, y))
+
+    def gini(p, m):
+        if m == 0:
+            return 0.0
+        q = p / m
+        return 1.0 - q * q - (1.0 - q) * (1.0 - q)
+
+    def best_split(rows_):
+        n = len(rows_)
+        pos = sum(y for _, y in rows_)
+        best = None
+        for f in range(_STUMP_D):
+            for t in _STUMP_THRESHOLDS:
+                nl = sum(1 for x, _ in rows_ if x[f] <= t)
+                pl = sum(1 for x, y in rows_ if x[f] <= t and y == 1)
+                gain = (
+                    gini(pos, n)
+                    - (nl / n) * gini(pl, nl)
+                    - ((n - nl) / n) * gini(pos - pl, n - nl)
+                )
+                key = (-math.floor(gain * _STUMP_BAND), f + 1, t)
+                if best is None or key < best[0]:
+                    best = (key, f + 1, t, nl, n - nl)
+        return best
+
+    root = best_split(data)
+    assert (rows["root"].feature, rows["root"].threshold) == (
+        root[1], root[2],
+    )
+    left = [(x, y) for x, y in data if x[root[1] - 1] <= root[2]]
+    right = [(x, y) for x, y in data if x[root[1] - 1] > root[2]]
+    for node, sub in (("L", left), ("R", right)):
+        b = best_split(sub)
+        r = rows[node]
+        assert (r.feature, r.threshold, r.n_left, r.n_right) == (
+            b[1], b[2], b[3], b[4],
+        ), node
+        assert r.gain_band == -b[0][0]
+    # the children's splits refine the root (non-negative gains)
+    assert rows["L"].gain_band >= 0 and rows["R"].gain_band >= 0
