@@ -656,3 +656,21 @@ def test_entity_resolution_no_cartesian_bounded_scans(spark):
     plan = explain.physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tree_trainers_one_scan_per_level(spark):
+    """The tree trainers' perf lesson (round-7): candidate splits
+    EXPLODE off the single wide moment row — a per-candidate union
+    re-derives the aggregate 27x (measured 4-8x slower). Pin the
+    logical-plan scan counts: the stump reads the data exactly once;
+    the depth-2 tree reads once per level plus the 1-row winner
+    re-derivation (3 relation scans), with the only Union being the
+    3-row root+children result assembly."""
+    stump = QUERIES["train_stump_banded"](spark, SF_DIR)
+    plan = stump._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") == 1
+    assert plan.count("Union") == 0
+    tree = QUERIES["train_tree2_banded"](spark, SF_DIR)
+    plan = tree._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation [") <= 3
+    assert plan.count("Union") <= 1
