@@ -248,9 +248,13 @@ _reorder()
 # tree: broadcast winner routes nodes, level 1 re-searches PER NODE
 # in one grouped scan — one scan per LEVEL; candidates explode off
 # the wide moment row, never a per-candidate union, which re-derived
-# the aggregate 27x and was measured 4-8x slower). All
+# the aggregate 27x and was measured 4-8x slower), and
+# stream_topk_sink_checked (EXACT incremental per-key counts —
+# streaming/jobs.key_counts_sink, the bounded-domain companion to
+# the CMS sink; integer merge => full exact oracle + exactly-once
+# witness; real-stream restart + replay-guard tests). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 78 into the leading slots (two rotations if
+# Next round: move these 79 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -86,6 +86,10 @@ Third batch (same gate):
   1-row broadcast routes rows to L/R, level 1 re-runs the search
   PER NODE in one grouped scan — one scan per LEVEL, the
   distributed-GBDT property made concrete.
+- ``stream_topk_sink_checked`` — EXACT incremental per-key counts
+  (streaming/jobs.key_counts_sink, the bounded-key-domain companion
+  to the CMS sink) serving top-k from the streamed snapshot; full
+  exact oracle incl. the exactly-once witness.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2566,3 +2570,63 @@ def train_tree2_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain_band",
     )
     return root_row.unionByName(child_rows)
+
+
+# ---------------------------------------------------------------------------
+# stream_topk_sink_checked — exact incremental top-k (bounded key domain)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_topk_sink_checked",
+    oracle="""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(c AS BIGINT) AS c, n.n
+    FROM exact CROSS JOIN n
+    ORDER BY c DESC, user_id ASC LIMIT 10
+    """,
+)
+def stream_topk_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT incremental top-k maintenance story
+    (streaming/jobs.key_counts_sink) made driver-checkable: push
+    events through the per-key count sink in THREE micro-batches,
+    then serve "top-10 most active users right now" FROM THE STREAMED
+    SNAPSHOT. Integer-sum merge ⇒ the 3-batch table equals the
+    one-shot groupBy key for key, so the top-k AND the exactly-once
+    witness n (ΣC == COUNT(*)) are exact — a dropped or replayed
+    batch shifts every count; nothing hides in a band. Completes the
+    incremental-sink set: moments, quantiles (KLL), frequencies
+    (CMS), and now exact bounded-domain counts.
+
+    Scale: the exact-count snapshot is one row per distinct key —
+    right when the key domain is a bounded dimension (users/sources);
+    the CMS sink remains the open-world path. Build-time eagerness
+    (3 sink calls into a scratch dir) is the sanctioned lifecycle
+    exception (stream_cms_sink_checked pattern)."""
+    import os
+
+    from .staged_r07 import _scratch
+    from ..streaming import jobs
+
+    base = _scratch("topk_counts")
+    e = _t(spark, sf_dir, "events")
+    sink = jobs.key_counts_sink(base, "user_id")
+    for b in range(3):
+        sink(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == b), b)
+
+    counts = spark.read.parquet(os.path.join(base, "v2"))
+    n = counts.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            F.col("c").cast("long").alias("c"),
+            "n",
+        )
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -729,6 +729,63 @@ def cms_cells_sink(
     return apply
 
 
+def key_counts_sink(base_dir: str, key_col: str):
+    """foreachBatch incremental EXACT per-key count table — the
+    bounded-key-domain companion to :func:`cms_cells_sink` (the CMS
+    serves open-world key spaces in fixed state; when the key domain
+    is a bounded dimension — users, sources, vendors — the exact
+    count table is itself small, and "top-k right now" needs no
+    sketch): each micro-batch's per-key counts merge into the stored
+    snapshot by integer addition, so the merged table equals the
+    one-shot groupBy COUNT of the whole history KEY FOR KEY — the
+    exactly-once check is exact integer equality.
+
+    State is one row per distinct key ever seen. Same versioned
+    layout + _snapshot_guard replay protection as the other sinks;
+    the sum merge is NOT idempotent, hence the guard (and a durable
+    checkpoint for restarts)."""
+    import os
+    import shutil
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions, replayed = _snapshot_guard(base_dir, batch_id)
+        if replayed:
+            return
+        new = batch_df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("c")
+        )
+        merged = new
+        if versions:
+            cur = spark.read.parquet(os.path.join(base_dir, versions[-1]))
+            merged = (
+                cur.unionByName(new).groupBy("k").agg(F.sum("c").alias("c"))
+            )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"v{batch_id}")
+        )
+        for stale in versions[:-1]:
+            shutil.rmtree(os.path.join(base_dir, stale), ignore_errors=True)
+
+    return apply
+
+
+def run_key_counts(
+    stream: DataFrame,
+    base_dir: str,
+    key_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Drive a stream through the incremental exact-count rollup
+    (availableNow, synchronous). SUM merge => durable ``checkpoint``
+    required for exactly-once across restarts."""
+    w = stream.writeStream.foreachBatch(key_counts_sink(base_dir, key_col))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def run_cms_cells(
     stream: DataFrame,
     base_dir: str,

@@ -1099,3 +1099,91 @@ def test_tree2_matches_python_replay(spark):
         assert r.gain_band == -b[0][0]
     # the children's splits refine the root (non-negative gains)
     assert rows["L"].gain_band >= 0 and rows["R"].gain_band >= 0
+
+
+# ---------------------------------------------------------------------------
+# stream_topk_sink_checked / key_counts_sink
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402  (test-module convenience)
+
+
+def test_key_counts_sink_stream_and_restart(spark, tmp_path):
+    """Feed events.user_id through key_counts_sink over a real
+    availableNow stream, then land a new file and RESTART on the same
+    checkpoint: the merged snapshot equals the exact per-key counts
+    at both points (integer merge — exactly-once witness)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+        jobs,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    feed = tmp_path / "kc_feed"
+    for b in range(2):
+        ev.filter(SF.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+
+    sink_dir = str(tmp_path / "kc_snap")
+    ckpt = str(tmp_path / "kc_ckpt")
+    jobs.run_key_counts(stream(), sink_dir, "user_id", checkpoint=ckpt)
+
+    def check(df_expected):
+        versions = sorted(os.listdir(sink_dir), key=lambda d: int(d[1:]))
+        snap = {
+            r.k: r.c
+            for r in spark.read.parquet(
+                os.path.join(sink_dir, versions[-1])
+            ).collect()
+        }
+        want = Counter(int(r.user_id) for r in df_expected.collect())
+        assert snap == dict(want)
+
+    check(ev.filter(SF.col("event_id") % 3 != 2))
+
+    ev.filter(SF.col("event_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    jobs.run_key_counts(stream(), sink_dir, "user_id", checkpoint=ckpt)
+    check(ev)
+
+
+def test_key_counts_sink_replay_guard(spark, tmp_path):
+    """Re-applying a committed batch_id is a no-op (SUM merge is not
+    idempotent — a missing guard would double the replayed counts)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.streaming import (
+        jobs,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    base = str(tmp_path / "kc_guard")
+    sink = jobs.key_counts_sink(base, "user_id")
+    sink(ev.filter(SF.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)
+    snap = {
+        r.k: r.c
+        for r in spark.read.parquet(os.path.join(base, "v1")).collect()
+    }
+    sink(ev.filter(SF.col("event_id") % 2 == 1), 1)  # replay
+    snap2 = {
+        r.k: r.c
+        for r in spark.read.parquet(os.path.join(base, "v1")).collect()
+    }
+    assert snap2 == snap
+    want = Counter(int(r.user_id) for r in ev.collect())
+    assert snap == dict(want)
