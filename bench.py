@@ -246,6 +246,8 @@ HEADLINE = [
     "train_stump_banded",
     # r07: depth-2 tree (per-node split search, one scan per level)
     "train_tree2_banded",
+    # r07: Holt holdout backtest (forecast evaluation metrics)
+    "a_forecast_backtest",
 ]
 
 

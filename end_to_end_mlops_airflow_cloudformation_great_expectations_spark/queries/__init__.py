@@ -252,9 +252,12 @@ _reorder()
 # stream_topk_sink_checked (EXACT incremental per-key counts —
 # streaming/jobs.key_counts_sink, the bounded-domain companion to
 # the CMS sink; integer merge => full exact oracle + exactly-once
-# witness; real-stream restart + replay-guard tests). All
+# witness; real-stream restart + replay-guard tests), and
+# a_forecast_backtest (Holt holdout backtest — MAE/sMAPE/MASE of the
+# dyadic-exact smoother on the last-24h holdout; RECURSIVE-CTE twin
+# replays the fold bit-for-bit). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 79 into the leading slots (two rotations if
+# Next round: move these 80 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -90,6 +90,9 @@ Third batch (same gate):
   (streaming/jobs.key_counts_sink, the bounded-key-domain companion
   to the CMS sink) serving top-k from the streamed snapshot; full
   exact oracle incl. the exactly-once witness.
+- ``a_forecast_backtest`` — Holt holdout backtest (last 24 h):
+  MAE / sMAPE / MASE of the dyadic-exact smoother — the evaluation
+  half of the forecasting family.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2629,4 +2632,153 @@ def stream_topk_sink_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c"), F.asc("user_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_forecast_backtest — Holt holdout evaluation (MAE / sMAPE / MASE)
+# ---------------------------------------------------------------------------
+
+_BT_H = 24  # held-out hours
+
+
+@query(
+    "a_forecast_backtest",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), o AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY h) AS t FROM c
+    ), n AS (
+      SELECT COUNT(*) AS n FROM o
+    ), tr AS (
+      SELECT t, x FROM o CROSS JOIN n WHERE t <= n - {_BT_H}
+    ), te AS (
+      SELECT x AS actual, t - (n - {_BT_H}) AS k
+      FROM o CROSS JOIN n WHERE t > n - {_BT_H}
+    ), fold AS (
+      SELECT t, x, x AS l, CAST(0 AS DOUBLE) AS b FROM tr WHERE t = 1
+      UNION ALL
+      SELECT tr.t, tr.x,
+             0.5 * tr.x + 0.5 * (f.l + f.b) AS l,
+             0.25 * (0.5 * tr.x + 0.5 * (f.l + f.b) - f.l) + 0.75 * f.b
+               AS b
+      FROM fold f JOIN tr ON tr.t = f.t + 1
+    ), last AS (
+      SELECT l, b FROM fold
+      CROSS JOIN n WHERE t = n - {_BT_H}
+    ), pred AS (
+      SELECT te.k, te.actual, last.l + te.k * last.b AS forecast
+      FROM te CROSS JOIN last
+    ), naive AS (
+      SELECT AVG(ABS(cur.x - prv.x)) AS d
+      FROM tr cur JOIN tr prv ON prv.t = cur.t - 1
+    ), m AS (
+      SELECT COUNT(*) AS n_test,
+             AVG(ABS(actual - forecast)) AS mae,
+             AVG(2.0 * ABS(actual - forecast)
+                 / (ABS(actual) + ABS(forecast))) AS smape
+      FROM pred
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train,
+           CAST(m.n_test AS BIGINT) AS n_test,
+           ROUND(m.mae, 6) AS mae,
+           ROUND(m.smape, 6) AS smape,
+           ROUND(m.mae / naive.d, 6) AS mase
+    FROM m CROSS JOIN naive
+    """,
+)
+def a_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTESTING — the evaluation half the forecasting
+    family lacked (a_holt_forecast fits and extrapolates; this holds
+    out the LAST 24 hours, fits the same dyadic Holt smoother on the
+    prefix, and scores the held-out horizon with MAE, sMAPE and MASE
+    — MASE normalizing by the train naive-1 error, the scale-free
+    standard that makes forecasters comparable across series).
+
+    Cross-engine determinism: the Holt fold is dyadic-exact (the
+    a_holt_forecast convention — α=1/2, β=1/4, every level/trend an
+    exact binary float, DuckDB's RECURSIVE CTE replays it
+    bit-for-bit); actuals are integer counts; the three metrics are
+    short averages of exact values, rounded at 1e-6.
+
+    Scale: the hourly series is BOUNDED (one row per hour of corpus
+    time); the fold is a one-group applyInPandas over it, never over
+    raw events — identical contract to the rest of the series
+    family."""
+    import pandas as pd
+
+    from ..operators.ranks import constant_partition_key
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    one = constant_partition_key(F.col("h"))
+    w = Window.partitionBy(one).orderBy("h")
+    o = c.select("h", "x", F.row_number().over(w).alias("t"))
+    n = o.agg(F.count("*").alias("n"))
+    ob = o.crossJoin(F.broadcast(n))
+    tr = ob.filter(F.col("t") <= F.col("n") - _BT_H)
+    te = ob.filter(F.col("t") > F.col("n") - _BT_H).select(
+        F.col("x").alias("actual"),
+        (F.col("t") - (F.col("n") - _BT_H)).alias("k"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        xs = pdf["x"].to_numpy()
+        level, trend = xs[0], 0.0
+        for x in xs[1:]:
+            new_level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (new_level - level) + 0.75 * trend
+            level = new_level
+        return pd.DataFrame({"l": [level], "b": [trend]})
+
+    last = (
+        tr.select("t", "x")
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(fold, "l double, b double")
+    )
+    pred = te.crossJoin(F.broadcast(last)).select(
+        "k",
+        "actual",
+        (F.col("l") + F.col("k") * F.col("b")).alias("forecast"),
+    )
+    wlag = Window.partitionBy(constant_partition_key(F.col("t"))).orderBy(
+        "t"
+    )
+    naive = (
+        tr.select("t", "x", F.lag("x").over(wlag).alias("px"))
+        .filter(F.col("px").isNotNull())
+        .agg(F.avg(F.abs(F.col("x") - F.col("px"))).alias("d"))
+    )
+    m = pred.agg(
+        F.count("*").alias("n_test"),
+        F.avg(F.abs(F.col("actual") - F.col("forecast"))).alias("mae"),
+        F.avg(
+            2.0
+            * F.abs(F.col("actual") - F.col("forecast"))
+            / (F.abs(F.col("actual")) + F.abs(F.col("forecast")))
+        ).alias("smape"),
+    )
+    n_train = tr.agg(F.count("*").cast("long").alias("n_train"))
+    return (
+        m.crossJoin(F.broadcast(naive))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "n_train",
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round("mae", 6).alias("mae"),
+            F.round("smape", 6).alias("smape"),
+            F.round(F.col("mae") / F.col("d"), 6).alias("mase"),
+        )
     )

@@ -1187,3 +1187,41 @@ def test_key_counts_sink_replay_guard(spark, tmp_path):
     assert snap2 == snap
     want = Counter(int(r.user_id) for r in ev.collect())
     assert snap == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# a_forecast_backtest
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _BT_H,
+        a_forecast_backtest,
+    )
+
+    row = a_forecast_backtest(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts").collect()
+    hours = Counter(int(r.ts.timestamp() // 3600) for r in ev)
+    xs = [float(hours[h]) for h in sorted(hours)]
+    train, test = xs[:-_BT_H], xs[-_BT_H:]
+    level, trend = train[0], 0.0
+    for x in train[1:]:
+        nl = 0.5 * x + 0.5 * (level + trend)
+        trend = 0.25 * (nl - level) + 0.75 * trend
+        level = nl
+    preds = [level + (k + 1) * trend for k in range(_BT_H)]
+    errs = [abs(a - f) for a, f in zip(test, preds)]
+    mae = sum(errs) / len(errs)
+    smape = sum(
+        2 * abs(a - f) / (abs(a) + abs(f)) for a, f in zip(test, preds)
+    ) / len(test)
+    naive = sum(
+        abs(b - a) for a, b in zip(train, train[1:])
+    ) / (len(train) - 1)
+    assert row.n_train == len(train) and row.n_test == _BT_H
+    assert abs(row.mae - mae) < 1e-4
+    assert abs(row.smape - smape) < 1e-6
+    assert abs(row.mase - mae / naive) < 1e-4
+    # non-degenerate: forecast has real error but beats nothing crazy
+    assert row.mae > 0 and row.mase > 0
