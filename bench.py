@@ -248,6 +248,8 @@ HEADLINE = [
     "train_tree2_banded",
     # r07: Holt holdout backtest (forecast evaluation metrics)
     "a_forecast_backtest",
+    # r07: personalized PageRank (random walk with restart)
+    "g_ppr_banded",
 ]
 
 

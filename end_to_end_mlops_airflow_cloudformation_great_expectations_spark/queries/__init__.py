@@ -255,9 +255,12 @@ _reorder()
 # witness; real-stream restart + replay-guard tests), and
 # a_forecast_backtest (Holt holdout backtest — MAE/sMAPE/MASE of the
 # dyadic-exact smoother on the last-24h holdout; RECURSIVE-CTE twin
-# replays the fold bit-for-bit). All
+# replays the fold bit-for-bit), and g_ppr_banded (personalized
+# PageRank from the BFS seed set — graph.personalized_pagerank,
+# teleport mass on seeds only; band-edge gaps pinned, exact-zero
+# unreachable-vertex ranks documented). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 80 into the leading slots (two rotations if
+# Next round: move these 81 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -93,6 +93,9 @@ Third batch (same gate):
 - ``a_forecast_backtest`` — Holt holdout backtest (last 24 h):
   MAE / sMAPE / MASE of the dyadic-exact smoother — the evaluation
   half of the forecasting family.
+- ``g_ppr_banded`` — personalized PageRank (random walk with
+  restart) from the BFS seed set: the graph-recommendation /
+  seed-expansion primitive, g_pagerank_banded's banding convention.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2781,4 +2784,94 @@ def a_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("smape", 6).alias("smape"),
             F.round(F.col("mae") / F.col("d"), 6).alias("mase"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_ppr_banded — personalized PageRank (random walk with restart)
+# ---------------------------------------------------------------------------
+
+_PPR_ROUNDS = 5
+_PPR_D = 0.85
+_PPR_SEEDS = 5
+_PPR_BAND = 1_000_000
+
+
+def _ppr_round_sql(r: int) -> str:
+    tele = (
+        f"CASE WHEN v.vid < {_PPR_SEEDS}"
+        f" THEN (1.0 - {_PPR_D}) / {_PPR_SEEDS} ELSE 0.0 END"
+    )
+    return f"""
+    , p{r} AS (
+      SELECT v.vid AS id,
+             {tele} + {_PPR_D} * COALESCE(SUM(p.rk / d.deg), 0) AS rk
+      FROM verts v
+      LEFT JOIN edges e ON e.dst = v.vid
+      LEFT JOIN p{r - 1} p ON p.id = e.src
+      LEFT JOIN deg d ON d.src = e.src
+      GROUP BY v.vid
+    )
+    """
+
+
+@query(
+    "g_ppr_banded",
+    oracle=(
+        "WITH "
+        + _LPA_ORACLE_GRAPH
+        + f""", deg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), p0 AS (
+      SELECT vid AS id,
+             CASE WHEN vid < {_PPR_SEEDS}
+                  THEN 1.0 / {_PPR_SEEDS} ELSE 0.0 END AS rk
+      FROM verts
+    )"""
+        + "".join(_ppr_round_sql(r) for r in range(1, _PPR_ROUNDS + 1))
+        + f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(FLOOR(rk * {_PPR_BAND}) AS BIGINT) AS rank_band
+    FROM p{_PPR_ROUNDS}
+    """
+    ),
+)
+def g_ppr_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) on the derived
+    order graph — proximity to the seed set {{0..4}} rather than
+    global centrality: the graph-recommendation / seed-expansion
+    primitive (operators/graph.personalized_pagerank — pagerank's
+    recurrence with the teleport mass landing only on the seeds,
+    init = the teleport vector). Same graph, same seeds as
+    g_bfs_hops, so the two queries together give the hop-distance AND
+    the walk-proximity views of the same neighborhood.
+
+    Cross-engine banding: the g_pagerank_banded convention — the twin
+    unrolls the SAME 5 damped iterations, both sides spell the
+    teleport constant identically, ranks quantize to FLOOR 1e-6
+    bands; band-edge gaps are measured and pinned in tests, not hoped
+    for.
+
+    Scale: one edges⋈ranks shuffle + one partial-agg SUM per round,
+    eager-fixpoint with checkpoint-truncated lineage (the pagerank
+    discipline)."""
+    from ..operators.graph import personalized_pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(_PPR_SEEDS).select(F.col("id").alias("vid"))
+    out = personalized_pagerank(
+        both, seeds, iterations=_PPR_ROUNDS, damping=_PPR_D
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.floor(F.col("rank") * F.lit(float(_PPR_BAND)))
+        .cast("long")
+        .alias("rank_band"),
     )

@@ -1225,3 +1225,57 @@ def test_forecast_backtest_matches_python_replay(spark):
     assert abs(row.mase - mae / naive) < 1e-4
     # non-degenerate: forecast has real error but beats nothing crazy
     assert row.mae > 0 and row.mase > 0
+
+
+# ---------------------------------------------------------------------------
+# g_ppr_banded
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_replay_band_gaps_and_proximity(spark):
+    """Python replay of the 5 damped PPR iterations: (a) bands match;
+    (b) no rank sits near a FLOOR band edge (the g_pagerank_banded
+    'measured, not hoped for' discipline); (c) ranks behave like
+    proximity — seeds highest, mass decays with BFS distance."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _PPR_BAND,
+        _PPR_D,
+        _PPR_ROUNDS,
+        _PPR_SEEDS,
+        g_ppr_banded,
+    )
+
+    got = {r.id: r.rank_band for r in g_ppr_banded(spark, SF_DIR).collect()}
+    edges = _graph(spark)
+    verts = sorted({v for e in edges for v in e})
+    deg = Counter(s for s, _ in edges)
+    rank = {v: (1.0 / _PPR_SEEDS if v < _PPR_SEEDS else 0.0) for v in verts}
+    for _ in range(_PPR_ROUNDS):
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += rank[s] / deg[s]
+        rank = {
+            v: (
+                ((1.0 - _PPR_D) / _PPR_SEEDS if v < _PPR_SEEDS else 0.0)
+                + _PPR_D * contrib[v]
+            )
+            for v in verts
+        }
+    for v in verts:
+        band = math.floor(rank[v] * _PPR_BAND)
+        # replay summation order differs from the engines': allow 1
+        assert abs(got[v] - band) <= 1, v
+        frac = rank[v] * _PPR_BAND - band
+        if frac == 0.0 and rank[v] == 0.0:
+            # vertices unreachable from the seed set keep rank
+            # EXACTLY 0.0 (sums of zeros — bit-identical on every
+            # engine), which legitimately sits ON the band edge; the
+            # gap requirement only protects values built from
+            # multi-term float summation.
+            continue
+        assert min(frac, 1 - frac) > 1e-3, (v, frac)
+    # proximity shape: the seed set holds the top ranks
+    top5 = sorted(got, key=lambda v: -got[v])[:_PPR_SEEDS]
+    assert set(top5) == set(range(_PPR_SEEDS))
