@@ -250,6 +250,8 @@ HEADLINE = [
     "a_forecast_backtest",
     # r07: personalized PageRank (random walk with restart)
     "g_ppr_banded",
+    # r07: interrupted time-series (segmented regression readout)
+    "a_interrupted_ts",
 ]
 
 

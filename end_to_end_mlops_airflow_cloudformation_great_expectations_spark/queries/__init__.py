@@ -258,9 +258,12 @@ _reorder()
 # replays the fold bit-for-bit), and g_ppr_banded (personalized
 # PageRank from the BFS seed set — graph.personalized_pagerank,
 # teleport mass on seeds only; band-edge gaps pinned, exact-zero
-# unreachable-vertex ranks documented). All
+# unreachable-vertex ranks documented), and a_interrupted_ts
+# (segmented regression at the midpoint cut — per-segment closed-form
+# OLS from 2-group moments; level jump + slope change; the fifth
+# causal design). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 81 into the leading slots (two rotations if
+# Next round: move these 82 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -96,6 +96,9 @@ Third batch (same gate):
 - ``g_ppr_banded`` — personalized PageRank (random walk with
   restart) from the BFS seed set: the graph-recommendation /
   seed-expansion primitive, g_pagerank_banded's banding convention.
+- ``a_interrupted_ts`` — interrupted time-series (segmented
+  regression at the midpoint cut): the fifth causal design, for when
+  there is no control group at all.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2874,4 +2877,124 @@ def g_ppr_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("rank") * F.lit(float(_PPR_BAND)))
         .cast("long")
         .alias("rank_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_interrupted_ts — interrupted time-series (segmented regression)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_interrupted_ts",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), cut AS (
+      SELECT CAST((MIN(h) + MAX(h)) // 2 AS BIGINT) AS mid FROM c
+    ), seg AS (
+      SELECT h >= mid AS post, CAST(h - mid AS DOUBLE) AS t, x
+      FROM c CROSS JOIN cut
+    ), mom AS (
+      SELECT post, COUNT(*) AS n, SUM(t) AS st, SUM(x) AS sx,
+             SUM(t * t) AS stt, SUM(t * x) AS stx
+      FROM seg GROUP BY post
+    ), fit AS (
+      SELECT post,
+             (n * stx - st * sx) / (n * stt - st * st) AS slope,
+             (sx - (n * stx - st * sx) / (n * stt - st * st) * st) / n
+               AS intercept,
+             n
+      FROM mom
+    ), w AS (
+      SELECT
+        MAX(CASE WHEN NOT post THEN slope END) AS slope_pre,
+        MAX(CASE WHEN post THEN slope END) AS slope_post,
+        MAX(CASE WHEN NOT post THEN intercept END) AS int_pre,
+        MAX(CASE WHEN post THEN intercept END) AS int_post,
+        MAX(CASE WHEN NOT post THEN n END) AS n_pre,
+        MAX(CASE WHEN post THEN n END) AS n_post
+      FROM fit
+    )
+    SELECT CAST(n_pre AS BIGINT) AS n_pre, CAST(n_post AS BIGINT) AS n_post,
+           ROUND(slope_pre, 6) AS slope_pre,
+           ROUND(slope_post, 6) AS slope_post,
+           ROUND(int_post - int_pre, 6) AS level_change,
+           ROUND(slope_post - slope_pre, 6) AS slope_change
+    FROM w
+    """,
+)
+def a_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) — the fifth
+    causal design (randomized lift, DiD, matching, CUPED, and now the
+    single-series intervention readout used when there is no control
+    group at all): fit separate OLS lines to the hourly rate before
+    and after the midpoint cut (t centered AT the cut, so each
+    intercept is that segment's fitted level at the intervention) and
+    report the level jump and slope change at the cut.
+
+    Determinism: actuals are integer counts; each segment fit is two
+    moment sums and one closed-form division (the a_anova_oneway
+    discipline); everything rounds at 1e-6 on ~1e-12 cross-engine
+    noise.
+
+    Scale: one fact scan to the bounded hourly series, one 2-group
+    moment aggregate, arithmetic after."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    cut = c.agg(
+        F.floor((F.min("h") + F.max("h")) / F.lit(2)).cast("long").alias("mid")
+    )
+    seg = c.crossJoin(F.broadcast(cut)).select(
+        (F.col("h") >= F.col("mid")).alias("post"),
+        (F.col("h") - F.col("mid")).cast("double").alias("t"),
+        "x",
+    )
+    mom = seg.groupBy("post").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    fit = mom.select(
+        "post",
+        slope.alias("slope"),
+        ((F.col("sx") - slope * F.col("st")) / F.col("n")).alias("intercept"),
+        "n",
+    )
+
+    def pick(flag, col):
+        return F.max(F.when(F.col("post") == flag, F.col(col)))
+
+    w = fit.agg(
+        pick(False, "slope").alias("slope_pre"),
+        pick(True, "slope").alias("slope_post"),
+        pick(False, "intercept").alias("int_pre"),
+        pick(True, "intercept").alias("int_post"),
+        pick(False, "n").alias("n_pre"),
+        pick(True, "n").alias("n_post"),
+    )
+    return w.select(
+        F.col("n_pre").cast("long").alias("n_pre"),
+        F.col("n_post").cast("long").alias("n_post"),
+        F.round("slope_pre", 6).alias("slope_pre"),
+        F.round("slope_post", 6).alias("slope_post"),
+        F.round(F.col("int_post") - F.col("int_pre"), 6).alias(
+            "level_change"
+        ),
+        F.round(F.col("slope_post") - F.col("slope_pre"), 6).alias(
+            "slope_change"
+        ),
     )

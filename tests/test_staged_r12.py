@@ -1279,3 +1279,39 @@ def test_ppr_replay_band_gaps_and_proximity(spark):
     # proximity shape: the seed set holds the top ranks
     top5 = sorted(got, key=lambda v: -got[v])[:_PPR_SEEDS]
     assert set(top5) == set(range(_PPR_SEEDS))
+
+
+# ---------------------------------------------------------------------------
+# a_interrupted_ts
+# ---------------------------------------------------------------------------
+
+
+def test_interrupted_ts_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_interrupted_ts,
+    )
+
+    row = a_interrupted_ts(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("ts").collect()
+    hours = Counter(int(r.ts.timestamp() // 3600) for r in ev)
+    hs = sorted(hours)
+    mid = (hs[0] + hs[-1]) // 2
+
+    def ols(pts):
+        n = len(pts)
+        st = sum(t for t, _ in pts)
+        sx = sum(x for _, x in pts)
+        stt = sum(t * t for t, _ in pts)
+        stx = sum(t * x for t, x in pts)
+        slope = (n * stx - st * sx) / (n * stt - st * st)
+        return slope, (sx - slope * st) / n, n
+
+    pre = [(h - mid, float(hours[h])) for h in hs if h < mid]
+    post = [(h - mid, float(hours[h])) for h in hs if h >= mid]
+    s0, i0, n0 = ols(pre)
+    s1, i1, n1 = ols(post)
+    assert (row.n_pre, row.n_post) == (n0, n1)
+    assert abs(row.slope_pre - s0) < 1e-4
+    assert abs(row.slope_post - s1) < 1e-4
+    assert abs(row.level_change - (i1 - i0)) < 1e-3
+    assert abs(row.slope_change - (s1 - s0)) < 1e-4
