@@ -252,6 +252,9 @@ HEADLINE = [
     "g_ppr_banded",
     # r07: interrupted time-series (segmented regression readout)
     "a_interrupted_ts",
+    # r07: cohort LTV curves + kNN classification
+    "w_cohort_ltv",
+    "sim_knn_classify",
 ]
 
 

@@ -261,9 +261,13 @@ _reorder()
 # unreachable-vertex ranks documented), and a_interrupted_ts
 # (segmented regression at the midpoint cut — per-segment closed-form
 # OLS from 2-group moments; level jump + slope change; the fifth
-# causal design). All
+# causal design), and w_cohort_ltv (cumulative LTV curves by signup
+# cohort — round-once money grid + running-sum window), and
+# sim_knn_classify (kNN over embeddings — the fit-free classifier;
+# bounded query cohort, brute-force spec with IVF/LSH as the scale
+# path, majority vote with total tie-breaks). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 82 into the leading slots (two rotations if
+# Next round: move these 84 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

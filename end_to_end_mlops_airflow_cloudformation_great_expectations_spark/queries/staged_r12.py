@@ -99,6 +99,12 @@ Third batch (same gate):
 - ``a_interrupted_ts`` — interrupted time-series (segmented
   regression at the midpoint cut): the fifth causal design, for when
   there is no control group at all.
+- ``w_cohort_ltv`` — cumulative lifetime-value curves by signup
+  cohort (the revenue companion to a_cohort_retention).
+- ``sim_knn_classify`` — kNN classification over embeddings: the
+  LAZY (fit-free) classifier completing the family spectrum;
+  top-k by the sim_topk_bruteforce convention, majority vote with a
+  total tie-break.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -2997,4 +3003,203 @@ def a_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("slope_post") - F.col("slope_pre"), 6).alias(
             "slope_change"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# w_cohort_ltv — cumulative lifetime-value curves by signup cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_cohort_ltv",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, value,
+             CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) AS w
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort, COUNT(*) AS n_users FROM first GROUP BY cohort
+    ), rev AS (
+      SELECT f.cohort, wk.w - f.cohort AS age,
+             ROUND(SUM(wk.value), 2) AS rev
+      FROM wk JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, age, rev,
+             SUM(rev) OVER (
+               PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_rev
+      FROM rev
+    )
+    SELECT c.cohort, CAST(c.age AS BIGINT) AS age,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           c.rev,
+           ROUND(c.cum_rev / s.n_users, 6) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort)
+    """,
+)
+def w_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the revenue companion to
+    a_cohort_retention's activity triangle (same first-seen-week
+    cohorts): per (cohort, week age), period revenue and the
+    CUMULATIVE revenue per cohort member — "how much is a week-w
+    signup worth after k weeks", the growth-finance readout.
+
+    Determinism: period revenue rounds on the money grid FIRST; the
+    cumulative window then sums identical doubles in a total
+    (cohort, age) order, and the per-user ratio divides identical
+    values — the a_diff_in_diff round-once discipline applied to a
+    running sum.
+
+    Scale: first-seen agg and the activity join both key on user_id
+    (one exchange serves both — the a_cohort_retention shape); the
+    cumulative window runs per cohort over week-count-bounded rows."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        "value",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800))
+        .cast("long")
+        .alias("w"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    rev = (
+        wk.join(first, "user_id")
+        .groupBy("cohort", (F.col("w") - F.col("cohort")).alias("age"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    cum_w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_rev", F.sum("rev").over(cum_w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        F.col("age").cast("long").alias("age"),
+        F.col("n_users").cast("long").alias("n_users"),
+        "rev",
+        F.round(F.col("cum_rev") / F.col("n_users"), 6).alias(
+            "ltv_per_user"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_classify — k-nearest-neighbor classification
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_SEED = 31
+_KNN_SPLIT_SQL = "(vec_id * 2654435761) % 4294967296 % 100"
+_KNN_COHORT = 250  # bounded query cohort (the sim_topk discipline)
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS actual
+      FROM embeddings
+      WHERE {_KNN_SPLIT_SQL} >= 80 AND vec_id < {_KNN_COHORT}
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+             label
+      FROM embeddings
+      WHERE {_KNN_SPLIT_SQL} < 80
+    ), scored AS (
+      SELECT query_id, actual, neighbor_id, label,
+             ROUND(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ), nbrs AS (
+      SELECT query_id, actual, label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id
+               ) AS rnk
+        FROM scored) t
+      WHERE rnk <= {_KNN_K}
+    ), votes AS (
+      SELECT query_id, actual, label, COUNT(*) AS c FROM nbrs
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, actual, label AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY c DESC, label ASC
+               ) AS rn
+        FROM votes) t
+      WHERE rn = 1
+    )
+    SELECT CAST(query_id AS BIGINT) AS vec_id,
+           CAST(pred AS BIGINT) AS pred,
+           CAST(actual AS BIGINT) AS actual,
+           pred = actual AS correct
+    FROM pred
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification — the LAZY classifier (no fit
+    at all) completing the family spectrum: closed-form (NB),
+    parametric-iterative (logreg/QR), prototype (centroid), tree
+    (stump), and now instance-based: each held-out vector takes the
+    majority label of its 5 nearest TRAIN vectors by cosine
+    (operators/similarity.brute_force_topk — broadcast queries × one
+    corpus scan, the J8 baseline; at scale the IVF/LSH paths replace
+    the scan, identical voting).
+
+    Determinism: cosines on the 1e-6 ROUND grid with neighbor-id
+    tie-break (the sim_topk_bruteforce convention — driver-green
+    since round 1), majority with the (count DESC, label ASC) total
+    order. Query cohort is BOUNDED (the sim_topk discipline) so the
+    brute-force spec stays linear in the corpus.
+
+    Scale: one broadcast × scan per cohort; the vote is a bounded
+    window over k·|cohort| rows."""
+    from ..functions.columns import portable_bucket
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    # unseeded: must match _KNN_SPLIT_SQL, which hashes vec_id
+    # directly (the a7 split convention)
+    split = portable_bucket(F.col("vec_id"), 100)
+    train = e.filter(split < 80)
+    test = e.filter(
+        (split >= 80) & (F.col("vec_id") < _KNN_COHORT)
+    ).withColumnRenamed("vec_id", "query_id")
+    nbrs = similarity.brute_force_topk(test, train, k=_KNN_K)
+    votes = (
+        nbrs.join(
+            train.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count("*").alias("c"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("c"), (-F.col("nlabel")).cast("long").alias("nl"))
+        ).alias("m")
+    ).select("query_id", (-F.col("m.nl")).alias("pred"))
+    return (
+        pred.join(
+            test.select("query_id", F.col("label").alias("actual")),
+            "query_id",
+        )
+        .select(
+            F.col("query_id").cast("long").alias("vec_id"),
+            F.col("pred").cast("long").alias("pred"),
+            F.col("actual").cast("long").alias("actual"),
+            (F.col("pred") == F.col("actual")).alias("correct"),
+        )
     )

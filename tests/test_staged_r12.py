@@ -1315,3 +1315,76 @@ def test_interrupted_ts_matches_python_replay(spark):
     assert abs(row.slope_post - s1) < 1e-4
     assert abs(row.level_change - (i1 - i0)) < 1e-3
     assert abs(row.slope_change - (s1 - s0)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# w_cohort_ltv / sim_knn_classify
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        w_cohort_ltv,
+    )
+
+    rows = {
+        (r.cohort, r.age): r
+        for r in w_cohort_ltv(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    ).collect()
+    wk = [(int(r.user_id), int(r.ts.timestamp() // 604800), r.value)
+          for r in ev]
+    first = {}
+    for u, w, _ in wk:
+        first[u] = min(first.get(u, w), w)
+    sizes = Counter(first.values())
+    rev = defaultdict(float)
+    for u, w, v in wk:
+        rev[(first[u], w - first[u])] += v
+    for (cohort, age), r in rows.items():
+        assert r.n_users == sizes[cohort]
+        assert abs(r.rev - round(rev[(cohort, age)], 2)) < 0.02
+        cum = sum(
+            round(rev[(cohort, a)], 2)
+            for a in range(age + 1)
+            if (cohort, a) in rev
+        )
+        assert abs(r.ltv_per_user - round(cum / sizes[cohort], 6)) < 1e-4
+    assert set(rows) == set(rev)
+
+
+def test_knn_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _KNN_COHORT,
+        _KNN_K,
+        sim_knn_classify,
+    )
+
+    got = {r.vec_id: (r.pred, r.actual, r.correct)
+           for r in sim_knn_classify(spark, SF_DIR).collect()}
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    vecs = {int(r.vec_id): ([float(v) for v in r.embedding], int(r.label))
+            for r in e}
+    train = {k: v for k, v in vecs.items()
+             if _portable_bucket(k, 100) < 80}
+    test = {k: v for k, v in vecs.items()
+            if _portable_bucket(k, 100) >= 80 and k < _KNN_COHORT}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return round(num / (na * nb), 6)
+
+    for q, (qv, actual) in test.items():
+        scored = sorted(
+            ((cos(qv, cv), -nid, lbl)
+             for nid, (cv, lbl) in train.items() if nid != q),
+            key=lambda s: (-s[0], -s[1]),
+        )[:_KNN_K]
+        votes = Counter(lbl for _, _, lbl in scored)
+        pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        assert got[q] == (pred, actual, pred == actual), q
+    assert set(got) == set(test)
