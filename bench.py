@@ -255,6 +255,9 @@ HEADLINE = [
     # r07: cohort LTV curves + kNN classification
     "w_cohort_ltv",
     "sim_knn_classify",
+    # r07: calibration summary (ECE/MCE) + PR-AUC average precision
+    "a_ece",
+    "a_auc_pr",
 ]
 
 

@@ -265,9 +265,13 @@ _reorder()
 # cohort — round-once money grid + running-sum window), and
 # sim_knn_classify (kNN over embeddings — the fit-free classifier;
 # bounded query cohort, brute-force spec with IVF/LSH as the scale
-# path, majority vote with total tie-breaks). All
+# path, majority vote with total tie-breaks), and a_ece (Expected/
+# Max Calibration Error — the scalar summary of the reliability
+# table, same grid and scorer), and a_auc_pr (PR-AUC as Average
+# Precision via the pos_rank/global_rank identity — two distributed
+# rank-attaches, no corpus-wide window). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 84 into the leading slots (two rotations if
+# Next round: move these 86 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -105,6 +105,11 @@ Third batch (same gate):
   LAZY (fit-free) classifier completing the family spectrum;
   top-k by the sim_topk_bruteforce convention, majority vote with a
   total tie-break.
+- ``a_ece`` — Expected (and Max) Calibration Error: the scalar
+  summary of a_calibration_bins' reliability table.
+- ``a_auc_pr`` — PR-AUC as Average Precision via the
+  pos_rank/global_rank identity — two distributed rank-attaches,
+  zero corpus-wide windows.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -122,6 +127,7 @@ from ..operators.sketches import bloom_build, bloom_probe
 from ..operators.train import naive_bayes_fit, naive_bayes_score
 from .registry import query
 from .staged_r06 import _CMS_SEEDS, _cms_oracle_bucket_sql
+from .staged_r10 import _SCORES_CTE
 from .staged_r11 import _LPA_ORACLE_GRAPH
 
 
@@ -3203,3 +3209,152 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pred") == F.col("actual")).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a_ece / a_auc_pr — calibration summary + PR-AUC on the shared scorer
+# ---------------------------------------------------------------------------
+
+_ECE_BINS = 10
+
+
+@query(
+    "a_ece",
+    oracle="""
+    WITH {_SCORES_CTE}
+    , p AS (
+      SELECT is_pos, ROUND((score + 1.0) / 2.0, 6) AS p FROM scores
+    ), bins AS (
+      SELECT CAST(LEAST(FLOOR(p * {_ECE_BINS}), {_ECE_BINS_M1}) AS BIGINT)
+               AS bin,
+             COUNT(*) AS n, SUM(is_pos) AS n_pos, AVG(p) AS avg_p
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM(ABS(CAST(n_pos AS DOUBLE) / n - avg_p) * n) / SUM(n),
+                 6) AS ece,
+           ROUND(MAX(ABS(CAST(n_pos AS DOUBLE) / n - avg_p)), 6) AS mce
+    FROM bins
+    """.replace("{_SCORES_CTE}", _SCORES_CTE)
+       .replace("{_ECE_BINS_M1}", str(_ECE_BINS - 1))
+       .replace("{_ECE_BINS}", str(_ECE_BINS)),
+)
+def a_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error — THE scalar quoted for classifier
+    calibration (the weighted summary of a_calibration_bins'
+    reliability table): ECE = Σ_b (n_b/N)·|pos_rate_b − mean_p_b|,
+    plus the max per-bin gap (MCE). Same fixed 10-bin grid, same
+    gridded p = (score+1)/2 as the bins query, so the two results
+    reconcile exactly.
+
+    Determinism: bin stats are exact integers + 1e-6-grid means with
+    ~1e-13 cross-engine noise; the weighted sum rounds at 1e-6.
+
+    Scale: the scoring scans plus one |bins|-cell aggregate plus one
+    |bins|-row reduce — bounded-state."""
+    from .staged_r10 import _centroid0_scores
+
+    scored = _centroid0_scores(spark, sf_dir)
+    p = F.round((F.col("score") + 1.0) / 2.0, 6)
+    binned = scored.select(
+        "is_pos",
+        p.alias("p"),
+        F.least(F.floor(p * _ECE_BINS), F.lit(_ECE_BINS - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("is_pos").alias("n_pos"),
+        F.avg("p").alias("avg_p"),
+    )
+    gap = F.abs(
+        F.col("n_pos").cast("double") / F.col("n") - F.col("avg_p")
+    )
+    return bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count("*").alias("n_bins"),
+        F.round(
+            F.sum(gap * F.col("n")) / F.sum("n"), 6
+        ).alias("ece"),
+        F.round(F.max(gap), 6).alias("mce"),
+    )
+
+
+
+
+@query(
+    "a_auc_pr",
+    oracle="""
+    WITH {_SCORES_CTE}
+    , p AS (
+      SELECT vec_id, is_pos, ROUND((score + 1.0) / 2.0, 6) AS p
+      FROM scores
+    ), ranked AS (
+      SELECT vec_id, is_pos, p,
+             ROW_NUMBER() OVER (ORDER BY p DESC, vec_id ASC) AS rn
+      FROM p
+    ), pos AS (
+      SELECT rn,
+             ROW_NUMBER() OVER (ORDER BY p DESC, vec_id ASC) AS prn
+      FROM ranked WHERE is_pos = 1
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM ranked
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_pos,
+           ROUND(AVG(CAST(prn AS DOUBLE) / rn), 6) AS auc_pr
+    FROM pos CROSS JOIN tot
+    GROUP BY tot.n
+    """.replace("{_SCORES_CTE}", _SCORES_CTE),
+)
+def a_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC as Average Precision — the imbalanced-data companion to
+    a_roc_auc's rank-sum AUC: over the (p DESC, vec_id ASC) total
+    order, AP = mean over positives of precision@rank =
+    pos_rank/global_rank, where pos_rank is the positive's rank AMONG
+    positives in the SAME order — the identity that turns the
+    cumulative-precision sum into TWO distributed rank-attaches and
+    zero corpus-wide windows (the a_roc_auc midrank discipline).
+
+    Determinism: scores grid at 1e-6 and both ranks break ties on
+    vec_id (total orders identical cross-engine); each precision is
+    an exact integer ratio; the final mean rounds at 1e-6.
+
+    Scale: two rank-attaches (corpus, then positives-only) + one
+    reduce — no single-task sort, no N-row window."""
+    from .staged_r10 import _centroid0_scores
+
+    scored = _centroid0_scores(spark, sf_dir).select(
+        "vec_id", "is_pos", F.round((F.col("score") + 1.0) / 2.0, 6).alias("p")
+    )
+    ranked = attach_global_ranks(
+        scored,
+        sort_cols=[F.desc("p"), F.asc("vec_id")],
+        key_cols=[F.col("p"), F.col("vec_id")],
+        rn_col="rn",
+    )
+    pos = ranked.filter(F.col("is_pos") == 1)
+    pranked = attach_global_ranks(
+        pos,
+        sort_cols=[F.desc("p"), F.asc("vec_id")],
+        key_cols=[F.col("p"), F.col("vec_id")],
+        rn_col="prn",
+    )
+    tot = ranked.agg(F.count("*").alias("n"))
+    return (
+        pranked.agg(
+            F.count("*").alias("n_pos"),
+            F.round(
+                F.avg(F.col("prn").cast("double") / F.col("rn")), 6
+            ).alias("auc_pr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            "auc_pr",
+        )
+    )
+

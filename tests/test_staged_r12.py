@@ -1388,3 +1388,75 @@ def test_knn_matches_python_replay(spark):
         pred = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))[0]
         assert got[q] == (pred, actual, pred == actual), q
     assert set(got) == set(test)
+
+
+# ---------------------------------------------------------------------------
+# a_ece / a_auc_pr
+# ---------------------------------------------------------------------------
+
+
+def _scores_replay(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    pos = [r for r in e if int(r.label) == 0]
+    d = len(pos[0].embedding)
+    cent = [
+        round(sum(float(r.embedding[i]) for r in pos) / len(pos), 6)
+        for i in range(d)
+    ]
+    out = []
+    for r in e:
+        v = [float(x) for x in r.embedding]
+        num = sum(a * b for a, b in zip(v, cent))
+        na = sum(a * a for a in v) ** 0.5
+        nc = sum(c * c for c in cent) ** 0.5
+        out.append(
+            (int(r.vec_id), 1 if int(r.label) == 0 else 0,
+             round((round(num / (na * nc), 6) + 1.0) / 2.0, 6))
+        )
+    return out
+
+
+def test_ece_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _ECE_BINS,
+        a_ece,
+    )
+
+    row = a_ece(spark, SF_DIR).collect()[0]
+    scores = _scores_replay(spark)
+    bins = defaultdict(lambda: [0, 0, 0.0])
+    for _, is_pos, p in scores:
+        b = min(int(p * _ECE_BINS), _ECE_BINS - 1)
+        bins[b][0] += 1
+        bins[b][1] += is_pos
+        bins[b][2] += p
+    gaps = {
+        b: abs(np / n - sp / n) for b, (n, np, sp) in bins.items()
+    }
+    ece = sum(g * bins[b][0] for b, g in gaps.items()) / len(scores)
+    assert row.n == len(scores)
+    assert row.n_bins == len(bins)
+    assert abs(row.ece - ece) < 1e-5
+    assert abs(row.mce - max(gaps.values())) < 1e-5
+    assert 0 <= row.ece <= row.mce <= 1
+
+
+def test_auc_pr_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_auc_pr,
+    )
+
+    row = a_auc_pr(spark, SF_DIR).collect()[0]
+    scores = sorted(_scores_replay(spark), key=lambda s: (-s[2], s[0]))
+    n_pos = sum(s[1] for s in scores)
+    ap = 0.0
+    seen_pos = 0
+    for rank, (_, is_pos, _) in enumerate(scores, start=1):
+        if is_pos:
+            seen_pos += 1
+            ap += seen_pos / rank
+    ap /= n_pos
+    assert row.n == len(scores) and row.n_pos == n_pos
+    assert abs(row.auc_pr - ap) < 1e-5
+    # AP of a real ranking sits strictly between base rate and 1
+    assert n_pos / len(scores) < row.auc_pr <= 1.0
