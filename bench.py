@@ -258,6 +258,8 @@ HEADLINE = [
     # r07: calibration summary (ECE/MCE) + PR-AUC average precision
     "a_ece",
     "a_auc_pr",
+    # r07: Brier score (exact integer numerator)
+    "a_brier_score",
 ]
 
 

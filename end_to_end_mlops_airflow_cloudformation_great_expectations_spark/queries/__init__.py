@@ -269,9 +269,14 @@ _reorder()
 # Max Calibration Error — the scalar summary of the reliability
 # table, same grid and scorer), and a_auc_pr (PR-AUC as Average
 # Precision via the pos_rank/global_rank identity — two distributed
-# rank-attaches, no corpus-wide window). All
+# rank-attaches, no corpus-wide window), and a_brier_score (the
+# proper scoring rule shipped as an EXACT integer numerator on the
+# score's own 2e6 grid — TWO live half-grid flips at sf0.01 forced
+# the integers-only form: first AVG of grid-exact rationals, then a
+# true .xxxxxx5 mean where Spark's decimal HALF_UP and DuckDB's
+# binary-double ROUND disagree; band-grid lesson endgame). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 86 into the leading slots (two rotations if
+# Next round: move these 87 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

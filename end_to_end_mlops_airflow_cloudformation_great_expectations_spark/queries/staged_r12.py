@@ -110,6 +110,9 @@ Third batch (same gate):
 - ``a_auc_pr`` — PR-AUC as Average Precision via the
   pos_rank/global_rank identity — two distributed rank-attaches,
   zero corpus-wide windows.
+- ``a_brier_score`` — the proper scoring rule as an EXACT integer
+  numerator (two live half-grid flips taught the endgame of the
+  band-grid lesson: ship the integers).
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -3358,3 +3361,74 @@ def a_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# a_brier_score — mean squared calibration error + decomposition inputs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_brier_score",
+    oracle="""
+    WITH {SC}
+    , p AS (
+      SELECT is_pos,
+             CAST(ROUND(score * 1000000.0) AS BIGINT) + 1000000 AS pi2
+      FROM scores
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(is_pos) AS n_pos,
+             SUM((pi2 - is_pos * 2000000) * (pi2 - is_pos * 2000000)) AS se
+      FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(se AS BIGINT) AS sum_sq_err_4e12,
+           ROUND((CAST(n_pos AS DOUBLE) / n)
+                 * (1.0 - CAST(n_pos AS DOUBLE) / n), 6) AS uncertainty
+    FROM s
+    """.replace("{SC}", _SCORES_CTE),
+)
+def a_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the shared centroid scorer — the proper scoring
+    rule completing the calibration trio (reliability bins, ECE/MCE,
+    and now the mean squared error of probability vs outcome), plus
+    the uncertainty term p̄(1−p̄) — the decomposition's floor, so
+    brier − uncertainty reads directly as resolution-minus-
+    reliability.
+
+    Determinism: the FIRST attempt rounded AVG((p−y)²) and hit a
+    REAL half-grid flip at sf0.01 — twice: first as a float mean of
+    grid-exact rationals, then again after exact-integer scaling
+    because the true mean sits EXACTLY on .xxxxxx5 and Spark
+    (decimal HALF_UP) and DuckDB (binary-double rounding) disagree
+    precisely there. The checked output is therefore the exact
+    integer numerator Σ(pi2 − y·2e6)² — brier = that /(n·4e12),
+    derivable losslessly by any consumer — plus the exact-ratio
+    uncertainty term. The band-grid lesson's endgame: when a
+    statistic is an exact rational, SHIP THE INTEGERS.
+
+    Scale: the scoring scans + one reduce."""
+    from .staged_r10 import _centroid0_scores
+
+    scored = _centroid0_scores(spark, sf_dir)
+    pi2 = (
+        F.round(F.col("score") * F.lit(1000000.0)).cast("long")
+        + F.lit(1000000)
+    )
+    d = scored.select("is_pos", pi2.alias("pi2"))
+    err = F.col("pi2") - F.col("is_pos") * F.lit(2000000)
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum("is_pos").alias("n_pos"),
+        F.sum(err * err).alias("se"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("se").cast("long").alias("sum_sq_err_4e12"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n"))
+            * (F.lit(1.0) - F.col("n_pos").cast("double") / F.col("n")),
+            6,
+        ).alias("uncertainty"),
+    )

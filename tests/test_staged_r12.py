@@ -1460,3 +1460,48 @@ def test_auc_pr_matches_python_replay(spark):
     assert abs(row.auc_pr - ap) < 1e-5
     # AP of a real ranking sits strictly between base rate and 1
     assert n_pos / len(scores) < row.auc_pr <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# a_brier_score
+# ---------------------------------------------------------------------------
+
+
+def test_brier_integer_numerator_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_brier_score,
+    )
+
+    row = a_brier_score(spark, SF_DIR).collect()[0]
+    # replay the gridded SCORE directly (the _scores_replay helper
+    # re-rounds p=(s+1)/2 at 1e-6, which loses the 5e-7 half-grid bit
+    # the query's pi2 integerization deliberately preserves)
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    pos_rows = [r for r in e if int(r.label) == 0]
+    d = len(pos_rows[0].embedding)
+    cent = [
+        round(sum(float(r.embedding[i]) for r in pos_rows) / len(pos_rows), 6)
+        for i in range(d)
+    ]
+    nc = sum(c * c for c in cent) ** 0.5
+    scores = []
+    for r in e:
+        v = [float(x) for x in r.embedding]
+        num = sum(a * b for a, b in zip(v, cent))
+        na = sum(a * a for a in v) ** 0.5
+        scores.append(
+            (1 if int(r.label) == 0 else 0, round(num / (na * nc), 6))
+        )
+    se = 0
+    n_pos = 0
+    for is_pos, score in scores:
+        pi2 = round(score * 1e6) + 1000000
+        se += (pi2 - is_pos * 2000000) ** 2
+        n_pos += is_pos
+    assert row.n == len(scores)
+    assert row.n_pos == n_pos
+    assert row.sum_sq_err_4e12 == se
+    # derived brier in [0, 1]
+    brier = row.sum_sq_err_4e12 / (row.n * 4e12)
+    assert 0.0 <= brier <= 1.0
+    assert abs(row.uncertainty - (n_pos / row.n) * (1 - n_pos / row.n)) < 1e-6
