@@ -260,6 +260,9 @@ HEADLINE = [
     "a_auc_pr",
     # r07: Brier score (exact integer numerator)
     "a_brier_score",
+    # r07: nDCG@100 + discrete mutual information
+    "a_ndcg",
+    "a_mutual_info",
 ]
 
 

@@ -274,9 +274,14 @@ _reorder()
 # score's own 2e6 grid — TWO live half-grid flips at sf0.01 forced
 # the integers-only form: first AVG of grid-exact rationals, then a
 # true .xxxxxx5 mean where Spark's decimal HALF_UP and DuckDB's
-# binary-double ROUND disagree; band-grid lesson endgame). All
+# binary-double ROUND disagree; band-grid lesson endgame), and
+# a_ndcg (nDCG@100 — one rank-attach + a k-row reduce + a
+# literal-range ideal), and a_mutual_info (discrete MI over the
+# event_type x hash-treatment contingency table — exact integer
+# cells, ~0 by construction, the null a selector must report
+# faithfully). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 87 into the leading slots (two rotations if
+# Next round: move these 89 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

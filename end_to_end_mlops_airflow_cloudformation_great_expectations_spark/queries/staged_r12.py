@@ -113,6 +113,10 @@ Third batch (same gate):
 - ``a_brier_score`` — the proper scoring rule as an EXACT integer
   numerator (two live half-grid flips taught the endgame of the
   band-grid lesson: ship the integers).
+- ``a_ndcg`` — nDCG@100 of the scorer ranking (log-discounted, the
+  retrieval-leaderboard metric) via one rank-attach.
+- ``a_mutual_info`` — discrete mutual information over the bounded
+  contingency table; the dependence scalar of the info family.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -3431,4 +3435,163 @@ def a_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1.0) - F.col("n_pos").cast("double") / F.col("n")),
             6,
         ).alias("uncertainty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_ndcg — normalized discounted cumulative gain of the scorer ranking
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 100
+
+
+@query(
+    "a_ndcg",
+    oracle=f"""
+    WITH {{SC}}
+    , p AS (
+      SELECT vec_id, is_pos, ROUND((score + 1.0) / 2.0, 6) AS p
+      FROM scores
+    ), ranked AS (
+      SELECT is_pos,
+             ROW_NUMBER() OVER (ORDER BY p DESC, vec_id ASC) AS rn
+      FROM p
+    ), dcg AS (
+      SELECT SUM(CAST(is_pos AS DOUBLE) / LOG2(rn + 1)) AS dcg
+      FROM ranked WHERE rn <= {_NDCG_K}
+    ), npos AS (
+      SELECT SUM(is_pos) AS n_pos FROM ranked
+    ), idcg AS (
+      SELECT SUM(1.0 / LOG2(k + 1)) AS idcg
+      FROM npos, generate_series(1, {_NDCG_K}) AS g(k)
+      WHERE k <= n_pos
+    )
+    SELECT {_NDCG_K} AS k,
+           (SELECT CAST(n_pos AS BIGINT) FROM npos) AS n_pos,
+           ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """.replace("{SC}", _SCORES_CTE),
+)
+def a_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@100 of the centroid-scorer ranking — the position-weighted
+    ranking metric completing the eval family (ROC-AUC = pairwise,
+    AP = precision-weighted, gains = tiles; nDCG = log-discounted,
+    the metric retrieval leaderboards quote): binary relevance
+    (is_pos), DCG over the top-k of the (p DESC, vec_id ASC) total
+    order, IDCG from the ideal prefix of min(n_pos, k) positives.
+
+    Determinism: ranks are integers on a gridded total order (the
+    a_auc_pr discipline); DCG sums ≤k log-discount terms computed
+    from identical integers; 1e-6 final rounding.
+
+    Scale: one distributed rank-attach, a k-row reduce, and a
+    literal-range ideal — no corpus-wide window."""
+    from .staged_r10 import _centroid0_scores
+
+    scored = _centroid0_scores(spark, sf_dir).select(
+        "vec_id",
+        "is_pos",
+        F.round((F.col("score") + 1.0) / 2.0, 6).alias("p"),
+    )
+    ranked = attach_global_ranks(
+        scored,
+        sort_cols=[F.desc("p"), F.asc("vec_id")],
+        key_cols=[F.col("p"), F.col("vec_id")],
+        rn_col="rn",
+    )
+    dcg = ranked.filter(F.col("rn") <= _NDCG_K).agg(
+        F.sum(
+            F.col("is_pos").cast("double") / F.log2(F.col("rn") + 1)
+        ).alias("dcg")
+    )
+    npos = ranked.agg(F.sum("is_pos").alias("n_pos"))
+    spark_ = spark
+    ideal = (
+        spark_.range(1, _NDCG_K + 1)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(npos))
+        .filter(F.col("k") <= F.col("n_pos"))
+        .agg(
+            F.sum(F.lit(1.0) / F.log2(F.col("k") + 1)).alias("idcg"),
+            F.first("n_pos").alias("n_pos"),
+        )
+    )
+    return dcg.crossJoin(F.broadcast(ideal)).select(
+        F.lit(_NDCG_K).cast("long").alias("k"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_mutual_info — discrete mutual information (event type × treatment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_mutual_info",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type AS a,
+             {_cms_oracle_bucket_sql('user_id', _DID_SEED, 2)} = 1 AS b
+      FROM events
+    ), jo AS (
+      SELECT a, b, COUNT(*) AS c FROM d GROUP BY 1, 2
+    ), ma AS (
+      SELECT a, SUM(c) AS ca FROM jo GROUP BY a
+    ), mb AS (
+      SELECT b, SUM(c) AS cb FROM jo GROUP BY b
+    ), n AS (
+      SELECT SUM(c) AS n FROM jo
+    )
+    SELECT CAST(n.n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((CAST(jo.c AS DOUBLE) / n.n)
+                     * LN((CAST(jo.c AS DOUBLE) * n.n)
+                          / (CAST(ma.ca AS DOUBLE) * mb.cb))), 6)
+             AS mi_nats
+    FROM jo JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n
+    GROUP BY n.n
+    """,
+)
+def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete mutual information between event type and the
+    hash-split treatment — the dependence scalar completing the
+    information-theory family (a_user_entropy = marginal entropy,
+    a_woe_iv = supervised binning; MI = the symmetric dependence
+    measure feature selection ranks by): I(A;B) =
+    Σ p(a,b)·ln(p(a,b)/(p(a)p(b))) over the bounded contingency
+    table (the a_chi2_independence cells, information-theoretic
+    reading). Near-zero here by construction (the split is a hash) —
+    which is exactly the null a selector must report faithfully.
+
+    Determinism: all cell counts are exact integers; each log term
+    divides identical integers; the ≤|A|·2-term sum rounds at 1e-6.
+
+    Scale: one fact scan to a bounded contingency table, arithmetic
+    after."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("event_type").alias("a"),
+        (portable_bucket(F.col("user_id") + F.lit(_DID_SEED), 2) == 1).alias(
+            "b"
+        ),
+    )
+    jo = d.groupBy("a", "b").agg(F.count("*").alias("c"))
+    ma = jo.groupBy("a").agg(F.sum("c").alias("ca"))
+    mb = jo.groupBy("b").agg(F.sum("c").alias("cb"))
+    n = jo.agg(F.sum("c").alias("n"))
+    cells = (
+        jo.join(ma, "a").join(mb, "b").crossJoin(F.broadcast(n))
+    )
+    term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        (F.col("c").cast("double") * F.col("n"))
+        / (F.col("ca").cast("double") * F.col("cb"))
+    )
+    return cells.agg(
+        F.first("n").cast("long").alias("n"),
+        F.count("*").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("mi_nats"),
     )

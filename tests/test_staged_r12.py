@@ -1505,3 +1505,64 @@ def test_brier_integer_numerator_matches_python_replay(spark):
     brier = row.sum_sq_err_4e12 / (row.n * 4e12)
     assert 0.0 <= brier <= 1.0
     assert abs(row.uncertainty - (n_pos / row.n) * (1 - n_pos / row.n)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# a_ndcg / a_mutual_info
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_matches_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _NDCG_K,
+        a_ndcg,
+    )
+
+    row = a_ndcg(spark, SF_DIR).collect()[0]
+    scores = sorted(_scores_replay(spark), key=lambda s: (-s[2], s[0]))
+    n_pos = sum(s[1] for s in scores)
+    dcg = sum(
+        s[1] / math.log2(rank + 1)
+        for rank, s in enumerate(scores[:_NDCG_K], start=1)
+    )
+    idcg = sum(
+        1.0 / math.log2(k + 1) for k in range(1, min(n_pos, _NDCG_K) + 1)
+    )
+    assert row.k == _NDCG_K and row.n_pos == n_pos
+    assert abs(row.ndcg - dcg / idcg) < 1e-5
+    assert 0.0 < row.ndcg <= 1.0
+
+
+def test_mutual_info_matches_python_replay(spark):
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DID_SEED,
+        a_mutual_info,
+    )
+
+    row = a_mutual_info(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+    jo = Counter(
+        (r.event_type, _portable_bucket(int(r.user_id) + _DID_SEED, 2) == 1)
+        for r in ev
+    )
+    n = sum(jo.values())
+    ma = Counter()
+    mb = Counter()
+    for (a, b), c in jo.items():
+        ma[a] += c
+        mb[b] += c
+    mi = sum(
+        (c / n) * math.log((c * n) / (ma[a] * mb[b]))
+        for (a, b), c in jo.items()
+    )
+    assert row.n == n and row.n_cells == len(jo)
+    assert abs(row.mi_nats - mi) < 1e-5
+    # a hash split is independent of event type: MI ~ 0 (but >= 0
+    # up to rounding of the sample estimate)
+    assert -1e-6 <= row.mi_nats < 0.01
