@@ -263,6 +263,9 @@ HEADLINE = [
     # r07: nDCG@100 + discrete mutual information
     "a_ndcg",
     "a_mutual_info",
+    # r07: chance-corrected agreement + community quality
+    "a_cohens_kappa",
+    "g_modularity",
 ]
 
 

@@ -279,9 +279,13 @@ _reorder()
 # literal-range ideal), and a_mutual_info (discrete MI over the
 # event_type x hash-treatment contingency table — exact integer
 # cells, ~0 by construction, the null a selector must report
-# faithfully). All
+# faithfully), and a_cohens_kappa (chance-corrected agreement —
+# integers-only sufficient stats, composing the classifier oracle as
+# a CTE), and g_modularity (Newman modularity of the LPA partition —
+# per-community exact integer e_in/deg_sum/m2, composing the LPA
+# oracle; unlabeled vertices excluded and documented). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 89 into the leading slots (two rotations if
+# Next round: move these 91 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

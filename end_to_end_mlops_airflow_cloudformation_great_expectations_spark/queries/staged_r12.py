@@ -117,6 +117,10 @@ Third batch (same gate):
   retrieval-leaderboard metric) via one rank-attach.
 - ``a_mutual_info`` — discrete mutual information over the bounded
   contingency table; the dependence scalar of the info family.
+- ``a_cohens_kappa`` — chance-corrected agreement of the centroid
+  classifier, shipped as exact integer sufficient statistics.
+- ``g_modularity`` — Newman modularity statistics of the LPA
+  partition (exact integers) — community detection's quality loop.
 
 All proven green at sf0.001 + sf0.01 (incl. --plain) before
 registration, per the window discipline in queries/__init__.py.
@@ -3594,4 +3598,186 @@ def a_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").cast("long").alias("n"),
         F.count("*").alias("n_cells"),
         F.round(F.sum(term), 6).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_cohens_kappa — chance-corrected agreement (integers-only form)
+# ---------------------------------------------------------------------------
+
+
+def _kappa_oracle() -> str:
+    """Compose the centroid classifier's registered oracle
+    (the a_classifier_eval composition discipline) and emit the
+    EXACT integer sufficient statistics of Cohen's κ."""
+    from .registry import ORACLES
+
+    preds = ORACLES["emb_centroid_classify"]
+    return f"""
+    WITH preds AS ({preds}),
+    lab AS (
+      SELECT label, COUNT(*) AS support FROM preds GROUP BY label
+    ), pr AS (
+      SELECT pred_label, COUNT(*) AS pred_cnt FROM preds GROUP BY pred_label
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM preds) AS n,
+           (SELECT CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT)
+            FROM preds) AS n_agree,
+           CAST(SUM(lab.support * COALESCE(pr.pred_cnt, 0)) AS BIGINT)
+             AS pe_num
+    FROM lab LEFT JOIN pr ON pr.pred_label = lab.label
+    """
+
+
+@query("a_cohens_kappa", oracle=_kappa_oracle())
+def a_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the centroid classifier and the stored
+    labels — chance-corrected agreement, the metric that separates
+    "accurate" from "accurate beyond the base rates":
+    κ = (p_o − p_e)/(1 − p_e) with p_o = n_agree/n and
+    p_e = pe_num/n². Shipped as the EXACT integer sufficient
+    statistics (n, n_agree, pe_num = Σ_c support_c·pred_cnt_c) — the
+    a_brier_score integers-only discipline: κ is a messy rational and
+    a rounded form could land on the half-grid where the engines'
+    ROUND semantics diverge; the integers are lossless and the
+    consumer derives κ in one line.
+
+    Scale: one prediction pass (the classify scan) + two
+    |labels|-row aggregates + a |labels|-row join."""
+    from .staged_r07 import emb_centroid_classify
+
+    preds = emb_centroid_classify(spark, sf_dir)
+    lab = preds.groupBy("label").agg(F.count("*").alias("support"))
+    pr = preds.groupBy("pred_label").agg(F.count("*").alias("pred_cnt"))
+    tot = preds.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("correct").cast("long")).alias("n_agree"),
+    )
+    pe = (
+        lab.join(pr, lab.label == pr.pred_label, "left")
+        .agg(
+            F.sum(
+                F.col("support") * F.coalesce(F.col("pred_cnt"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("pe_num").cast("long").alias("pe_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_modularity — partition quality of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    """Compose the LPA oracle as the community assignment and emit
+    per-community EXACT integer modularity statistics over the same
+    derived graph."""
+    from .registry import ORACLES
+
+    lpa = ORACLES["g_label_propagation"]
+    return f"""
+    WITH lpa AS ({lpa}),
+    e0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT src, dst FROM e0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM e0
+    ), m2 AS (
+      SELECT COUNT(*) AS m2 FROM edges
+    ), deg AS (
+      SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src
+    ), within AS (
+      SELECT ls.label AS community, COUNT(*) AS e_in
+      FROM edges e
+      JOIN lpa ls ON ls.id = e.src
+      JOIN lpa ld ON ld.id = e.dst
+      WHERE ls.label IS NOT NULL AND ls.label = ld.label
+      GROUP BY ls.label
+    ), degs AS (
+      SELECT l.label AS community, SUM(d.d) AS deg_sum
+      FROM lpa l JOIN deg d ON d.vid = l.id
+      WHERE l.label IS NOT NULL
+      GROUP BY l.label
+    )
+    SELECT degs.community,
+           CAST(COALESCE(within.e_in, 0) AS BIGINT) AS e_in,
+           CAST(degs.deg_sum AS BIGINT) AS deg_sum,
+           (SELECT CAST(m2 AS BIGINT) FROM m2) AS m2
+    FROM degs LEFT JOIN within USING (community)
+    """
+
+
+@query("g_modularity", oracle=_modularity_oracle())
+def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity statistics of the LPA partition — the
+    quality metric of community detection, closing the loop on
+    g_label_propagation ("did the labels actually find structure"):
+    per community, the within-community directed edge count e_in and
+    the degree mass deg_sum over the SAME derived graph, plus the
+    global directed edge count m2. Q = Σ_c (e_in/m2 − (deg_sum/m2)²)
+    — shipped as EXACT integers (the a_cohens_kappa / a_brier_score
+    integers-only discipline); unlabeled vertices (never reached by
+    a seed) are excluded and documented.
+
+    Scale: the LPA rounds (bounded, lazy) + one edges⋈labels⋈labels
+    join (the Pregel message shape twice) + bounded aggregates."""
+    from ..operators.graph import label_propagation
+    from .staged_r11 import _LPA_CLASSES, _LPA_ROUNDS, _LPA_SEEDS
+
+    o = _t(spark, sf_dir, "orders")
+    e0 = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.range(_LPA_SEEDS).select(
+        F.col("id").alias("vid"),
+        F.pmod(F.col("id"), F.lit(_LPA_CLASSES)).alias("lab"),
+    )
+    lpa = label_propagation(edges, seeds, iterations=_LPA_ROUNDS).filter(
+        F.col("label").isNotNull()
+    )
+    m2 = edges.agg(F.count("*").alias("m2"))
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("d")
+    )
+    within = (
+        edges.join(
+            lpa.select(F.col("id").alias("src"), F.col("label").alias("ls")),
+            "src",
+        )
+        .join(
+            lpa.select(F.col("id").alias("dst"), F.col("label").alias("ld")),
+            "dst",
+        )
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    degs = (
+        lpa.join(deg, lpa.id == deg.vid)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").alias("deg_sum"))
+    )
+    return (
+        degs.join(within, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.coalesce(F.col("e_in"), F.lit(0))
+            .cast("long")
+            .alias("e_in"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.col("m2").cast("long").alias("m2"),
+        )
     )

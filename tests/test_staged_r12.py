@@ -1566,3 +1566,65 @@ def test_mutual_info_matches_python_replay(spark):
     # a hash split is independent of event type: MI ~ 0 (but >= 0
     # up to rounding of the sample estimate)
     assert -1e-6 <= row.mi_nats < 0.01
+
+
+# ---------------------------------------------------------------------------
+# a_cohens_kappa / g_modularity
+# ---------------------------------------------------------------------------
+
+
+def test_kappa_integers_and_derived_value(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        a_cohens_kappa,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r07 import (
+        emb_centroid_classify,
+    )
+
+    row = a_cohens_kappa(spark, SF_DIR).collect()[0]
+    preds = emb_centroid_classify(spark, SF_DIR).collect()
+    n = len(preds)
+    agree = sum(1 for p in preds if p.correct)
+    support = Counter(p.label for p in preds)
+    pred_cnt = Counter(p.pred_label for p in preds)
+    pe_num = sum(support[c] * pred_cnt.get(c, 0) for c in support)
+    assert (row.n, row.n_agree, row.pe_num) == (n, agree, pe_num)
+    po = agree / n
+    pe = pe_num / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert -1.0 <= kappa <= 1.0
+
+
+def test_modularity_integers_and_derived_q(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        g_modularity,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r11 import (
+        g_label_propagation,
+    )
+
+    rows = g_modularity(spark, SF_DIR).collect()
+    labels = {
+        r.id: r.label
+        for r in g_label_propagation(spark, SF_DIR).collect()
+        if r.label is not None
+    }
+    edges = _graph(spark)
+    m2 = len(edges)
+    deg = Counter(s for s, _ in edges)
+    e_in = Counter()
+    deg_sum = Counter()
+    for s, d in edges:
+        if s in labels and d in labels and labels[s] == labels[d]:
+            e_in[labels[s]] += 1
+    for v, lab in labels.items():
+        deg_sum[lab] += deg[v]
+    got = {r.community: (r.e_in, r.deg_sum, r.m2) for r in rows}
+    want = {c: (e_in.get(c, 0), deg_sum[c], m2) for c in deg_sum}
+    assert got == want
+    # derived Q is a valid modularity (bounded, and the partition
+    # found SOME structure above random on this graph)
+    q = sum(
+        e_in.get(c, 0) / m2 - (deg_sum[c] / m2) ** 2 for c in deg_sum
+    )
+    assert -0.5 <= q <= 1.0
