@@ -266,6 +266,8 @@ HEADLINE = [
     # r07: chance-corrected agreement + community quality
     "a_cohens_kappa",
     "g_modularity",
+    # r07: deterministic permutation p-value (explode shape)
+    "a_permutation_test",
 ]
 
 

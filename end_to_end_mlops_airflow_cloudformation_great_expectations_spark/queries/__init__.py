@@ -283,9 +283,14 @@ _reorder()
 # integers-only sufficient stats, composing the classifier oracle as
 # a CTE), and g_modularity (Newman modularity of the LPA partition —
 # per-community exact integer e_in/deg_sum/m2, composing the LPA
-# oracle; unlabeled vertices excluded and documented). All
+# oracle; unlabeled vertices excluded and documented), and
+# a_permutation_test (deterministic permutation p-value — B=100
+# portable-hash re-assignments; integers-only exceedance count;
+# PERF lesson banked: 404 conditional-sum columns fell out of
+# whole-stage codegen at 16.9 s — exploding to (user x b) narrow
+# rows + groupBy(b) is 12x faster and flat across the decade). All
 # proven local-green at sf0.001+sf0.01 incl. --plain before landing.
-# Next round: move these 91 into the leading slots (two rotations if
+# Next round: move these 92 into the leading slots (two rotations if
 # the window stays at 50), pad with driver-green names.
 
 __all__ = ["QUERIES", "ORACLES"]

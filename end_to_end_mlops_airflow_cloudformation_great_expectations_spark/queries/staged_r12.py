@@ -3781,3 +3781,127 @@ def g_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m2").cast("long").alias("m2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a_permutation_test — deterministic permutation p-value for the lift
+# ---------------------------------------------------------------------------
+
+_PERM_B = 100
+_PERM_STRIDE = 7919  # prime stride decorrelates the B hash assignments
+
+
+def _perm_flag_sql(b: int) -> str:
+    return (
+        _cms_oracle_bucket_sql("user_id", _DID_SEED + _PERM_STRIDE * b, 2)
+        + " = 1"
+    )
+
+
+def _perm_oracle() -> str:
+    # seeded per-permutation hash: pass the stride term INSIDE the
+    # expression (no post-hoc string surgery on the hash body — the
+    # _cms helper's own warning)
+    bucket = _cms_oracle_bucket_sql(
+        f"u.user_id + {_PERM_STRIDE} * g.b", _DID_SEED, 2
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id, ROUND(SUM(value), 2) AS y
+      FROM events GROUP BY user_id
+    ), expanded AS (
+      SELECT g.b, u.user_id, u.y,
+             ({bucket}) = 1 AS t
+      FROM u CROSS JOIN generate_series(0, {_PERM_B}) AS g(b)
+    ), arms AS (
+      SELECT b,
+             SUM(CASE WHEN t THEN y ELSE 0 END)
+               / SUM(CASE WHEN t THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN NOT t THEN y ELSE 0 END)
+               / SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS d
+      FROM expanded GROUP BY b
+    ), obs AS (
+      SELECT d AS d0 FROM arms WHERE b = 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           {_PERM_B} AS b_total,
+           CAST(SUM(CASE WHEN a.b > 0 AND ABS(a.d) >= ABS(o.d0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND(ANY_VALUE(o.d0), 6) AS obs_diff
+    FROM arms a CROSS JOIN obs o
+    """
+
+
+@query("a_permutation_test", oracle=_perm_oracle())
+def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the treatment lift — the p-VALUE
+    companion to a_bootstrap_ci's interval (the two pillars of
+    resampling inference, both with DETERMINISTIC portable-hash
+    randomness): B=100 hash re-assignments of users to arms (prime
+    stride decorrelates them; b=0 is the observed assignment), the
+    null distribution of mean differences from ONE wide
+    conditional-sum scan over the per-user money-grid outcomes, and
+    the two-sided exceedance count n_extreme — the p-value is
+    (1 + n_extreme)/(1 + B), an exact rational the consumer derives
+    (integers-only discipline for the count; the comparison
+    |diff_b| ≥ |diff_obs| runs on identical doubles and needs no
+    rounding at all).
+
+    Scale + PERF lesson: the first formulation computed 4(B+1)=404
+    conditional-sum COLUMNS in one aggregate (the a_bootstrap_ci
+    shape scaled 4x) and read 16.9 s at sf0.1 — past a few hundred
+    heavy columns the wide aggregate falls out of whole-stage
+    codegen. EXPLODING to (user × b) narrow rows and grouping by b
+    is 12x faster (1.44 s) and flat 10x→100x: user-grain scan →
+    explode(B+1) → one narrow groupBy(b) → 101-row arithmetic."""
+    from ..functions.columns import portable_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("y"))
+    expanded = u.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_B))).alias("b"),
+    ).select(
+        "b",
+        "y",
+        (
+            portable_bucket(
+                F.col("user_id")
+                + F.lit(_DID_SEED)
+                + F.lit(_PERM_STRIDE) * F.col("b"),
+                2,
+            )
+            == 1
+        ).alias("t"),
+    )
+    arms = expanded.groupBy("b").agg(
+        (
+            F.sum(F.when(F.col("t"), F.col("y")).otherwise(0.0))
+            / F.sum(F.when(F.col("t"), 1).otherwise(0))
+            - F.sum(F.when(~F.col("t"), F.col("y")).otherwise(0.0))
+            / F.sum(F.when(~F.col("t"), 1).otherwise(0))
+        ).alias("d")
+    )
+    obs = arms.filter(F.col("b") == 0).select(F.col("d").alias("d0"))
+    n_users = u.agg(F.count("*").alias("n_users"))
+    return (
+        arms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("b") > 0)
+                    & (F.abs(F.col("d")) >= F.abs(F.col("d0"))),
+                    1,
+                ).otherwise(0)
+            ).alias("n_extreme"),
+            F.round(F.first("d0"), 6).alias("obs_diff"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.lit(_PERM_B).cast("long").alias("b_total"),
+            F.col("n_extreme").cast("long").alias("n_extreme"),
+            "obs_diff",
+        )
+    )

@@ -1628,3 +1628,50 @@ def test_modularity_integers_and_derived_q(spark):
         e_in.get(c, 0) / m2 - (deg_sum[c] / m2) ** 2 for c in deg_sum
     )
     assert -0.5 <= q <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# a_permutation_test
+# ---------------------------------------------------------------------------
+
+
+def test_permutation_test_matches_python_replay(spark):
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _DID_SEED,
+        _PERM_B,
+        _PERM_STRIDE,
+        a_permutation_test,
+    )
+
+    row = a_permutation_test(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "value"
+    ).collect()
+    y = defaultdict(float)
+    for r in ev:
+        y[int(r.user_id)] += r.value
+    y = {u: round(v, 2) for u, v in y.items()}
+
+    def diff(b):
+        st = sc = 0.0
+        nt = nc = 0
+        for u, v in y.items():
+            if _portable_bucket(u + _DID_SEED + _PERM_STRIDE * b, 2) == 1:
+                st += v
+                nt += 1
+            else:
+                sc += v
+                nc += 1
+        return st / nt - sc / nc
+
+    obs = diff(0)
+    n_extreme = sum(
+        1 for b in range(1, _PERM_B + 1) if abs(diff(b)) >= abs(obs)
+    )
+    assert row.n_users == len(y)
+    assert row.b_total == _PERM_B
+    assert row.n_extreme == n_extreme
+    assert abs(row.obs_diff - obs) < 1e-4
+    # the hash split is a true null: the p-value should not be tiny
+    p = (1 + n_extreme) / (1 + _PERM_B)
+    assert p > 0.01
