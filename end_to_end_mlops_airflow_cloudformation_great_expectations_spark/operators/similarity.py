@@ -1465,6 +1465,48 @@ def embdedup_index_probe(
     )
 
 
+def embdedup_index_probe_topk(
+    new_vecs: DataFrame,
+    base_dir: str,
+    k: int = 1,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """:func:`embdedup_index_probe` with OUTPUT capped to the ``k``
+    best corpus matches per probe vector — the production posture for
+    replica-heavy corpora (VERDICT r07 item 4): the uncapped probe's
+    output is quadratic in the duplicate-cluster size (at the
+    100x/4 GB stress point that was 216 s of pure pair emission, 11×
+    pairs for 3.3× data), while every downstream dedup policy
+    (dedup_keep_longest, canonical-id assignment) consumes only the
+    argmax pair. Capping makes the emitted result O(k · probe size).
+
+    The cap is a window PARTITIONED on new_id (never SinglePartition —
+    the key cardinality is the probe batch size): the per-group sort
+    is an external spillable sort, so a hub probe id with 10⁵
+    replica matches caps safely instead of buffering an array per
+    group the way collect_list would. Ties break on corpus_id ASC at
+    equal cos_sim (exact on the 1e-6 grid → deterministic output).
+    Returns (new_id, corpus_id, cos_sim) like the uncapped probe."""
+    from pyspark.sql import Window
+
+    pairs = embdedup_index_probe(
+        new_vecs, base_dir, threshold, id_col, vec_col, max_bucket_size
+    )
+    # cos_sim is already rounded to the 1e-6 grid — integerize so the
+    # (-sim, corpus_id) rank order is exact and ties are total
+    w = Window.partitionBy("new_id").orderBy(
+        (-F.round(F.col("cos_sim") * 1e6)).cast("long"), F.col("corpus_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def embdedup_index_compact(spark, base_dir: str) -> None:
     """Fold append deltas into the base layout (shared protocol —
     :func:`.ledger.compact_delta_index`; version-then-swap, one atomic

@@ -213,7 +213,15 @@ def bloom_probe(
         F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
     )
     grp = [c for c in probes.columns]
+    # ADVICE r07: count("hit") == count("*") rather than == k — robust
+    # to duplicated probe rows (same key AND identical other columns
+    # collapse into one group whose counts are a multiple of k) and to
+    # coincident hash positions; == k would return a false NEGATIVE
+    # for a genuine member probed twice, violating the Bloom contract.
+    # NOTE the group-by still collapses fully-identical probe rows
+    # into one output row (groupBy semantics); callers needing strict
+    # row preservation should carry a provenance column (P6).
     return (
         marked.groupBy(*grp)
-        .agg((F.count("hit") == F.lit(len(seeds))).alias("bloom_pos"))
+        .agg((F.count("hit") == F.count("*")).alias("bloom_pos"))
     )

@@ -38,6 +38,7 @@ lacks natively. The trained 1-row weights DataFrame feeds
 
 from __future__ import annotations
 
+import math
 import operator
 from functools import reduce
 
@@ -403,6 +404,7 @@ def naive_bayes_score(
     class_stats: DataFrame,
     likelihoods: DataFrame,
     grid: int = 1_000_000,
+    alpha: float = 1.0,
 ) -> DataFrame:
     """Score a (doc_id, token) table against a :func:`naive_bayes_fit`
     model: per (doc, class),
@@ -410,8 +412,11 @@ def naive_bayes_score(
         score = log_prior + Σ_tokens (log_num(c, w) − denom(c))
               = log_prior − n_tokens·denom + Σ log_num,
 
-    with unseen-token log_num coalesced to 0 (= ln(alpha) at alpha=1,
-    see the fit's sparsity contract). Returns one row per doc:
+    with unseen-token log_num coalesced to ln(alpha) — ``alpha`` MUST
+    match the value passed to the fit (the sparse model omits rows
+    whose count is 0, whose log_num is exactly ln(alpha); ADVICE r07
+    moved this coupling from the fit docstring into code so fit/score
+    can't silently drift). Returns one row per doc:
     ``pred`` = argmax class (FLOOR-gridded score, LARGEST label on a
     tie — struct-max ordering, which works for string and numeric
     labels alike; scores are sums of logs, genuinely irrational, so
@@ -442,7 +447,9 @@ def naive_bayes_score(
             (
                 F.first("log_prior")
                 - F.count("*") * F.first("denom")
-                + F.sum(F.coalesce(F.col("log_num"), F.lit(0.0)))
+                + F.sum(
+                    F.coalesce(F.col("log_num"), F.lit(math.log(alpha)))
+                )
             )
             * F.lit(float(grid))
         ).alias("gscore")

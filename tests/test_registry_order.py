@@ -27,3 +27,36 @@ def test_window_queries_all_have_oracles():
 def test_registry_is_consistent():
     assert set(ORACLES) <= set(QUERIES)
     assert len(QUERIES) >= 100
+
+
+def test_coverage_md_totals_match_registry():
+    """VERDICT r07 item 3: COVERAGE.md's totals header drifted once
+    (169/160 vs the real 319/310); pin it to the live registry so it
+    can't drift again."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath(
+        "COVERAGE.md"
+    ).read_text()
+    m = re.search(
+        r"\*\*(\d+) registered queries \((\d+) with DuckDB oracles, "
+        r"(\d+) rows-only\)\*\*",
+        text,
+    )
+    assert m, "COVERAGE.md totals header missing or reformatted"
+    total, with_oracle, rows_only = map(int, m.groups())
+    assert total == len(QUERIES)
+    assert with_oracle == len(ORACLES)
+    assert rows_only == len(QUERIES) - len(ORACLES)
+
+
+def test_round9_queue_is_staged_and_disjoint():
+    """VERDICT r07 item 7: the 42 remaining round-8 queue names are
+    committed now for the r9 window. They must all be registered,
+    oracle-backed, and disjoint from the current window, so that
+    window ∪ queue closes the ledger at 310/310 in two rotations."""
+    r9 = _qpkg._ROUND9_QUEUE
+    assert len(r9) == 42
+    assert not set(r9) & set(_qpkg._DRIVER_WINDOW_FIRST)
+    assert [n for n in r9 if n not in ORACLES] == []

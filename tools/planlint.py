@@ -14,8 +14,19 @@ Checked antipatterns:
   SinglePartition (they reduce first), so only Window/Sort parents are
   flagged.
 
-Queries that are eager at build time (iterative: KMeans fit, connected
-components) are skipped by name — building their plan runs jobs.
+Queries that are eager at build time fall in two classes (ADVICE r07
+made this contract explicit):
+- EXPENSIVE iterative fits / checkpoint-lineage fixpoints (IVF
+  quantizer training, pagerank/TextRank/k-core/PPR localCheckpoint
+  rounds) are skipped by name via EAGER — building their plan would
+  run heavy jobs.
+- BOUNDED build-time side effects (the checked incremental sinks'
+  three availableNow micro-batches, the persisted-index lifecycle
+  builds, trainer-artifact writes) ARE executed during lint, by
+  design: they write only to a throwaway tempdir scratch, cost
+  seconds, and executing them is the only way to lint their final
+  probe/scoring plan — the part that runs against the corpus at
+  scale and therefore the part worth linting.
 
 Usage: python tools/planlint.py [sf_dir] [name ...]
 Exit code 1 if any query trips a hard antipattern.
@@ -39,6 +50,10 @@ EAGER = {
     "g_pagerank_banded",
     # TextRank reuses the eager pagerank fixpoint over the word graph
     "text_textrank_keywords",
+    # ADVICE r07: k-core / PPR run localCheckpoint(eager=True) rounds
+    # (+ a .count()) at build time — skipped like pagerank.
+    "g_kcore",
+    "g_ppr_banded",
 }
 EAGER |= {f"{n}_recall" for n in EAGER if n.startswith("sim_topk_")}
 EAGER.add("sim_topk_ivfpq_recall")  # wraps sim_topk_ivfpq (PQ+IVF fit)
