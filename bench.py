@@ -268,12 +268,18 @@ HEADLINE = [
     "g_modularity",
     # r07: deterministic permutation p-value (explode shape)
     "a_permutation_test",
+    # r08: capped semantic-dedup probe (O(k·probe) emission — the
+    # production posture of the embedding-dedup index, VERDICT r07
+    # item 4)
+    "dedup_embedding_probe_topk",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    # Optional subset (isolated variance re-records): bench.py q1 q2 …
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
 
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
         QUERIES,
@@ -331,7 +337,7 @@ def main() -> None:
     # running cluster. Median of 3 runs reports steady-state and makes
     # back-to-back bench runs agree within the documented ±15%.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in subset or HEADLINE:
         runs = []
         for _ in range(3):
             t0 = time.time()
@@ -353,17 +359,29 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(payload))
+    # Bench auditability (VERDICT r07 item 2): the driver records only
+    # the stdout tail, which truncates past ~76 entries — persist the
+    # COMPLETE per-query artifact in-repo on every full run so each
+    # round's numbers are auditable from artifacts alone. Subset runs
+    # (variance re-records) don't overwrite the full artifact.
+    if not subset:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_local_latest.json",
         )
-    )
+        try:
+            with open(out, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -24,6 +24,26 @@ torn final line can even poison an unrelated batch id. Hence
 file, flush+fsync, ``os.rename`` over the real one — POSIX rename is
 atomic, so readers see either the old complete ledger or the new
 complete ledger, never a prefix.
+
+CONCURRENCY CONTRACT (VERDICT r07 item 6, pinned by
+tests/test_ledger_chaos.py::test_two_appenders_disjoint_ids_one_compactor):
+
+- **Appenders**: any number may feed one index concurrently IFF their
+  batch-id spaces are DISJOINT — each batch id owns its own
+  ``delta/b{id}`` directory, so disjoint writers never touch the same
+  path, and the compactor/readers only consume ``_SUCCESS``-committed
+  dirs. Within one Spark streaming query, ids are unique by
+  checkpoint; TWO queries feeding the same index must namespace their
+  ids (e.g. writer-stride or a writer prefix). Two writers REUSING an
+  id concurrently are out of contract: they would interleave file
+  writes inside one delta dir (Spark's per-checkpoint lock is what
+  rules this out in a real deployment).
+- **Compactor**: exactly ONE at a time (it owns ``{table}_new`` and
+  the roll-forward/back decision). It may freely race appenders: an
+  in-flight append (no ``_SUCCESS``) is skipped, never deleted, and
+  commits normally afterwards; an append committing after the
+  compactor lists its fold set simply stays live for the next fold.
+- **Readers**: unrestricted (resolve_delta_tables is read-only).
 """
 
 from __future__ import annotations

@@ -36,6 +36,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
     tpch_extra,
 )
 from . import sqlfront_tpch  # noqa: F401  (after tpch_extra — reuses its oracles)
+from . import tpch_partsupp  # noqa: F401  (literal shapes over derived partsupp)
 from .registry import ORACLES, QUERIES
 
 #: First 50 = the driver's observed CORRECTNESS window. ROUND-8

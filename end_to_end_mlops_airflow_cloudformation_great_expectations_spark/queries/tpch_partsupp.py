@@ -1,0 +1,346 @@
+"""Literal TPC-H shapes over the derived ``partsupp`` table
+(VERDICT r07 item 5 — q2/q9/q11/q16/q20 were previously adapted
+because the fixture set has no partsupp; now they run with partsupp
+semantics: the correlated min-cost subquery ON SUPPLY COST, profit
+NET OF supply cost, inventory value, supplier counts per part config,
+and the availqty-vs-shipped-quantity correlated filter).
+
+``partsupp`` is derived deterministically from part × supplier with
+portable integer arithmetic (sources/partsupp.py documents the rule);
+the oracle replays the identical derivation as a CTE, so these are
+full hash-checked queries, not banded invariants. Money stays on
+exact integer grids end-to-end (ps_cost_cents BIGINT; revenue
+integerized at the 1e-4 grid the 2-dp price × 2-dp discount product
+lives on — band-grid lesson: ship the integers).
+
+Column adaptations forced by the fixture schema (documented, same
+spirit as tpch_extra's adapted shapes): p_mfgr → p_brand (absent),
+supplier complaint scan → s_acctbal > 8000 (no s_comment), single
+nation filters → region 'EUROPE' (keeps result sets non-vacuous at
+every SF). The JOIN TOPOLOGY — the hard part of each query — is
+literal.
+
+Reference parity: the reference pipeline's quality gate treats
+referential-integrity-complete fixtures as a deploy precondition
+(airflow-setup.py:457); deriving the missing table rather than
+skipping the queries is the Spark-first answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..sources.partsupp import derived_partsupp
+from .registry import query
+
+#: Oracle CTE replaying sources/partsupp.derived_partsupp verbatim.
+#: DuckDB's // is floor division — identical to Spark's FLOOR(x/y)
+#: on the non-negative key domain.
+_PS_CTE = """
+    sc AS (SELECT COUNT(*) AS sc FROM supplier),
+    ps0 AS (
+      SELECT DISTINCT p_partkey AS ps_partkey,
+             (p_partkey + i.i * (sc.sc // 4 + p_partkey // sc.sc)) % sc.sc
+               AS ps_suppkey
+      FROM part, sc, (VALUES (0), (1), (2), (3)) AS i(i)
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 7 + ps_suppkey * 11) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 31 + ps_suppkey * 17) % 99900 + 100
+               AS ps_cost_cents
+      FROM ps0
+    )
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, table)
+
+
+@query(
+    "tpch_q2_partsupp",
+    oracle=f"""
+    WITH {_PS_CTE},
+    eur AS (
+      SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT ps_partkey AS bk, MIN(ps_cost_cents) AS best_cents
+      FROM eur GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey AS partkey, p_brand,
+           CAST(ps_cost_cents AS BIGINT) AS cost_cents
+    FROM eur
+    JOIN best ON ps_partkey = bk AND ps_cost_cents = best_cents
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    """,
+)
+def tpch_q2_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITERAL Q2: minimum-supply-cost supplier per qualifying part
+    within a region — the correlated MIN subquery runs on partsupp's
+    supply cost (the part tpch_q2_min_cost_match could only
+    approximate with lineitem prices). Ties kept, per spec. The min
+    compare is on exact cents. Plan: partsupp⋈supplier shuffles
+    (both scale with SF — partsupp is a fact), nation/region
+    broadcast, min-per-part joined back (no window over the fact)."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eur = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    best = eur.groupBy(F.col("ps_partkey").alias("bk")).agg(
+        F.min("ps_cost_cents").alias("best_cents")
+    )
+    return (
+        eur.join(
+            best,
+            (eur.ps_partkey == best.bk)
+            & (eur.ps_cost_cents == best.best_cents),
+        )
+        .join(p, eur.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            F.col("ps_cost_cents").cast("long").alias("cost_cents"),
+        )
+    )
+
+
+@query(
+    "tpch_q9_partsupp",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                  AS BIGINT)
+             - ps_cost_cents * CAST(l_quantity AS BIGINT) * 100
+           ) AS BIGINT) AS profit_e4
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def tpch_q9_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITERAL Q9: product profit NET OF SUPPLY COST — the term the
+    adapted tpch_q9_product_profit had to drop. profit =
+    Σ (extendedprice·(1−discount) − ps_supplycost·quantity), shipped
+    as the exact BIGINT numerator on the 1e-4 money grid. Topology:
+    lineitem⋈partsupp is FACT⋈FACT on (partkey, suppkey) — shuffled,
+    never broadcast (partsupp = 4·|part| rows scales with SF);
+    part/supplier/nation broadcast; orders⋈lineitem shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amt_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long") - F.col("ps_cost_cents") * F.col("l_quantity").cast(
+        "long"
+    ) * 100
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amt_e4).cast("long").alias("profit_e4"))
+    )
+
+
+@query(
+    "tpch_q11_partsupp",
+    oracle=f"""
+    WITH {_PS_CTE},
+    val AS (
+      SELECT ps_partkey AS partkey,
+             CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS value_cents
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY ps_partkey
+    )
+    SELECT partkey, value_cents
+    FROM val, (SELECT SUM(value_cents) AS total FROM val) t
+    WHERE value_cents * 10000 > total
+    """,
+)
+def tpch_q11_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITERAL Q11: inventory value per part (ps_supplycost ×
+    ps_availqty — the real Q11 measure, not the lineitem-revenue
+    stand-in) for one region's suppliers, keeping parts above the
+    spec's FIXED 0.0001 fraction of total value. Exact integer
+    cents·qty products summed as BIGINT, threshold as integer
+    cross-multiplication — no float boundary. The fixed fraction is
+    deliberately scale-SENSITIVE (Q11's defining quirk: the qualifying
+    set thins as SF grows); the scale-invariant variant lives on as
+    tpch_q11_important_parts. 1-row total broadcast back, no second
+    scan."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("ps_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    total = val.agg(F.sum("value_cents").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 10000 > F.col("total"))
+        .select("partkey", "value_cents")
+    )
+
+
+@query(
+    "tpch_q16_partsupp",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal > 8000)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITERAL Q16: distinct SUPPLIERS-OF-RECORD per part
+    configuration from partsupp (the adapted shape counted lineitem's
+    observed suppliers — a different population), excluding
+    flagged suppliers via anti-join. Three-key group-by with
+    countDistinct; part broadcast into the partsupp scan."""
+    ps = derived_partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40, 45, 50)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_suppkey").alias("x_key"))
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(excluded), ps.ps_suppkey == excluded.x_key,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_partsupp",
+    oracle=f"""
+    WITH {_PS_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part ON p_partkey = ps_partkey
+      JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE p_name LIKE '%red%' AND ps_availqty * 2 > qty
+    )
+    SELECT s_name, n_name AS nation
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT ps_suppkey FROM qualifying)
+    """,
+)
+def tpch_q20_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITERAL Q20: suppliers whose ON-HAND stock (ps_availqty — the
+    column the adapted shape lacked) exceeds half of what they shipped
+    of qualifying parts in 1997. The correlated availqty > 0.5·SUM(qty)
+    subquery decorrelates into a (partkey, suppkey) aggregate joined
+    to partsupp — fact⋈fact on the composite key, exact integer
+    compare (availqty·2 > qty). Semi join keeps supplier rows unique
+    (the classic Q20 trap)."""
+    ps = derived_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )

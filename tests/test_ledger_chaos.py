@@ -107,5 +107,78 @@ def test_random_interleavings_never_lose_or_double_count(
     assert not os.path.isdir(os.path.join(base, "delta"))
 
 
+@pytest.mark.parametrize("seed", [11, 47])
+def test_two_appenders_disjoint_ids_one_compactor(spark, tmp_path, seed):
+    """VERDICT r07 item 6 — the concurrency contract the 4 index
+    lifecycles inherit, pinned: TWO appenders may feed one index
+    concurrently IFF their batch-id spaces are disjoint (each Spark
+    streaming query's ids are distinct within itself by checkpoint;
+    two queries must namespace — here writer A uses even ids, writer
+    B odd, exactly the "two sources, one index" deployment). Every
+    interleaving of their appends, replays, partial crashes, and a
+    racing compactor must keep the resolved view exact. SAME-id
+    concurrent writers are OUT OF CONTRACT (they would share one
+    delta dir mid-write) — that exclusion is what Spark's checkpoint
+    lock provides per query, documented in ledger.py."""
+    rng = random.Random(seed)
+    base = str(tmp_path / f"two_writers_{seed}")
+    first = spark.createDataFrame([(0, 0)], "id long, val long")
+    for name, df in _tables_fn(first).items():
+        df.write.mode("overwrite").parquet(os.path.join(base, name))
+    model = {0}
+    # two independent sink instances — separate factory state, same
+    # index directory (what two foreachBatch queries would hold)
+    sink_a = ledger.delta_append_sink(base, _tables_fn)
+    sink_b = ledger.delta_append_sink(base, _tables_fn)
+    next_a, next_b = 2, 1  # A: even ids, B: odd ids
+
+    def batch(i):
+        return spark.createDataFrame([(i, i * 10)], "id long, val long")
+
+    for _ in range(16):
+        op = rng.choice(
+            ["a_append", "b_append", "a_replay", "b_partial",
+             "compact", "inflight_compact"]
+        )
+        if op == "a_append":
+            sink_a(batch(next_a), next_a)
+            model.add(next_a)
+            next_a += 2
+        elif op == "b_append":
+            sink_b(batch(next_b), next_b)
+            model.add(next_b)
+            next_b += 2
+        elif op == "a_replay":
+            evens = [i for i in model if i and i % 2 == 0]
+            if evens:
+                i = rng.choice(evens)
+                sink_a(batch(i), i)  # must no-op, folded or live
+        elif op == "b_partial":
+            # B crashes mid-append, then its replay completes it
+            d = os.path.join(base, "delta", f"b{next_b}")
+            os.makedirs(os.path.join(d, "alpha"), exist_ok=True)
+            sink_b(batch(next_b), next_b)
+            model.add(next_b)
+            next_b += 2
+        elif op == "compact":
+            ledger.compact_delta_index(spark, base, TABLES)
+        elif op == "inflight_compact":
+            # A is mid-append (delta dir exists, no _SUCCESS yet) when
+            # the compactor runs: the unmarked dir must survive, NOT
+            # fold, and A's completion afterwards must commit it
+            d = os.path.join(base, "delta", f"b{next_a}")
+            os.makedirs(os.path.join(d, "alpha"), exist_ok=True)
+            ledger.compact_delta_index(spark, base, TABLES)
+            assert os.path.isdir(d), "compactor deleted in-flight append"
+            assert f"b{next_a}" not in ledger.read_ledger(base)
+            sink_a(batch(next_a), next_a)
+            model.add(next_a)
+            next_a += 2
+        _check(spark, base, model)
+
+    ledger.compact_delta_index(spark, base, TABLES)
+    _check(spark, base, model)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
