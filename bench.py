@@ -272,6 +272,15 @@ HEADLINE = [
     # production posture of the embedding-dedup index, VERDICT r07
     # item 4)
     "dedup_embedding_probe_topk",
+    # r08: kNN classification served from the persisted IVF index
+    # (agreement-banded vs the exact classifier, VERDICT r07 item 8)
+    "sim_knn_classify_ivf",
+    # r08: literal TPC-H over the derived partsupp fact table
+    "tpch_q2_partsupp",
+    "tpch_q9_partsupp",
+    "tpch_q11_partsupp",
+    "tpch_q16_partsupp",
+    "tpch_q20_partsupp",
 ]
 
 

@@ -54,6 +54,10 @@ EAGER = {
     # (+ a .count()) at build time — skipped like pagerank.
     "g_kcore",
     "g_ppr_banded",
+    # r08: builds the persisted IVF index at build time (quantizer
+    # training is the sanctioned eager fit — same reason as
+    # sim_topk_ivf above)
+    "sim_knn_classify_ivf",
 }
 EAGER |= {f"{n}_recall" for n in EAGER if n.startswith("sim_topk_")}
 EAGER.add("sim_topk_ivfpq_recall")  # wraps sim_topk_ivfpq (PQ+IVF fit)
