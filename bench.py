@@ -281,6 +281,13 @@ HEADLINE = [
     "tpch_q11_partsupp",
     "tpch_q16_partsupp",
     "tpch_q20_partsupp",
+    # r08: rank correlation / association / hazard / readability /
+    # temperature mixing analytics batch
+    "a_spearman_corr",
+    "a_cramers_v",
+    "a_nelson_aalen",
+    "text_readability",
+    "p_mixture_temperature",
 ]
 
 

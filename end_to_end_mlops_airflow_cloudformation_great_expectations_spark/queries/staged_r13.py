@@ -99,6 +99,456 @@ def dedup_embedding_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-8 analytics batch: rank correlation, association strength,
+# cumulative hazard, readability, and temperature-scaled mixing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_spearman_corr",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT x, y,
+             RANK() OVER (ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS mx,
+             RANK() OVER (ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS my
+      FROM h
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(mx) AS sx, SUM(my) AS sy, SUM(mx * my) AS sxy,
+             SUM(mx * mx) AS sxx, SUM(my * my) AS syy
+      FROM r
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS rho
+    FROM m
+    """,
+)
+def a_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between hourly event VOLUME and
+    hourly REVENUE (monotone-association monitor — the robust
+    companion to the Pearson-based a_crosscorrelation): textbook
+    midranks (RANK + (ties−1)/2) over the bounded hourly table, then
+    Pearson on the ranks.
+
+    Determinism: x is an integer count, y the money-grid integer
+    (ROUND(Σvalue·100)), so tie DETECTION is exact in both engines —
+    never on float equality; midranks are exact dyadic halves and
+    every moment sum stays < 2⁵³, so Σmx, Σmxmy … are EXACT doubles
+    regardless of summation order; the only irrational step is the
+    final SQRT/division (IEEE-identical), rounded at 1e-6.
+
+    Scale: one map-side-partial scan to ≤ |corpus hours| rows; ranks
+    are windows over that bounded aggregate (constant partition key —
+    never a corpus window); the correlation is a 1-row reduce."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import constant_partition_key as _ck
+
+    e = _t(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(
+        F.count("*").cast("long").alias("x"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("y"),
+    )
+    k = _ck(F.col("hr"))
+
+    def midrank(col: str):
+        r = F.rank().over(Window.partitionBy(k).orderBy(col))
+        c = F.count("*").over(Window.partitionBy(k, F.col(col)))
+        return r + (c - 1) / 2.0
+
+    r = h.select(
+        midrank("x").alias("mx"), midrank("y").alias("my")
+    )
+    m = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").alias("sx"),
+        F.sum("my").alias("sy"),
+        F.sum(F.col("mx") * F.col("my")).alias("sxy"),
+        F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+        F.sum(F.col("my") * F.col("my")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+@query(
+    "a_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) % 24 AS hod,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_ AS (
+      SELECT event_type, SUM(o) AS ro FROM obs GROUP BY event_type
+    ), cols_ AS (
+      SELECT hod, SUM(o) AS co FROM obs GROUP BY hod
+    ), tot AS (
+      SELECT SUM(o) AS n FROM obs
+    ), cells AS (
+      SELECT obs.o, CAST(ro AS DOUBLE) * co / n AS e
+      FROM obs JOIN rows_ USING (event_type)
+               JOIN cols_ USING (hod)
+               CROSS JOIN tot
+    ), chi AS (
+      SELECT SUM((o - e) * (o - e) / e) AS chi2,
+             (SELECT n FROM tot) AS n,
+             (SELECT COUNT(*) FROM rows_) AS r,
+             (SELECT COUNT(*) FROM cols_) AS c
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(chi2, 4) AS chi2,
+           ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def a_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT-SIZE reading of a_chi2_independence's
+    contingency table (χ² says "dependent?", V says "how strongly" on
+    [0,1] — the association member of the a_effect_sizes family):
+    V = √(χ² / (n·min(r−1, c−1))) over the same event_type ×
+    hour-of-day table. Same bounded shape: one map-side-partial scan
+    to ≤ types×24 cells, broadcast margins, a ≤120-cell reduce.
+    χ² rounded at 1e-4 (the chi2 query's grid — the cell sum is the
+    one order-sensitive float reduce, noise ~1e-10 of magnitude); V's
+    sqrt is IEEE-identical on the same double."""
+    e = _t(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            (F.floor(F.unix_timestamp("ts") / 3600) % 24)
+            .cast("long")
+            .alias("hod"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("ro"))
+    cols_ = obs.groupBy("hod").agg(F.sum("o").alias("co"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("hod").alias("c"),
+    )
+    # r/c recomputed in tot from obs (same source — equal to the
+    # margin-table counts, one fewer broadcast)
+    cells = (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "hod")
+        .join(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("ro").cast("double") * F.col("co") / F.col("n")).alias(
+                "e"
+            ),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    return cells.groupBy("n", "r", "c").agg(
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2_raw")
+    ).select(
+        F.col("n").cast("long").alias("n"),
+        F.round("chi2_raw", 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "a_nelson_aalen",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600) AS BIGINT)
+               AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), cut AS (
+      SELECT MAX(ts) AS mx FROM events
+    ), lab AS (
+      SELECT s.dur,
+             (EPOCH(cut.mx) - EPOCH(s.last_ts)) >= 6 * 3600 AS observed
+      FROM span s CROSS JOIN cut
+    ), alldur AS (
+      SELECT dur, COUNT(*) AS c FROM lab GROUP BY dur
+    ), riskbase AS (
+      SELECT dur,
+             SUM(c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_cnt,
+             SUM(c) OVER () AS n_total
+      FROM alldur
+    ), death AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS d
+      FROM lab WHERE observed GROUP BY dur
+    ), steps AS (
+      SELECT death.dur,
+             CAST(riskbase.n_total - COALESCE(riskbase.before_cnt, 0)
+                  AS BIGINT) AS n_risk,
+             death.d
+      FROM death JOIN riskbase USING (dur)
+    )
+    SELECT dur AS dur_h, n_risk AS n_at_risk, d AS n_deaths,
+           ROUND(SUM(CAST(d AS DOUBLE) / n_risk) OVER w, 6) AS cum_hazard,
+           ROUND(EXP(-SUM(CAST(d AS DOUBLE) / n_risk) OVER w), 6)
+             AS fh_survival
+    FROM steps
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard (+ the Fleming–Harrington
+    survival exp(−H)) over the SAME censored-lifetime table as
+    a_survival_km — the hazard-scale reading of the retention curve
+    (H's increments d/n are the per-hour churn intensities a
+    capacity/alerting model consumes directly; KM's product form
+    answers "what fraction survives", this answers "how fast are we
+    losing them"). Identical derivation: integer d and n_risk per
+    distinct lifetime, an ORDER-sequenced running sum (deterministic
+    — never a float reduce across unordered rows), 1-ulp exp drift
+    absorbed by the 1e-6 grid. Scale: one fact scan to per-user
+    spans; everything after is windows over the bounded
+    distinct-lifetime table with a constant partition key."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import constant_partition_key as _ck
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 3600
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    cut = e.agg(F.max("ts").alias("mx"))
+    lab = span.crossJoin(F.broadcast(cut)).select(
+        "dur",
+        (
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+            >= 6 * 3600
+        ).alias("observed"),
+    )
+    alldur = lab.groupBy("dur").agg(F.count("*").alias("c"))
+    k = _ck(F.col("dur"))
+    w_before = (
+        Window.partitionBy(k)
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(k).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    riskbase = alldur.select(
+        "dur",
+        F.coalesce(F.sum("c").over(w_before), F.lit(0)).alias("before_cnt"),
+        F.sum("c").over(w_tot).alias("n_total"),
+    )
+    death = (
+        lab.filter("observed").groupBy("dur").agg(F.count("*").alias("d"))
+    )
+    steps = death.join(riskbase, "dur").select(
+        "dur",
+        (F.col("n_total") - F.col("before_cnt")).cast("long").alias(
+            "n_risk"
+        ),
+        F.col("d").cast("long").alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy(_ck(F.col("dur")))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hz = F.sum(F.col("d").cast("double") / F.col("n_risk")).over(w_cum)
+    return steps.select(
+        F.col("dur").alias("dur_h"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.round(hz, 6).alias("cum_hazard"),
+        F.round(F.exp(-hz), 6).alias("fh_survival"),
+    )
+
+
+@query(
+    "text_readability",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LEN(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_words,
+             CAST(LEN(list_filter(string_split_regex(text, '[.!?]+'),
+                                  x -> len(trim(x)) > 0)) AS BIGINT)
+               AS n_sents,
+             CAST(LEN(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           CASE WHEN n_words > 0 AND n_sents > 0
+                THEN 206835 * n_sents * n_words
+                     - 1015 * n_words * n_words
+                     - 84600 * n_syll * n_sents
+                ELSE NULL END AS flesch_e3_num,
+           CASE WHEN n_words > 0 AND n_sents > 0
+                THEN 1000 * n_sents * n_words ELSE NULL END AS flesch_den
+    FROM t
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease readability per document — a standard text
+    QUALITY feature alongside the Gopher/C4 heuristics (curation
+    pipelines bucket documents by readability before mixing):
+    F = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    with whitespace words (the text family's expression), [.!?]+
+    sentence segments, and vowel-group syllable approximation.
+
+    Shipped as the EXACT INTEGER fraction flesch_e3_num/flesch_den
+    (= F·1000 — multiply the definition by 1000·S·W: the band-grid
+    lesson's ship-the-integers endgame; a ROUND of the rational F can
+    land on a cross-engine half-grid point). NULL for empty docs, per
+    CASE — no try_divide band. The fixture's synthetic text has no
+    sentence punctuation, so n_sents = 1 throughout (documented;
+    the sentence term degenerates to W, the syllable term still
+    varies — production text exercises both). Map-only scan, zero
+    shuffle, zero UDF (codegen regex + HOF filters)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+        )
+    ).cast("long")
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    ).cast("long")
+    syll = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sents"),
+        syll.alias("n_syll"),
+    )
+    ok = (F.col("n_words") > 0) & (F.col("n_sents") > 0)
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.when(
+            ok,
+            F.lit(206835) * F.col("n_sents") * F.col("n_words")
+            - F.lit(1015) * F.col("n_words") * F.col("n_words")
+            - F.lit(84600) * F.col("n_syll") * F.col("n_sents"),
+        ).alias("flesch_e3_num"),
+        F.when(ok, F.lit(1000) * F.col("n_sents") * F.col("n_words")).alias(
+            "flesch_den"
+        ),
+    )
+
+
+@query(
+    "p_mixture_temperature",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             LEN(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> len(x) > 0)) AS n_tok
+      FROM documents
+    ), tot AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      FROM tok GROUP BY 1
+    ), w AS (
+      SELECT source, src_tokens,
+             SQRT(CAST(src_tokens AS DOUBLE)
+                  / (SELECT SUM(src_tokens) FROM tot)) AS wr
+      FROM tot
+    )
+    SELECT source, src_tokens,
+           CAST(FLOOR(wr / (SELECT SUM(wr) FROM w) * 1000000) AS BIGINT)
+             AS weight_e6
+    FROM w
+    """,
+)
+def p_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-sampling
+    rule of mBERT/XLM-R and the Pile's upweighting, T=2 ⇒ α=1/2):
+    sampling weight ∝ share^(1/T), renormalized — boosts small
+    sources without letting any dominate, the smooth alternative to
+    p_domain_reweight's hard uniform target. α=1/2 is computed as
+    SQRT (IEEE-correctly-rounded in both engines — deliberately NOT
+    POW, whose libm rounding may differ), weights FLOOR-banded at
+    1e-6 (genuinely irrational — FLOOR is the stable choice per the
+    band-grid lesson; src_tokens stays the exact integer). One corpus
+    scan → |sources| rows; the two normalizers are 1-row
+    broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+            )
+        ).alias("n_tok"),
+    )
+    tot = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("src_tokens")
+    )
+    grand = tot.agg(F.sum("src_tokens").alias("grand"))
+    w = tot.join(F.broadcast(grand)).select(
+        "source",
+        "src_tokens",
+        F.sqrt(F.col("src_tokens").cast("double") / F.col("grand")).alias(
+            "wr"
+        ),
+    )
+    z = w.agg(F.sum("wr").alias("z"))
+    return w.join(F.broadcast(z)).select(
+        "source",
+        "src_tokens",
+        F.floor(F.col("wr") / F.col("z") * 1000000)
+        .cast("long")
+        .alias("weight_e6"),
+    )
+
+
 _KNN_IVF_NPROBE = 12
 _KNN_IVF_AGREE_FLOOR = 0.75
 
