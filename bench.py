@@ -288,6 +288,9 @@ HEADLINE = [
     "a_nelson_aalen",
     "text_readability",
     "p_mixture_temperature",
+    # r08: weighted shortest paths + incremental-PCA maintenance
+    "g_sssp_bounded",
+    "stream_pca_checked",
 ]
 
 

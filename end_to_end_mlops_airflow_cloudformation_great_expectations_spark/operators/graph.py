@@ -254,6 +254,75 @@ def bfs_distances(
     )
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    source_id: str = "vid",
+) -> DataFrame:
+    """Bounded-round WEIGHTED single-source(-set) shortest paths —
+    Bellman-Ford as synchronous relaxation rounds, the weighted
+    generalization of :func:`bfs_distances` (hop distance = all
+    weights 1): round r computes ``dist_r(v) = 0`` for sources else
+    ``min over in-edges (u,v): dist_{r-1}(u) + w(u,v)``. Re-deriving
+    from predecessors each round (no self-reference) keeps the
+    iterate referenced ONCE per round — linear plan growth, the
+    banked lazy-fixpoint discipline — and yields the exact clean
+    contract: ``dist_r(v)`` is the optimal distance among paths of
+    **≤ r edges** (monotonically non-increasing in r; with
+    non-negative integer weights the values are exact integers, so
+    the unrolled SQL twin matches with no bands). NULL = unreachable
+    within the edge horizon.
+
+    Scale shape per round: one shuffle join of the edge list against
+    the settled frontier plus one map-side-partial MIN by
+    destination — identical topology to BFS/LPA/pagerank; hub skew
+    is AQE's skew-join case."""
+    verts = (
+        edges.select(F.col(src).alias("vid"))
+        .union(edges.select(F.col(dst).alias("vid")))
+        .distinct()
+    )
+    s = sources.select(F.col(source_id).alias("vid")).withColumn(
+        "is_src", F.lit(True)
+    )
+    dist = verts.join(s, "vid", "left").select(
+        "vid", F.when(F.col("is_src"), F.lit(0)).alias("dist")
+    )
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).alias("e_w"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                dist.filter(F.col("dist").isNotNull()).withColumnRenamed(
+                    "vid", "e_src"
+                ),
+                "e_src",
+            )
+            .groupBy(F.col("e_dst").alias("vid"))
+            .agg(F.min(F.col("dist") + F.col("e_w")).alias("nd"))
+        )
+        dist = (
+            verts.join(s, "vid", "left")
+            .join(contrib, "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("is_src"), F.lit(0))
+                .otherwise(F.col("nd"))
+                .alias("dist"),
+            )
+        )
+    return dist.select(
+        F.col("vid").alias("id"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 def kcore_bounded(
     edges: DataFrame,
     k: DataFrame | int,

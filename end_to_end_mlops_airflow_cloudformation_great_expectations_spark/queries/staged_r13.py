@@ -100,6 +100,163 @@ def dedup_embedding_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream_pca_checked — incremental PCA from streamed moment snapshots
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_pca_checked",
+    oracle="""
+    SELECT CAST(unnest(generate_series(0, LEN(embedding) - 1)) AS BIGINT)
+             AS dim,
+           TRUE AS ok
+    FROM (SELECT embedding FROM embeddings LIMIT 1)
+    """,
+)
+def stream_pca_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PCA made driver-checkable — the composition the
+    moment-sink family exists for: push the embedding corpus through
+    streaming/jobs.moment_stats_sink in THREE micro-batches, read the
+    final (i, j, s) sufficient-statistics snapshot, and run the SAME
+    centered-gram + lazy power-iteration fixpoint the batch PCA
+    (emb_pca_power_banded) runs — then assert per dimension that the
+    streamed-and-merged component equals the one-shot batch component
+    within 1e-6 (the merge is an associative SUM: the two paths
+    differ only by float summation order, ~1e-15, nine orders inside
+    the band; deterministic at fixed data → all-TRUE DuckDB twin).
+
+    This closes the trainer-maintenance loop: models whose sufficient
+    statistics are additive (PCA/covariance here, the moment tables
+    generally) can be maintained INCREMENTALLY by a streaming sink
+    and re-solved fit-free at read time — no retraining scan over a
+    100 TB corpus; the nightly job reads d²+d+1 cells.
+
+    Eager at build time (three availableNow sink writes into scratch
+    — the documented bounded-lint-execution class); both PCA
+    fixpoints and the comparison stay lazy."""
+    from ..operators import linalg
+    from ..streaming import jobs
+
+    base = _scratch("pca_inc")
+    e = _t(spark, sf_dir, "embeddings")
+    sink = jobs.moment_stats_sink(base)
+    for b in range(3):
+        sink(e.filter(F.col("vec_id") % 3 == b), b)
+
+    inc = spark.read.parquet(os.path.join(base, "v2")).select("i", "j", "s")
+    v_inc = linalg.power_iteration(linalg.centered_gram(inc), 6)
+    v_bat = linalg.power_iteration(
+        linalg.centered_gram(linalg.moment_partials(e)), 6
+    )
+    return (
+        v_inc.select(F.col("j").alias("dim"), F.col("vj").alias("v_inc"))
+        .join(
+            v_bat.select(
+                F.col("j").alias("dim"), F.col("vj").alias("v_bat")
+            ),
+            "dim",
+            "full_outer",
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            (
+                F.col("v_inc").isNotNull()
+                & F.col("v_bat").isNotNull()
+                & (F.abs(F.col("v_inc") - F.col("v_bat")) <= 1e-6)
+            ).alias("ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_sssp_bounded — weighted shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+_SSSP_SOURCES = 5
+_SSSP_ROUNDS = 4
+
+
+def _sssp_round_sql(r: int) -> str:
+    """One unrolled weighted relaxation round (operators/graph.
+    sssp_bounded recurrence — min over in-edges of dist + w, sources
+    clamped to 0; iterate referenced once per round on both
+    engines)."""
+    return f"""
+    , c{r} AS (
+      SELECT e.dst AS vid, MIN(d.dist + e.w) AS nd
+      FROM edges e JOIN d{r - 1} d ON d.vid = e.src
+      WHERE d.dist IS NOT NULL
+      GROUP BY e.dst
+    ), d{r} AS (
+      SELECT v.vid,
+             CASE WHEN v.vid < {_SSSP_SOURCES} THEN 0 ELSE c.nd END AS dist
+      FROM verts v LEFT JOIN c{r} c ON c.vid = v.vid
+    )
+    """
+
+
+@query(
+    "g_sssp_bounded",
+    oracle=(
+        f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges AS (
+      SELECT src, dst, 1 + (src + dst) % 5 AS w FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst, 1 + (src + dst) % 5 AS w FROM edges0
+    ), verts AS (
+      SELECT DISTINCT src AS vid FROM edges
+      UNION
+      SELECT DISTINCT dst AS vid FROM edges
+    ), d0 AS (
+      SELECT vid, CASE WHEN vid < {_SSSP_SOURCES} THEN 0 END AS dist
+      FROM verts
+    )"""
+        + "".join(_sssp_round_sql(r) for r in range(1, _SSSP_ROUNDS + 1))
+        + f"""
+    SELECT CAST(vid AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+    FROM d{_SSSP_ROUNDS}
+    """
+    ),
+)
+def g_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source-set shortest paths on the derived order
+    graph (same topology as g_bfs_hops; integer edge weights
+    1 + (src+dst) % 5, symmetric by construction) — Bellman-Ford as 4
+    synchronous relaxation rounds (operators/graph.sssp_bounded, the
+    weighted generalization of bfs_distances: cost-aware routing /
+    weighted proximity where BFS gives only hops).
+
+    Exact cross-engine oracle: the DuckDB twin unrolls the SAME 4
+    rounds over the SAME derived weighted graph; weights and
+    distances are integers and MIN is order-insensitive — no bands.
+    Contract: dist = optimum among paths of ≤ 4 edges, NULL beyond
+    the horizon (monotone non-increasing in rounds).
+
+    Scale: iterate referenced once per round (linear plan growth);
+    each round is one edges⋈frontier shuffle + map-side-partial MIN —
+    the Pregel message pattern relationally."""
+    from ..operators.graph import sssp_bounded
+
+    o = _t(spark, sf_dir, "orders")
+    edges0 = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    w = (F.lit(1) + (F.col("src") + F.col("dst")) % 5).alias("w")
+    edges = edges0.select("src", "dst", w).unionByName(
+        edges0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), w
+        )
+    )
+    sources = spark.range(_SSSP_SOURCES).select(F.col("id").alias("vid"))
+    return sssp_bounded(edges, sources, iterations=_SSSP_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Round-8 analytics batch: rank correlation, association strength,
 # cumulative hazard, readability, and temperature-scaled mixing.
 # ---------------------------------------------------------------------------

@@ -236,25 +236,30 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round7_names_rotated_into_window():
-    """Round-7 rotation executed (CORRECTNESS_r06 closed 50/50): the
-    final 10 never-driver-checked oracle-backed queries now occupy
-    leading driver-window slots so the driver hash-checks every one of
-    them this round, closing the cumulative ledger at 218/218."""
+def test_round8_queue_rotated_into_window():
+    """Round-8 rotation executed (CORRECTNESS_r07 closed the
+    pre-round-7 ledger at 218/218): the first 50 of the 92-query
+    round-8 queue — TPC-H SQL passthroughs, the trainer family, the
+    index lifecycles, the checked sinks — now occupy the driver
+    window, and the round-7 names they displaced keep their
+    driver-green rows from CORRECTNESS_r07 (superseded the round-7
+    version of this test)."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
     for n in (
-        "sql_regional_rank",
-        "sql_silent_customers",
-        "sql_priority_share",
-        "w_markov_transitions",
-        "a_theil_sen",
-        "a_cusum_changepoint",
-        "text_bigram_ppl",
-        "emb_centroid_classify",
-        "a_survival_km",
-        "a_benford_law",
+        "sql_tpch_q1",
+        "sql_tpch_q22",
+        "sql_window_topk",
+        "train_logreg_banded",
+        "train_tree2_banded",
+        "dedup_minhash_lifecycle",
+        "dedup_embedding_lifecycle",
+        "text_bm25_indexed",
+        "stream_quantile_sink_checked",
+        "stream_cms_sink_checked",
+        "stream_topk_sink_checked",
+        "a_mann_kendall",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) < 50
