@@ -674,3 +674,34 @@ def test_tree_trainers_one_scan_per_level(spark):
     plan = tree._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation [") <= 3
     assert plan.count("Union") <= 1
+
+
+def test_capped_probe_window_is_probe_partitioned(spark, tmp_path):
+    """embdedup_index_probe_topk (round 8): the top-k cap must run as
+    a window PARTITIONED on new_id — never SinglePartition (the probe
+    batch is the key domain) — and the probe pipeline must stay free
+    of row-wise Python and cartesian products."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = os.path.join(str(tmp_path), "cap_plan_idx")
+    similarity.embdedup_index_build(e.filter(F.col("vec_id") % 2 == 0), base)
+    probe = e.filter(F.col("vec_id") % 2 == 1)
+    df = similarity.embdedup_index_probe_topk(probe, base, k=1, threshold=0.35)
+    plan = explain.physical_plan(df)
+    assert "Window" in plan, plan
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan):
+        raise AssertionError(f"single-partition window in probe plan: {m.group(0)}")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
