@@ -291,6 +291,10 @@ HEADLINE = [
     # r08: weighted shortest paths + incremental-PCA maintenance
     "g_sssp_bounded",
     "stream_pca_checked",
+    # r08: ANOVA pre/post-hoc + batch-over-batch profile drift gate
+    "a_levene_test",
+    "a_tukey_hsd",
+    "p_profile_drift",
 ]
 
 

@@ -100,6 +100,237 @@ def dedup_embedding_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hypothesis-battery post-hoc pair: Levene (variance homogeneity,
+# ANOVA's precondition) + Tukey HSD (which means differ, ANOVA's
+# follow-up) — both from bounded moment scans over order priorities.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_levene_test",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS grp, AVG(o_totalprice) AS mu
+      FROM orders GROUP BY 1
+    ), z AS (
+      SELECT o.o_orderpriority AS grp,
+             ABS(o.o_totalprice - m.mu) AS z
+      FROM orders o JOIN m ON o.o_orderpriority = m.grp
+    ), g AS (
+      SELECT grp, COUNT(*) AS n, SUM(z) AS s, SUM(z * z) AS ss
+      FROM z GROUP BY grp
+    ), tot AS (
+      SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, COUNT(*) AS k,
+             SUM(s * s / n) AS sgs
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           ROUND(((n - k) * (sgs - s * s / n))
+                 / ((k - 1) * (ss - sgs)), 6) AS w_stat
+    FROM tot
+    """,
+)
+def a_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-centered form) for homogeneity of
+    variances across the 5 order priorities — the PRECONDITION check
+    for a_anova_oneway (ANOVA's F assumes equal group variances;
+    Levene is ANOVA applied to the absolute deviations z = |x − μ_g|,
+    so W = ((N−k)/(k−1)) · SSB_z/SSW_z on the same moment identity).
+
+    Two bounded scans: group means (k=5 rows, broadcast back), then
+    the z-moment scan — both map-side partial. Float moment sums of
+    money-grid values carry ~1e-12 relative cross-engine noise; W is
+    O(1) and rounded at 1e-6 (the a_anova_oneway convention)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.avg("o_totalprice").alias("mu")
+    )
+    z = o.join(
+        F.broadcast(m), o.o_orderpriority == m.grp
+    ).select("grp", F.abs(F.col("o_totalprice") - F.col("mu")).alias("z"))
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.count("*").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sgs"),
+    )
+    n, k, s, ss, sgs = (
+        F.col("n"), F.col("k"), F.col("s"), F.col("ss"), F.col("sgs")
+    )
+    return tot.select(
+        k.cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        F.round(
+            ((n - k) * (sgs - s * s / n)) / ((k - 1) * (ss - sgs)), 6
+        ).alias("w_stat"),
+    )
+
+
+@query(
+    "a_tukey_hsd",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(o_totalprice) AS s,
+             SUM(o_totalprice * o_totalprice) AS ss
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS n, COUNT(*) AS k,
+             (SELECT SUM(ss) FROM g) - SUM(s * s / n) AS ssw
+      FROM g
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           ROUND(ABS(a.s / a.n - b.s / b.n)
+                 / SQRT(tot.ssw / (tot.n - tot.k) / 2.0
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+    FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+    """,
+)
+def a_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey's HSD studentized-range statistic for every priority
+    pair — ANOVA's POST-HOC: a significant F says "some means
+    differ"; q_ab = |μ_a − μ_b| / √(MSW/2 · (1/n_a + 1/n_b))
+    (Tukey-Kramer for unequal n) says WHICH. Same one-moment-scan
+    shape as a_anova_oneway: k=5 group moments, MSW from the within
+    sum-of-squares, then a k(k−1)/2 = 10-row pair join over the
+    5-row table (bounded — never a fact-fact pair join). Float
+    moments of money-grid values, q rounded at 1e-6."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.count("*").alias("k"),
+        (F.sum("ss") - F.sum(F.col("s") * F.col("s") / F.col("n"))).alias(
+            "ssw"
+        ),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("na"),
+        (F.col("s") / F.col("n")).alias("ma"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("nb"),
+        (F.col("s") / F.col("n")).alias("mb"),
+    )
+    pairs = a.join(b, a.grp_a < b.grp_b).join(F.broadcast(tot))
+    msw = F.col("ssw") / (F.col("tn") - F.col("k"))
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        F.round(
+            F.abs(F.col("ma") - F.col("mb"))
+            / F.sqrt(msw / 2.0 * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            6,
+        ).alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_profile_drift — GX-role batch-over-batch profile drift gate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_profile_drift",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(epoch_us(MIN(ts)) AS BIGINT)
+             + CAST(epoch_us(MAX(ts)) AS BIGINT) AS mid2 FROM events
+    ), lab AS (
+      SELECT e.event_type, e.user_id, e.props,
+             2 * CAST(epoch_us(e.ts) AS BIGINT) < cut.mid2 AS is_a
+      FROM events e CROSS JOIN cut
+    ), prof AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS rows_a,
+             CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS rows_b,
+             CAST(COUNT(DISTINCT user_id) FILTER (is_a) AS BIGINT)
+               AS users_a,
+             CAST(COUNT(DISTINCT user_id) FILTER (NOT is_a) AS BIGINT)
+               AS users_b,
+             CAST(COUNT(*) FILTER (is_a AND props IS NULL) AS BIGINT)
+               AS null_a,
+             CAST(COUNT(*) FILTER (NOT is_a AND props IS NULL) AS BIGINT)
+               AS null_b
+      FROM lab GROUP BY event_type
+    )
+    SELECT event_type, rows_a, rows_b, users_a, users_b, null_a, null_b,
+           rows_b * 10 >= rows_a * 5 AND rows_b * 5 <= rows_a * 10
+             AS volume_ok,
+           users_b * 10 >= users_a * 5 AND users_b * 5 <= users_a * 10
+             AS reach_ok,
+           null_b * rows_a * 10 <= null_a * rows_b * 20 + rows_a * rows_b
+             AS nullrate_ok
+    FROM prof
+    """,
+)
+def p_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch PROFILE DRIFT gate — the Great-Expectations
+    role applied between corpus batches rather than within one (the
+    reference's checkpoint validates each load in isolation,
+    airflow-setup.py:457; production pipelines also need "this load
+    looks like the LAST load"): split events at the time midpoint,
+    profile each half per event_type (row volume, distinct-user
+    reach, props null rate), and emit integer-exact verdicts —
+
+      volume_ok   — batch-B rows within 2x either way of batch-A
+      reach_ok    — distinct users within 2x either way
+      nullrate_ok — null rate grew by less than 2x + 10pp slack
+                    (cross-multiplied: null_b/rows_b ≤ 2·null_a/rows_a
+                    + 0.1, all in exact integers)
+
+    Every profile stat is an exact BIGINT and every verdict an
+    integer cross-multiplication — full exact oracle, no bands, and
+    the thresholds are deterministic at any SF. Scale: one fact scan
+    with FILTER-conditional aggregates into |event_types| rows; the
+    midpoint is a 1-row broadcast; distinct-user counts are the only
+    expand (2 per row), partial-aggregated map-side."""
+    e = _t(spark, sf_dir, "events")
+    # midpoint as EXACT integer microseconds: 2·epoch(ts) < epoch(min)
+    # + epoch(max) — no interval arithmetic, no float boundary
+    # ts loads as TIMESTAMP_NTZ on the current fixtures; the session
+    # is pinned UTC (catalog.load), so the cast is the identity and
+    # matches DuckDB's epoch_us on the same parquet values
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    cut = e.agg((us(F.min("ts")) + us(F.max("ts"))).alias("mid2"))
+    lab = e.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "user_id",
+        "props",
+        (us(F.col("ts")) * 2 < F.col("mid2")).alias("is_a"),
+    )
+    isa = F.col("is_a")
+    prof = lab.groupBy("event_type").agg(
+        F.count_if(isa).alias("rows_a"),
+        F.count_if(~isa).alias("rows_b"),
+        F.count_distinct(F.when(isa, F.col("user_id"))).alias("users_a"),
+        F.count_distinct(F.when(~isa, F.col("user_id"))).alias("users_b"),
+        F.count_if(isa & F.col("props").isNull()).alias("null_a"),
+        F.count_if((~isa) & F.col("props").isNull()).alias("null_b"),
+    )
+    ra, rb = F.col("rows_a"), F.col("rows_b")
+    ua, ub = F.col("users_a"), F.col("users_b")
+    na, nb = F.col("null_a"), F.col("null_b")
+    return prof.select(
+        "event_type",
+        ra, rb, ua, ub, na, nb,
+        ((rb * 10 >= ra * 5) & (rb * 5 <= ra * 10)).alias("volume_ok"),
+        ((ub * 10 >= ua * 5) & (ub * 5 <= ua * 10)).alias("reach_ok"),
+        (nb * ra * 10 <= na * rb * 20 + ra * rb).alias("nullrate_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # stream_pca_checked — incremental PCA from streamed moment snapshots
 # ---------------------------------------------------------------------------
 
