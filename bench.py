@@ -295,6 +295,8 @@ HEADLINE = [
     "a_levene_test",
     "a_tukey_hsd",
     "p_profile_drift",
+    # r08: join-key skew diagnostics (precondition for salted paths)
+    "p_skew_profile",
 ]
 
 

@@ -236,6 +236,81 @@ def a_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p_skew_profile — join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_skew_profile",
+    oracle="""
+    WITH kc AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM kc
+    ), top AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM kc
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, key, cnt, n_total, n_keys,
+           cnt * n_keys > 2 * n_total AS hot
+    FROM top CROSS JOIN tot
+    WHERE rnk <= 10
+    """,
+)
+def p_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW profiler — the diagnostic a pipeline operator
+    runs before choosing a join strategy (the precondition check for
+    operators/skew.py's salted paths): per candidate key, its row
+    count; globally, the top-10 hottest keys with an integer-exact
+    'hot' verdict (cnt · n_keys > 2 · n_total ⇔ the key carries more
+    than 2x the mean key load — the cross-multiplied form never
+    touches a float). At 100 TB this one cheap aggregate decides
+    between a plain shuffle join, AQE skew handling, or explicit
+    salting — measured, not guessed.
+
+    Scale: one map-side-partial groupBy to |keys| rows; top-10 via
+    orderBy+limit — Spark plans TakeOrderedAndProject, a DISTRIBUTED
+    partial top-k (each task keeps 10, the driver merges 10·tasks
+    rows), never a single-task sort over the key table (|keys| is
+    corpus-sized at 100 TB — a constant-key ranking window here would
+    be exactly the antipattern this profiler exists to prevent);
+    the rank is then attached on the 10-row result. Totals are a
+    1-row broadcast. Full exact oracle (counts, ranks with total
+    tie-break, integer verdict)."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import constant_partition_key as _ck
+
+    o = _t(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = kc.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    top10 = kc.orderBy(F.col("cnt").desc(), F.col("key")).limit(10)
+    w = Window.partitionBy(_ck(F.col("key"))).orderBy(
+        F.col("cnt").desc(), F.col("key")
+    )
+    top = top10.withColumn("rnk", F.row_number().over(w))
+    return top.join(F.broadcast(tot)).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "key",
+        "cnt",
+        "n_total",
+        "n_keys",
+        (F.col("cnt") * F.col("n_keys") > 2 * F.col("n_total")).alias(
+            "hot"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p_profile_drift — GX-role batch-over-batch profile drift gate
 # ---------------------------------------------------------------------------
 
