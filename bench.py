@@ -297,6 +297,8 @@ HEADLINE = [
     "p_profile_drift",
     # r08: join-key skew diagnostics (precondition for salted paths)
     "p_skew_profile",
+    # r08: right-to-be-forgotten cascade audit
+    "p_user_erasure",
 ]
 
 

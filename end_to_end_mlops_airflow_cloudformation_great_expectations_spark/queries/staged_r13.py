@@ -236,6 +236,142 @@ def a_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# p_user_erasure — deletion-request cascade (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+_ERASE_SQL = "(c_custkey * 2654435761) % 4294967296 % 100 = 7"
+
+
+@query(
+    "p_user_erasure",
+    oracle=f"""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE {_ERASE_SQL}
+    ), o_drop AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del)
+    ), counts AS (
+      SELECT
+        (SELECT COUNT(*) FROM del) AS n_requests,
+        (SELECT COUNT(*) FROM orders) AS orders_before,
+        (SELECT COUNT(*) FROM o_drop) AS orders_dropped,
+        (SELECT COUNT(*) FROM lineitem) AS lineitem_before,
+        (SELECT COUNT(*) FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM o_drop))
+          AS lineitem_dropped,
+        (SELECT COUNT(*) FROM events) AS events_before,
+        (SELECT COUNT(*) FROM events
+         WHERE user_id IN (SELECT c_custkey FROM del)) AS events_dropped,
+        (SELECT COUNT(*) FROM lineitem l
+         WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM o_drop)
+           AND l.l_orderkey IN (SELECT o_orderkey FROM o_drop))
+          AS orphans
+    )
+    SELECT CAST(n_requests AS BIGINT) AS n_requests,
+           CAST(orders_before AS BIGINT) AS orders_before,
+           CAST(orders_dropped AS BIGINT) AS orders_dropped,
+           CAST(orders_before - orders_dropped AS BIGINT) AS orders_after,
+           CAST(lineitem_before AS BIGINT) AS lineitem_before,
+           CAST(lineitem_dropped AS BIGINT) AS lineitem_dropped,
+           CAST(lineitem_before - lineitem_dropped AS BIGINT)
+             AS lineitem_after,
+           CAST(events_before AS BIGINT) AS events_before,
+           CAST(events_dropped AS BIGINT) AS events_dropped,
+           CAST(events_before - events_dropped AS BIGINT) AS events_after,
+           orphans = 0 AS no_orphans
+    FROM counts
+    """,
+)
+def p_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request CASCADE audit (right-to-be-forgotten — the
+    compliance twin of a_k_anonymity / p_dp_noised_counts): given a
+    deletion list (a deterministic ~1% hash slice of customers,
+    standing in for a DSAR batch), compute what a compliant erasure
+    removes from every table that references the identity — orders
+    directly, lineitems THROUGH their deleted orders (the cascade the
+    FK graph demands), events by user id — and verify referential
+    integrity of the surviving set (no lineitem may orphan: its order
+    is either kept or the lineitem was dropped with it; emitted as
+    the checked no_orphans verdict, trivially-true by construction in
+    SQL but computed on the real survivor ANTI-JOIN on the Spark
+    side, where a cascade bug WOULD flip it).
+
+    All counts are exact BIGINTs — full exact oracle. Scale: the
+    deletion list is request-sized (broadcast semi/anti joins against
+    each fact exactly once); the lineitem cascade joins fact⋈dropped
+    orders on the FK. One pass per table, no shuffles beyond the
+    semi-join builds."""
+    from ..functions.columns import portable_bucket
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    dele = c.filter(portable_bucket(F.col("c_custkey"), 100) == 7).select(
+        "c_custkey"
+    )
+    o_drop = o.join(
+        F.broadcast(dele), o.o_custkey == dele.c_custkey, "left_semi"
+    )
+    o_keep = o.join(
+        F.broadcast(dele), o.o_custkey == dele.c_custkey, "left_anti"
+    )
+    li_drop = li.join(
+        o_drop.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    li_keep = li.join(
+        o_drop.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    # survivor integrity, computed for real: kept lineitems whose
+    # order is NOT in the kept order set
+    orphans = li_keep.join(
+        o_keep.select("o_orderkey"),
+        li_keep.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    e_drop = e.join(
+        F.broadcast(dele), e.user_id == dele.c_custkey, "left_semi"
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    row = (
+        cnt(dele, "n_requests")
+        .join(cnt(o, "orders_before"))
+        .join(cnt(o_drop, "orders_dropped"))
+        .join(cnt(li, "lineitem_before"))
+        .join(cnt(li_drop, "lineitem_dropped"))
+        .join(cnt(e, "events_before"))
+        .join(cnt(e_drop, "events_dropped"))
+        .join(cnt(orphans, "orphans"))
+    )
+    return row.select(
+        "n_requests",
+        "orders_before",
+        "orders_dropped",
+        (F.col("orders_before") - F.col("orders_dropped")).alias(
+            "orders_after"
+        ),
+        "lineitem_before",
+        "lineitem_dropped",
+        (F.col("lineitem_before") - F.col("lineitem_dropped")).alias(
+            "lineitem_after"
+        ),
+        "events_before",
+        "events_dropped",
+        (F.col("events_before") - F.col("events_dropped")).alias(
+            "events_after"
+        ),
+        (F.col("orphans") == 0).alias("no_orphans"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # p_skew_profile — join-key skew diagnostics
 # ---------------------------------------------------------------------------
 
