@@ -161,6 +161,26 @@ _ROUND9_QUEUE = [
 ]
 
 
+#: The EXACT round-9 window, staged now so the rotation is a 2-line
+#: swap once CORRECTNESS_r08 lands green: the 42 _ROUND9_QUEUE names
+#: (closing the pre-round-8 ledger at 310/310) + 8 of the 19 round-8
+#: additions (never driver-checked — real slots, not pads; the other
+#: 11 rotate in r10). Every name proven green at sf0.001+sf0.01
+#: incl. --plain. Test-pinned to length 50 / oracle-backed /
+#: disjoint from the r8 window.
+_ROUND9_WINDOW = [
+    *_ROUND9_QUEUE,
+    "dedup_embedding_probe_topk",
+    "sim_knn_classify_ivf",
+    "tpch_q2_partsupp",
+    "tpch_q9_partsupp",
+    "tpch_q11_partsupp",
+    "tpch_q16_partsupp",
+    "tpch_q20_partsupp",
+    "stream_pca_checked",
+]
+
+
 def _reorder() -> None:
     known = [n for n in _DRIVER_WINDOW_FIRST if n in QUERIES]
     missing = set(_DRIVER_WINDOW_FIRST) - set(known)

@@ -60,3 +60,14 @@ def test_round9_queue_is_staged_and_disjoint():
     assert len(r9) == 42
     assert not set(r9) & set(_qpkg._DRIVER_WINDOW_FIRST)
     assert [n for n in r9 if n not in ORACLES] == []
+
+
+def test_round9_window_is_staged():
+    """The exact r9 window (queue + 8 round-8 additions) is staged so
+    next round's rotation is a mechanical swap: 50 names, all
+    oracle-backed and registered, disjoint from the r8 window."""
+    w9 = _qpkg._ROUND9_WINDOW
+    assert len(w9) == 50
+    assert len(set(w9)) == 50
+    assert not set(w9) & set(_qpkg._DRIVER_WINDOW_FIRST)
+    assert [n for n in w9 if n not in ORACLES] == []
