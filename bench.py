@@ -299,6 +299,8 @@ HEADLINE = [
     "p_skew_profile",
     # r08: right-to-be-forgotten cascade audit
     "p_user_erasure",
+    # r08: GX expectation suite over the derived partsupp (A13 role)
+    "a13b_partsupp_expectations",
 ]
 
 

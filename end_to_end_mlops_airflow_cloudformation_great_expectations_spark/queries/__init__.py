@@ -368,13 +368,14 @@ _reorder()
 # (_DRIVER_WINDOW_FIRST above); the remaining 42 are _ROUND9_QUEUE.
 #
 # ROUND-9 ROTATION PLAN (execute once CORRECTNESS_r08 is green):
-# window = _ROUND9_QUEUE (42) + 8 of the 19 round-8 staged_r13/
+# window = _ROUND9_QUEUE (42) + 8 of the 20 round-8 staged_r13/
 # partsupp additions (the rest rotate in r10):
 # dedup_embedding_probe_topk, sim_knn_classify_ivf,
 # tpch_q2/q9/q11/q16/q20_partsupp, a_spearman_corr, a_cramers_v,
 # a_nelson_aalen, text_readability, p_mixture_temperature,
 # g_sssp_bounded, stream_pca_checked, a_levene_test, a_tukey_hsd,
-# p_profile_drift, p_skew_profile, p_user_erasure — all proven
+# p_profile_drift, p_skew_profile, p_user_erasure,
+# a13b_partsupp_expectations — all proven
 # local-green at
 # sf0.001+sf0.01 incl. --plain (and the whole r8 window re-proven
 # 50/50 under --plain this round). Greening _ROUND9_QUEUE closes the

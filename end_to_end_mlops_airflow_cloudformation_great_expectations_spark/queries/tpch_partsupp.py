@@ -60,6 +60,89 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 @query(
+    "a13b_partsupp_expectations",
+    oracle=f"""
+    WITH {_PS_CTE},
+    stats AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(DISTINCT (ps_partkey, ps_suppkey)) AS n_pk,
+             MIN(ps_availqty) AS min_qty, MAX(ps_availqty) AS max_qty,
+             MIN(ps_cost_cents) AS min_c, MAX(ps_cost_cents) AS max_c,
+             COUNT(DISTINCT ps_partkey) AS n_parts_covered
+      FROM partsupp
+    ), fk AS (
+      SELECT
+        (SELECT COUNT(*) FROM partsupp
+         WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+          AS bad_supp,
+        (SELECT COUNT(*) FROM partsupp
+         WHERE ps_partkey NOT IN (SELECT p_partkey FROM part))
+          AS bad_part,
+        (SELECT COUNT(*) FROM part) AS n_parts
+    )
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           n_rows = n_pk AS pk_unique,
+           min_qty >= 1 AND max_qty <= 9999 AS qty_in_range,
+           min_c >= 100 AND max_c <= 99999 AS cost_in_range,
+           bad_supp = 0 AND bad_part = 0 AS fk_valid,
+           n_parts_covered = n_parts AS all_parts_covered
+    FROM stats CROSS JOIN fk
+    """,
+)
+def a13b_partsupp_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation SUITE over the derived partsupp (the A13 GX role
+    applied to the table round 8 introduced — exactly what the
+    reference's checkpoint does to a freshly-loaded table,
+    airflow-setup.py:457): PK uniqueness of (ps_partkey, ps_suppkey),
+    availqty/supplycost range contracts from the generation rule,
+    referential validity of BOTH foreign keys, and full part
+    coverage (every part has at least one supplier of record — the
+    property literal Q2/Q9/Q11/Q16/Q20 rely on). All counts exact
+    BIGINTs, all verdicts integer comparisons — full exact oracle.
+    One scan of the derived table + two anti-join probes against the
+    dims; at 100 TB this is the pre-publication gate a partsupp
+    build pipeline runs before the swap."""
+    ps = derived_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    stats = ps.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct(F.struct("ps_partkey", "ps_suppkey")).alias(
+            "n_pk"
+        ),
+        F.min("ps_availqty").alias("min_qty"),
+        F.max("ps_availqty").alias("max_qty"),
+        F.min("ps_cost_cents").alias("min_c"),
+        F.max("ps_cost_cents").alias("max_c"),
+        F.count_distinct("ps_partkey").alias("n_parts_covered"),
+    )
+    bad_supp = ps.join(
+        F.broadcast(s), ps.ps_suppkey == s.s_suppkey, "left_anti"
+    ).agg(F.count("*").alias("bad_supp"))
+    bad_part = ps.join(
+        F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_anti"
+    ).agg(F.count("*").alias("bad_part"))
+    n_parts = p.agg(F.count("*").alias("n_parts"))
+    row = stats.join(bad_supp).join(bad_part).join(n_parts)
+    return row.select(
+        "n_rows",
+        (F.col("n_rows") == F.col("n_pk")).alias("pk_unique"),
+        (
+            (F.col("min_qty") >= 1) & (F.col("max_qty") <= 9999)
+        ).alias("qty_in_range"),
+        (
+            (F.col("min_c") >= 100) & (F.col("max_c") <= 99999)
+        ).alias("cost_in_range"),
+        (
+            (F.col("bad_supp") == 0) & (F.col("bad_part") == 0)
+        ).alias("fk_valid"),
+        (F.col("n_parts_covered") == F.col("n_parts")).alias(
+            "all_parts_covered"
+        ),
+    )
+
+
+@query(
     "tpch_q2_partsupp",
     oracle=f"""
     WITH {_PS_CTE},
