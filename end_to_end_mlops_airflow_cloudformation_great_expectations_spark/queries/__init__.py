@@ -37,6 +37,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 )
 from . import sqlfront_tpch  # noqa: F401  (after tpch_extra — reuses its oracles)
 from . import tpch_partsupp  # noqa: F401  (literal shapes over derived partsupp)
+from . import staged_r14  # noqa: F401  (round-8 continuation batch)
 from .registry import ORACLES, QUERIES
 
 #: First 50 = the driver's observed CORRECTNESS window. ROUND-8
