@@ -301,6 +301,11 @@ HEADLINE = [
     "p_user_erasure",
     # r08: GX expectation suite over the derived partsupp (A13 role)
     "a13b_partsupp_expectations",
+    # r08: nonparametric/sequential statistics over the daily series
+    "a_kendall_tau",
+    "a_durbin_watson",
+    "a_runs_test",
+    "a_hodges_lehmann",
 ]
 
 
