@@ -306,6 +306,11 @@ HEADLINE = [
     "a_durbin_watson",
     "a_runs_test",
     "a_hodges_lehmann",
+    # r08: rank tests / survival comparison / graph transitivity
+    "a_kruskal_wallis",
+    "a_xicor",
+    "a_log_rank",
+    "g_clustering_coefficient",
 ]
 
 

@@ -1982,7 +1982,12 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = o.join(
+    # PIN the fact-fact edge build merge-side (banked broadcast-OOM
+    # lesson): the 2-column orders projection sits under Spark's
+    # static broadcast estimate at the 100x/4 GB stress point and the
+    # unpinned join OOMs building the hash side (observed live via
+    # the same-shaped g_clustering_coefficient).
+    pairs = o.hint("merge").join(
         l, o["o_orderkey"] == l["l_orderkey"]
     ).select(
         (F.col("o_custkey") % 50).alias("src"),

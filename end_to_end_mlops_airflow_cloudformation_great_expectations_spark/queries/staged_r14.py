@@ -412,3 +412,430 @@ def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hl_x4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_kruskal_wallis — rank-based k-group test (ANOVA's nonparametric twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_kruskal_wallis",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderpriority,
+                                o_orderkey) AS i
+      FROM orders
+    ), mids AS (
+      SELECT grp,
+             (CAST(MIN(i) OVER (PARTITION BY v) AS DOUBLE)
+              + MAX(i) OVER (PARTITION BY v)) / 2 AS mid,
+             CAST(COUNT(*) OVER (PARTITION BY v) AS DOUBLE) AS t
+      FROM ranked
+    ), g AS (
+      SELECT grp, COUNT(*) AS nj, SUM(mid) AS rj,
+             SUM(t * t - 1) AS tie3
+      FROM mids GROUP BY grp
+    ), tot AS (
+      SELECT COUNT(*) AS k, SUM(nj) AS n,
+             SUM(rj * rj / nj) AS s, SUM(tie3) AS tie3
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           ROUND(12.0 / (n * (n + 1)) * s - 3 * (n + 1), 6) AS h,
+           ROUND((12.0 / (n * (n + 1)) * s - 3 * (n + 1))
+                 / (1 - tie3 / (CAST(n AS DOUBLE) * n * n - n)), 6)
+             AS h_corrected
+    FROM tot
+    """,
+)
+def a_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across the 5 order priorities — the k-group
+    rank test completing the nonparametric battery (a_mannwhitney_u
+    is its k=2 special case; a_anova_oneway its parametric twin):
+    the "do ANY of the k segments differ?" gate that doesn't care
+    about the heavy right tail order values actually have.
+
+    Machinery is a_mannwhitney_u's verbatim: pooled global ranks via
+    the distributed rank-attach (range partition + offsets — never a
+    corpus-wide single-task window), textbook MIDRANKS via the
+    per-value tie window, tie-corrected H' = H/(1 − Σ(t³−t)/(n³−n)).
+    Midrank sums are exact-dyadic (halves), so the group sums are
+    order-independent; H is a ratio of big moment sums (ROUND 6, the
+    a_anova_oneway convention — its rational denominator is huge, so
+    the half-grid flip the Brier lesson guards against cannot arise).
+
+    Scale: one fact scan → rank attach (2 shuffles) → 5-row reduce."""
+    from ..operators.ranks import attach_global_ranks as _agr
+
+    o = _t(spark, sf_dir, "orders")
+    pooled = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    ranked = _agr(
+        pooled,
+        sort_cols=[F.asc("v"), F.asc("grp"), F.asc("o_orderkey")],
+        key_cols=[F.col("v"), F.col("grp"), F.col("o_orderkey")],
+        rn_col="i",
+    )
+    wv = Window.partitionBy("v")
+    mids = ranked.select(
+        "grp",
+        (
+            (F.min("i").over(wv).cast("double") + F.max("i").over(wv)) / 2
+        ).alias("mid"),
+        F.count("*").over(wv).cast("double").alias("t"),
+    )
+    g = mids.groupBy("grp").agg(
+        F.count("*").alias("nj"),
+        F.sum("mid").alias("rj"),
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum(F.col("rj") * F.col("rj") / F.col("nj")).alias("s"),
+        F.sum("tie3").alias("tie3"),
+    )
+    h = 12.0 / (F.col("n") * (F.col("n") + 1)) * F.col("s") - 3 * (
+        F.col("n") + 1
+    )
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(h, 6).alias("h"),
+        F.round(
+            h
+            / (
+                1
+                - F.col("tie3")
+                / (
+                    F.col("n").cast("double") * F.col("n") * F.col("n")
+                    - F.col("n")
+                )
+            ),
+            6,
+        ).alias("h_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_xicor — Chatterjee's ξ (directional dependence, integers-only ship)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_xicor",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    rk AS (
+      SELECT day, cnt,
+             COUNT(*) OVER (ORDER BY xc RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS r,
+             COUNT(*) OVER (ORDER BY xc DESC RANGE BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS l,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ), seq AS (
+      SELECT r - LAG(r) OVER (ORDER BY cnt, day) AS dr, l, n
+      FROM rk
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(2 * SUM(l * (n - l)) - MAX(n) * SUM(ABS(dr)) AS BIGINT)
+             AS xi_num,
+           CAST(2 * SUM(l * (n - l)) AS BIGINT) AS xi_den
+    FROM seq
+    """,
+)
+def a_xicor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ (2020) of daily revenue AS A FUNCTION OF daily
+    activity — the modern DIRECTIONAL dependence coefficient that
+    completes the correlation family: Pearson (linear), Spearman/
+    Kendall (monotone), ξ (arbitrary measurable dependence — ξ→1 iff
+    y is a function of x, and ξ(x,y) ≠ ξ(y,x) by design). The
+    tie-general form ξ = 1 − n·Σ|r_{i+1}−r_i| / (2·Σ l_i(n−l_i)),
+    rows sequenced by x (deterministic day tie-break; the classic
+    construction randomizes — an engine must not), r_i = #{y_j ≤
+    y_i}, l_i = #{y_j ≥ y_i} via RANGE-frame count windows.
+
+    Integers-only ship (band-grid endgame): ξ is a small-denominator
+    rational, exactly the shape that produced live half-grid flips —
+    so the output is the exact BIGINT pair (xi_num, xi_den) with
+    ξ = xi_num/xi_den, never the float.
+
+    Scale: one fact scan → bounded daily table; every window runs on
+    ≤ ~2.6k rows under the constant partition key."""
+    d = _daily(spark, sf_dir)
+    k = constant_partition_key(F.col("day"))
+    w_r = Window.partitionBy(k).orderBy("xc").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_l = Window.partitionBy(k).orderBy(F.col("xc").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_n = Window.partitionBy(k).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = d.select(
+        "day",
+        "cnt",
+        F.count("*").over(w_r).alias("r"),
+        F.count("*").over(w_l).alias("l"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    w_seq = Window.partitionBy(constant_partition_key(F.col("cnt"))).orderBy(
+        "cnt", "day"
+    )
+    seq = rk.select(
+        (F.col("r") - F.lag("r").over(w_seq)).alias("dr"),
+        "l",
+        "n",
+    )
+    return seq.agg(
+        F.max("n").cast("long").alias("n_days"),
+        (
+            2 * F.sum(F.col("l") * (F.col("n") - F.col("l")))
+            - F.max("n") * F.sum(F.abs("dr"))
+        )
+        .cast("long")
+        .alias("xi_num"),
+        (2 * F.sum(F.col("l") * (F.col("n") - F.col("l"))))
+        .cast("long")
+        .alias("xi_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_log_rank — two-group survival comparison (Mantel-Cox)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_log_rank",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600) AS BIGINT)
+               AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), cut AS (
+      SELECT MAX(ts) AS mx FROM events
+    ), lab AS (
+      SELECT s.dur, s.user_id % 2 = 1 AS g1,
+             (EPOCH(cut.mx) - EPOCH(s.last_ts)) >= 6 * 3600 AS observed
+      FROM span s CROSS JOIN cut
+    ), per AS (
+      SELECT dur,
+             COUNT(*) AS c,
+             SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+             SUM(CASE WHEN observed AND g1 THEN 1 ELSE 0 END) AS d1
+      FROM lab GROUP BY dur
+    ), risk AS (
+      SELECT dur, d, d1,
+             SUM(c) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+             SUM(c1) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_risk
+      FROM per
+    )
+    SELECT dur AS dur_h,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n1_risk AS BIGINT) AS n1_risk,
+           CAST(d AS BIGINT) AS d, CAST(d1 AS BIGINT) AS d1,
+           ROUND(SUM(d1 - CAST(n1_risk AS DOUBLE) * d / n_risk)
+                   OVER w, 6) AS cum_oe,
+           ROUND(SUM(CASE WHEN n_risk > 1 THEN
+                   CAST(n1_risk AS DOUBLE) * (n_risk - n1_risk) * d
+                   * (n_risk - d)
+                   / (CAST(n_risk AS DOUBLE) * n_risk * (n_risk - 1))
+                 ELSE 0 END) OVER w, 6) AS cum_var
+    FROM risk WHERE d > 0
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel–Cox) two-group survival comparison over the
+    SAME censored-lifetime construction as a_survival_km /
+    a_nelson_aalen, groups = user-id parity (the deterministic stand-
+    in for an A/B assignment): at each distinct lifetime with deaths,
+    the hypergeometric observed-minus-expected increment
+    d1 − n1·d/n and its variance n1(n−n1)d(n−d)/(n²(n−1)), emitted as
+    ORDER-sequenced running sums (deterministic float — never an
+    unordered reduce; the nelson_aalen convention). The final row's
+    cum_oe²/cum_var is the χ²₁ statistic; emitting the whole step
+    table keeps every increment auditable.
+
+    Integer core: d/d1/n_risk/n1_risk are EXACT BIGINTs from one
+    events scan + a descending cumulative window over the bounded
+    distinct-lifetime table.
+
+    Scale: one fact scan to per-user spans (groupBy user_id), then
+    constant-key windows over ≤ ~720 distinct lifetimes."""
+    k_ = constant_partition_key
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 3600
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    cut = e.agg(F.max("ts").alias("mx"))
+    lab = span.crossJoin(F.broadcast(cut)).select(
+        "dur",
+        (F.col("user_id") % 2 == 1).alias("g1"),
+        (
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+            >= 6 * 3600
+        ).alias("observed"),
+    )
+    per = lab.groupBy("dur").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("observed") & F.col("g1"), 1).otherwise(0)).alias(
+            "d1"
+        ),
+    )
+    w_desc = (
+        Window.partitionBy(k_(F.col("dur")))
+        .orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.select(
+        "dur",
+        "d",
+        "d1",
+        F.sum("c").over(w_desc).alias("n_risk"),
+        F.sum("c1").over(w_desc).alias("n1_risk"),
+    ).filter(F.col("d") > 0)
+    w_asc = (
+        Window.partitionBy(k_(F.col("dur")))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    oe = F.col("d1") - F.col("n1_risk").cast("double") * F.col("d") / F.col(
+        "n_risk"
+    )
+    var = F.when(
+        F.col("n_risk") > 1,
+        F.col("n1_risk").cast("double")
+        * (F.col("n_risk") - F.col("n1_risk"))
+        * F.col("d")
+        * (F.col("n_risk") - F.col("d"))
+        / (
+            F.col("n_risk").cast("double")
+            * F.col("n_risk")
+            * (F.col("n_risk") - 1)
+        ),
+    ).otherwise(0.0)
+    return risk.select(
+        F.col("dur").alias("dur_h"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n1_risk").cast("long").alias("n1_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("d1").cast("long").alias("d1"),
+        F.round(F.sum(oe).over(w_asc), 6).alias("cum_oe"),
+        F.round(F.sum(var).over(w_asc), 6).alias("cum_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_clustering_coefficient — global transitivity as exact integers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(o_custkey % 50, l_suppkey % 50) AS lo,
+                      GREATEST(o_custkey % 50, l_suppkey % 50) AS hi
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 50 <> l_suppkey % 50
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e ab
+      JOIN e bc ON ab.hi = bc.lo
+      JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    ), deg AS (
+      SELECT v, COUNT(*) AS dg FROM (
+        SELECT lo AS v FROM e UNION ALL SELECT hi AS v FROM e
+      ) GROUP BY v
+    ), wdg AS (
+      SELECT SUM(dg * (dg - 1) / 2) AS w,
+             COUNT(*) AS n_vertices
+      FROM deg
+    )
+    SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(3 * t AS BIGINT) AS closed_wedges,
+           CAST(w AS BIGINT) AS wedges
+    FROM tri CROSS JOIN wdg
+    """,
+)
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the
+    g_triangle_count co-occurrence graph: C = 3·triangles / wedges,
+    shipped as the EXACT integer pair (closed_wedges, wedges) — C is
+    a small-denominator rational, the exact shape the Brier half-grid
+    lesson bans from ROUND, so the division is left to the consumer
+    (band-grid endgame: ship the integers). Completes the graph-
+    quality family: g_modularity scores a partition, this scores the
+    topology's triangle density (small-world-ness).
+
+    Triangles reuse operators/graph.triangle_count (low→high oriented
+    edges ⇒ each triangle counted once, fan-out bounded by oriented
+    degree); wedges = Σ C(deg,2) from one degree aggregate over the
+    distinct edge set.
+
+    Scale: one fact-fact join builds the edge list (shuffle on
+    orderkey); everything after runs on the DISTINCT bucket-graph
+    (vertex-bounded). Real id-level graphs swap the bucket mod for
+    the raw key — the plan shape is unchanged."""
+    from ..operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Fact-fact edge build: PIN merge-side (banked broadcast-OOM
+    # lesson — a 2-column projection of a corpus-scaled fact sits
+    # under Spark's static broadcast estimate; at the 100x/4 GB
+    # stress point the unpinned join OOM'd building the hash side).
+    pairs = o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") % 50).alias("src"),
+        (F.col("l_suppkey") % 50).alias("dst"),
+    )
+    edges = (
+        pairs.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    tri = triangle_count(pairs).select(
+        F.col("n_triangles").cast("long").alias("t")
+    )
+    deg = (
+        edges.select(F.col("lo").alias("v"))
+        .unionAll(edges.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("dg"))
+    )
+    wdg = deg.agg(
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).alias("w"),
+        F.count("*").alias("n_vertices"),
+    )
+    return tri.crossJoin(F.broadcast(wdg)).select(
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+        (3 * F.col("t")).cast("long").alias("closed_wedges"),
+        F.col("w").cast("long").alias("wedges"),
+    )

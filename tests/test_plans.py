@@ -705,3 +705,16 @@ def test_capped_probe_window_is_probe_partitioned(spark, tmp_path):
         raise AssertionError(f"single-partition window in probe plan: {m.group(0)}")
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_graph_edge_builds_never_broadcast(spark):
+    """g_triangle_count / g_clustering_coefficient: the fact-fact
+    edge build (orders x lineitem on orderkey) is pinned merge-side.
+    At the 100x/4GB stress point the unpinned join broadcast the
+    2-column orders projection (under the static size estimate) and
+    OOM'd building the hash side — the ALS broadcast-OOM lesson
+    extended to graph edge builds."""
+    for name in ("g_triangle_count", "g_clustering_coefficient"):
+        plan = explain.physical_plan(QUERIES[name](spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") == 0, (name, plan)
+        assert "SortMergeJoin" in plan, (name, plan)
