@@ -311,6 +311,11 @@ HEADLINE = [
     "a_xicor",
     "a_log_rank",
     "g_clustering_coefficient",
+    # r08: multiple testing / calibration / privacy / closed-form trainer
+    "a_benjamini_hochberg",
+    "p_l_diversity",
+    "a_isotonic_calibration",
+    "train_ridge_closed",
 ]
 
 

@@ -120,3 +120,51 @@ def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
             .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
         )
     return key
+
+
+def portable_arm(key: Column) -> Column:
+    """Engine-portable pseudo-random BINARY assignment in {0, 1} that
+    stays decorrelated across SHIFTED keys (key + stride·b) — the
+    primitive permutation/randomization tests need.
+
+    ``portable_bucket(key, 2)`` is NOT usable for that: the bucket is
+    the low bit of a purely MULTIPLICATIVE map k·A mod 2^32, and
+    multiplying by odd A preserves parity — so bucket(k, 2) ≡ k mod 2,
+    and re-assignments drawn at stride offsets (k + s·b) are exact
+    whole-cohort sign flips (found live: a permutation "null
+    distribution" that was {±d_obs} with every |d_b| = |d_obs|).
+    Power-of-two moduli of a linear map inherit the key's low-bit
+    structure in general; non-power-of-two widths (splits, sampling,
+    CMS cells) are unaffected.
+
+    Fix: a MIDDLE-SQUARE round on top of the multiplicative mix —
+    h = k·A mod 2^32, m = middle 32 bits of h², arm = bit 20 of m.
+    The squaring is the portable nonlinearity (overflow-free via the
+    same hi/lo 16-bit decomposition; every intermediate < 2^49), and
+    bit 20 sits deep enough that carries have fully mixed. Measured
+    on the fixture id range: 0 identical user patterns across 101
+    stride draws, per-draw balance binomial, ~50% overlap between
+    any two draws."""
+    km = F.pmod(key.cast("long"), F.lit(M32))
+    lo = F.pmod(km, F.lit(65536))
+    hi = ((km - lo) / F.lit(65536)).cast("long")
+    h1 = F.pmod(
+        F.pmod(hi * F.lit(KNUTH), F.lit(M32)) * F.lit(65536)
+        + lo * F.lit(KNUTH),
+        F.lit(M32),
+    )
+    alo = F.pmod(h1, F.lit(65536))
+    ahi = ((h1 - alo) / F.lit(65536)).cast("long")
+    sq_lo = alo * alo
+    m = F.pmod(
+        ahi * ahi * F.lit(65536)
+        + F.lit(2) * ahi * alo
+        + ((sq_lo - F.pmod(sq_lo, F.lit(65536))) / F.lit(65536)).cast(
+            "long"
+        ),
+        F.lit(M32),
+    )
+    return F.pmod(
+        ((m - F.pmod(m, F.lit(1048576))) / F.lit(1048576)).cast("long"),
+        F.lit(2),
+    )

@@ -165,3 +165,40 @@ def k_anonymity_report(df: DataFrame, qi_cols: list, k: int) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("n").cast("long").alias("min_group_size"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame, qi_cols: list, sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's successor (Machanavajjhala
+    et al. 2007): a QI group can satisfy k-anonymity yet leak the
+    sensitive attribute outright when all k rows SHARE one sensitive
+    value (the homogeneity attack). Distinct-l requires every
+    quasi-identifier group to contain ≥ l distinct sensitive values.
+
+    Returns one row: total QI groups, groups whose sensitive-value
+    diversity is below ``l``, the row count inside those leaky
+    groups, and the dataset's actual minimum diversity. All counts
+    integer-exact (deterministic audit, the k_anonymity_report
+    discipline).
+
+    Scale shape: one exact two-level aggregate — countDistinct over
+    the QI tuple (expand/re-shuffle bounded by the QI×sensitive
+    domain product, not row count) + a 1-row reduce."""
+    from pyspark.sql import functions as F
+
+    groups = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive_col).alias("l_div"),
+    )
+    return groups.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("l_div") < l).cast("long"))
+        .cast("long")
+        .alias("groups_below_l"),
+        F.sum(F.when(F.col("l_div") < l, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("l_div").cast("long").alias("min_diversity"),
+    )

@@ -3791,19 +3791,35 @@ _PERM_B = 100
 _PERM_STRIDE = 7919  # prime stride decorrelates the B hash assignments
 
 
-def _perm_flag_sql(b: int) -> str:
-    return (
-        _cms_oracle_bucket_sql("user_id", _DID_SEED + _PERM_STRIDE * b, 2)
-        + " = 1"
+def _arm_oracle_sql(expr: str, seed: int) -> str:
+    """DuckDB replay of functions.columns.portable_arm for
+    ``expr + seed`` — the middle-square binary assignment. NOT
+    _cms_oracle_bucket_sql(..., 2): the multiplicative hash's low bit
+    is the key's PARITY (odd multiplier, power-of-two modulus), so
+    stride-shifted "re-assignments" were exact whole-cohort sign
+    flips and the permutation null was the degenerate {±d_obs}
+    (found live; see portable_arm's docstring). The squaring round
+    is the portable nonlinearity; bit 20 of the middle word is the
+    arm."""
+    km = f"(({expr}) + {seed}) % 4294967296"
+    h1 = (
+        f"(((({km}) - ({km}) % 65536) // 65536 * 2654435761 % 4294967296"
+        f" * 65536 + ({km}) % 65536 * 2654435761) % 4294967296)"
     )
+    m = (
+        f"(({h1} // 65536) * ({h1} // 65536) * 65536"
+        f" + 2 * ({h1} // 65536) * ({h1} % 65536)"
+        f" + ({h1} % 65536) * ({h1} % 65536) // 65536) % 4294967296"
+    )
+    return f"(({m}) // 1048576) % 2"
 
 
 def _perm_oracle() -> str:
-    # seeded per-permutation hash: pass the stride term INSIDE the
+    # seeded per-permutation arm: pass the stride term INSIDE the
     # expression (no post-hoc string surgery on the hash body — the
     # _cms helper's own warning)
-    bucket = _cms_oracle_bucket_sql(
-        f"u.user_id + {_PERM_STRIDE} * g.b", _DID_SEED, 2
+    bucket = _arm_oracle_sql(
+        f"u.user_id + {_PERM_STRIDE} * g.b", _DID_SEED
     )
     return f"""
     WITH u AS (
@@ -3837,8 +3853,13 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation test for the treatment lift — the p-VALUE
     companion to a_bootstrap_ci's interval (the two pillars of
     resampling inference, both with DETERMINISTIC portable-hash
-    randomness): B=100 hash re-assignments of users to arms (prime
-    stride decorrelates them; b=0 is the observed assignment), the
+    randomness): B=100 re-assignments of users to arms via the
+    MIDDLE-SQUARE arm (functions.columns.portable_arm; b=0 is the
+    observed assignment — the first formulation drew arms from
+    portable_bucket(k, 2), whose low bit is the key's PARITY, so
+    every stride-shifted "permutation" was a whole-cohort sign flip
+    and the null was the degenerate {±d_obs}; found live, fixed by
+    the squaring nonlinearity), the
     null distribution of mean differences from ONE wide
     conditional-sum scan over the per-user money-grid outcomes, and
     the two-sided exceedance count n_extreme — the p-value is
@@ -3854,7 +3875,7 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen. EXPLODING to (user × b) narrow rows and grouping by b
     is 12x faster (1.44 s) and flat 10x→100x: user-grain scan →
     explode(B+1) → one narrow groupBy(b) → 101-row arithmetic."""
-    from ..functions.columns import portable_bucket
+    from ..functions.columns import portable_arm
 
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("y"))
@@ -3866,11 +3887,10 @@ def a_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "y",
         (
-            portable_bucket(
+            portable_arm(
                 F.col("user_id")
                 + F.lit(_DID_SEED)
-                + F.lit(_PERM_STRIDE) * F.col("b"),
-                2,
+                + F.lit(_PERM_STRIDE) * F.col("b")
             )
             == 1
         ).alias("t"),

@@ -839,3 +839,461 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         (3 * F.col("t")).cast("long").alias("closed_wedges"),
         F.col("w").cast("long").alias("wedges"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_benjamini_hochberg — FDR control over the per-segment test battery
+# ---------------------------------------------------------------------------
+
+_BH_B = 100  # permutations per segment (b=0 = observed assignment)
+_BH_SEED = 99  # a_permutation_test's seed — same portable hash family
+_BH_STRIDE = 7919  # prime stride decorrelating the B assignments
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 10  # alpha = 0.10
+
+
+def _bh_oracle() -> str:
+    from .staged_r12 import _arm_oracle_sql
+
+    bucket = _arm_oracle_sql(f"u.user_id + {_BH_STRIDE} * g.b", _BH_SEED)
+    return f"""
+    WITH u AS (
+      SELECT user_id, event_type, ROUND(SUM(value), 2) AS y
+      FROM events GROUP BY 1, 2
+    ), expanded AS (
+      SELECT g.b, u.event_type, u.y, ({bucket}) = 1 AS t
+      FROM u CROSS JOIN generate_series(0, {_BH_B}) AS g(b)
+    ), arms AS (
+      SELECT event_type, b,
+             SUM(CASE WHEN t THEN y ELSE 0 END)
+               / SUM(CASE WHEN t THEN 1 ELSE 0 END)
+             - SUM(CASE WHEN NOT t THEN y ELSE 0 END)
+               / SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS d
+      FROM expanded GROUP BY 1, 2
+    ), obs AS (
+      SELECT event_type, d AS d0 FROM arms WHERE b = 0
+    ), pv AS (
+      SELECT a.event_type,
+             1 + SUM(CASE WHEN ABS(a.d) >= ABS(o.d0) THEN 1 ELSE 0 END)
+               AS p_num
+      FROM arms a JOIN obs o USING (event_type)
+      WHERE a.b > 0 GROUP BY 1
+    ), rk AS (
+      SELECT event_type, p_num,
+             ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS k,
+             COUNT(*) OVER () AS m
+      FROM pv
+    )
+    SELECT event_type,
+           CAST(p_num AS BIGINT) AS p_num,
+           CAST({_BH_B} + 1 AS BIGINT) AS p_den,
+           CAST(k AS BIGINT) AS bh_rank,
+           MAX(CASE WHEN p_num * m * {_BH_ALPHA_DEN}
+                         <= ({_BH_B} + 1) * k * {_BH_ALPHA_NUM}
+                    THEN 1 ELSE 0 END)
+             OVER (ORDER BY k DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             AS rejected
+    FROM rk
+    """
+
+
+@query("a_benjamini_hochberg", oracle=_bh_oracle())
+def a_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the per-event-type
+    treatment-lift battery — the MULTIPLE-TESTING layer every
+    metrics platform needs on top of its per-segment tests (run m
+    tests at α and ~mα segments "win" by luck; BH caps the expected
+    false-discovery RATE at α instead).
+
+    Fully integer inference: per-segment p-values are permutation
+    exceedance rationals (1 + #{|d_b| ≥ |d_obs|})/(B+1) with the
+    a_permutation_test machinery (middle-square portable_arm
+    re-assignments — NOT portable_bucket(k,2), whose low bit is the
+    key's parity and degenerates stride permutations to sign flips;
+    narrow explode + groupBy(b) per the banked wide-aggregate
+    codegen lesson), and the BH step-up comparison
+    p_(k) ≤ k·α/m runs as the INTEGER cross-multiplication
+    p_num·m·10 ≤ (B+1)·k — no float p-values anywhere. The step-up
+    ("reject everything ranked below the LARGEST k that passes") is
+    a suffix-max window over the m-row p-value table.
+
+    Scale: user×type-grain outcomes (one fact scan), ×(B+1) narrow
+    explode, one groupBy(type, b) — flat in corpus size after the
+    scan; the BH table is m rows."""
+    from ..functions.columns import portable_arm
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("y")
+    )
+    expanded = u.select(
+        "event_type",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BH_B))).alias("b"),
+        F.col("user_id"),
+    ).select(
+        "event_type",
+        "b",
+        "y",
+        (
+            portable_arm(
+                F.col("user_id")
+                + F.lit(_BH_SEED)
+                + F.lit(_BH_STRIDE) * F.col("b")
+            )
+            == 1
+        ).alias("t"),
+    )
+    arms = expanded.groupBy("event_type", "b").agg(
+        (
+            F.sum(F.when(F.col("t"), F.col("y")).otherwise(0.0))
+            / F.sum(F.when(F.col("t"), 1).otherwise(0))
+            - F.sum(F.when(~F.col("t"), F.col("y")).otherwise(0.0))
+            / F.sum(F.when(~F.col("t"), 1).otherwise(0))
+        ).alias("d")
+    )
+    obs = arms.filter(F.col("b") == 0).select(
+        "event_type", F.col("d").alias("d0")
+    )
+    pv = (
+        arms.filter(F.col("b") > 0)
+        .join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.abs(F.col("d")) >= F.abs(F.col("d0")), 1
+                    ).otherwise(0)
+                )
+            ).alias("p_num")
+        )
+    )
+    k_ = constant_partition_key(F.col("event_type"))
+    w_rank = Window.partitionBy(k_).orderBy("p_num", "event_type")
+    w_m = Window.partitionBy(k_).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rk = pv.select(
+        "event_type",
+        "p_num",
+        F.row_number().over(w_rank).alias("k"),
+        F.count("*").over(w_m).alias("m"),
+    )
+    w_suffix = (
+        Window.partitionBy(constant_partition_key(F.col("event_type")))
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    passes = F.when(
+        F.col("p_num") * F.col("m") * _BH_ALPHA_DEN
+        <= (_BH_B + 1) * F.col("k") * _BH_ALPHA_NUM,
+        1,
+    ).otherwise(0)
+    return rk.select(
+        "event_type",
+        F.col("p_num").cast("long").alias("p_num"),
+        F.lit(_BH_B + 1).cast("long").alias("p_den"),
+        F.col("k").cast("long").alias("bh_rank"),
+        (F.max(passes).over(w_suffix) == 1).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_l_diversity — sensitive-attribute diversity audit (k-anonymity's successor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+               AS l_div
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(3 AS BIGINT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(SUM(CASE WHEN l_div < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(l_div) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+)
+def p_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit (operators/expectations.
+    l_diversity_report) over the released-customer shape: QI =
+    (nation, market segment), sensitive attribute = account-balance
+    band. Completes the privacy battery's deficiency ladder —
+    a_k_anonymity catches SMALL groups, this catches HOMOGENEOUS ones
+    (k rows that all share the sensitive value leak it to anyone who
+    can place a person in the group), p_dp_noised_counts protects the
+    release itself, p_user_erasure audits deletion.
+
+    Integer-exact counts (deterministic audit); one two-level
+    aggregate whose cardinality is bounded by the QI×sensitive domain
+    product, never the row count."""
+    from ..operators.expectations import l_diversity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return l_diversity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", l=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_isotonic_calibration — PAVA via the max-min interval-average identity
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_oracle() -> str:
+    from .staged_r10 import _CAL_BINS, _SCORES_CTE
+
+    return f"""
+    WITH {_SCORES_CTE},
+    p AS (
+      SELECT is_pos, ROUND((score + 1.0) / 2.0, 6) AS p FROM scores
+    ), bins AS (
+      SELECT CAST(LEAST(FLOOR(p * {_CAL_BINS}), {_CAL_BINS - 1}) AS BIGINT)
+               AS bin,
+             COUNT(*) AS n, SUM(is_pos) AS y
+      FROM p GROUP BY 1
+    ), c AS (
+      SELECT bin, n, y,
+             ROW_NUMBER() OVER (ORDER BY bin) AS idx,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(y) OVER (ORDER BY bin) AS cy
+      FROM bins
+    ), iv AS (
+      SELECT a.idx AS i, b.idx AS j,
+             b.cy - a.cy + a.y AS num,
+             b.cn - a.cn + a.n AS den
+      FROM c a JOIN c b ON b.idx >= a.idx
+    ), kx AS (
+      SELECT k.idx AS kidx, iv.i, iv.num, iv.den,
+             CAST(iv.num AS DOUBLE) / iv.den AS avgv
+      FROM iv JOIN c k ON k.idx BETWEEN iv.i AND iv.j
+    ), mn AS (
+      SELECT kidx, i, num, den, avgv FROM kx
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY kidx, i
+                                 ORDER BY avgv, num, den) = 1
+    ), mx AS (
+      SELECT kidx, num, den, avgv FROM mn
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY kidx
+                                 ORDER BY avgv DESC, num DESC, den DESC) = 1
+    )
+    SELECT c.bin,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.y AS BIGINT) AS n_pos,
+           CAST(mx.num AS BIGINT) AS fit_num,
+           CAST(mx.den AS BIGINT) AS fit_den,
+           COALESCE(mx.num * LAG(mx.den) OVER w
+                    >= LAG(mx.num) OVER w * mx.den, TRUE) AS mono_ok
+    FROM c JOIN mx ON mx.kidx = c.idx
+    WINDOW w AS (ORDER BY c.bin)
+    """
+
+
+@query("a_isotonic_calibration", oracle=_isotonic_oracle())
+def a_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the centroid scorer — the
+    nonparametric alternative to Platt scaling and the standard
+    production calibrator: fit the best MONOTONE step function from
+    the a_calibration_bins reliability table. Implemented via the
+    closed-form max-min identity — fitted value at bin k =
+    max_{i≤k} min_{j≥k} avg(i..j) — which turns the inherently
+    sequential pool-adjacent-violators sweep into a relational
+    B³-interval enumeration (B = 10 bins ⇒ ≤ 1000 rows): the shape a
+    distributed engine wants.
+
+    Exactness: interval averages are exact integer fractions
+    (num = positives, den = rows in bins i..j); min/max selection
+    compares the DOUBLE quotient (identical integers ⇒ identical
+    IEEE quotient cross-engine) with (num, den) completing a total
+    order; the OUTPUT is the selected interval's exact integer pair
+    (fit_num, fit_den) — a small-denominator rational, never shipped
+    as a rounded float (band-grid endgame). mono_ok cross-multiplies
+    integers (no float compare): non-decreasing fits, all TRUE.
+
+    Scale: two corpus scans (centroid fit + scoring — the pinned
+    emb_centroid_classify shape), one 10-row reliability aggregate;
+    the PAVA enumeration is corpus-independent."""
+    from .staged_r10 import _CAL_BINS, _centroid0_scores
+
+    scored = _centroid0_scores(spark, sf_dir)
+    p = F.round((F.col("score") + 1.0) / 2.0, 6)
+    bins = (
+        scored.select(
+            F.least(F.floor(p * _CAL_BINS), F.lit(_CAL_BINS - 1))
+            .cast("long")
+            .alias("bin"),
+            "is_pos",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("is_pos").alias("y"))
+    )
+    kb = constant_partition_key(F.col("bin"))
+    w_ord = Window.partitionBy(kb).orderBy("bin")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = bins.select(
+        "bin",
+        "n",
+        "y",
+        F.row_number().over(w_ord).alias("idx"),
+        F.sum("n").over(w_run).alias("cn"),
+        F.sum("y").over(w_run).alias("cy"),
+    )
+    a, b, kk = c.alias("a"), c.alias("b"), c.alias("k")
+    iv = a.join(
+        F.broadcast(b), F.col("b.idx") >= F.col("a.idx")
+    ).select(
+        F.col("a.idx").alias("i"),
+        F.col("b.idx").alias("j"),
+        (F.col("b.cy") - F.col("a.cy") + F.col("a.y")).alias("num"),
+        (F.col("b.cn") - F.col("a.cn") + F.col("a.n")).alias("den"),
+    )
+    kx = iv.join(
+        F.broadcast(kk.select(F.col("idx").alias("kidx"))),
+        (F.col("kidx") >= F.col("i")) & (F.col("kidx") <= F.col("j")),
+    ).select(
+        "kidx",
+        "i",
+        F.struct(
+            (F.col("num").cast("double") / F.col("den")).alias("avgv"),
+            F.col("num").alias("num"),
+            F.col("den").alias("den"),
+        ).alias("cand"),
+    )
+    mn = kx.groupBy("kidx", "i").agg(F.min("cand").alias("best"))
+    mx = mn.groupBy("kidx").agg(F.max("best").alias("fit"))
+    out = c.join(
+        F.broadcast(mx), F.col("idx") == F.col("kidx")
+    ).select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("y").cast("long").alias("n_pos"),
+        F.col("fit.num").cast("long").alias("fit_num"),
+        F.col("fit.den").cast("long").alias("fit_den"),
+    )
+    w_lag = Window.partitionBy(constant_partition_key(F.col("bin"))).orderBy(
+        "bin"
+    )
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        "fit_num",
+        "fit_den",
+        F.coalesce(
+            F.col("fit_num") * F.lag("fit_den").over(w_lag)
+            >= F.lag("fit_num").over(w_lag) * F.col("fit_den"),
+            F.lit(True),
+        ).alias("mono_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train_ridge_closed — closed-form ridge regression (normal equations)
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000.0
+
+
+@query(
+    "train_ridge_closed",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             SUM(l_quantity) AS s1, SUM(l_discount) AS s2,
+             SUM(l_extendedprice) AS sy,
+             SUM(l_quantity * l_quantity) AS s11,
+             SUM(l_discount * l_discount) AS s22,
+             SUM(l_quantity * l_discount) AS s12,
+             SUM(l_quantity * l_extendedprice) AS s1y,
+             SUM(l_discount * l_extendedprice) AS s2y
+      FROM lineitem
+    ), cent AS (
+      SELECT n, s1, s2, sy,
+             s11 - s1 * s1 / n + {_RIDGE_LAMBDA} AS c11,
+             s22 - s2 * s2 / n + {_RIDGE_LAMBDA} AS c22,
+             s12 - s1 * s2 / n AS c12,
+             s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((c1y * c22 - c12 * c2y) / (c11 * c22 - c12 * c12), 4)
+             AS w_quantity,
+           ROUND((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 4)
+             AS w_discount,
+           ROUND((sy - (c1y * c22 - c12 * c2y) / (c11 * c22 - c12 * c12)
+                     * s1
+                     - (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)
+                     * s2) / n, 4) AS intercept
+    FROM cent
+    """,
+)
+def train_ridge_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (L2-regularized least squares) of
+    line revenue on (quantity, discount) via the centered normal
+    equations — the CLOSED-FORM linear trainer completing the family
+    spectrum: logreg/quantile-reg iterate (lazy GD fixpoints), ALS
+    alternates, this one is one moment scan + a 2×2 Cramer solve.
+    λ = {lam} on the centered-covariance diagonal.
+
+    Determinism: the nine raw moments are big float sums (unordered
+    reduce), so the weights are ratios of big moment sums — relative
+    error ~1e-12; the intercept subtracts w·mean terms whose
+    cancellation amplifies absolute error, so outputs round at 1e-4
+    (the registry's means convention), not 1e-6; all irrational-ish
+    quotients, never grid-resident.
+
+    Scale: ONE map-side-partial fact scan to 9 cells + driver-free
+    1-row arithmetic; the d×d normal-equation generalization keeps
+    the same shape (d² moment cells, one scan) up to d ~ 10³ — past
+    that, the iterative trainers take over (the documented
+    trade-off)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("s1"),
+        F.sum("l_discount").alias("s2"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s11"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("s22"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("s12"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("s1y"),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias("s2y"),
+    )
+    lam = F.lit(_RIDGE_LAMBDA)
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n") + lam
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n") + lam
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")
+    det = c11 * c22 - c12 * c12
+    w1 = (c1y * c22 - c12 * c2y) / det
+    w2 = (c11 * c2y - c12 * c1y) / det
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(w1, 4).alias("w_quantity"),
+        F.round(w2, 4).alias("w_discount"),
+        F.round(
+            (F.col("sy") - w1 * F.col("s1") - w2 * F.col("s2")) / F.col("n"),
+            4,
+        ).alias("intercept"),
+    )
+
+
+train_ridge_closed.__doc__ = train_ridge_closed.__doc__.replace(
+    "{lam}", str(_RIDGE_LAMBDA)
+)

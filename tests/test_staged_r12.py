@@ -23,6 +23,17 @@ def _portable_bucket(key: int, n: int) -> int:
     return mixed % n
 
 
+def _portable_arm(key: int) -> int:
+    """Python replay of functions.columns.portable_arm (middle-square
+    binary assignment — bucket(k, 2) is the key's parity and must not
+    draw permutations)."""
+    h1 = _portable_bucket(key, M32)
+    alo = h1 % 65536
+    ahi = h1 // 65536
+    m = (ahi * ahi * 65536 + 2 * ahi * alo + (alo * alo) // 65536) % M32
+    return (m // 1048576) % 2
+
+
 # ---------------------------------------------------------------------------
 # g_bfs_hops
 # ---------------------------------------------------------------------------
@@ -1656,7 +1667,7 @@ def test_permutation_test_matches_python_replay(spark):
         st = sc = 0.0
         nt = nc = 0
         for u, v in y.items():
-            if _portable_bucket(u + _DID_SEED + _PERM_STRIDE * b, 2) == 1:
+            if _portable_arm(u + _DID_SEED + _PERM_STRIDE * b) == 1:
                 st += v
                 nt += 1
             else:

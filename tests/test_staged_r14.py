@@ -1,0 +1,152 @@
+"""Round-8 continuation batch: portable_arm's mixing contract (the
+permutation-degeneracy fix), PAVA/BH invariants, and the sequential
+statistics' exact-integer properties."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.functions.columns import (
+    portable_arm,
+    portable_bucket,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+    QUERIES,
+)
+from tests.conftest import SF_DIR
+
+
+def test_bucket2_is_parity_and_arm_is_not(spark):
+    """Pin the found bug AND the fix: portable_bucket(k, 2) is the
+    key's parity (odd multiplier x power-of-two modulus), so it must
+    never be used for stride-shifted re-assignments; portable_arm
+    breaks the linearity via the middle-square round."""
+    df = spark.range(0, 512).select(
+        F.col("id"),
+        portable_bucket(F.col("id"), 2).alias("b2"),
+        portable_arm(F.col("id")).alias("arm"),
+    )
+    rows = df.collect()
+    # the bug: bucket-of-2 IS parity, for every key
+    assert all(r.b2 == r.id % 2 for r in rows)
+    # the fix: the arm is NOT parity (differs on a large fraction)
+    diff = sum(1 for r in rows if r.arm != r.id % 2)
+    assert 128 < diff < 384, diff
+    # and is roughly balanced
+    ones = sum(r.arm for r in rows)
+    assert 192 < ones < 320, ones
+
+
+def test_arm_decorrelates_stride_shifts(spark):
+    """The permutation-test requirement: assignments drawn at
+    (key + stride*b) for b = 0..B must not be sign flips of each
+    other. For every pair of draws, the overlap with draw 0 must be
+    strictly between 0% and 100% (parity gave exactly 0% or 100%)."""
+    # B=32: at B=16 two user pairs legitimately collide on the full
+    # 17-bit pattern (birthday bound ~0.15 expected over 19900 pairs
+    # — a fair coin would collide too); 33 bits pushes the expected
+    # count to ~0 so dup == 0 is a meaningful mixing assertion.
+    B, users, stride = 32, 200, 7919
+    df = (
+        spark.range(0, users)
+        .select(
+            F.col("id"),
+            F.explode(F.sequence(F.lit(0), F.lit(B))).alias("b"),
+        )
+        .select(
+            "id",
+            "b",
+            portable_arm(
+                F.col("id") + F.lit(99) + F.lit(stride) * F.col("b")
+            ).alias("t"),
+        )
+    )
+    pat = {}
+    for r in df.collect():
+        pat.setdefault(r.b, {})[r.id] = r.t
+    for b in range(1, B + 1):
+        overlap = sum(
+            1 for u in range(users) if pat[0][u] == pat[b][u]
+        )
+        assert 0 < overlap < users, (b, overlap)
+        # and no draw is near-degenerate: overlap well inside (0, n)
+        assert 40 < overlap < 160, (b, overlap)
+    # no two users share their full assignment pattern
+    upat = {
+        u: tuple(pat[b][u] for b in range(B + 1)) for u in range(users)
+    }
+    dup = sum(
+        1 for a, c in itertools.combinations(range(users), 2)
+        if upat[a] == upat[c]
+    )
+    assert dup == 0, dup
+
+
+def test_permutation_null_is_not_degenerate(spark):
+    """a_permutation_test's null must be a real distribution: the
+    B permuted |d| values cannot all equal |d_obs| (the parity bug
+    made n_extreme identically B)."""
+    row = QUERIES["a_permutation_test"](spark, SF_DIR).collect()[0]
+    assert 0 <= row.n_extreme < row.b_total, row
+
+
+def test_bh_step_up_contract(spark):
+    """BH: ranks are a permutation of 1..m; rejected is DOWNWARD
+    closed in rank (if rank k is rejected, every rank < k is)."""
+    rows = sorted(
+        QUERIES["a_benjamini_hochberg"](spark, SF_DIR).collect(),
+        key=lambda r: r.bh_rank,
+    )
+    m = len(rows)
+    assert [r.bh_rank for r in rows] == list(range(1, m + 1))
+    assert all(r.p_den == 101 for r in rows)
+    assert all(1 <= r.p_num <= 101 for r in rows)
+    seen_accept = False
+    for r in rows:
+        if not r.rejected:
+            seen_accept = True
+        assert not (seen_accept and r.rejected), rows
+
+
+def test_isotonic_fit_is_monotone_and_bounded(spark):
+    """PAVA output: fitted rates non-decreasing in bin order, each
+    within [0, 1], every den > 0, and the fit preserves the total
+    (sum of fit_num/fit_den weighted by n equals total positives —
+    the PAVA mass-conservation property)."""
+    rows = sorted(
+        QUERIES["a_isotonic_calibration"](spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows, "no bins"
+    prev = None
+    total_fit = 0.0
+    total_pos = 0
+    for r in rows:
+        assert r.fit_den > 0
+        assert 0 <= r.fit_num <= r.fit_den, r
+        v = r.fit_num / r.fit_den
+        if prev is not None:
+            assert v >= prev - 1e-12, rows
+        prev = v
+        assert r.mono_ok
+        total_fit += v * r.n
+        total_pos += r.n_pos
+    assert abs(total_fit - total_pos) < 1e-6, (total_fit, total_pos)
+
+
+def test_hodges_lehmann_between_min_and_max(spark):
+    """HL estimate (hl_x4 / 4) must lie inside the daily-revenue
+    range; n_pairs = n(n+1)/2 of the daily series."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r14 import (
+        _daily,
+    )
+
+    d = _daily(spark, SF_DIR).agg(
+        F.count("*").alias("n"),
+        F.min("xc").alias("lo"),
+        F.max("xc").alias("hi"),
+    ).collect()[0]
+    row = QUERIES["a_hodges_lehmann"](spark, SF_DIR).collect()[0]
+    assert row.n_pairs == d.n * (d.n + 1) // 2
+    hl = row.hl_x4 / 4.0
+    assert d.lo <= hl <= d.hi
