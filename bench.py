@@ -316,6 +316,10 @@ HEADLINE = [
     "p_l_diversity",
     "a_isotonic_calibration",
     "train_ridge_closed",
+    # r08: blocked rank test / link analysis / text-source parity
+    "a_friedman_test",
+    "g_hits_banded",
+    "io_formats_roundtrip_checked",
 ]
 
 

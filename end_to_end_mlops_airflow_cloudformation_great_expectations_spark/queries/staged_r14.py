@@ -1297,3 +1297,326 @@ def train_ridge_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 train_ridge_closed.__doc__ = train_ridge_closed.__doc__.replace(
     "{lam}", str(_RIDGE_LAMBDA)
 )
+
+
+# ---------------------------------------------------------------------------
+# a_friedman_test — within-block rank test (repeated-measures ANOVA's twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_friedman_test",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS blk, event_type AS trt,
+             ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ), rk AS (
+      SELECT blk, trt,
+             CAST(RANK() OVER (PARTITION BY blk ORDER BY v) AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY blk, v) AS BIGINT) - 1
+               AS r2m1,
+             CAST(COUNT(*) OVER (PARTITION BY blk) AS BIGINT) AS k
+      FROM cell
+    ), mid AS (
+      SELECT blk, trt, r2m1 AS two_r, k FROM rk
+    ), cols AS (
+      SELECT trt, SUM(two_r) AS two_rj, COUNT(*) AS n, MAX(k) AS k
+      FROM mid GROUP BY trt
+    ), a_ AS (
+      SELECT SUM((two_rj - n * (k + 1)) * (two_rj - n * (k + 1))) AS a2,
+             MAX(k) AS k, MAX(n) AS n
+      FROM cols
+    ), b_ AS (
+      SELECT SUM((two_r - (k + 1)) * (two_r - (k + 1))) AS b2
+      FROM mid
+    )
+    SELECT CAST(a_.n AS BIGINT) AS n_blocks,
+           CAST(a_.k AS BIGINT) AS k_treatments,
+           CAST((a_.k - 1) * a_.a2 AS BIGINT) AS q_num,
+           CAST(b_.b2 AS BIGINT) AS q_den
+    FROM a_ CROSS JOIN b_
+    """,
+)
+def a_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the within-BLOCK rank test (repeated-measures
+    ANOVA's nonparametric twin), completing the rank-test ladder:
+    Mann–Whitney (2 groups), Kruskal–Wallis (k groups), Friedman
+    (k treatments × n blocks, here mean event value per weekday block
+    × event type). Blocking by weekday removes the day-of-week effect
+    the unblocked tests would smear.
+
+    Integers-only ship (band-grid endgame): with 2·midrank = 2·RANK +
+    ties − 1 an EXACT integer, the tie-general statistic
+    Q = (k−1)·Σ_j(R_j − n(k+1)/2)² / Σ_ij(r_ij − (k+1)/2)²
+    is the integer ratio q_num/q_den after clearing the common /4 —
+    a small-denominator rational, shipped as the exact BIGINT pair.
+
+    Scale: one fact scan → the 7×5 cell table; ranks are windows over
+    ≤ 5 rows per block."""
+    e = _t(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.dayofweek("ts").cast("long").alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    w_rank = Window.partitionBy("blk").orderBy("v")
+    w_tie = Window.partitionBy("blk", "v")
+    w_blk = Window.partitionBy("blk")
+    mid = cell.select(
+        "blk",
+        "trt",
+        (
+            F.rank().over(w_rank).cast("long")
+            + F.count("*").over(w_tie).cast("long")
+            - 1
+        ).alias("two_r"),
+        F.count("*").over(w_blk).cast("long").alias("k"),
+    )
+    cols = mid.groupBy("trt").agg(
+        F.sum("two_r").alias("two_rj"),
+        F.count("*").alias("n"),
+        F.max("k").alias("k"),
+    )
+    a2 = cols.agg(
+        F.sum(
+            (F.col("two_rj") - F.col("n") * (F.col("k") + 1))
+            * (F.col("two_rj") - F.col("n") * (F.col("k") + 1))
+        ).alias("a2"),
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+    )
+    b2 = mid.agg(
+        F.sum(
+            (F.col("two_r") - (F.col("k") + 1))
+            * (F.col("two_r") - (F.col("k") + 1))
+        ).alias("b2")
+    )
+    return a2.crossJoin(F.broadcast(b2)).select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k_treatments"),
+        ((F.col("k") - 1) * F.col("a2")).cast("long").alias("q_num"),
+        F.col("b2").cast("long").alias("q_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_hits_banded — HITS hubs & authorities via the lazy power iteration
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 6
+_HITS_GRID = 10000
+
+
+def _hits_oracle() -> str:
+    """DuckDB replay: same directed bucket edges, same two grams
+    (AᵀA for authorities, AAᵀ for hubs), same unrolled power
+    iteration (init 0.125, L2 re-normalize per round — the
+    emb_pca_power_banded convention), FLOOR-banded on the 1e-4 grid
+    (irrational components, never grid-resident)."""
+
+    def rounds(tag: str) -> str:
+        ctes = [f"{tag}r0 AS (SELECT i AS j, 0.125 AS vj FROM {tag}v)"]
+        for r in range(1, _HITS_ROUNDS + 1):
+            ctes.append(
+                f"{tag}w{r} AS MATERIALIZED (SELECT g.i, "
+                f"SUM(g.g * {tag}r{r-1}.vj) AS w "
+                f"FROM {tag}g g JOIN {tag}r{r-1} ON {tag}r{r-1}.j = g.j "
+                f"GROUP BY g.i)"
+            )
+            ctes.append(
+                f"{tag}r{r} AS (SELECT i AS j, "
+                f"w / SQRT((SELECT SUM(w*w) FROM {tag}w{r})) AS vj "
+                f"FROM {tag}w{r})"
+            )
+        return ", ".join(ctes)
+
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, l_suppkey % 50 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 50 <> l_suppkey % 50
+    ),
+    ag AS MATERIALIZED (
+      SELECT a.dst AS i, b.dst AS j, CAST(COUNT(*) AS DOUBLE) AS g
+      FROM e a JOIN e b ON a.src = b.src GROUP BY 1, 2
+    ),
+    hg AS MATERIALIZED (
+      SELECT a.src AS i, b.src AS j, CAST(COUNT(*) AS DOUBLE) AS g
+      FROM e a JOIN e b ON a.dst = b.dst GROUP BY 1, 2
+    ),
+    av AS (SELECT DISTINCT i FROM ag),
+    hv AS (SELECT DISTINCT i FROM hg),
+    {rounds("a")},
+    {rounds("h")}
+    SELECT COALESCE(a.j, h.j) AS vertex,
+           CAST(FLOOR(a.vj * {_HITS_GRID}) AS BIGINT) AS auth_band,
+           CAST(FLOOR(h.vj * {_HITS_GRID}) AS BIGINT) AS hub_band
+    FROM ar{_HITS_ROUNDS} a
+    FULL OUTER JOIN hr{_HITS_ROUNDS} h ON a.j = h.j
+    """
+
+
+@query("g_hits_banded", oracle=_hits_oracle())
+def g_hits_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the directed
+    customer-bucket → supplier-bucket graph — the OTHER classical
+    link-analysis fixpoint next to g_pagerank_banded: authority =
+    principal eigenvector of AᵀA, hub = of AAᵀ, so both reduce to
+    operators/linalg.power_iteration over two vertex-bounded grams
+    (common-in-neighbor and common-out-neighbor counts from one edge
+    self-join each). Unlike pagerank's eager localCheckpoint rounds,
+    the array-carried iterate stays fully LAZY — the whole
+    double-fixpoint plan is planlint-visible, and each round adds one
+    broadcast cross join + an in-row dot (linear plan growth, the
+    banked lazy-fixpoint lesson).
+
+    Oracle: unrolled-CTE replay of the identical arithmetic (init
+    0.125 pins the sign, 6 rounds, L2 re-normalize; the
+    emb_pca_power_banded convention), FLOOR on the 1e-4 grid —
+    eigenvector components are irrational, never grid-resident.
+
+    Scale: the fact-fact edge build is merge-pinned upstream
+    (banked broadcast-OOM lesson); the grams are |V|²-bounded and the
+    fixpoint is corpus-independent."""
+    from ..operators.linalg import power_iteration
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("l_suppkey") % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    a, b = edges.alias("a"), edges.alias("b")
+    ag = (
+        a.join(b, F.col("a.src") == F.col("b.src"))
+        .groupBy(F.col("a.dst").alias("i"), F.col("b.dst").alias("j"))
+        .agg(F.count("*").cast("double").alias("g"))
+    )
+    hg = (
+        a.join(b, F.col("a.dst") == F.col("b.dst"))
+        .groupBy(F.col("a.src").alias("i"), F.col("b.src").alias("j"))
+        .agg(F.count("*").cast("double").alias("g"))
+    )
+    auth = power_iteration(ag, rounds=_HITS_ROUNDS).select(
+        F.col("j").alias("av"),
+        F.floor(F.col("vj") * _HITS_GRID).cast("long").alias("auth_band"),
+    )
+    hub = power_iteration(hg, rounds=_HITS_ROUNDS).select(
+        F.col("j").alias("hv"),
+        F.floor(F.col("vj") * _HITS_GRID).cast("long").alias("hub_band"),
+    )
+    return auth.join(
+        hub, auth["av"] == hub["hv"], "full_outer"
+    ).select(
+        F.coalesce(F.col("av"), F.col("hv")).cast("long").alias("vertex"),
+        "auth_band",
+        "hub_band",
+    )
+
+
+# ---------------------------------------------------------------------------
+# io_formats_roundtrip_checked — CSV / JSON-lines source parity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_formats_roundtrip_checked",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           STRFTIME(CAST(MIN(l_shipdate) AS DATE), '%Y-%m-%d')
+             AS first_ship,
+           TRUE AS csv_ok, TRUE AS json_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def io_formats_roundtrip_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON-lines SOURCE parity (SURVEY §2.1 beyond parquet):
+    export a lineitem projection to scratch CSV (header, explicit
+    schema on read-back — never inferSchema, which double-scans and
+    can re-type columns at 100 TB) and JSON-lines, then compute the
+    same per-flag fingerprint (count, quantity cents, orderkey
+    checksum, first ship date) from EACH source. csv_ok/json_ok
+    assert per-group equality of all three pipelines — deterministic
+    at fixed data, all-TRUE oracle computed from the parquet view
+    (the checked-sink pattern, inverted to checked SOURCES).
+
+    Quantities are integerized to cents BEFORE export so the text
+    round trip carries integers and dates only — immune to any
+    engine-specific float formatting; the build-time export is the
+    sanctioned bounded side effect (the checked-sink planlint
+    contract: executing it is the only way to lint the read-back
+    plan).
+
+    Scale: text sources scan ~3-5× slower than parquet and lose
+    pushdown/pruning — this query is the correctness seam for the
+    ingest step that converts them ONCE; the fingerprint aggregate is
+    one map-side-partial scan per format."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .staged_r07 import _scratch
+
+    base = _scratch("io_formats")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        F.col("l_shipdate").cast("date").alias("ship"),
+        "l_returnflag",
+    )
+    csv_dir = os.path.join(base, "csv")
+    json_dir = os.path.join(base, "json")
+    li.write.mode("overwrite").option("header", True).csv(csv_dir)
+    li.write.mode("overwrite").json(json_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("qty100", T.LongType()),
+            T.StructField("ship", T.DateType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(
+            F.col("l_returnflag").alias("flag")
+        ).agg(
+            F.count("*").alias(f"{prefix}_n"),
+            F.sum("qty100").alias(f"{prefix}_q"),
+            F.sum("l_orderkey").alias(f"{prefix}_k"),
+            F.min("ship").alias(f"{prefix}_d"),
+        )
+
+    pq = fp(li, "p")
+    cs = fp(
+        spark.read.schema(schema).option("header", True).csv(csv_dir), "c"
+    )
+    js = fp(spark.read.schema(schema).json(json_dir), "j")
+    out = pq.join(cs, "flag").join(js, "flag")
+    eq = lambda x, y: F.col(x).eqNullSafe(F.col(y))  # noqa: E731
+    return out.select(
+        "flag",
+        F.col("p_n").cast("long").alias("n"),
+        F.col("p_q").cast("long").alias("qty_cents"),
+        F.col("p_k").cast("long").alias("key_checksum"),
+        F.date_format("p_d", "yyyy-MM-dd").alias("first_ship"),
+        (
+            eq("p_n", "c_n") & eq("p_q", "c_q")
+            & eq("p_k", "c_k") & eq("p_d", "c_d")
+        ).alias("csv_ok"),
+        (
+            eq("p_n", "j_n") & eq("p_q", "j_q")
+            & eq("p_k", "j_k") & eq("p_d", "j_d")
+        ).alias("json_ok"),
+    )
