@@ -320,6 +320,9 @@ HEADLINE = [
     "a_friedman_test",
     "g_hits_banded",
     "io_formats_roundtrip_checked",
+    # r08: audio tone detection + near-dedup cluster canonicalization
+    "mm_wav_tone_detect",
+    "dedup_cluster_canonical",
 ]
 
 

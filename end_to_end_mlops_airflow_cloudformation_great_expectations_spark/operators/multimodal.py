@@ -653,3 +653,61 @@ def png_metadata(docs: DataFrame) -> DataFrame:
             yield _meta_frame(metas, pdf["doc_id"].values, PNG_META_SCHEMA)
 
     return docs.select("doc_id").mapInPandas(run, PNG_META_SCHEMA)
+
+
+WAV_TONE_SCHEMA = "doc_id long, n_samples long, pwr double"
+
+
+def wav_goertzel(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Audio TONE-DETECT step (decode → single-bin spectral power):
+    the Goertzel/DFT-bin primitive behind DTMF detection, hum removal
+    checks, and watermark probes — when only a handful of frequencies
+    matter, the O(n) single-bin dot product beats a full FFT and
+    vectorizes trivially inside the Arrow batch. Decodes the same
+    deterministic PCM WAV as :func:`wav_energy` (RIFF walk, real
+    frames), then P_k = (Σ v·cos(2πki/n))² + (Σ v·sin(2πki/n))²,
+    emitted normalized by n² so magnitudes are corpus-independent.
+
+    Determinism: the synthetic fill makes samples SQL-predictable, so
+    a DuckDB twin re-derives the same dot products with COS/SIN —
+    libm-vs-numpy trig differs by ≤ 1 ulp per term, amplified to
+    ~1e-11 absolute on the normalized power, absorbed by the 1e-4
+    output grid (ROUND, not FLOOR: the power is irrational, never
+    grid-resident).
+
+    Scale: map-only over the docs (one Arrow batch per partition, no
+    shuffle) — the same plan shape as every mm_* feature extractor."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 37
+                samples = ((d * 7 + np.arange(n) * 13) % 256 - 128).astype(
+                    "<i2"
+                )
+                payload = _build_wav_pcm(d, samples)
+                meta = parse_wav(payload)
+                data_off = payload.index(b"data") + 8
+                got = np.frombuffer(
+                    payload, "<i2", meta["n_samples"], data_off
+                ).astype(np.float64)
+                i = np.arange(meta["n_samples"], dtype=np.float64)
+                arg = 2 * np.pi * k * i / meta["n_samples"]
+                c = float(np.sum(got * np.cos(arg)))
+                s = float(np.sum(got * np.sin(arg)))
+                nn = float(meta["n_samples"])
+                rows.append(
+                    (
+                        d,
+                        meta["n_samples"],
+                        round((c * c + s * s) / (nn * nn), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "pwr"]
+            )
+            rows = []
+
+    return docs.select("doc_id").mapInPandas(run, WAV_TONE_SCHEMA)

@@ -1620,3 +1620,136 @@ def io_formats_roundtrip_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             & eq("p_k", "j_k") & eq("p_d", "j_d")
         ).alias("json_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_wav_tone_detect — single-bin spectral power (Goertzel) per doc
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_wav_tone_detect",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 64 + doc_id % 37 AS n FROM documents
+    ), s AS (
+      SELECT g.doc_id, g.n,
+             CAST(((g.doc_id*7 + t.i*13) % 256) - 128 AS DOUBLE) AS v,
+             2 * PI() * 4 * t.i / g.n AS arg
+      FROM g, LATERAL unnest(range(g.n)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           ROUND((SUM(v * COS(arg)) * SUM(v * COS(arg))
+                  + SUM(v * SIN(arg)) * SUM(v * SIN(arg)))
+                 / (CAST(MAX(n) AS DOUBLE) * MAX(n)), 4) AS pwr
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_wav_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio TONE DETECTION (operators/multimodal.wav_goertzel):
+    single-DFT-bin power at bin k=4 per decoded WAV — the Goertzel
+    primitive behind DTMF / hum / watermark probes, completing the
+    audio pipeline: mm_wav_decode (metadata) → mm_wav_energy
+    (loudness) → tone detection (spectral). The oracle re-derives the
+    deterministic waveform row-wise and computes the identical
+    cos/sin dot products; numpy-vs-libm trig drift (~1e-11 absolute
+    after the n² normalization) is absorbed by the 1e-4 ROUND grid.
+
+    Scale: map-only Arrow batches, no shuffle — flat in corpus size
+    per the mm_* family."""
+    from ..operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    return multimodal.wav_goertzel(d, k=4)
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_canonical — the near-dedup ENDGAME: pairs → components →
+# one canonical survivor per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+def _dedup_cluster_oracle() -> str:
+    from .registry import ORACLES
+
+    pairs = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs}),
+    und(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes(n) AS (SELECT a FROM und UNION SELECT b FROM und),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.n
+    ),
+    comp AS (SELECT n AS id, MIN(r) AS component FROM reach GROUP BY n),
+    sized AS (
+      SELECT comp.id, comp.component, d.n_chars
+      FROM comp JOIN documents d ON d.doc_id = comp.id
+    ),
+    canon AS (
+      SELECT component, id AS canon_id FROM sized
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY component
+                                 ORDER BY n_chars DESC, id) = 1
+    )
+    SELECT s.id AS doc_id,
+           CAST(s.component AS BIGINT) AS component,
+           CAST(c.canon_id AS BIGINT) AS canonical_id,
+           s.id = c.canon_id AS keep
+    FROM sized s JOIN canon c USING (component)
+    """
+
+
+@query("dedup_cluster_canonical", oracle=_dedup_cluster_oracle())
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup pipeline ENDGAME, composed end to end: exact
+    n-gram Jaccard candidate pairs (dedup_ngram_jaccard's operator,
+    same blocks/threshold) → TRANSITIVE CLOSURE via distributed
+    min-label connected components (pairwise dedup alone is wrong:
+    A~B and B~C must collapse {A,B,C} even when A≁C) → ONE canonical
+    survivor per cluster by the keep-longest policy (max n_chars,
+    doc-id tie-break). Output: every clustered doc with its
+    component, its cluster's canonical id, and the keep/drop verdict
+    — exactly the table a curation job anti-joins against the corpus.
+
+    Oracle: composes the registered pair oracle as a CTE, recomputes
+    the closure with a RECURSIVE reachability (the
+    g_connected_components convention — the fixpoint is verified, not
+    row counts), and replays the canonical policy as a window.
+
+    Scale: the pair graph is the LSH/banded candidate set (never
+    all-pairs at scale — the blocked exact form here is the
+    oracle-scale anchor); components run min-label rounds over
+    cluster-sized frontiers; the canonical pick is one window over
+    the clustered docs."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, block_col="lang", n=2, threshold=0.05
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    sized = comp.join(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        comp["id"] == F.col("doc_id"),
+    ).select("id", "component", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id")
+    )
+    canon = (
+        sized.select(
+            "component", "id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("id").alias("canon_id"))
+    )
+    return sized.join(canon, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("canon_id").cast("long").alias("canonical_id"),
+        (F.col("id") == F.col("canon_id")).alias("keep"),
+    )
