@@ -323,6 +323,10 @@ HEADLINE = [
     # r08: audio tone detection + near-dedup cluster canonicalization
     "mm_wav_tone_detect",
     "dedup_cluster_canonical",
+    # r08: inner-product retrieval / ORC parity / boosted stumps
+    "sim_mips_topk",
+    "io_orc_roundtrip_checked",
+    "train_gbt_stumps",
 ]
 
 

@@ -1753,3 +1753,388 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canon_id").cast("long").alias("canonical_id"),
         (F.col("id") == F.col("canon_id")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mips_topk — maximum-inner-product search (the ALS serving primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_mips_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv), 6) AS ip
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, ip, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-5 (MIPS) — the retrieval objective
+    cosine search deliberately isn't: recommender serving scores
+    user·item factor DOT PRODUCTS (als_recommend_topk's objective),
+    where a candidate's NORM matters — popular items have large
+    factors and must be allowed to win. Completes the similarity
+    family's metric axis: cosine (sim_topk_bruteforce), Euclidean
+    (IVF cells), inner product (this).
+
+    Exact brute force as the oracle-scale anchor (broadcast queries ×
+    one corpus scan, per-query window re-rank — no corpus shuffle);
+    the documented scale paths: norm-bucket pruning (candidates with
+    ‖c‖ < kth-best/‖q‖ can't win — prune buckets by the
+    Cauchy-Schwarz bound) or the standard MIPS→cosine reduction
+    (append √(M²−‖c‖²) to candidates, then any cosine/IVF index
+    serves MIPS). Scores ROUND 6 pre-rank so ties and order agree
+    cross-engine (registry convention)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "qv", "cv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot, 6).alias("ip"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", "ip",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# io_orc_roundtrip_checked — ORC source parity (the third columnar format)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_orc_roundtrip_checked",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             AS qty_cents,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           TRUE AS orc_ok
+    FROM lineitem GROUP BY 1
+    """,
+)
+def io_orc_roundtrip_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity — the third columnar format next to
+    parquet (native) and the text formats (io_formats_roundtrip_
+    checked): export the integerized lineitem projection to ORC,
+    read it back, and assert per-flag fingerprint equality against
+    the parquet pipeline. ORC keeps parquet's pushdown/pruning
+    story (predicate pushdown, column projection, stripe statistics)
+    so unlike the text formats it IS a viable 100 TB resident format
+    — this query is the correctness seam for warehouses arriving
+    from Hive/ORC estates. All-TRUE oracle from the parquet view
+    (checked-source pattern); build-time export is the sanctioned
+    bounded side effect."""
+    import os
+
+    from .staged_r07 import _scratch
+
+    base = _scratch("io_orc")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        "l_returnflag",
+    )
+    orc_dir = os.path.join(base, "orc")
+    li.write.mode("overwrite").orc(orc_dir)
+
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy(
+            F.col("l_returnflag").alias("flag")
+        ).agg(
+            F.count("*").alias(f"{prefix}_n"),
+            F.sum("qty100").alias(f"{prefix}_q"),
+            F.sum("l_orderkey").alias(f"{prefix}_k"),
+        )
+
+    pq = fp(li, "p")
+    oc = fp(spark.read.orc(orc_dir), "o")
+    eq = lambda x, y: F.col(x).eqNullSafe(F.col(y))  # noqa: E731
+    return pq.join(oc, "flag").select(
+        "flag",
+        F.col("p_n").cast("long").alias("n"),
+        F.col("p_q").cast("long").alias("qty_cents"),
+        F.col("p_k").cast("long").alias("key_checksum"),
+        (eq("p_n", "o_n") & eq("p_q", "o_q") & eq("p_k", "o_k")).alias(
+            "orc_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train_gbt_stumps — gradient-boosted regression stumps (exact oracle)
+# ---------------------------------------------------------------------------
+
+_GBT_ROUNDS = 3
+_GBT_D = 3
+_GBT_T = [round(-0.4 + 0.1 * i, 1) for i in range(9)]  # -0.4 .. 0.4
+_GBT_MICRO = 1_000_000  # residual grid: integer micro-units
+
+
+def _gbt_oracle() -> str:
+    """Generated EXACT twin (no bands): the quantized-residual design
+    makes every round's state integer or identical-IEEE-double, so
+    the replay is bit-faithful — see the query docstring."""
+    xs = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}"
+        for i in range(1, _GBT_D + 1)
+    )
+    ctes = [
+        f"""data AS MATERIALIZED (
+      SELECT {xs},
+             CAST(ROUND((CAST(embedding[1] AS DOUBLE)
+                         + 2.0*CAST(embedding[2] AS DOUBLE)
+                         - CAST(embedding[3] AS DOUBLE)) * {_GBT_MICRO})
+                  AS BIGINT) AS yi
+      FROM embeddings
+    )""",
+        f"""f0 AS MATERIALIZED (
+      SELECT CAST(FLOOR(CAST(SUM(yi) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS mu, COUNT(*) AS n
+      FROM data
+    )""",
+    ]
+    for m in range(1, _GBT_ROUNDS + 1):
+        pred = "f0.mu"
+        joins = "CROSS JOIN f0"
+        for j in range(1, m):
+            pred += (
+                f" + (CASE WHEN (CASE b{j}.f WHEN 1 THEN d.x1 WHEN 2 THEN"
+                f" d.x2 ELSE d.x3 END) <= b{j}.t THEN b{j}.vl"
+                f" ELSE b{j}.vr END)"
+            )
+            joins += f" CROSS JOIN b{j}"
+        ctes.append(
+            f"""r{m} AS MATERIALIZED (
+      SELECT d.x1, d.x2, d.x3, d.yi - ({pred}) AS r
+      FROM data d {joins}
+    )"""
+        )
+        cells = []
+        for f in range(1, _GBT_D + 1):
+            for t in _GBT_T:
+                tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+                cells.append(
+                    f"SUM(CASE WHEN x{f} <= {t} THEN 1 ELSE 0 END)"
+                    f" AS nl_{tag}, "
+                    f"SUM(CASE WHEN x{f} <= {t} THEN r ELSE 0 END)"
+                    f" AS sl_{tag}"
+                )
+        ctes.append(
+            f"""m{m} AS MATERIALIZED (
+      SELECT COUNT(*) AS n, SUM(r) AS s, {", ".join(cells)} FROM r{m}
+    )"""
+        )
+        unions = []
+        for f in range(1, _GBT_D + 1):
+            for t in _GBT_T:
+                tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+                unions.append(
+                    f"SELECT {f} AS f, {t} AS t, nl_{tag} AS nl,"
+                    f" sl_{tag} AS sl, n, s FROM m{m}"
+                )
+        ctes.append(f"u{m} AS ({' UNION ALL '.join(unions)})")
+        ctes.append(
+            f"""b{m} AS (
+      SELECT f, t, nl, n - nl AS nr,
+             CAST(FLOOR(CAST(sl AS DOUBLE) / (2 * nl)) AS BIGINT) AS vl,
+             CAST(FLOOR(CAST(s - sl AS DOUBLE) / (2 * (n - nl)))
+                  AS BIGINT) AS vr
+      FROM u{m}
+      WHERE nl > 0 AND nl < n
+      QUALIFY ROW_NUMBER() OVER (ORDER BY
+        CAST(sl AS DOUBLE) * sl / nl
+        + CAST(s - sl AS DOUBLE) * (s - sl) / (n - nl) DESC,
+        f ASC, t ASC) = 1
+    )"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT {m} AS round, CAST(f AS BIGINT) AS feature, t AS threshold,"
+        f" CAST(nl AS BIGINT) AS n_left, vl AS leaf_l_micro,"
+        f" vr AS leaf_r_micro FROM b{m}"
+        for m in range(1, _GBT_ROUNDS + 1)
+    )
+    return f"WITH {', '.join(ctes)} {outs}"
+
+
+@query("train_gbt_stumps", oracle=_gbt_oracle())
+def train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps — BOOSTING joins the trainer
+    family (GD: logreg/QR; alternating: ALS; closed-form: ridge/NB;
+    single tree: stump/tree2; ensemble: this). Squared loss, learning
+    rate ½, 3 rounds of depth-1 trees over the embedded linear
+    target: each round fits a stump to the RESIDUALS via the
+    train_stump_banded search shape — one wide conditional-sum scan
+    (27 candidates × 2 cells, far under the banked ~400-column
+    codegen cliff), variance-reduction argmax with total tie-break,
+    leaf values ν·mean(residual).
+
+    EXACT oracle, no bands — the quantized-residual design: targets
+    and leaf values live in INTEGER micro-units (×1e6), so residuals
+    are exact BIGINTs, candidate sums are exact, scores are
+    identical IEEE doubles from identical integers (explicit x*x,
+    never POW), and leaf quantization is FLOOR of an identical
+    double (cross-engine FLOOR only diverges when the INPUTS differ
+    — here they can't). The 1-micro-unit quantization per round is
+    the principled price of bit-faithful distributed boosting.
+
+    Scale: per round = one full scan with map-side partial
+    aggregation into ~56 cells + a 27-row argmax + a 1-row model
+    broadcast — the model row is the ONLY cross-round state (linear
+    plan growth, never a per-candidate pass; the banked trainer-loop
+    discipline: nothing corpus-scaled is ever broadcast)."""
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, _GBT_D + 1)
+        ]
+    ).select(
+        "x1",
+        "x2",
+        "x3",
+        F.round(
+            (F.col("x1") + 2.0 * F.col("x2") - F.col("x3")) * _GBT_MICRO
+        )
+        .cast("long")
+        .alias("yi"),
+    )
+    f0 = data.agg(
+        F.floor(F.sum("yi").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mu"),
+    )
+
+    bests: list[DataFrame] = []
+    for m in range(1, _GBT_ROUNDS + 1):
+        pred = F.col("mu").cast("double")
+        d = data.crossJoin(F.broadcast(f0))
+        for j, bj in enumerate(bests, start=1):
+            b = F.broadcast(
+                bj.select(
+                    F.col("f").alias(f"f{j}"),
+                    F.col("t").alias(f"t{j}"),
+                    F.col("vl").alias(f"vl{j}"),
+                    F.col("vr").alias(f"vr{j}"),
+                )
+            )
+            d = d.crossJoin(b)
+            xj = (
+                F.when(F.col(f"f{j}") == 1, F.col("x1"))
+                .when(F.col(f"f{j}") == 2, F.col("x2"))
+                .otherwise(F.col("x3"))
+            )
+            pred = pred + F.when(
+                xj <= F.col(f"t{j}"), F.col(f"vl{j}")
+            ).otherwise(F.col(f"vr{j}"))
+        resid = d.select(
+            "x1", "x2", "x3", (F.col("yi") - pred).alias("r")
+        )
+        aggs = [F.count("*").alias("n"), F.sum("r").alias("s")]
+        for f in range(1, _GBT_D + 1):
+            for t in _GBT_T:
+                tag = f"{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+                cond = F.col(f"x{f}") <= t
+                aggs.append(
+                    F.sum(F.when(cond, 1).otherwise(0)).alias(f"nl_{tag}")
+                )
+                aggs.append(
+                    F.sum(F.when(cond, F.col("r")).otherwise(0)).alias(
+                        f"sl_{tag}"
+                    )
+                )
+        mom = resid.agg(*aggs)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("f"),
+                    F.lit(t).alias("t"),
+                    F.col(
+                        f"nl_{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+                    ).alias("nl"),
+                    F.col(
+                        f"sl_{f}_{str(t).replace('-', 'm').replace('.', 'p')}"
+                    ).alias("sl"),
+                )
+                for f in range(1, _GBT_D + 1)
+                for t in _GBT_T
+            ]
+        )
+        u = mom.select("n", "s", F.explode(cands).alias("c")).select(
+            "n", "s", "c.f", "c.t", "c.nl", "c.sl"
+        )
+        scored = u.filter(
+            (F.col("nl") > 0) & (F.col("nl") < F.col("n"))
+        ).select(
+            "f",
+            "t",
+            "nl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            F.floor(F.col("sl").cast("double") / (2 * F.col("nl")))
+            .cast("long")
+            .alias("vl"),
+            F.floor(
+                (F.col("s") - F.col("sl")).cast("double")
+                / (2 * (F.col("n") - F.col("nl")))
+            )
+            .cast("long")
+            .alias("vr"),
+            (
+                F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+                + (F.col("s") - F.col("sl")).cast("double")
+                * (F.col("s") - F.col("sl"))
+                / (F.col("n") - F.col("nl"))
+            ).alias("score"),
+        )
+        best = scored.orderBy(
+            F.col("score").desc(), F.col("f"), F.col("t")
+        ).limit(1)
+        bests.append(best)
+
+    out = None
+    for m, bm in enumerate(bests, start=1):
+        row = bm.select(
+            F.lit(m).cast("long").alias("round"),
+            F.col("f").cast("long").alias("feature"),
+            F.col("t").alias("threshold"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("vl").alias("leaf_l_micro"),
+            F.col("vr").alias("leaf_r_micro"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
