@@ -327,6 +327,10 @@ HEADLINE = [
     "sim_mips_topk",
     "io_orc_roundtrip_checked",
     "train_gbt_stumps",
+    # r08: experiment design / sequential testing / tail risk
+    "a_power_analysis",
+    "a_sprt",
+    "a_cvar_daily",
 ]
 
 

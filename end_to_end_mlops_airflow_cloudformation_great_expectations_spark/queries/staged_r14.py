@@ -2138,3 +2138,302 @@ def train_gbt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# a_power_analysis — sample-size calculator (the experiment-DESIGN half)
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA2 = 1.959963984540054  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212335729143  # power = 0.80
+_MDE = 0.02  # fixed minimum detectable effect (absolute)
+
+
+@query(
+    "a_power_analysis",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT bucket, COUNT(*) AS n, SUM(converted) AS k
+      FROM assign GROUP BY bucket
+    ), wide AS (
+      SELECT MAX(CASE WHEN bucket='A' THEN n END) AS na,
+             MAX(CASE WHEN bucket='A' THEN k END) AS ka,
+             MAX(CASE WHEN bucket='B' THEN n END) AS nb,
+             MAX(CASE WHEN bucket='B' THEN k END) AS kb
+      FROM g
+    ), rates AS (
+      SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+             ka / CAST(na AS DOUBLE) AS pa,
+             kb / CAST(nb AS DOUBLE) AS pb
+      FROM wide
+    )
+    SELECT na, nb,
+           ROUND(pa, 4) AS rate_a, ROUND(pb, 4) AS rate_b,
+           CASE WHEN pa <> pb THEN CAST(CEIL(
+             ({_Z_ALPHA2} + {_Z_BETA}) * ({_Z_ALPHA2} + {_Z_BETA})
+             * (pa * (1 - pa) + pb * (1 - pb))
+             / ((pa - pb) * (pa - pb))) AS BIGINT) END AS n_req_observed,
+           CAST(CEIL(
+             ({_Z_ALPHA2} + {_Z_BETA}) * ({_Z_ALPHA2} + {_Z_BETA})
+             * (pa * (1 - pa) + pb * (1 - pb))
+             / ({_MDE} * {_MDE})) AS BIGINT) AS n_req_mde
+    FROM rates
+    """,
+)
+def a_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator — the experiment-DESIGN
+    half the testing family was missing (a_abtest_lift/a_effect_sizes
+    analyze a finished experiment; this answers "how long must the
+    NEXT one run?"): n per arm = (z_{{α/2}}+z_β)²·(p₁q₁+p₂q₂)/δ² at
+    α=0.05 two-sided, power 0.80, for both the observed lift and a
+    fixed 2pp minimum detectable effect. Same portable-hash
+    assignment and conversion definition as a_abtest_lift, so design
+    and analysis read the same population.
+
+    Determinism: z quantiles are shared double LITERALS (no erf
+    anywhere); rates are identical doubles from integer counts; CEIL
+    of identical doubles never diverges (only differing INPUTS do);
+    the observed-δ branch is NULL-guarded for equal rates.
+
+    Scale: one user-grain fact scan + a 2-row reduce."""
+    from ..functions.columns import portable_bucket
+
+    e = _t(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(portable_bucket(F.col("user_id"), 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("bucket"),
+        "converted",
+    )
+    g = assign.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("bucket") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("bucket") == "A", F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("bucket") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("bucket") == "B", F.col("k"))).alias("kb"),
+    )
+    pa = F.col("ka") / F.col("na").cast("double")
+    pb = F.col("kb") / F.col("nb").cast("double")
+    zz = (_Z_ALPHA2 + _Z_BETA) ** 2
+    var2 = pa * (1 - pa) + pb * (1 - pb)
+    return wide.select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(pa, 4).alias("rate_a"),
+        F.round(pb, 4).alias("rate_b"),
+        F.when(
+            pa != pb,
+            F.ceil(F.lit(zz) * var2 / ((pa - pb) * (pa - pb))),
+        )
+        .cast("long")
+        .alias("n_req_observed"),
+        F.ceil(F.lit(zz) * var2 / F.lit(_MDE * _MDE))
+        .cast("long")
+        .alias("n_req_mde"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_sprt — Wald's sequential probability ratio test over the daily stream
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.3, 0.5
+_SPRT_A = 2.9444389791664403  # ln(0.95/0.05)
+_SPRT_B = -2.9444389791664403  # ln(0.05/0.95)
+
+
+@query(
+    "a_sprt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS k,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n
+      FROM events GROUP BY 1
+    ), llr AS (
+      SELECT day, k, n,
+             SUM(k * LN({_SPRT_P1} / {_SPRT_P0})
+                 + (n - k) * LN((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})))
+               OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s
+      FROM daily
+    ), marked AS (
+      SELECT day, s,
+             CASE WHEN s >= {_SPRT_A} THEN 'accept_h1'
+                  WHEN s <= {_SPRT_B} THEN 'accept_h0' END AS hit,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn,
+             COUNT(*) OVER () AS n_days,
+             LAST_VALUE(s) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING) AS s_final
+      FROM llr
+    )
+    SELECT CAST(MAX(n_days) AS BIGINT) AS n_days,
+           COALESCE(MIN(CASE WHEN hit IS NOT NULL THEN rn END), 0)
+             AS decision_day,
+           COALESCE(ARG_MIN(hit, rn) FILTER (WHERE hit IS NOT NULL),
+                    'continue') AS decision,
+           ROUND(MAX(s_final), 6) AS final_llr
+    FROM marked
+    """,
+)
+def a_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the daily
+    high-value-purchase rate — SEQUENTIAL testing joins the
+    experimentation family (fixed-horizon: a_abtest_lift; interval:
+    a_bootstrap_ci; multiplicity: a_benjamini_hochberg; design:
+    a_power_analysis): the LLR of H1: p=0.5 vs H0: p=0.3 accumulates
+    day by day and the test stops the first day it exits
+    (ln(β̄/α), ln(α/β̄)) — the always-valid alternative to peeking at
+    a fixed-horizon test.
+
+    Determinism: daily (k, n) are exact integers; the LLR increments
+    are integers × shared LN literals (identical doubles); the
+    cumulative sum is an ORDER-sequenced window (the nelson_aalen
+    convention) so boundary crossings compare identical doubles.
+
+    Scale: one fact scan → calendar-bounded daily table →
+    constant-key ordered window."""
+    import math
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("k"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n"),
+    )
+    l1 = math.log(_SPRT_P1 / _SPRT_P0)
+    l0 = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    kday = constant_partition_key(F.col("day"))
+    w_run = (
+        Window.partitionBy(kday)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(kday).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy(kday).orderBy("day")
+    llr = daily.select(
+        "day",
+        F.sum(F.col("k") * l1 + (F.col("n") - F.col("k")) * l0)
+        .over(w_run)
+        .alias("s"),
+    )
+    marked = llr.select(
+        "s",
+        F.when(F.col("s") >= _SPRT_A, F.lit("accept_h1"))
+        .when(F.col("s") <= _SPRT_B, F.lit("accept_h0"))
+        .alias("hit"),
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n_days"),
+    )
+    first_hit = F.min(
+        F.when(F.col("hit").isNotNull(), F.col("rn"))
+    )
+    return marked.agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.coalesce(first_hit, F.lit(0)).cast("long").alias("decision_day"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("hit").isNotNull(),
+                    F.struct(F.col("rn").alias("rn"), F.col("hit").alias("h")),
+                )
+            )["h"],
+            F.lit("continue"),
+        ).alias("decision"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") == F.col("n_days"), F.col("s"))
+            ),
+            6,
+        ).alias("final_llr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_cvar_daily — Value-at-Risk / Conditional VaR of daily revenue (exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_cvar_daily",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    ranked AS (
+      SELECT xc, ROW_NUMBER() OVER (ORDER BY xc, day) AS rn,
+             COUNT(*) OVER () AS n
+      FROM daily
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(CEIL(MAX(n) * 0.05) AS BIGINT) AS m_tail,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT)
+                         THEN xc END) AS BIGINT) AS var_cents,
+           CAST(SUM(CASE WHEN rn <= CAST(CEIL(n * 0.05) AS BIGINT)
+                         THEN xc ELSE 0 END) AS BIGINT) AS tail_sum_cents
+    FROM ranked
+    """,
+)
+def a_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of
+    daily revenue at the 5% level — the tail-risk pair every
+    finance/capacity dashboard quotes next to the robust centers
+    (a_hodges_lehmann / a_trimmed_mean): VaR = the ⌈0.05n⌉-th worst
+    day's revenue (an EXACT cent-grid order statistic), CVaR = the
+    mean of the worst ⌈0.05n⌉ days, shipped as the exact integer
+    pair (tail_sum_cents, m_tail) per the band-grid endgame — the
+    consumer divides.
+
+    Scale: one fact scan → bounded daily table → constant-key rank
+    window; order statistics never touch the corpus grain."""
+    d = _daily(spark, sf_dir)
+    k = constant_partition_key(F.col("day"))
+    ranked = d.select(
+        "xc",
+        F.row_number()
+        .over(Window.partitionBy(k).orderBy("xc", "day"))
+        .alias("rn"),
+        F.count("*")
+        .over(
+            Window.partitionBy(k).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    m = F.ceil(F.col("n") * 0.05).cast("long")
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max(F.ceil(F.col("n") * 0.05)).cast("long").alias("m_tail"),
+        F.max(F.when(F.col("rn") == m, F.col("xc")))
+        .cast("long")
+        .alias("var_cents"),
+        F.sum(F.when(F.col("rn") <= m, F.col("xc")).otherwise(0))
+        .cast("long")
+        .alias("tail_sum_cents"),
+    )
