@@ -331,6 +331,9 @@ HEADLINE = [
     "a_power_analysis",
     "a_sprt",
     "a_cvar_daily",
+    # r08: explainability + revenue concentration
+    "a_shapley_linear",
+    "a_pareto_coverage",
 ]
 
 

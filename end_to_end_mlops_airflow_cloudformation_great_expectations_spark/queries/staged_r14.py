@@ -2437,3 +2437,171 @@ def a_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tail_sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_shapley_linear — exact Shapley attributions (model explainability)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_shapley_linear",
+    oracle="""
+    WITH data AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(embedding[3] AS DOUBLE) AS x3
+      FROM embeddings
+    ), mu AS (
+      SELECT AVG(x1) AS m1, AVG(x2) AS m2, AVG(x3) AS m3,
+             COUNT(*) AS n
+      FROM data
+    )
+    SELECT d.vec_id,
+           ROUND(1.0 * (d.x1 - mu.m1), 6) AS phi_x1,
+           ROUND(2.0 * (d.x2 - mu.m2), 6) AS phi_x2,
+           ROUND(-1.0 * (d.x3 - mu.m3), 6) AS phi_x3,
+           ABS((1.0 * (d.x1 - mu.m1) + 2.0 * (d.x2 - mu.m2)
+                - 1.0 * (d.x3 - mu.m3))
+               - ((d.x1 + 2.0 * d.x2 - d.x3)
+                  - (mu.m1 + 2.0 * mu.m2 - mu.m3))) < 1e-9
+             AS additivity_ok
+    FROM data d CROSS JOIN mu
+    WHERE d.vec_id < 100
+    """,
+)
+def a_shapley_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-row Shapley attributions for the embedded linear
+    scorer — MODEL EXPLAINABILITY joins the evaluation family (the
+    eval battery scores models; this explains individual
+    predictions): for a linear model under feature independence the
+    Shapley value has the closed form φᵢ = wᵢ·(xᵢ − E[xᵢ]) — the
+    exact quantity SHAP's LinearExplainer computes — and the
+    additivity axiom Σφᵢ = f(x) − E[f(x)] is emitted as a checked
+    witness per row (the explainability analogue of the checked-sink
+    pattern: don't just produce attributions, PROVE they decompose
+    the prediction).
+
+    Determinism: means are corpus aggregates whose float-sum noise is
+    identical in both engines only after rounding — attributions
+    round at 1e-6 where their ~1e-13 relative noise is invisible;
+    the additivity check compares against 1e-9 which dominates the
+    noise by 4 orders.
+
+    Scale: one moment scan (3 means) broadcast into a map-only
+    attribution pass — the 100 TB shape for per-row explanations;
+    tree/GBT explanations reuse the same skeleton with per-leaf
+    conditional means."""
+    e = _t(spark, sf_dir, "embeddings")
+    data = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+        F.element_at("embedding", 3).cast("double").alias("x3"),
+    )
+    mu = data.agg(
+        F.avg("x1").alias("m1"),
+        F.avg("x2").alias("m2"),
+        F.avg("x3").alias("m3"),
+    )
+    d = data.filter(F.col("vec_id") < 100).crossJoin(F.broadcast(mu))
+    phi1 = 1.0 * (F.col("x1") - F.col("m1"))
+    phi2 = 2.0 * (F.col("x2") - F.col("m2"))
+    phi3 = -1.0 * (F.col("x3") - F.col("m3"))
+    fx = F.col("x1") + 2.0 * F.col("x2") - F.col("x3")
+    ef = F.col("m1") + 2.0 * F.col("m2") - F.col("m3")
+    return d.select(
+        "vec_id",
+        F.round(phi1, 6).alias("phi_x1"),
+        F.round(phi2, 6).alias("phi_x2"),
+        F.round(phi3, 6).alias("phi_x3"),
+        (F.abs((phi1 + phi2 + phi3) - (fx - ef)) < 1e-9).alias(
+            "additivity_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_pareto_coverage — the 80/20 concentration readout (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_pareto_coverage",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS vc
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT vc,
+             SUM(vc) OVER (ORDER BY vc DESC, user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+             SUM(vc) OVER () AS total,
+             ROW_NUMBER() OVER (ORDER BY vc DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM u
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(MIN(CASE WHEN run * 10 >= total * 8 THEN rn END)
+                AS BIGINT) AS k80,
+           CAST(MIN(CASE WHEN run * 2 >= total THEN rn END)
+                AS BIGINT) AS k50
+    FROM ranked
+    """,
+)
+def a_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration readout — "how many users make up 80% /
+    50% of revenue?" (the 80/20 diagnostic next to a_gini_coefficient
+    and a_hhi, as the integer head-count instead of an index): users
+    ranked by exact cent-grid revenue, running share via the
+    DISTRIBUTED rank/running-sum machinery, and the crossing ranks
+    found by INTEGER cross-multiplication (run·10 ≥ total·8 — no
+    float shares anywhere).
+
+    Scale: user-grain aggregate, then the distributed rank-attach
+    convention (range partition + offsets — never a single-task
+    window over the user table; the bounded twin here rides the
+    constant-key window only because the ORACLE needs one total
+    order, while the Spark side uses the scan-carry)."""
+    from ..operators.ranks import attach_global_ranks
+
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")
+    )
+    ranked = attach_global_ranks(
+        u,
+        sort_cols=[F.desc("vc"), F.asc("user_id")],
+        key_cols=[F.col("vc"), F.col("user_id")],
+        rn_col="rn",
+    )
+    k = constant_partition_key(F.col("rn"))
+    w_run = (
+        Window.partitionBy(k)
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(k).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = ranked.select(
+        "rn",
+        F.sum("vc").over(w_run).alias("run"),
+        F.sum("vc").over(w_all).alias("total"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.min(
+            F.when(F.col("run") * 10 >= F.col("total") * 8, F.col("rn"))
+        )
+        .cast("long")
+        .alias("k80"),
+        F.min(F.when(F.col("run") * 2 >= F.col("total"), F.col("rn")))
+        .cast("long")
+        .alias("k50"),
+    )
