@@ -150,3 +150,97 @@ def test_hodges_lehmann_between_min_and_max(spark):
     assert row.n_pairs == d.n * (d.n + 1) // 2
     hl = row.hl_x4 / 4.0
     assert d.lo <= hl <= d.hi
+
+
+def test_gbt_rounds_reduce_training_sse(spark):
+    """Boosting must help: replay the 3 fitted stumps over the data
+    and check the training SSE is strictly non-increasing round over
+    round (and strictly better than the constant-mean model by the
+    end)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r14 import (
+        _GBT_MICRO,
+        train_gbt_stumps,
+    )
+
+    model = {
+        r.round: r for r in QUERIES["train_gbt_stumps"](spark, SF_DIR).collect()
+    }
+    assert set(model) == {1, 2, 3}
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .selectExpr(
+            "cast(embedding[0] as double) x1",
+            "cast(embedding[1] as double) x2",
+            "cast(embedding[2] as double) x3",
+        )
+        .collect()
+    )
+    ys = [
+        round((r.x1 + 2.0 * r.x2 - r.x3) * _GBT_MICRO) for r in rows
+    ]
+    mu = int(sum(ys) // len(ys))
+    preds = [float(mu)] * len(rows)
+    sses = [sum((y - p) ** 2 for y, p in zip(ys, preds))]
+    for m in (1, 2, 3):
+        b = model[m]
+        x = {1: "x1", 2: "x2", 3: "x3"}[b.feature]
+        for i, r in enumerate(rows):
+            v = getattr(r, x)
+            preds[i] += (
+                b.leaf_l_micro if v <= b.threshold else b.leaf_r_micro
+            )
+        sses.append(sum((y - p) ** 2 for y, p in zip(ys, preds)))
+    assert sses[3] < sses[0], sses
+    for a, c in zip(sses, sses[1:]):
+        assert c <= a * 1.0000001, sses  # non-increasing (float slack)
+
+
+def test_mips_differs_from_cosine_and_is_exact(spark):
+    """Verify the MIPS top-1 per query against a numpy replay. On
+    THIS fixture the corpus is exactly unit-normalized (asserted
+    below), so inner product and cosine coincide observationally —
+    the query's distinct objective only shows on un-normalized
+    factor tables; the replay pins that the reported score is the
+    raw dot product."""
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=float)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.ip)
+        for r in QUERIES["sim_mips_topk"](spark, SF_DIR).collect()
+    }
+    diffs = 0
+    for q in range(10):
+        ips = {
+            c: round(float(emb[q] @ v), 6)
+            for c, v in emb.items()
+            if c != q
+        }
+        best_ip = min(sorted(ips.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+        assert got[(q, 1)][0] == best_ip[0], (q, got[(q, 1)], best_ip)
+        n1, ip1 = got[(q, 1)]
+        assert abs(ip1 - round(float(emb[q] @ emb[n1]), 6)) < 1e-9
+        diffs += 1
+    # fixture property that makes IP == cosine here: unit norms
+    norms = [np.linalg.norm(v) for v in emb.values()]
+    assert max(abs(n - 1.0) for n in norms) < 1e-6
+
+
+def test_cvar_bounds_and_sprt_consistency(spark):
+    """CVaR tail mean must not exceed VaR (worst-tail average ≤ the
+    tail boundary); SPRT decision fields must be mutually
+    consistent."""
+    r = QUERIES["a_cvar_daily"](spark, SF_DIR).collect()[0]
+    assert r.m_tail >= 1
+    assert r.tail_sum_cents <= r.var_cents * r.m_tail
+    s = QUERIES["a_sprt"](spark, SF_DIR).collect()[0]
+    if s.decision == "continue":
+        assert s.decision_day == 0
+    else:
+        assert 1 <= s.decision_day <= s.n_days
+        assert s.decision in ("accept_h0", "accept_h1")
