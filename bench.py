@@ -334,6 +334,9 @@ HEADLINE = [
     # r08: explainability + revenue concentration
     "a_shapley_linear",
     "a_pareto_coverage",
+    # r08: URL-level dedup + Matryoshka truncation readout
+    "dedup_url_canonical",
+    "emb_matryoshka_truncate",
 ]
 
 

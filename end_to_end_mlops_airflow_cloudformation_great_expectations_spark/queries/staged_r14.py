@@ -2605,3 +2605,176 @@ def a_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_url_canonical — URL-level dedup (canonicalize, then exact-group)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://SHOP-' || CAST(o_orderkey % 10 AS VARCHAR)
+             || '.Example.com/Order/' || CAST(o_orderkey % 500 AS VARCHAR)
+             || '/?utm_source=' || o_orderstatus
+             || '&session=' || CAST(o_orderkey AS VARCHAR) AS url
+      FROM orders
+    ), canon AS (
+      SELECT o_orderkey,
+             lower(regexp_extract(url, '^[a-z]+://([^/?]+)', 1))
+             || regexp_replace(
+                  regexp_extract(url, '^[a-z]+://[^/?]+([^?]*)', 1),
+                  '/+$', '') AS curl
+      FROM u
+    )
+    SELECT curl,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes,
+           CAST(MIN(o_orderkey) AS BIGINT) AS canonical_key
+    FROM canon GROUP BY curl
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-LEVEL dedup — the cheapest and first dedup pass in every
+    web-corpus intake (CCNet/C4 drop exact-URL re-crawls before any
+    content hashing): canonicalize (lowercase host, strip the query
+    string — the utm/session junk that makes identical pages look
+    distinct — and the trailing slash), then exact-group with a
+    min-key canonical. Synthetic URLs are derived from order fields
+    (the f_url_functions convention) with deliberate case/query/slash
+    noise, so the oracle replays canonicalization with plain regexes
+    byte-for-byte.
+
+    The ladder this completes: URL dedup (this, free) → exact content
+    hash (dedup_exact) → near-dup (MinHash/SimHash) → semantic
+    (embedding) — each stage orders of magnitude costlier, so a real
+    pipeline runs them in exactly this order.
+
+    Scale: map-only canonicalization (codegen regex, zero UDF) + one
+    exact groupBy — the dedup_exact shape on the canonical key."""
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://SHOP-"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit(".Example.com/Order/"),
+        (F.col("o_orderkey") % 500).cast("string"),
+        F.lit("/?utm_source="),
+        F.col("o_orderstatus"),
+        F.lit("&session="),
+        F.col("o_orderkey").cast("string"),
+    )
+    canon = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lower(F.regexp_extract(url, r"^[a-z]+://([^/?]+)", 1)),
+            F.regexp_replace(
+                F.regexp_extract(url, r"^[a-z]+://[^/?]+([^?]*)", 1),
+                "/+$",
+                "",
+            ),
+        ).alias("curl"),
+    )
+    return canon.groupBy("curl").agg(
+        F.count("*").cast("long").alias("n_dupes"),
+        F.min("o_orderkey").cast("long").alias("canonical_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_truncate — prefix-dim truncation quality readout
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+
+@query(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, a.vec_id + 1 AS id_b,
+             CAST(a.embedding AS DOUBLE[]) AS va,
+             CAST(b.embedding AS DOUBLE[]) AS vb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 100 AND a.vec_id % 2 = 0
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(va, vb), 6) AS cos_full,
+           ROUND(list_cosine_similarity(va[1:{_MRL_DIM}],
+                                        vb[1:{_MRL_DIM}]), 6) AS cos_trunc,
+           ROUND(list_cosine_similarity(va[1:{_MRL_DIM}],
+                                        vb[1:{_MRL_DIM}])
+                 - list_cosine_similarity(va, vb), 6) AS cos_shift
+    FROM pairs
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX truncation readout — the modern
+    embedding cost lever (MRL-trained models pack coarse semantics
+    into the leading dims, so serving can keep dims 1..16 of 64 and
+    cut the ANN index 4×): for sampled consecutive-id pairs, the
+    cosine under the full vector vs under the {dim}-dim prefix
+    (renormalized implicitly by the cosine), plus the shift — exactly
+    the evidence a platform needs before flipping retrieval to the
+    truncated index (compare against sim_topk_* recall bands).
+
+    Cross-engine: slicing is positional (no arithmetic), cosines are
+    the same dot/norm arithmetic both sides on identical doubles,
+    ROUND 6 per the registry scorer convention.
+
+    Scale: map-only over a broadcast-joined pair sample; the
+    full-corpus variant is one scan with the truncation fused into
+    the existing quantize/index builders (emb_quantize_int8's
+    shape)."""
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(
+        (F.col("vec_id") < 100) & (F.col("vec_id") % 2 == 0)
+    ).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("id_b") == F.col("id_a") + 1
+    )
+
+    def cos(u, v):
+        dot = F.aggregate(
+            F.zip_with(
+                u, v, lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nu = F.sqrt(
+            F.aggregate(
+                F.transform(u, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nv = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return dot / (nu * nv)
+
+    full = cos(F.col("va"), F.col("vb"))
+    trunc = cos(
+        F.slice(F.col("va"), 1, _MRL_DIM), F.slice(F.col("vb"), 1, _MRL_DIM)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(full, 6).alias("cos_full"),
+        F.round(trunc, 6).alias("cos_trunc"),
+        F.round(trunc - full, 6).alias("cos_shift"),
+    )
+
+
+emb_matryoshka_truncate.__doc__ = emb_matryoshka_truncate.__doc__.replace(
+    "{dim}", str(_MRL_DIM)
+)
