@@ -383,3 +383,20 @@ _reorder()
 # pre-round-8 ledger at 310/310.
 
 __all__ = ["QUERIES", "ORACLES"]
+
+# ROUND-8 CONTINUATION (staged_r14.py, registered after the staged
+# r9 window): 29 more oracle-backed queries for the r10+ rotation
+# pool — a_kendall_tau, a_durbin_watson, a_runs_test,
+# a_hodges_lehmann, a_kruskal_wallis, a_xicor, a_log_rank,
+# g_clustering_coefficient, a_benjamini_hochberg, p_l_diversity,
+# a_isotonic_calibration, train_ridge_closed, a_friedman_test,
+# g_hits_banded, io_formats_roundtrip_checked, mm_wav_tone_detect,
+# dedup_cluster_canonical, sim_mips_topk, io_orc_roundtrip_checked,
+# train_gbt_stumps, a_power_analysis, a_sprt, a_cvar_daily,
+# a_shapley_linear, a_pareto_coverage, dedup_url_canonical,
+# emb_matryoshka_truncate — plus the a_permutation_test REWIRE to
+# functions.columns.portable_arm (its parity-degenerate null is
+# fixed; the query is already in the r8 window and was re-proven at
+# both scales incl. --plain after the change). All proven
+# local-green at sf0.001 + sf0.01 incl. --plain before landing; the
+# session also ran FULL-registry sweeps green at both scales.
