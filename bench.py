@@ -337,6 +337,9 @@ HEADLINE = [
     # r08: URL-level dedup + Matryoshka truncation readout
     "dedup_url_canonical",
     "emb_matryoshka_truncate",
+    # r08: SRM health gate + hierarchical changepoints
+    "a_ab_srm",
+    "a_binary_segmentation",
 ]
 
 

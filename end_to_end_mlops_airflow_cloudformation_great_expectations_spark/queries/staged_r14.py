@@ -2778,3 +2778,203 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 emb_matryoshka_truncate.__doc__ = emb_matryoshka_truncate.__doc__.replace(
     "{dim}", str(_MRL_DIM)
 )
+
+
+# ---------------------------------------------------------------------------
+# a_ab_srm — sample-ratio-mismatch gate (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_ab_srm",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id * 2654435761) % 4294967296 % 2 = 0
+                  THEN 'A' ELSE 'B' END AS bucket
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT SUM(CASE WHEN bucket = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN bucket = 'B' THEN 1 ELSE 0 END) AS nb
+      FROM assign
+    )
+    SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           CAST((na - nb) * (na - nb) AS BIGINT) AS srm_num,
+           CAST(na + nb AS BIGINT) AS srm_den,
+           (na - nb) * (na - nb) * 1000 > 10828 * (na + nb) AS srm_alarm
+    FROM g
+    """,
+)
+def a_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch gate — the FIRST health check every A/B
+    platform runs before reading any metric (a skewed 50/50 split
+    means the assignment or logging pipeline is broken and every
+    downstream lift is garbage): χ²₁ = (n_A−n_B)²/(n_A+n_B) against
+    the conventional α=0.001 alarm threshold (10.828). Same
+    portable-hash assignment as a_abtest_lift, so the gate guards the
+    exact population the lift reads.
+
+    Integers-only (band-grid endgame): the statistic ships as the
+    exact BIGINT pair (srm_num, srm_den) and the alarm fires via the
+    integer cross-multiplication (na−nb)²·1000 > 10828·(na+nb) — the
+    critical value is the rational 10828/1000, so no float compare
+    anywhere.
+
+    Scale: one user-grain distinct pass + a 1-row reduce."""
+    from ..functions.columns import portable_bucket
+
+    e = _t(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(F.lit(1).alias("one")).select(
+        F.when(portable_bucket(F.col("user_id"), 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("bucket")
+    )
+    g = assign.agg(
+        F.sum(F.when(F.col("bucket") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("bucket") == "B", 1).otherwise(0)).alias("nb"),
+    )
+    diff2 = (F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))
+    return g.select(
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        diff2.cast("long").alias("srm_num"),
+        (F.col("na") + F.col("nb")).cast("long").alias("srm_den"),
+        (diff2 * 1000 > 10828 * (F.col("na") + F.col("nb"))).alias(
+            "srm_alarm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_binary_segmentation — hierarchical changepoints (depth 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_binary_segmentation",
+    oracle=f"""
+    WITH {_DAILY_CTE},
+    seq AS (
+      SELECT day, xc,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(xc) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             COUNT(*) OVER () AS n,
+             SUM(xc) OVER () AS s
+      FROM daily
+    ),
+    b1 AS (
+      SELECT i AS k1, cs AS cs1, day AS d1, n AS ntot, s AS stot FROM seq
+      WHERE i < n
+      QUALIFY ROW_NUMBER() OVER (ORDER BY
+        CAST(cs AS DOUBLE) * cs / i
+        + CAST(s - cs AS DOUBLE) * (s - cs) / (n - i) DESC, i ASC) = 1
+    ),
+    seq1 AS (
+      SELECT seq.i, seq.day, seq.cs, b1.k1, b1.cs1, b1.ntot, b1.stot
+      FROM seq CROSS JOIN b1
+    ),
+    bl AS (
+      SELECT i AS k, day AS d FROM seq1
+      WHERE i < k1
+      QUALIFY ROW_NUMBER() OVER (ORDER BY
+        CAST(cs AS DOUBLE) * cs / i
+        + CAST(cs1 - cs AS DOUBLE) * (cs1 - cs) / (k1 - i) DESC, i ASC) = 1
+    ),
+    br AS (
+      SELECT i AS k, day AS d FROM seq1
+      WHERE i > k1 AND i < ntot
+      QUALIFY ROW_NUMBER() OVER (ORDER BY
+        CAST(cs - cs1 AS DOUBLE) * (cs - cs1) / (i - k1)
+        + CAST(stot - cs AS DOUBLE) * (stot - cs) / (ntot - i) DESC,
+        i ASC) = 1
+    )
+    SELECT 1 AS cp_id, CAST(b1.k1 AS BIGINT) AS split_idx, b1.d1 AS day
+    FROM b1
+    UNION ALL
+    SELECT 2, CAST(bl.k AS BIGINT), bl.d FROM bl
+    UNION ALL
+    SELECT 3, CAST(br.k AS BIGINT), br.d FROM br
+    """,
+)
+def a_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical changepoint detection by BINARY SEGMENTATION
+    (depth 2 ⇒ up to 3 changepoints) over the daily revenue series —
+    the multi-changepoint generalization of a_cusum_changepoint (one
+    shift) and a_interrupted_ts (one known cut): find the split
+    maximizing the two-segment fit S_L²/n_L + S_R²/n_R (equivalently
+    minimizing total SSE — the constant-Σx² term cancels), then
+    recurse once into each side. The classic scalable approximation
+    to optimal partitioning (PELT's ancestor), and exactly the shape
+    a distributed engine wants: each level is ONE pass over the
+    bounded prefix-sum table, never a per-candidate scan.
+
+    Determinism: prefix sums are EXACT integer cents; candidate
+    scores are identical IEEE doubles from identical integers
+    (explicit x*x); argmax tie-breaks on the index; the OUTPUT is
+    integers/dates only (the selection is shipped, not the score).
+
+    Scale: one fact scan → bounded daily table; both levels are
+    constant-key windows + 1-row broadcasts over it."""
+    d = _daily(spark, sf_dir)
+    kday = constant_partition_key(F.col("day"))
+    w_ord = Window.partitionBy(kday).orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(kday).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = d.select(
+        "day",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("xc").over(w_run).alias("cs"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("xc").over(w_all).alias("s"),
+    )
+
+    def best(df: DataFrame, lo_cs, lo_i, hi_cs, hi_i) -> DataFrame:
+        """Argmax split inside (lo_i, hi_i]: segment sums relative to
+        the enclosing segment's prefix boundaries."""
+        seg_l = (F.col("cs") - lo_cs).cast("double")
+        seg_r = (hi_cs - F.col("cs")).cast("double")
+        score = seg_l * seg_l / (F.col("i") - lo_i) + seg_r * seg_r / (
+            hi_i - F.col("i")
+        )
+        w = Window.partitionBy(constant_partition_key(F.col("i"))).orderBy(
+            score.desc(), F.col("i").asc()
+        )
+        return (
+            df.filter((F.col("i") > lo_i) & (F.col("i") < hi_i))
+            .select(
+                "day", "i", "cs", F.row_number().over(w).alias("rnk")
+            )
+            .filter(F.col("rnk") == 1)
+        )
+
+    b1 = best(seq, F.lit(0), F.lit(0), F.col("s"), F.col("n")).select(
+        F.col("i").alias("k1"),
+        F.col("cs").alias("cs1"),
+        F.col("day").alias("d1"),
+    )
+    seq1 = seq.crossJoin(F.broadcast(b1))
+    bl = best(
+        seq1, F.lit(0), F.lit(0), F.col("cs1"), F.col("k1")
+    ).select(F.col("i").alias("kl"), F.col("day").alias("dl"))
+    br = best(
+        seq1, F.col("cs1"), F.col("k1"), F.col("s"), F.col("n")
+    ).select(F.col("i").alias("kr"), F.col("day").alias("dr"))
+    out1 = b1.select(
+        F.lit(1).cast("int").alias("cp_id"),
+        F.col("k1").cast("long").alias("split_idx"),
+        F.col("d1").alias("day"),
+    )
+    out2 = bl.select(
+        F.lit(2).cast("int").alias("cp_id"),
+        F.col("kl").cast("long").alias("split_idx"),
+        F.col("dl").alias("day"),
+    )
+    out3 = br.select(
+        F.lit(3).cast("int").alias("cp_id"),
+        F.col("kr").cast("long").alias("split_idx"),
+        F.col("dr").alias("day"),
+    )
+    return out1.unionByName(out2).unionByName(out3)
