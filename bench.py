@@ -340,6 +340,8 @@ HEADLINE = [
     # r08: SRM health gate + hierarchical changepoints
     "a_ab_srm",
     "a_binary_segmentation",
+    # r08: schema-evolution (merged-footer) source check
+    "io_schema_evolution_checked",
 ]
 
 

@@ -2978,3 +2978,111 @@ def a_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dr").alias("day"),
     )
     return out1.unionByName(out2).unionByName(out3)
+
+
+# ---------------------------------------------------------------------------
+# io_schema_evolution_checked — merged-footer read over an evolving table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_schema_evolution_checked",
+    oracle="""
+    WITH old AS (
+      SELECT l_returnflag AS flag, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q
+      FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1
+    ), new AS (
+      SELECT l_returnflag AS flag, COUNT(*) AS n,
+             SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS q,
+             SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS d
+      FROM lineitem WHERE l_linenumber > 3 GROUP BY 1
+    )
+    SELECT old.flag,
+           CAST(old.n + COALESCE(new.n, 0) AS BIGINT) AS n,
+           CAST(old.q + COALESCE(new.q, 0) AS BIGINT) AS qty_cents,
+           CAST(COALESCE(new.d, 0) AS BIGINT) AS disc_bps,
+           CAST(old.n AS BIGINT) AS n_null_disc,
+           TRUE AS merged_ok
+    FROM old LEFT JOIN new USING (flag)
+    """,
+)
+def io_schema_evolution_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION round trip (sources/io.read_parquet_evolving):
+    write an "old-writer" batch (3 columns) and a "new-writer" batch
+    (4 columns — disc_bps added) into ONE table directory, read it
+    back with footer merging, and fingerprint per flag: total rows,
+    quantity cents, the new column's sum, and — the part naive reads
+    get wrong — the exact count of rows where the late-added column
+    surfaces as NULL (old files must yield NULL, not 0, not an
+    error). merged_ok asserts the merged read equals the two-batch
+    union computed directly from the source (checked-source pattern).
+
+    At 100 TB schema evolution is how tables actually live — writers
+    upgrade over months; a reader that requires a rewrite of old
+    partitions (or silently drops the new column) corrupts the lake.
+    Footer merging costs one metadata read per file and nothing else;
+    the docstring contract in sources/io.py routes only evolving
+    tables through it.
+
+    Scale: map-only exports + one merged scan with map-side partial
+    aggregation; bounded build-time side effect per the checked-sink
+    planlint contract."""
+    import os
+
+    from ..sources.io import read_parquet_evolving
+    from .staged_r07 import _scratch
+
+    base = _scratch("io_evolve")
+    tbl = os.path.join(base, "tbl")
+    li = _t(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_linenumber") <= 3).select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        "l_returnflag",
+    )
+    new = li.filter(F.col("l_linenumber") > 3).select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        "l_returnflag",
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bps"),
+    )
+    old.write.mode("overwrite").parquet(tbl)
+    new.write.mode("append").parquet(tbl)
+
+    merged = read_parquet_evolving(spark, tbl)
+    got = merged.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("m_n"),
+        F.sum("qty100").alias("m_q"),
+        F.coalesce(F.sum("disc_bps"), F.lit(0)).alias("m_d"),
+        F.sum(F.col("disc_bps").isNull().cast("long")).alias("m_null"),
+    )
+    want = (
+        li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.count("*").alias("w_n"),
+            F.sum(
+                F.round(F.col("l_quantity") * 100).cast("long")
+            ).alias("w_q"),
+            F.sum(
+                F.when(
+                    F.col("l_linenumber") > 3,
+                    F.round(F.col("l_discount") * 10000).cast("long"),
+                ).otherwise(0)
+            ).alias("w_d"),
+            F.sum((F.col("l_linenumber") <= 3).cast("long")).alias(
+                "w_null"
+            ),
+        )
+    )
+    eq = lambda x, y: F.col(x).eqNullSafe(F.col(y))  # noqa: E731
+    return got.join(want, "flag").select(
+        "flag",
+        F.col("w_n").cast("long").alias("n"),
+        F.col("w_q").cast("long").alias("qty_cents"),
+        F.col("w_d").cast("long").alias("disc_bps"),
+        F.col("w_null").cast("long").alias("n_null_disc"),
+        (
+            eq("m_n", "w_n") & eq("m_q", "w_q")
+            & eq("m_d", "w_d") & eq("m_null", "w_null")
+        ).alias("merged_ok"),
+    )
