@@ -342,6 +342,8 @@ HEADLINE = [
     "a_binary_segmentation",
     # r08: schema-evolution (merged-footer) source check
     "io_schema_evolution_checked",
+    # r08: seasonal forecasting (triple exponential smoothing)
+    "a_holt_winters",
 ]
 
 

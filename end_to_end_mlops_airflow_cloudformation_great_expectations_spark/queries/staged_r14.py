@@ -3086,3 +3086,116 @@ def io_schema_evolution_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             & eq("m_d", "w_d") & eq("m_null", "w_null")
         ).alias("merged_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_holt_winters — triple exponential smoothing (additive seasonality)
+# ---------------------------------------------------------------------------
+
+_HW_PERIOD = 24  # daily cycle on the hourly grid
+
+
+@query(
+    "a_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), o AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY h) AS t FROM c
+    ), n AS (
+      SELECT COUNT(*) AS n FROM o
+    ), mu AS (
+      SELECT SUM(x) / {_HW_PERIOD} AS m FROM o WHERE t <= {_HW_PERIOD}
+    ), init AS (
+      SELECT {_HW_PERIOD} AS t,
+             (SELECT m FROM mu) AS l,
+             CAST(0 AS DOUBLE) AS b,
+             (SELECT LIST(x - (SELECT m FROM mu) ORDER BY t)
+              FROM o WHERE t <= {_HW_PERIOD}) AS s
+    ), fold AS (
+      SELECT t, l, b, s FROM init
+      UNION ALL
+      SELECT o.t,
+             0.5 * (o.x - f.s[1]) + 0.5 * (f.l + f.b),
+             0.25 * ((0.5 * (o.x - f.s[1]) + 0.5 * (f.l + f.b)) - f.l)
+               + 0.75 * f.b,
+             list_concat(
+               f.s[2:],
+               [0.5 * (o.x - (0.5 * (o.x - f.s[1]) + 0.5 * (f.l + f.b)))
+                + 0.5 * f.s[1]])
+      FROM fold f JOIN o ON o.t = f.t + 1
+    ), last AS (
+      SELECT l, b, s FROM fold WHERE t = (SELECT n FROM n)
+    )
+    SELECT CAST(k AS BIGINT) AS horizon,
+           ROUND(l + k * b + s[((k - 1) % {_HW_PERIOD}) + 1], 6)
+             AS forecast
+    FROM last, generate_series(1, 6) AS g(k)
+    """,
+)
+def a_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE-SEASONAL forecasting (triple exponential
+    smoothing, daily cycle on the hourly grid) — the seasonal member
+    completing the forecasting family: a_holt_forecast smooths
+    level+trend and cannot see the day/night wave a_seasonal_residuals
+    measures; HW carries a 24-cell seasonal state and forecasts
+    l + k·b + s_k. Dyadic smoothing constants (α=γ=1/2, β=1/4);
+    first-cycle initialization (l = cycle mean — an exact /24 of an
+    exact integer sum, order-independent; s_i = x_i − l; b = 0).
+
+    Cross-engine exactness: the Spark side folds the BOUNDED hourly
+    series in a one-group applyInPandas with a plain scalar loop
+    (never numpy vector ops, whose pairwise summation reorders
+    float adds); DuckDB's RECURSIVE CTE carries the rotating seasonal
+    LIST and replays the identical operation sequence — identical
+    IEEE ops in identical order, so the 6-dp rounding is
+    belt-and-braces (the a_holt_forecast convention).
+
+    Scale: one fact scan to the calendar-bounded series; the
+    sequential fold is corpus-independent. At 100 TB the aggregate
+    is the parallel part and the fold stays a ~thousands-step scalar
+    recursion — exactly how production forecasters run."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    m = _HW_PERIOD
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        xs = [float(v) for v in pdf["x"]]
+        tot = 0.0
+        for v in xs[:m]:
+            tot += v
+        level = tot / m
+        trend = 0.0
+        s = [v - level for v in xs[:m]]
+        for x in xs[m:]:
+            nl = 0.5 * (x - s[0]) + 0.5 * (level + trend)
+            trend = 0.25 * (nl - level) + 0.75 * trend
+            ns = 0.5 * (x - nl) + 0.5 * s[0]
+            s = s[1:] + [ns]
+            level = nl
+        return pd.DataFrame(
+            {
+                "horizon": range(1, 7),
+                "forecast": [
+                    level + k * trend + s[(k - 1) % m] for k in range(1, 7)
+                ],
+            }
+        )
+
+    return (
+        c.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(fold, "horizon long, forecast double")
+        .select("horizon", F.round("forecast", 6).alias("forecast"))
+    )
