@@ -244,3 +244,63 @@ def test_cvar_bounds_and_sprt_consistency(spark):
     else:
         assert 1 <= s.decision_day <= s.n_days
         assert s.decision in ("accept_h0", "accept_h1")
+
+
+def test_holt_winters_seasonal_state_sane(spark):
+    """HW forecasts must vary ACROSS horizons by more than the linear
+    trend alone (the seasonal state is live), and stay within a sane
+    multiple of the series range."""
+    rows = {
+        r.horizon: r.forecast
+        for r in QUERIES["a_holt_winters"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(1, 7))
+    # consecutive-horizon differences under pure level+trend would be
+    # CONSTANT (= b); with a live seasonal state they differ
+    diffs = [rows[k + 1] - rows[k] for k in range(1, 6)]
+    assert max(diffs) - min(diffs) > 1e-9, diffs
+
+
+def test_binary_segmentation_split_ordering(spark):
+    """The three changepoints must be distinct indices with cp2 left
+    of cp1 and cp3 right of cp1 (the hierarchy is real)."""
+    rows = {
+        r.cp_id: r.split_idx
+        for r in QUERIES["a_binary_segmentation"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] < rows[1] < rows[3], rows
+
+
+def test_schema_evolution_nulls_are_counted(spark):
+    """The merged read must surface the late-added column as NULL in
+    old-writer files — n_null_disc equals the old batch's row count
+    per flag and merged_ok holds everywhere."""
+    rows = QUERIES["io_schema_evolution_checked"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_ok, r
+        assert 0 < r.n_null_disc < r.n, r
+
+
+def test_srm_gate_consistency(spark):
+    """SRM integers must be self-consistent and the alarm must match
+    the integer cross-multiplication."""
+    r = QUERIES["a_ab_srm"](spark, SF_DIR).collect()[0]
+    assert r.srm_num == (r.na - r.nb) ** 2
+    assert r.srm_den == r.na + r.nb
+    assert r.srm_alarm == (r.srm_num * 1000 > 10828 * r.srm_den)
+
+
+def test_url_dedup_collapses_sessions(spark):
+    """Canonicalization must actually merge: every canonical URL key
+    (orderkey mod 500 per shop) collects all its session-noised
+    variants; total dupes equals the order count."""
+    rows = QUERIES["dedup_url_canonical"](spark, SF_DIR).collect()
+    total = sum(r.n_dupes for r in rows)
+    n_orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert total == n_orders
+    assert any(r.n_dupes > 1 for r in rows), "nothing collapsed"
+    for r in rows:
+        assert r.curl == r.curl.lower()
+        assert "?" not in r.curl and "utm" not in r.curl
