@@ -344,6 +344,9 @@ HEADLINE = [
     "io_schema_evolution_checked",
     # r08: seasonal forecasting (triple exponential smoothing)
     "a_holt_winters",
+    # r08: survival uncertainty + directed reciprocity
+    "a_greenwood_ci",
+    "g_reciprocity",
 ]
 
 

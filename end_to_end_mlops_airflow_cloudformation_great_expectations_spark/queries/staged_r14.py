@@ -3199,3 +3199,171 @@ def a_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(fold, "horizon long, forecast double")
         .select("horizon", F.round("forecast", 6).alias("forecast"))
     )
+
+
+# ---------------------------------------------------------------------------
+# a_greenwood_ci — Kaplan-Meier uncertainty (Greenwood's formula)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_greenwood_ci",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(FLOOR((EPOCH(MAX(ts)) - EPOCH(MIN(ts))) / 3600) AS BIGINT)
+               AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ), cut AS (
+      SELECT MAX(ts) AS mx FROM events
+    ), lab AS (
+      SELECT s.dur,
+             (EPOCH(cut.mx) - EPOCH(s.last_ts)) >= 6 * 3600 AS observed
+      FROM span s CROSS JOIN cut
+    ), per AS (
+      SELECT dur, COUNT(*) AS c,
+             SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d
+      FROM lab GROUP BY dur
+    ), risk AS (
+      SELECT dur, d,
+             SUM(c) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM per
+    ), steps AS (
+      SELECT dur, d, n FROM risk WHERE d > 0
+    )
+    SELECT dur AS dur_h,
+           CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+           ROUND(EXP(SUM(LN(CAST(n - d AS DOUBLE) / n)) OVER w), 6)
+             AS km_survival,
+           ROUND(SUM(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * (n - d)))
+                   OVER w, 6) AS greenwood_cumvar
+    FROM steps
+    WHERE n > d
+    WINDOW w AS (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def a_greenwood_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwood's variance for the Kaplan-Meier curve — the
+    UNCERTAINTY layer the survival family was missing (a_survival_km
+    gives the point estimate, a_log_rank compares groups; this gives
+    the per-step cumulative variance Σ d/(n(n−d)) from which the
+    standard KM confidence band Ŝ·(1 ± z·√v̂) follows): same
+    censored-lifetime construction, survival as exp(Σ ln((n−d)/n))
+    so BOTH running quantities are ORDER-sequenced sums
+    (deterministic float — the nelson_aalen convention; the km curve
+    re-derived through ln/exp lands on the same 1e-6 grid as the
+    product form). Steps with n == d are excluded from the table on
+    both sides (survival hits exact zero, Greenwood diverges —
+    textbook behavior, documented rather than fudged).
+
+    Scale: one fact scan → per-user spans → constant-key windows
+    over the bounded distinct-lifetime table."""
+    k_ = constant_partition_key
+
+    e = _t(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            / 3600
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    cut = e.agg(F.max("ts").alias("mx"))
+    lab = span.crossJoin(F.broadcast(cut)).select(
+        "dur",
+        (
+            (F.unix_timestamp("mx") - F.unix_timestamp("last_ts"))
+            >= 6 * 3600
+        ).alias("observed"),
+    )
+    per = lab.groupBy("dur").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+    )
+    w_desc = (
+        Window.partitionBy(k_(F.col("dur")))
+        .orderBy(F.col("dur").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.select(
+        "dur", "d", F.sum("c").over(w_desc).alias("n")
+    ).filter((F.col("d") > 0) & (F.col("n") > F.col("d")))
+    w_asc = (
+        Window.partitionBy(k_(F.col("dur")))
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ln_term = F.log((F.col("n") - F.col("d")).cast("double") / F.col("n"))
+    gw_term = F.col("d").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - F.col("d"))
+    )
+    return risk.select(
+        F.col("dur").alias("dur_h"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.round(F.exp(F.sum(ln_term).over(w_asc)), 6).alias("km_survival"),
+        F.round(F.sum(gw_term).over(w_asc), 6).alias("greenwood_cumvar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_reciprocity — directed-graph reciprocity (exact integers)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g_reciprocity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey % 50 AS src, l_suppkey % 50 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey % 50 <> l_suppkey % 50
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN EXISTS (
+                  SELECT 1 FROM e r
+                  WHERE r.src = e.dst AND r.dst = e.src)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+    FROM e
+    """,
+)
+def g_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-graph reciprocity — the fraction of edges whose
+    reverse edge also exists (DIRECTION joins the graph-quality
+    family: transitivity scores triangles, assortativity scores
+    degree mixing, this scores mutuality — the signature difference
+    between follow graphs (~low) and friendship graphs (1.0)).
+    Shipped as the EXACT integer pair (n_reciprocal, n_edges); the
+    ratio is the consumer's division (band-grid endgame).
+
+    Spark side: the reverse-edge test is a self-join on the swapped
+    key pair (left-semi — never EXISTS-per-row), on the DISTINCT
+    vertex-bounded edge set; the fact-fact edge build is merge-pinned
+    upstream (banked broadcast-OOM lesson)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") % 50).alias("src"),
+            (F.col("l_suppkey") % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    n_all = edges.agg(F.count("*").alias("n_edges"))
+    n_rec = recip.agg(F.count("*").alias("n_reciprocal"))
+    return n_all.crossJoin(F.broadcast(n_rec)).select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+    )
