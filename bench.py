@@ -347,6 +347,9 @@ HEADLINE = [
     # r08: survival uncertainty + directed reciprocity
     "a_greenwood_ci",
     "g_reciprocity",
+    # r08: 2x2 odds ratio + McNemar paired model comparison
+    "a_odds_ratio",
+    "a_mcnemar_test",
 ]
 
 

@@ -3367,3 +3367,246 @@ def g_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("long").alias("n_edges"),
         F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_odds_ratio — 2x2 association with Woolf CI (exact integer cells)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_odds_ratio",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             (user_id * 2654435761) % 4294967296 % 2 = 0 AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) = 1 AS outcome
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT SUM(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END)
+               AS d
+      FROM assign
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST(a * d AS BIGINT) AS or_num,
+           CAST(b * c AS BIGINT) AS or_den,
+           ROUND(LN(CAST(a * d AS DOUBLE) / (b * c))
+                 - 1.959963984540054
+                   * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS ln_or_lo,
+           ROUND(LN(CAST(a * d AS DOUBLE) / (b * c))
+                 + 1.959963984540054
+                   * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d), 6) AS ln_or_hi
+    FROM cells
+    """,
+)
+def a_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of the 2×2 exposure/outcome table with Woolf's
+    log-scale confidence interval — the case-control association
+    readout completing the 2×2 family (a_chi2_independence tests,
+    a_cramers_v sizes, a_effect_sizes standardizes differences; the
+    OR is what epidemiology and logistic regression actually report:
+    e^β of the exposure coefficient). Exposure = the portable-hash
+    assignment, outcome = any high-value purchase (a_abtest_lift's
+    population).
+
+    Integers-only core: the 2×2 cells and the OR as the exact BIGINT
+    pair (or_num, or_den) = (a·d, b·c); the Woolf bounds
+    ln(OR) ± z·√(1/a+1/b+1/c+1/d) carry a sqrt ⇒ irrational ⇒
+    ROUND 6 safe (z as the shared literal — no erf).
+
+    Scale: one user-grain scan + a 1-row reduce."""
+    from ..functions.columns import portable_bucket
+
+    e = _t(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        (
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("outcome")
+    ).select(
+        (portable_bucket(F.col("user_id"), 2) == 0).alias("exposed"),
+        "outcome",
+    )
+    cells = assign.agg(
+        F.sum(
+            F.when(F.col("exposed") & F.col("outcome"), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when(F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(~F.col("exposed") & F.col("outcome"), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(~F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)
+        ).alias("d"),
+    )
+    ln_or = F.log(
+        (F.col("a") * F.col("d")).cast("double")
+        / (F.col("b") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b")
+        + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    z = 1.959963984540054
+    return cells.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        (F.col("a") * F.col("d")).cast("long").alias("or_num"),
+        (F.col("b") * F.col("c")).cast("long").alias("or_den"),
+        F.round(ln_or - z * se, 6).alias("ln_or_lo"),
+        F.round(ln_or + z * se, 6).alias("ln_or_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_mcnemar_test — paired model comparison (full vs truncated scorer)
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    from .staged_r10 import _POS_LABEL
+
+    return f"""
+    WITH ex0 AS (
+      SELECT i, CAST(x AS DOUBLE) AS x FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE label = {_POS_LABEL}) t
+    ), cent AS (
+      SELECT i, ROUND(AVG(x), 6) AS c FROM ex0 GROUP BY i
+    ), vex AS (
+      SELECT vec_id,
+             CASE WHEN label = {_POS_LABEL} THEN 1 ELSE 0 END AS is_pos,
+             CAST(x AS DOUBLE) AS x, i
+      FROM (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t
+    ), scored AS (
+      SELECT vex.vec_id, vex.is_pos,
+             ROUND(SUM(vex.x * cent.c)
+                   / NULLIF(SQRT(SUM(vex.x * vex.x))
+                            * SQRT(SUM(cent.c * cent.c)), 0.0), 6)
+               AS s_full,
+             ROUND(SUM(CASE WHEN vex.i <= {_MRL_DIM}
+                            THEN vex.x * cent.c ELSE 0 END)
+                   / NULLIF(SQRT(SUM(CASE WHEN vex.i <= {_MRL_DIM}
+                                          THEN vex.x * vex.x ELSE 0 END))
+                            * SQRT(SUM(CASE WHEN vex.i <= {_MRL_DIM}
+                                            THEN cent.c * cent.c
+                                            ELSE 0 END)), 0.0), 6)
+               AS s_trunc
+      FROM vex JOIN cent USING (i)
+      GROUP BY 1, 2
+    ), paired AS (
+      SELECT ((s_full >= 0.0) = (is_pos = 1)) AS a_ok,
+             ((s_trunc >= 0.0) = (is_pos = 1)) AS b_ok
+      FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_cell,
+           CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_cell,
+           CAST((SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END))
+                * (SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                   - SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END))
+                AS BIGINT) AS mcnemar_num,
+           CAST(SUM(CASE WHEN a_ok <> b_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS mcnemar_den
+    FROM paired
+    """
+
+
+@query("a_mcnemar_test", oracle=_mcnemar_oracle())
+def a_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test — the PAIRED model-comparison the eval battery
+    was missing: two classifiers scored on the SAME items (here the
+    full-dimension centroid scorer vs its Matryoshka-truncated
+    16-dim variant — "does truncation significantly hurt?", the
+    decision emb_matryoshka_truncate's cosine shift feeds), compared
+    ONLY on their disagreements: χ²₁ = (b−c)²/(b+c) where b/c count
+    items exactly one model gets right. Unpaired accuracy comparison
+    wastes the pairing; McNemar is the correct test.
+
+    Integers-only (band-grid endgame): predictions compare ROUND-6
+    scores against a 0 threshold (identical doubles cross-engine),
+    the b/c cells are exact integers, and the statistic ships as the
+    BIGINT pair (mcnemar_num, mcnemar_den).
+
+    Scale: two corpus scans (centroid fit + scoring — both scorers
+    share one pass), then a 1-row reduce."""
+    from .staged_r10 import _POS_LABEL
+
+    e = _t(spark, sf_dir, "embeddings")
+    ex0 = e.filter(F.col("label") == _POS_LABEL).select(
+        F.posexplode("embedding").alias("i0", "x")
+    ).select((F.col("i0") + 1).alias("i"), "x")
+    cent = ex0.groupBy("i").agg(
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("c")
+    )
+    vex = e.select(
+        "vec_id",
+        (F.col("label") == _POS_LABEL).cast("int").alias("is_pos"),
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id", "is_pos", (F.col("i0") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    j = vex.join(F.broadcast(cent), "i")
+    tr = F.col("i") <= _MRL_DIM
+    scored = j.groupBy("vec_id", "is_pos").agg(
+        F.round(
+            F.sum(F.col("x") * F.col("c"))
+            / F.nullif(
+                F.sqrt(F.sum(F.col("x") * F.col("x")))
+                * F.sqrt(F.sum(F.col("c") * F.col("c"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("s_full"),
+        F.round(
+            F.sum(F.when(tr, F.col("x") * F.col("c")).otherwise(0.0))
+            / F.nullif(
+                F.sqrt(
+                    F.sum(F.when(tr, F.col("x") * F.col("x")).otherwise(0.0))
+                )
+                * F.sqrt(
+                    F.sum(F.when(tr, F.col("c") * F.col("c")).otherwise(0.0))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("s_trunc"),
+    )
+    paired = scored.select(
+        ((F.col("s_full") >= 0.0) == (F.col("is_pos") == 1)).alias("a_ok"),
+        ((F.col("s_trunc") >= 0.0) == (F.col("is_pos") == 1)).alias("b_ok"),
+    )
+    b = F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+    c = F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+    return paired.agg(
+        F.count("*").cast("long").alias("n"),
+        b.cast("long").alias("b_cell"),
+        c.cast("long").alias("c_cell"),
+        ((b - c) * (b - c)).cast("long").alias("mcnemar_num"),
+        F.sum(F.when(F.col("a_ok") != F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("mcnemar_den"),
+    )
