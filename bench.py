@@ -236,6 +236,10 @@ HEADLINE = [
     "a_cuped",
     "g_link_prediction",
     "a_anova_oneway",
+    # r07ag: effect sizes + assortativity (bars recorded round 7;
+    # restored to the headline in r9 — they had bars but no entry)
+    "a_effect_sizes",
+    "g_assortativity",
     # r07: quantile (median) regression trainer (5 lazy subgradient
     # rounds — the robust trainer family)
     "train_qr_banded",
@@ -353,11 +357,61 @@ HEADLINE = [
 ]
 
 
+def _gate(timings: dict[str, float]) -> int:
+    """Scriptable 2x gate (VERDICT r08 item 5): compare timings
+    against the canonical machine-readable bars in BASELINE_bars.json
+    (BASELINE.md stays the narrative). Returns a nonzero exit code if
+    any query exceeds 2x of its bar. Queries without a bar yet are
+    WARNED, not failed — the re-record protocol adds their bar with
+    the next BASELINE entry."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_bars.json"
+    )
+    with open(path) as fh:
+        bars = json.load(fh)["bars"]
+    failures, warned = [], []
+    common_t = common_b = 0.0
+    for name, sec in sorted(timings.items()):
+        bar = bars.get(name)
+        if bar is None:
+            warned.append(name)
+            continue
+        common_t += sec
+        common_b += bar
+        ratio = sec / bar
+        if ratio > 2.0:
+            failures.append((name, sec, bar, ratio))
+    for name in warned:
+        print(f"GATE WARN  {name}: no bar recorded yet", file=sys.stderr)
+    for name, sec, bar, ratio in failures:
+        print(
+            f"GATE FAIL  {name}: {sec:.3f}s vs bar {bar:.3f}s"
+            f" = {ratio:.2f}x (> 2x)",
+            file=sys.stderr,
+        )
+    agg = common_t / common_b if common_b else 0.0
+    print(
+        f"GATE {'FAIL' if failures else 'PASS'}: "
+        f"{len(timings) - len(warned)} gated, {len(failures)} over 2x, "
+        f"aggregate {agg:.2f}x",
+        file=sys.stderr,
+    )
+    return 1 if failures else 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     # Optional subset (isolated variance re-records): bench.py q1 q2 …
     subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    gate = "--gate" in sys.argv
+    # --gate-only: gate the committed BENCH_local_latest.json without
+    # re-running (the judge-auditable path)
+    if "--gate-only" in sys.argv:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_local_latest.json")) as fh:
+            timings = json.load(fh)["queries"]
+        sys.exit(_gate(timings))
 
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
         QUERIES,
@@ -461,6 +515,8 @@ def main() -> None:
         except OSError:
             pass  # read-only checkout must not fail the bench
     spark.stop()
+    if gate:
+        sys.exit(_gate(timings))
 
 
 if __name__ == "__main__":

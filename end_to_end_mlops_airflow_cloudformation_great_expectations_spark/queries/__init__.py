@@ -40,20 +40,12 @@ from . import tpch_partsupp  # noqa: F401  (literal shapes over derived partsupp
 from . import staged_r14  # noqa: F401  (round-8 continuation batch)
 from .registry import ORACLES, QUERIES
 
-#: First 50 = the driver's observed CORRECTNESS window. ROUND-8
-#: rotation (VERDICT r07 "Next round" item 1): CORRECTNESS_r07 closed
-#: the pre-round-7 ledger at 218/218, so the window rotates to the
-#: FIRST 50 of the 92-query round-8 queue — the 22 TPC-H SQL
+#: The ROUND-8 window (CORRECTNESS_r08 greened all 50 — kept for the
+#: disjointness pins in test_registry_order.py): the 22 TPC-H SQL
 #: passthroughs + sql_window_topk, the 8-trainer family, the
 #: persisted-index lifecycle trio, the 3 checked incremental sinks,
-#: and the curation/serving/behavioral batch. Every name was proven
-#: local-green at sf0.001+sf0.01 incl. --plain in round 7 before
-#: landing (CLAUDE.md new-query discipline) and the judge
-#: independently re-verified a 7-name sample (VERDICT r07). The
-#: remaining 42 queue names are enumerated in _ROUND9_QUEUE below
-#: (test-pinned) and take the r9 window; greening both closes the
-#: ledger at 310/310 oracle-backed driver-green.
-_DRIVER_WINDOW_FIRST = [
+#: and the curation/serving/behavioral batch.
+_ROUND8_WINDOW = [
     # ---- TPC-H SQL front end: 22 passthroughs + window dialect ----
     "sql_tpch_q1",
     "sql_tpch_q2",
@@ -179,6 +171,77 @@ _ROUND9_WINDOW = [
     "tpch_q16_partsupp",
     "tpch_q20_partsupp",
     "stream_pca_checked",
+]
+
+#: ROUND-9 ROTATION EXECUTED (VERDICT r08 item 1): CORRECTNESS_r08
+#: was 50/50 green, so the staged window above becomes the live
+#: driver window — greening it closes the pre-round-8 ledger at
+#: 310/310 and checks 8 of the round-8 additions.
+_DRIVER_WINDOW_FIRST = _ROUND9_WINDOW
+
+#: The ROUND-10 window, pinned NOW (VERDICT r08 item 2): the 47
+#: remaining never-driver-checked oracle-backed names (computed as
+#: ORACLES minus the union of green rows in CORRECTNESS_r01..r08
+#: minus _ROUND9_WINDOW — recomputed and test-pinned in
+#: test_registry_order.py) + 3 driver-green pads to fill the 50-slot
+#: window. Greening it closes the ledger at 365/365 oracle-backed
+#: driver-green. Names added in round 9+ queue BEHIND this window
+#: (prove at sf0.001+sf0.01 incl. --plain before landing, rotate in
+#: r11).
+_ROUND10_WINDOW = [
+    # staged_r13 remainder (round-8 additions not in the r9 window)
+    "a_spearman_corr",
+    "a_cramers_v",
+    "a_nelson_aalen",
+    "text_readability",
+    "p_mixture_temperature",
+    "g_sssp_bounded",
+    "a_levene_test",
+    "a_tukey_hsd",
+    "p_profile_drift",
+    "p_skew_profile",
+    "p_user_erasure",
+    "a13b_partsupp_expectations",
+    # staged_r14 (round-8 continuation batch, full set)
+    "a_kendall_tau",
+    "a_durbin_watson",
+    "a_runs_test",
+    "a_hodges_lehmann",
+    "a_kruskal_wallis",
+    "a_xicor",
+    "a_log_rank",
+    "a_friedman_test",
+    "a_benjamini_hochberg",
+    "a_isotonic_calibration",
+    "train_ridge_closed",
+    "train_gbt_stumps",
+    "g_clustering_coefficient",
+    "g_hits_banded",
+    "g_reciprocity",
+    "sim_mips_topk",
+    "emb_matryoshka_truncate",
+    "p_l_diversity",
+    "a_power_analysis",
+    "a_sprt",
+    "a_cvar_daily",
+    "a_shapley_linear",
+    "a_pareto_coverage",
+    "dedup_url_canonical",
+    "dedup_cluster_canonical",
+    "io_formats_roundtrip_checked",
+    "io_orc_roundtrip_checked",
+    "io_schema_evolution_checked",
+    "mm_wav_tone_detect",
+    "a_ab_srm",
+    "a_binary_segmentation",
+    "a_holt_winters",
+    "a_greenwood_ci",
+    "a_mcnemar_test",
+    "a_odds_ratio",
+    # ---- driver-green pads (r8 window) to fill the 50 slots ----
+    "sql_tpch_q1",
+    "sql_tpch_q6",
+    "sql_tpch_q12",
 ]
 
 
@@ -368,33 +431,20 @@ _reorder()
 # ROUND-8 STATUS: the first 50 of those 92 now occupy the window
 # (_DRIVER_WINDOW_FIRST above); the remaining 42 are _ROUND9_QUEUE.
 #
-# ROUND-9 ROTATION PLAN (execute once CORRECTNESS_r08 is green):
-# window = _ROUND9_QUEUE (42) + 8 of the 20 round-8 staged_r13/
-# partsupp additions (the rest rotate in r10):
-# dedup_embedding_probe_topk, sim_knn_classify_ivf,
-# tpch_q2/q9/q11/q16/q20_partsupp, a_spearman_corr, a_cramers_v,
-# a_nelson_aalen, text_readability, p_mixture_temperature,
-# g_sssp_bounded, stream_pca_checked, a_levene_test, a_tukey_hsd,
-# p_profile_drift, p_skew_profile, p_user_erasure,
-# a13b_partsupp_expectations — all proven
-# local-green at
-# sf0.001+sf0.01 incl. --plain (and the whole r8 window re-proven
-# 50/50 under --plain this round). Greening _ROUND9_QUEUE closes the
-# pre-round-8 ledger at 310/310.
+# ROUND-9 ROTATION EXECUTED: CORRECTNESS_r08 landed 50/50 green, so
+# _DRIVER_WINDOW_FIRST = _ROUND9_WINDOW above. _ROUND10_WINDOW (the
+# 47 remaining never-checked names + 3 green pads) is pinned above;
+# greening both closes the ledger at 365/365 oracle-backed
+# driver-green.
 
 __all__ = ["QUERIES", "ORACLES"]
 
 # ROUND-8 CONTINUATION (staged_r14.py, registered after the staged
-# r9 window): 29 more oracle-backed queries for the r10+ rotation
-# pool — a_kendall_tau, a_durbin_watson, a_runs_test,
-# a_hodges_lehmann, a_kruskal_wallis, a_xicor, a_log_rank,
-# g_clustering_coefficient, a_benjamini_hochberg, p_l_diversity,
-# a_isotonic_calibration, train_ridge_closed, a_friedman_test,
-# g_hits_banded, io_formats_roundtrip_checked, mm_wav_tone_detect,
-# dedup_cluster_canonical, sim_mips_topk, io_orc_roundtrip_checked,
-# train_gbt_stumps, a_power_analysis, a_sprt, a_cvar_daily,
-# a_shapley_linear, a_pareto_coverage, dedup_url_canonical,
-# emb_matryoshka_truncate — plus the a_permutation_test REWIRE to
+# r9 window): the final batch is 35 oracle-backed queries, all
+# enumerated in the staged_r14 slice of _ROUND10_WINDOW above
+# (a_kendall_tau … a_odds_ratio, order per the module; see
+# CLAUDE.md's round-8 continuation inventory for the per-family
+# breakdown) — plus the a_permutation_test REWIRE to
 # functions.columns.portable_arm (its parity-degenerate null is
 # fixed; the query is already in the r8 window and was re-proven at
 # both scales incl. --plain after the change). All proven

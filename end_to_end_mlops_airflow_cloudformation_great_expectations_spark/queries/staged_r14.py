@@ -1313,7 +1313,7 @@ train_ridge_closed.__doc__ = train_ridge_closed.__doc__.replace(
       FROM events GROUP BY 1, 2
     ), rk AS (
       SELECT blk, trt,
-             CAST(RANK() OVER (PARTITION BY blk ORDER BY v) AS BIGINT)
+             2 * CAST(RANK() OVER (PARTITION BY blk ORDER BY v) AS BIGINT)
                + CAST(COUNT(*) OVER (PARTITION BY blk, v) AS BIGINT) - 1
                AS r2m1,
              CAST(COUNT(*) OVER (PARTITION BY blk) AS BIGINT) AS k
@@ -1366,7 +1366,7 @@ def a_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk",
         "trt",
         (
-            F.rank().over(w_rank).cast("long")
+            2 * F.rank().over(w_rank).cast("long")
             + F.count("*").over(w_tie).cast("long")
             - 1
         ).alias("two_r"),
@@ -2734,8 +2734,10 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
-    pairs = a.join(
-        F.broadcast(b), F.col("id_b") == F.col("id_a") + 1
+    # broadcast the <=50-row SAMPLE, never the corpus-scaled
+    # embeddings side (the banked broadcast-OOM lesson — ADVICE r08)
+    pairs = b.join(
+        F.broadcast(a), F.col("id_b") == F.col("id_a") + 1
     )
 
     def cos(u, v):

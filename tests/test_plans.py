@@ -718,3 +718,18 @@ def test_graph_edge_builds_never_broadcast(spark):
         plan = explain.physical_plan(QUERIES[name](spark, SF_DIR))
         assert plan.count("BroadcastHashJoin") == 0, (name, plan)
         assert "SortMergeJoin" in plan, (name, plan)
+
+
+def test_matryoshka_broadcasts_the_sample_not_the_corpus(spark):
+    """emb_matryoshka_truncate (ADVICE r08 medium): the broadcast
+    side must be the <=50-row filtered sample, never the full
+    embeddings table — the ALS/graph broadcast-OOM lesson. The pin:
+    exactly one BroadcastHashJoin, and its build subtree (the text
+    under BroadcastExchange) carries the vec_id < 100 sample
+    filter."""
+    plan = explain.physical_plan(
+        QUERIES["emb_matryoshka_truncate"](spark, SF_DIR)
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    build = plan.split("BroadcastExchange", 1)[1]
+    assert "< 100" in build, plan

@@ -51,23 +51,61 @@ def test_coverage_md_totals_match_registry():
     assert rows_only == len(QUERIES) - len(ORACLES)
 
 
-def test_round9_queue_is_staged_and_disjoint():
-    """VERDICT r07 item 7: the 42 remaining round-8 queue names are
-    committed now for the r9 window. They must all be registered,
-    oracle-backed, and disjoint from the current window, so that
-    window ∪ queue closes the ledger at 310/310 in two rotations."""
-    r9 = _qpkg._ROUND9_QUEUE
-    assert len(r9) == 42
-    assert not set(r9) & set(_qpkg._DRIVER_WINDOW_FIRST)
-    assert [n for n in r9 if n not in ORACLES] == []
-
-
-def test_round9_window_is_staged():
-    """The exact r9 window (queue + 8 round-8 additions) is staged so
-    next round's rotation is a mechanical swap: 50 names, all
-    oracle-backed and registered, disjoint from the r8 window."""
+def test_round9_window_is_live_and_disjoint_from_r8():
+    """VERDICT r08 item 1: the staged r9 window is now the live
+    driver window — 50 names, all oracle-backed, zero overlap with
+    the greened r8 window (no wasted slots)."""
     w9 = _qpkg._ROUND9_WINDOW
+    assert _qpkg._DRIVER_WINDOW_FIRST is w9
     assert len(w9) == 50
     assert len(set(w9)) == 50
-    assert not set(w9) & set(_qpkg._DRIVER_WINDOW_FIRST)
+    assert not set(w9) & set(_qpkg._ROUND8_WINDOW)
     assert [n for n in w9 if n not in ORACLES] == []
+    assert w9[:42] == _qpkg._ROUND9_QUEUE
+
+
+def test_round10_window_is_staged():
+    """VERDICT r08 item 2: the r10 window is pinned now — the 47
+    never-driver-checked oracle-backed names (computed from the
+    CORRECTNESS_r01..r08 artifacts union) + 3 driver-green pads, so
+    greening r9+r10 closes the ledger at 365/365 without
+    re-litigating composition."""
+    import json
+    import pathlib
+
+    w10 = _qpkg._ROUND10_WINDOW
+    assert len(w10) == 50
+    assert len(set(w10)) == 50
+    assert [n for n in w10 if n not in ORACLES] == []
+    # pads come last and are already driver-green (r8 window)
+    pads = set(w10) & set(_qpkg._ROUND8_WINDOW)
+    assert pads == {"sql_tpch_q1", "sql_tpch_q6", "sql_tpch_q12"}
+    assert set(w10[-3:]) == pads
+    # the other 47 are exactly the never-checked remainder
+    root = pathlib.Path(__file__).resolve().parents[1]
+    green = set()
+    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
+                green.add(name)
+    never = set(ORACLES) - green - set(_qpkg._ROUND9_WINDOW)
+    assert set(w10[:-3]) == never
+
+
+def test_every_headline_query_has_a_bar_and_is_registered():
+    """VERDICT r08 item 5: BASELINE_bars.json is the canonical gate
+    input — every bench HEADLINE name must be registered and have a
+    bar (a new headline entry without a recorded bar would silently
+    escape the 2x gate)."""
+    import json
+    import pathlib
+
+    import bench
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bars = json.loads((root / "BASELINE_bars.json").read_text())["bars"]
+    missing_bar = [n for n in bench.HEADLINE if n not in bars]
+    unregistered = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert missing_bar == []
+    assert unregistered == []
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

@@ -307,3 +307,91 @@ def test_url_dedup_collapses_sessions(spark):
         host = r.curl.split("/", 1)[0]
         assert host == host.lower(), r.curl
         assert "?" not in r.curl and "utm" not in r.curl
+
+
+def _friedman_q(table):
+    """Pure-Python Friedman replay (ADVICE r08 high): midranks within
+    each block, Q = (k-1)*sum_j(R_j - n(k+1)/2)^2 /
+    sum_ij(r_ij - (k+1)/2)^2 (the tie-general form). Returns
+    (q_num, q_den) on the doubled-midrank integer grid — 2*midrank is
+    an exact integer, and doubling scales num and den by the same 4."""
+    # table: {blk: {trt: v}}; every block must have the same treatments
+    trts = sorted(next(iter(table.values())).keys())
+    k = len(trts)
+    n = len(table)
+    two_rj = {t: 0 for t in trts}
+    b2 = 0
+    for blk, row in table.items():
+        vals = sorted(row[t] for t in trts)
+        for t in trts:
+            v = row[t]
+            r_min = 1 + sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            two_r = 2 * r_min + ties - 1
+            two_rj[t] += two_r
+            b2 += (two_r - (k + 1)) ** 2
+    a2 = sum((two_rj[t] - n * (k + 1)) ** 2 for t in trts)
+    return (k - 1) * a2, b2
+
+
+def test_friedman_null_case_is_zero():
+    """When every treatment's rank sum is equal, q_num must be 0 (the
+    bug returned ~16.4 here: two_r lacked the doubling, so the
+    'deviation' term measured tie structure, not treatment effect)."""
+    # a latin-square-ish table: each treatment takes each rank once
+    table = {
+        1: {"a": 1.0, "b": 2.0, "c": 3.0},
+        2: {"a": 2.0, "b": 3.0, "c": 1.0},
+        3: {"a": 3.0, "b": 1.0, "c": 2.0},
+    }
+    q_num, q_den = _friedman_q(table)
+    assert q_num == 0
+    assert q_den > 0
+
+
+def test_friedman_matches_textbook_no_ties():
+    """No-tie case: Q must equal the classic
+    12/(n*k*(k+1)) * sum R_j^2 - 3*n*(k+1) formula."""
+    table = {
+        1: {"a": 10.0, "b": 12.0, "c": 9.0},
+        2: {"a": 11.0, "b": 15.0, "c": 8.0},
+        3: {"a": 9.0, "b": 14.0, "c": 10.0},
+        4: {"a": 13.0, "b": 16.0, "c": 12.0},
+    }
+    k, n = 3, 4
+    # single midranks (no ties) for the textbook formula
+    rj = {t: 0 for t in "abc"}
+    for row in table.values():
+        order = sorted(row, key=row.get)
+        for i, t in enumerate(order):
+            rj[t] += i + 1
+    q_classic = 12.0 / (n * k * (k + 1)) * sum(
+        v * v for v in rj.values()
+    ) - 3.0 * n * (k + 1)
+    q_num, q_den = _friedman_q(table)
+    assert abs(q_num / q_den - q_classic) < 1e-12
+
+
+def test_friedman_query_matches_python_replay(spark):
+    """The registered query's integer pair must equal the pure-Python
+    replay on the same cell table (mean value per weekday x
+    event_type, rounded to the 1e-6 grid)."""
+    r = QUERIES["a_friedman_test"](spark, SF_DIR).collect()[0]
+    cells = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.dayofweek("ts").cast("long").alias("blk"),
+            F.col("event_type").alias("trt"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .collect()
+    )
+    table = {}
+    for c in cells:
+        table.setdefault(c.blk, {})[c.trt] = c.v
+    q_num, q_den = _friedman_q(table)
+    assert (r.q_num, r.q_den) == (q_num, q_den)
+    assert (r.n_blocks, r.k_treatments) == (
+        len(table),
+        len(next(iter(table.values()))),
+    )
