@@ -689,8 +689,14 @@ def j_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero matches), customers keyed by their 1°×1° cell, suppliers
     exploded to the 3×3 cell neighborhood, haversine verify on the
     candidates only. The cell size makes the neighborhood COMPLETE
-    for R=100 km at these latitudes (bound in the cell constant's
-    comment, pinned vs the brute-force twin).
+    for R=100 km up to |lat| ≤ 26.06° = acos(R / (111.32 · cell_deg))
+    — lon cells shrink by cos(lat), so past that latitude a 100 km
+    circle spans more than one 1° lon cell and candidates would be
+    missed (VERDICT r08 watch item; the fixture's envelope is
+    [0, 10)°, checked programmatically in tests/test_staged_r12.py so
+    a data regen that pushes latitudes past the bound fails loudly).
+    At high latitudes size cells by cos(lat) or switch the lon
+    neighborhood to ±ceil(R / (111.32 · cos(lat_max) · cell_deg)).
 
     Determinism: the boundary predicate dist ≤ R is float-trig on
     both engines; the fixture's closest boundary gap is 19 m —

@@ -1182,12 +1182,29 @@ def sim_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction from BOTH paths (full-outer join + coalesced count),
     so dropped queries can't hide inside the band.
 
+    Scale gating (VERDICT r08 item 6, the a_sketch_rollup pattern):
+    the brute-force agreement arm is VERIFICATION cost, not serving
+    cost — it runs only at the oracle scales (sf ≤ 0.01, the driver's
+    correctness gate; the CORRECTNESS row is unchanged). At bench and
+    production scale the same projection is filled by a same-scan
+    COVERAGE check — every cohort member must receive a prediction
+    from the pruned search (catches pruning bugs that silently drop
+    queries) — so the demonstrated plan is index build + ONE pruned
+    probe pass + vote, the true serving shape. Measured cost split at
+    sf0.1 (local[32]) while making this choice: index build 10.3 s,
+    pruned search 3.3 s, brute-force arm 1.5 s — the bf arm was NOT
+    the dominant cost (the eager lifecycle build is, as for the other
+    persisted-index queries), and a probe-stability twin (second
+    search at n_probe-2, agreement 0.891) would have cost MORE than
+    the arm it replaced, so coverage is the honest bench-scale check.
+
     Eager at build time (index build — the sanctioned lifecycle
     exception); both search paths and the vote stay lazy. The
     16-cell/12-probe geometry is fixture-sized; production geometry
     is thousands of cells with n_probe ≈ √cells — the plumbing
     (build → persisted postings → pruned search → vote) is what this
     query pins."""
+    from .relational import _oracle_scale
     from ..functions.columns import portable_bucket
     from ..operators import similarity
 
@@ -1221,22 +1238,31 @@ def sim_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         ).select("query_id", (-F.col("m.nl")).alias("pred"))
 
-    bf = pred_of(
-        similarity.brute_force_topk(test, train, k=_KNN_K)
-    ).withColumnRenamed("pred", "p_bf")
     iv = pred_of(
         similarity.ivf_index_search(
             test, base, k=_KNN_K, n_probe=_KNN_IVF_NPROBE,
             query_id="query_id",
         )
     ).withColumnRenamed("pred", "p_ivf")
-    j = bf.join(iv, "query_id", "full_outer")
+    if _oracle_scale(sf_dir):
+        bf = pred_of(
+            similarity.brute_force_topk(test, train, k=_KNN_K)
+        ).withColumnRenamed("pred", "p_bf")
+        j = bf.join(iv, "query_id", "full_outer")
+        return j.agg(
+            F.count("*").cast("long").alias("n_queries"),
+            (
+                F.sum(
+                    (F.col("p_bf") == F.col("p_ivf")).cast("long")
+                )
+                >= F.count("*") * F.lit(_KNN_IVF_AGREE_FLOOR)
+            ).alias("agree_ok"),
+        )
+    j = test.select("query_id").join(iv, "query_id", "full_outer")
     return j.agg(
         F.count("*").cast("long").alias("n_queries"),
         (
-            F.sum(
-                (F.col("p_bf") == F.col("p_ivf")).cast("long")
-            )
-            >= F.count("*") * F.lit(_KNN_IVF_AGREE_FLOOR)
+            F.sum(F.col("p_ivf").isNotNull().cast("long"))
+            == F.count("*")
         ).alias("agree_ok"),
     )

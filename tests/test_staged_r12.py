@@ -428,6 +428,39 @@ def test_spatial_radius_complete_vs_bruteforce_and_gap(spark):
     assert min_gap > 1e-6, f"boundary gap {min_gap} km too small"
 
 
+def test_spatial_radius_latitude_envelope(spark):
+    """Completeness PRECONDITION (VERDICT r08 item 8): the 1-degree
+    cell + 3x3 neighborhood is complete only while a 100 km circle
+    spans <= 1 lon cell, i.e. |lat| <= acos(R / (111.32 * cell_deg)).
+    Check the fixture's actual latitude envelope against that bound
+    programmatically, so a data regen (or seed change) that pushes
+    coordinates poleward fails HERE, not as silent candidate loss."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r12 import (
+        _GEO_CELL_DEG,
+        _GEO_R_KM,
+    )
+
+    lat_max_ok = math.degrees(
+        math.acos(_GEO_R_KM / (111.32 * _GEO_CELL_DEG))
+    )
+    assert lat_max_ok > 26.0  # the documented bound for R=100, 1-deg cells
+    cust = [int(r.c_custkey) for r in spark.read.parquet(
+        f"{SF_DIR}/customer.parquet").select("c_custkey").collect()]
+    supp = [int(r.s_suppkey) for r in spark.read.parquet(
+        f"{SF_DIR}/supplier.parquet").select("s_suppkey").collect()]
+    lats = [abs(_coords(c, 111, 7777)[0]) for c in cust]
+    lats += [abs(_coords(s, 333, 8111)[0]) for s in supp]
+    fixture_max = max(lats)
+    # the fixture must sit strictly inside the completeness envelope,
+    # with a >=1-cell margin so the 3x3 explode is never clipped
+    assert fixture_max + _GEO_CELL_DEG < lat_max_ok, (
+        fixture_max,
+        lat_max_ok,
+    )
+
+
 # ---------------------------------------------------------------------------
 # a_hhi / p_crossval_folds
 # ---------------------------------------------------------------------------
