@@ -354,6 +354,8 @@ HEADLINE = [
     # r08: 2x2 odds ratio + McNemar paired model comparison
     "a_odds_ratio",
     "a_mcnemar_test",
+    # r09: perceptual image dedup (dHash + Hamming-band bucketing)
+    "dedup_image_phash",
 ]
 
 

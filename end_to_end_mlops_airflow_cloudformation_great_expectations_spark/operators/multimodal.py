@@ -711,3 +711,129 @@ def wav_goertzel(docs: DataFrame, k: int = 4) -> DataFrame:
             rows = []
 
     return docs.select("doc_id").mapInPandas(run, WAV_TONE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash over decoded BMP pixels (VERDICT r08
+# item 7 — the image rung of the dedup ladder, next to text MinHash/
+# SimHash and embedding-cosine). dHash (difference hash) is chosen
+# over DCT-pHash deliberately: its gradient-sign bits are INTEGER
+# arithmetic end-to-end, so the whole pipeline — synth, decode,
+# grayscale, downsample, hash, banding, Hamming cut — has an EXACT
+# DuckDB twin (the dedup_simhash_portable convention), where a DCT's
+# float cosines would put every sign bit at the mercy of cross-engine
+# libm ULPs. The perceptual property is the same family: both hash
+# the coarse luminance structure; dHash is the sign of the horizontal
+# gradient on an 9x8 luminance grid.
+# ---------------------------------------------------------------------------
+
+#: dHash image geometry: a real 24-bit bottom-up BMP (stride-padded,
+#: so the decoder must honor both row order and padding) downsampled
+#: to the classic 9-wide x 8-high luminance grid = 64 gradient bits.
+DHASH_W, DHASH_H = 18, 16
+DHASH_STRIDE = (DHASH_W * 3 + 3) // 4 * 4  # 56
+#: Near-duplicate planting: docs sharing doc_id % DHASH_GROUPS render
+#: the same base image; a sparse deterministic byte perturbation
+#: (density 1/DHASH_FLIPMOD) makes them NEAR-duplicates. Byte values
+#: live on a PRIME modulus (251): with the multiplicative hash being
+#: linear, a power-of-two modulus both erases the group key
+#: (group*1024*KNUTH = 0 mod 256) and makes cross-group images
+#: constant-shifted copies — which dHash, being a gradient sign, is
+#: INVARIANT to (measured live: cross-group Hamming 0). The repo's
+#: portable_arm parity lesson, third sighting.
+DHASH_GROUPS = 40
+DHASH_FLIPMOD = 193
+DHASH_BYTE_MOD = 251
+DHASH_SEED_BASE = 424243
+DHASH_SEED_FLIP = 777001
+
+DHASH_SIG_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def _pbucket_np(k: np.ndarray, seed: int, m: int) -> np.ndarray:
+    """numpy twin of functions.columns.portable_bucket(key + seed, m)
+    (same hi/lo-decomposed Knuth multiplicative hash, so the SQL
+    oracle replays it with queries.staged_r06._cms_oracle_bucket_sql)."""
+    km = (np.asarray(k, dtype=np.uint64) + np.uint64(seed)) % np.uint64(_M32)
+    lo = km % np.uint64(65536)
+    hi = km // np.uint64(65536)
+    mixed = (
+        (hi * np.uint64(_KNUTH)) % np.uint64(_M32) * np.uint64(65536)
+        + lo * np.uint64(_KNUTH)
+    ) % np.uint64(_M32)
+    return (mixed % np.uint64(m)).astype(np.int64)
+
+
+def _build_dhash_bmp(doc_id: int) -> bytes:
+    """Deterministic 18x16 24-bit BMP whose pixel bytes derive from
+    the doc's GROUP key (doc_id % DHASH_GROUPS) plus a sparse per-doc
+    +128 perturbation — so same-group docs are planted near-duplicates
+    and every byte is SQL-predictable."""
+    g = doc_id % DHASH_GROUPS
+    j = np.arange(DHASH_STRIDE * DHASH_H)
+    base = _pbucket_np(g * 1024 + j, DHASH_SEED_BASE, DHASH_BYTE_MOD)
+    flip = (
+        _pbucket_np(doc_id * 1024 + j, DHASH_SEED_FLIP, DHASH_FLIPMOD) == 0
+    ) * 128
+    px = ((base + flip) % DHASH_BYTE_MOD).astype(np.uint8)
+    img_size = DHASH_STRIDE * DHASH_H
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, DHASH_W, DHASH_H, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + px.tobytes()
+
+
+def decode_bmp_pixel_array(payload: bytes) -> np.ndarray:
+    """FULL-array BMP decode (parse_bmp reads one pixel; the dHash
+    needs them all): returns an (h, w, 3) uint8 array in top-down
+    row order and R,G,B channel order — only correct if the decoder
+    honors the bottom-up storage and the 4-byte row stride."""
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _sz, _r1, _r2, px_off = struct.unpack_from("<2sIHHI", payload, 0)
+    hdr_size, w, h, _planes, bpp, comp, _isz = struct.unpack_from(
+        "<IiiHHII", payload, 14
+    )
+    if hdr_size != 40 or comp != 0 or bpp != 24:
+        raise ValueError("unsupported BMP")
+    stride = (w * 3 + 3) // 4 * 4
+    height = abs(h)
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=px_off
+    ).reshape(height, stride)
+    rows = raw[::-1] if h > 0 else raw  # bottom-up -> top-down
+    bgr = rows[:, : w * 3].reshape(height, w, 3)
+    return bgr[:, :, ::-1]  # BGR -> RGB
+
+
+def image_dhash_signatures(docs: DataFrame) -> DataFrame:
+    """Synthesize each doc's BMP, decode it back through the real
+    container parse, and compute the 64-bit dHash as four 16-bit band
+    integers (b0..b3 — band form keeps every value far from the
+    signed-64 edge on BOTH engines): integer luminance
+    (r + 2g + b) >> 2, nearest-neighbor downsample to 9x8
+    (src = 2*out for this geometry), bit(y*8+x) = lum[y,x+1] > lum[y,x]."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                rgb = decode_bmp_pixel_array(_build_dhash_bmp(doc)).astype(
+                    np.int64
+                )
+                lum = (rgb[:, :, 0] + 2 * rgb[:, :, 1] + rgb[:, :, 2]) >> 2
+                gx = lum[::2, ::2][:8, :9]
+                bits = (gx[:, 1:] > gx[:, :-1]).astype(np.int64).flatten()
+                bands = [
+                    int((bits[16 * c : 16 * (c + 1)] << np.arange(16)).sum())
+                    for c in range(4)
+                ]
+                out.append((doc, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return docs.select("doc_id").mapInPandas(run, DHASH_SIG_SCHEMA)

@@ -38,6 +38,7 @@ from . import (  # noqa: F401  (imports run the @query registrations)
 from . import sqlfront_tpch  # noqa: F401  (after tpch_extra — reuses its oracles)
 from . import tpch_partsupp  # noqa: F401  (literal shapes over derived partsupp)
 from . import staged_r14  # noqa: F401  (round-8 continuation batch)
+from . import staged_r15  # noqa: F401  (round-9 additions, r11+ rotation)
 from .registry import ORACLES, QUERIES
 
 #: The ROUND-8 window (CORRECTNESS_r08 greened all 50 — kept for the
@@ -242,6 +243,15 @@ _ROUND10_WINDOW = [
     "sql_tpch_q1",
     "sql_tpch_q6",
     "sql_tpch_q12",
+]
+
+#: Oracle-backed queries ADDED in round 9 (after _ROUND10_WINDOW was
+#: pinned): they queue for the ROUND-11 window. Test-pinned so the
+#: never-driver-checked set is always exactly
+#: _ROUND10_WINDOW[:-3] ∪ _ROUND11_QUEUE — additions that forget to
+#: enqueue here fail tests/test_registry_order.py.
+_ROUND11_QUEUE = [
+    "dedup_image_phash",
 ]
 
 

@@ -89,7 +89,11 @@ def test_round10_window_is_staged():
             if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
                 green.add(name)
     never = set(ORACLES) - green - set(_qpkg._ROUND9_WINDOW)
-    assert set(w10[:-3]) == never
+    # round-9+ additions queue for r11 behind the pinned r10 window;
+    # an addition that forgets to enqueue in _ROUND11_QUEUE fails here
+    assert set(w10[:-3]) | set(_qpkg._ROUND11_QUEUE) == never
+    assert not set(_qpkg._ROUND11_QUEUE) & set(w10)
+    assert [n for n in _qpkg._ROUND11_QUEUE if n not in ORACLES] == []
 
 
 def test_every_headline_query_has_a_bar_and_is_registered():

@@ -1,0 +1,115 @@
+"""Round-9 additions: perceptual image dedup (dHash) invariants."""
+
+import itertools
+
+import numpy as np
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    multimodal as mm,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+    QUERIES,
+)
+from tests.conftest import SF_DIR
+
+
+def _py_dhash(doc: int) -> list[int]:
+    """Independent pure-Python replay (no reuse of the operator's
+    numpy path beyond the byte builder)."""
+    px = mm._build_dhash_bmp(doc)[54:]
+    h, w, stride = mm.DHASH_H, mm.DHASH_W, mm.DHASH_STRIDE
+    gray = [[0] * w for _ in range(h)]
+    for y in range(h):
+        row = h - 1 - y
+        for x in range(w):
+            jb = row * stride + x * 3
+            b, g, r = px[jb], px[jb + 1], px[jb + 2]
+            gray[y][x] = (r + 2 * g + b) >> 2
+    bits = []
+    for yy in range(8):
+        for xx in range(8):
+            bits.append(
+                1 if gray[2 * yy][2 * (xx + 1)] > gray[2 * yy][2 * xx] else 0
+            )
+    return [
+        sum(bits[16 * c + i] << i for i in range(16)) for c in range(4)
+    ]
+
+
+def _ham(sa, sb):
+    return sum(bin(x ^ y).count("1") for x, y in zip(sa, sb))
+
+
+def test_dhash_planted_neardup_recall_and_gap(spark):
+    """The banded query emits EXACTLY the all-pairs Hamming<=3 set
+    (pigeonhole at 4 bands), every emitted pair is within-group
+    (planted), and the cross-group minimum Hamming sits at an integer
+    gap ABOVE the cut (>= 6 on the fixture) — so a geometry or seed
+    change that erodes the separation fails here, not as silent
+    recall loss."""
+    sigs = {d: _py_dhash(d) for d in range(400)}
+    truth = {}
+    cross_min = 64
+    for a, b in itertools.combinations(range(400), 2):
+        h = _ham(sigs[a], sigs[b])
+        if a % mm.DHASH_GROUPS == b % mm.DHASH_GROUPS:
+            if h <= 3:
+                truth[(a, b)] = h
+        else:
+            cross_min = min(cross_min, h)
+            if h <= 3:
+                truth[(a, b)] = h
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["dedup_image_phash"](spark, SF_DIR).collect()
+    }
+    assert got == truth
+    assert len(got) > 1000  # the planting is real, not vacuous
+    assert all(a % mm.DHASH_GROUPS == b % mm.DHASH_GROUPS for a, b in got)
+    assert cross_min > 3 + 2, cross_min  # integer gap above the cut
+
+
+def test_dhash_signature_operator_matches_python_replay(spark):
+    """The Arrow mapInPandas signature path equals the independent
+    replay for every doc in the slice."""
+    rows = mm.image_dhash_signatures(
+        spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    ).collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert [r.b0, r.b1, r.b2, r.b3] == _py_dhash(r.doc_id)
+
+
+def test_dhash_decode_honors_row_order_and_stride():
+    """decode_bmp_pixel_array must honor bottom-up storage and stride
+    padding: corrupting a single byte in the LAST stored row must
+    change the TOP image row, and bytes in the stride padding must
+    not appear in any pixel."""
+    doc = 11
+    payload = bytearray(mm._build_dhash_bmp(doc))
+    base = mm.decode_bmp_pixel_array(bytes(payload))
+    # last stored row, first pixel, B channel -> top-left pixel blue
+    off = 54 + (mm.DHASH_H - 1) * mm.DHASH_STRIDE
+    payload[off] = (payload[off] + 1) % 256
+    changed = mm.decode_bmp_pixel_array(bytes(payload))
+    assert changed[0, 0, 2] != base[0, 0, 2]
+    assert np.array_equal(changed[1:], base[1:])
+    # stride padding byte: no pixel changes
+    payload2 = bytearray(mm._build_dhash_bmp(doc))
+    pad_off = 54 + mm.DHASH_W * 3  # first padding byte of first row
+    payload2[pad_off] = (payload2[pad_off] + 1) % 256
+    assert np.array_equal(
+        mm.decode_bmp_pixel_array(bytes(payload2)), base
+    )
+
+
+def test_dhash_is_shift_invariant_but_groups_differ():
+    """Document the dHash property that bit the first design: a
+    CONSTANT luminance shift leaves the hash unchanged (gradient
+    sign), which is why byte values live on the prime 251 grid — on a
+    power-of-2 grid the linear hash made cross-group images
+    constant-shifted copies and every group collided."""
+    sig0 = _py_dhash(0)
+    # groups really differ now
+    diffs = [_ham(sig0, _py_dhash(g)) for g in range(1, 10)]
+    assert min(diffs) > 3
