@@ -356,6 +356,11 @@ HEADLINE = [
     "a_mcnemar_test",
     # r09: perceptual image dedup (dHash + Hamming-band bucketing)
     "dedup_image_phash",
+    # r09: paired/repeated-measures tests + ranking metric + drift
+    "a_wilcoxon_signed_rank",
+    "a_mrr_at_k",
+    "a_cochran_q",
+    "a_page_hinkley",
 ]
 
 

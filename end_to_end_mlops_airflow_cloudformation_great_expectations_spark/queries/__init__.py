@@ -252,6 +252,10 @@ _ROUND10_WINDOW = [
 #: enqueue here fail tests/test_registry_order.py.
 _ROUND11_QUEUE = [
     "dedup_image_phash",
+    "a_wilcoxon_signed_rank",
+    "a_mrr_at_k",
+    "a_cochran_q",
+    "a_page_hinkley",
 ]
 
 

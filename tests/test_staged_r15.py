@@ -3,6 +3,7 @@
 import itertools
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
     multimodal as mm,
@@ -113,3 +114,131 @@ def test_dhash_is_shift_invariant_but_groups_differ():
     # groups really differ now
     diffs = [_ham(sig0, _py_dhash(g)) for g in range(1, 10)]
     assert min(diffs) > 3
+
+
+def test_wilcoxon_signed_rank_python_replay(spark):
+    """Integer replay of the doubled-midrank construction on the
+    fixture's paired daily series; and the null identity: mirroring
+    every difference (d -> -d for half the days) must flip z_num's
+    sign exactly."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_shipdate")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "N",
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("xn"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") != "N",
+                    F.round(F.col("l_extendedprice") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("xr"),
+        )
+        .collect()
+    )
+    ds = [r.xn - r.xr for r in rows if r.xn - r.xr != 0]
+    srt = sorted(abs(d) for d in ds)
+    n = len(ds)
+    w2p = 0
+    tcorr = 0
+    from collections import Counter
+
+    cnt = Counter(srt)
+    for t in cnt.values():
+        tcorr += t * t * t - t
+    for d in ds:
+        ad = abs(d)
+        rmin = 1 + sum(1 for x in srt if x < ad)
+        ties = cnt[ad]
+        if d > 0:
+            w2p += 2 * rmin + ties - 1
+    got = QUERIES["a_wilcoxon_signed_rank"](spark, SF_DIR).collect()[0]
+    assert got.n_nonzero == n
+    assert got.w2_plus == w2p
+    assert got.z_num == 2 * w2p - n * (n + 1)
+    assert got.var3 == 2 * n * (n + 1) * (2 * n + 1) - tcorr
+
+
+def test_mrr_integers_are_consistent(spark):
+    """mrr_num must be expressible as a sum of 2520/r terms with
+    r in 1..10, and bounded by n_hits * 2520."""
+    r = QUERIES["a_mrr_at_k"](spark, SF_DIR).collect()[0]
+    assert 0 < r.n_hits <= r.n_users
+    assert r.mrr_den == 2520 * r.n_users
+    assert r.n_hits * 252 <= r.mrr_num <= r.n_hits * 2520
+    # replay from raw events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    num = 0
+    hits = 0
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (-e.value, e.event_id))
+        for i, e in enumerate(es[:10], start=1):
+            if e.event_type == "purchase":
+                num += 2520 // i
+                hits += 1
+                break
+    assert (r.mrr_num, r.n_hits, r.n_users) == (num, hits, len(by_user))
+
+
+def test_cochran_q_replay_and_null(spark):
+    """Replay Q's integer pair from the raw binary matrix; the NULL
+    identity: if every user fired every type, q_num = 0."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    m = {(e.user_id, e.event_type) for e in ev}
+    types = {e.event_type for e in ev}
+    users = {e.user_id for e in ev}
+    k = len(types)
+    c = {t: sum(1 for (u, tt) in m if tt == t) for t in types}
+    r_ = {u: sum(1 for (uu, tt) in m if uu == u) for u in users}
+    sc = sum(c.values())
+    sc2 = sum(v * v for v in c.values())
+    sr = sum(r_.values())
+    sr2 = sum(v * v for v in r_.values())
+    got = QUERIES["a_cochran_q"](spark, SF_DIR).collect()[0]
+    assert got.k_treatments == k
+    assert got.n_blocks == len(users)
+    assert got.q_num == (k - 1) * (k * sc2 - sc * sc)
+    assert got.q_den == k * sr - sr2
+    # saturated-matrix null: C_j all equal n => k*sc2 == sc^2
+    n = 7
+    cfull = [n] * k
+    scf = sum(cfull)
+    scf2 = sum(v * v for v in cfull)
+    assert (k - 1) * (k * scf2 - scf * scf) == 0
+
+
+def test_page_hinkley_replay(spark):
+    """Replay the PH recurrence in Python on the exact integer grid."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_shipdate")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("xc")
+        )
+        .collect()
+    )
+    series = sorted((r.l_shipdate, r.xc) for r in rows)
+    ref = sum(x for _, x in series[:30])
+    m = 0
+    mn = 0
+    best = (-1, None)
+    for day, x in series[30:]:
+        m += 30 * x - ref - 30 * 50_000
+        ph = m - mn
+        if ph > best[0]:
+            best = (ph, day)
+        mn = min(mn, m)
+    got = QUERIES["a_page_hinkley"](spark, SF_DIR).collect()[0]
+    assert got.n_days == len(series)
+    assert got.ph_max_x30 == best[0]
+    assert got.peak_day == best[1].strftime("%Y-%m-%d")
+    assert got.alarm == (best[0] > 2_000_000_000)
