@@ -361,6 +361,10 @@ HEADLINE = [
     "a_mrr_at_k",
     "a_cochran_q",
     "a_page_hinkley",
+    # r09: anonymity/centrality/video-dedup trio
+    "p_t_closeness",
+    "g_closeness_bounded",
+    "dedup_video_framehash",
 ]
 
 

@@ -764,16 +764,31 @@ def _pbucket_np(k: np.ndarray, seed: int, m: int) -> np.ndarray:
     return (mixed % np.uint64(m)).astype(np.int64)
 
 
-def _build_dhash_bmp(doc_id: int) -> bytes:
+def _build_dhash_bmp(
+    doc_id: int,
+    groups: int = DHASH_GROUPS,
+    frame: int = 0,
+    n_frames: int = 1,
+) -> bytes:
     """Deterministic 18x16 24-bit BMP whose pixel bytes derive from
-    the doc's GROUP key (doc_id % DHASH_GROUPS) plus a sparse per-doc
+    the doc's GROUP key (doc_id % groups) plus a sparse per-doc
     +128 perturbation — so same-group docs are planted near-duplicates
-    and every byte is SQL-predictable."""
-    g = doc_id % DHASH_GROUPS
+    and every byte is SQL-predictable. ``frame``/``n_frames`` extend
+    the same construction to multi-frame (video) payloads: each frame
+    is its own image keyed by (group·n_frames + frame), with per-
+    (doc, frame) perturbations."""
+    g = doc_id % groups
     j = np.arange(DHASH_STRIDE * DHASH_H)
-    base = _pbucket_np(g * 1024 + j, DHASH_SEED_BASE, DHASH_BYTE_MOD)
+    base = _pbucket_np(
+        (g * n_frames + frame) * 1024 + j, DHASH_SEED_BASE, DHASH_BYTE_MOD
+    )
     flip = (
-        _pbucket_np(doc_id * 1024 + j, DHASH_SEED_FLIP, DHASH_FLIPMOD) == 0
+        _pbucket_np(
+            (doc_id * n_frames + frame) * 1024 + j,
+            DHASH_SEED_FLIP,
+            DHASH_FLIPMOD,
+        )
+        == 0
     ) * 128
     px = ((base + flip) % DHASH_BYTE_MOD).astype(np.uint8)
     img_size = DHASH_STRIDE * DHASH_H
@@ -808,32 +823,73 @@ def decode_bmp_pixel_array(payload: bytes) -> np.ndarray:
     return bgr[:, :, ::-1]  # BGR -> RGB
 
 
+def _dhash_bands(payload: bytes) -> list[int]:
+    """Decode a BMP payload and compute the 64-bit dHash as four
+    16-bit band integers: integer luminance (r + 2g + b) >> 2,
+    nearest-neighbor downsample to 9x8 (src = 2*out for this
+    geometry), bit(y*8+x) = lum[y,x+1] > lum[y,x]."""
+    rgb = decode_bmp_pixel_array(payload).astype(np.int64)
+    lum = (rgb[:, :, 0] + 2 * rgb[:, :, 1] + rgb[:, :, 2]) >> 2
+    gx = lum[::2, ::2][:8, :9]
+    bits = (gx[:, 1:] > gx[:, :-1]).astype(np.int64).flatten()
+    return [
+        int((bits[16 * c : 16 * (c + 1)] << np.arange(16)).sum())
+        for c in range(4)
+    ]
+
+
 def image_dhash_signatures(docs: DataFrame) -> DataFrame:
     """Synthesize each doc's BMP, decode it back through the real
-    container parse, and compute the 64-bit dHash as four 16-bit band
-    integers (b0..b3 — band form keeps every value far from the
-    signed-64 edge on BOTH engines): integer luminance
-    (r + 2g + b) >> 2, nearest-neighbor downsample to 9x8
-    (src = 2*out for this geometry), bit(y*8+x) = lum[y,x+1] > lum[y,x]."""
+    container parse, and compute the dHash band integers (b0..b3 —
+    band form keeps every value far from the signed-64 edge on BOTH
+    engines)."""
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for d in pdf["doc_id"]:
                 doc = int(d)
-                rgb = decode_bmp_pixel_array(_build_dhash_bmp(doc)).astype(
-                    np.int64
-                )
-                lum = (rgb[:, :, 0] + 2 * rgb[:, :, 1] + rgb[:, :, 2]) >> 2
-                gx = lum[::2, ::2][:8, :9]
-                bits = (gx[:, 1:] > gx[:, :-1]).astype(np.int64).flatten()
-                bands = [
-                    int((bits[16 * c : 16 * (c + 1)] << np.arange(16)).sum())
-                    for c in range(4)
-                ]
-                out.append((doc, *bands))
+                out.append((doc, *_dhash_bands(_build_dhash_bmp(doc))))
             yield pd.DataFrame(
                 out, columns=["doc_id", "b0", "b1", "b2", "b3"]
             )
 
     return docs.select("doc_id").mapInPandas(run, DHASH_SIG_SCHEMA)
+
+
+#: Video geometry: 6 frame-sampled thumbnails per payload, 20 planted
+#: groups over the doc_id<200 slice.
+VIDEO_FRAMES = 6
+VIDEO_GROUPS = 20
+
+VIDEO_SIG_SCHEMA = (
+    "doc_id long, frame long, b0 long, b1 long, b2 long, b3 long"
+)
+
+
+def video_dhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-FRAME dHash signatures for multi-frame (video) payloads:
+    each doc yields VIDEO_FRAMES frame images (the frame-sampling
+    step of a real video pipeline — decode container, sample K
+    frames, thumbnail each), every frame decoded through the same
+    real BMP parse and hashed to band integers. One Arrow batch in,
+    K rows per doc out."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                for f in range(VIDEO_FRAMES):
+                    payload = _build_dhash_bmp(
+                        doc,
+                        groups=VIDEO_GROUPS,
+                        frame=f,
+                        n_frames=VIDEO_FRAMES,
+                    )
+                    out.append((doc, f, *_dhash_bands(payload)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame", "b0", "b1", "b2", "b3"]
+            )
+
+    return docs.select("doc_id").mapInPandas(run, VIDEO_SIG_SCHEMA)

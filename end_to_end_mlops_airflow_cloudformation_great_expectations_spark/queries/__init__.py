@@ -256,6 +256,9 @@ _ROUND11_QUEUE = [
     "a_mrr_at_k",
     "a_cochran_q",
     "a_page_hinkley",
+    "p_t_closeness",
+    "g_closeness_bounded",
+    "dedup_video_framehash",
 ]
 
 

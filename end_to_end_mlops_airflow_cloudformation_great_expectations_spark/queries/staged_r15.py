@@ -549,3 +549,414 @@ def a_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 a_page_hinkley.__doc__ = a_page_hinkley.__doc__.replace(
     "{c}", str(_PH_CALIB_DAYS)
 )
+
+
+# ---------------------------------------------------------------------------
+# p_t_closeness — completes the anonymity audit family (k-anonymity,
+# l-diversity, t-closeness)
+# ---------------------------------------------------------------------------
+
+_TC_T_NUM, _TC_T_DEN = 1, 5  # t = 0.2
+
+
+@query(
+    "p_t_closeness",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS grp,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS cls
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+      SELECT grp, cls, COUNT(*) AS c FROM j GROUP BY 1, 2
+    ), grps AS (
+      SELECT DISTINCT grp FROM j
+    ), clss AS (
+      SELECT DISTINCT cls FROM j
+    ), grid AS (
+      SELECT g.grp, s.cls, COALESCE(c.c, 0) AS c
+      FROM grps g CROSS JOIN clss s
+      LEFT JOIN cell c ON c.grp = g.grp AND c.cls = s.cls
+    ), ng AS (
+      SELECT grp, SUM(c) AS n_g FROM grid GROUP BY 1
+    ), gcls AS (
+      SELECT cls, SUM(c) AS cj FROM grid GROUP BY 1
+    ), tot AS (
+      SELECT SUM(c) AS n, COUNT(DISTINCT cls) AS m FROM grid
+    ), cum AS (
+      SELECT grid.grp, grid.cls,
+             SUM(grid.c * tot.n - gcls.cj * ng.n_g) OVER (
+               PARTITION BY grid.grp ORDER BY grid.cls
+             ) AS d_i
+      FROM grid
+      JOIN ng ON ng.grp = grid.grp
+      JOIN gcls ON gcls.cls = grid.cls
+      CROSS JOIN tot
+    )
+    SELECT cum.grp AS qi_group,
+           CAST(MAX(ng.n_g) AS BIGINT) AS n_g,
+           CAST(SUM(ABS(d_i)) AS BIGINT) AS emd_num,
+           CAST(MAX(ng.n_g) * MAX(tot.n) * (MAX(tot.m) - 1) AS BIGINT)
+             AS emd_den,
+           SUM(ABS(d_i)) * {_TC_T_DEN}
+             <= MAX(ng.n_g) * MAX(tot.n) * (MAX(tot.m) - 1) * {_TC_T_NUM}
+             AS t_ok
+    FROM cum JOIN ng ON ng.grp = cum.grp CROSS JOIN tot
+    GROUP BY cum.grp
+    """,
+)
+def p_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the anonymity ladder
+    (a_k_anonymity: group sizes; p_l_diversity: within-group sensitive
+    variety; t-closeness: within-group sensitive DISTRIBUTION must
+    stay close to the global one, or group membership leaks the
+    attribute). Quasi-identifier = market segment; sensitive = order
+    priority, an ORDERED attribute, so the distance is the ordered
+    Earth-Mover's Distance EMD = (1/(m−1))·Σ_i |Σ_{{j≤i}}(p_g(j) −
+    p(j))|. Band-grid endgame: clear denominators ONCE — D_i =
+    Σ_{{j≤i}}(c_gj·N − C_j·n_g) is an exact integer, EMD =
+    Σ|D_i| / (n_g·N·(m−1)) ships as the BIGINT pair, and the t ≤ 0.2
+    verdict is the integer cross-multiplication (the a_pareto_coverage
+    convention) — no float distribution math anywhere.
+
+    Scale: one join + one groupBy to the m×G cell grid; everything
+    after runs on the bounded grid."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("grp"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("cls"),
+    )
+    cell = j.groupBy("grp", "cls").agg(F.count("*").alias("c"))
+    grps = j.select("grp").distinct()
+    clss = j.select("cls").distinct()
+    grid = (
+        grps.crossJoin(F.broadcast(clss))
+        .join(cell, ["grp", "cls"], "left")
+        .select("grp", "cls", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    ng = grid.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    glob = grid.groupBy("cls").agg(F.sum("c").alias("cj"))
+    tot = grid.agg(
+        F.sum("c").alias("n"), F.countDistinct("cls").alias("m")
+    )
+    w = Window.partitionBy("grp").orderBy("cls")
+    cum = (
+        grid.join(F.broadcast(ng), "grp")
+        .join(F.broadcast(glob), "cls")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "cls",
+            "n_g",
+            "n",
+            "m",
+            F.sum(
+                F.col("c") * F.col("n") - F.col("cj") * F.col("n_g")
+            )
+            .over(w)
+            .alias("d_i"),
+        )
+    )
+    agg = cum.groupBy("grp").agg(
+        F.max("n_g").alias("n_g"),
+        F.sum(F.abs(F.col("d_i"))).alias("emd_num"),
+        (F.max("n_g") * F.max("n") * (F.max("m") - 1)).alias("emd_den"),
+    )
+    return agg.select(
+        F.col("grp").alias("qi_group"),
+        F.col("n_g").cast("long").alias("n_g"),
+        F.col("emd_num").cast("long").alias("emd_num"),
+        F.col("emd_den").cast("long").alias("emd_den"),
+        (
+            F.col("emd_num") * _TC_T_DEN <= F.col("emd_den") * _TC_T_NUM
+        ).alias("t_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_closeness_bounded — per-seed harmonic closeness from bounded BFS
+# ---------------------------------------------------------------------------
+
+_CLO_TAGS = 6
+_CLO_ROUNDS = 4
+_CLO_ENC = 1000  # vid' = tag*1000 + vid (vid < 390)
+
+
+def _clo_seed(tag: str | int) -> str:
+    return f"(13 + 31 * {tag}) % 200"
+
+
+def _clo_round_sql(r: int) -> str:
+    return f"""
+    , c{r} AS (
+      SELECT e.dst AS vid, MIN(d.dist) + 1 AS nd
+      FROM tedges e JOIN d{r - 1} d ON d.vid = e.src
+      WHERE d.dist IS NOT NULL
+      GROUP BY e.dst
+    ), d{r} AS (
+      SELECT v.vid,
+             CASE WHEN v.vid % {_CLO_ENC} = {_clo_seed(f'(v.vid // {_CLO_ENC})')}
+                  THEN 0 ELSE c.nd END AS dist
+      FROM tverts v LEFT JOIN c{r} c ON c.vid = v.vid
+    )
+    """
+
+
+@query(
+    "g_closeness_bounded",
+    oracle=(
+        f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges1 AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ), tags AS (
+      SELECT CAST(unnest(range({_CLO_TAGS})) AS BIGINT) AS tag
+    ), tedges AS (
+      SELECT tag * {_CLO_ENC} + src AS src, tag * {_CLO_ENC} + dst AS dst
+      FROM edges1 CROSS JOIN tags
+    ), tverts AS (
+      SELECT DISTINCT src AS vid FROM tedges
+      UNION
+      SELECT DISTINCT dst AS vid FROM tedges
+    ), d0 AS (
+      SELECT vid,
+             CASE WHEN vid % {_CLO_ENC} = {_clo_seed(f'(vid // {_CLO_ENC})')}
+                  THEN 0 END AS dist
+      FROM tverts
+    )"""
+        + "".join(_clo_round_sql(r) for r in range(1, _CLO_ROUNDS + 1))
+        + f"""
+    SELECT CAST({_clo_seed(f'(vid // {_CLO_ENC})')} AS BIGINT) AS seed,
+           CAST(SUM(CASE WHEN dist BETWEEN 1 AND {_CLO_ROUNDS}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+           CAST(SUM(CASE dist WHEN 1 THEN 12 WHEN 2 THEN 6
+                    WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 0 END) AS BIGINT)
+             AS h12
+    FROM d{_CLO_ROUNDS}
+    GROUP BY vid // {_CLO_ENC}
+    """
+    ),
+)
+def g_closeness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed HARMONIC closeness centrality within a bounded
+    horizon — the centrality readout the graph family lacked
+    (pagerank = flow centrality, BFS = raw distance; closeness ranks
+    seeds by how quickly they reach the graph). Per-seed distances
+    come from ONE multi-source BFS over the TAGGED PRODUCT graph
+    (vid' = tag·1000 + vid, one tag per seed, disjoint components) —
+    the operators/graph.bfs_distances fixpoint unchanged, K seeds for
+    the price of one traversal over K× the bounded edge list.
+    Harmonic sums ride the lcm(1..4) = 12 integer grid (the a_mrr_at_k
+    convention): h12 = Σ 12/dist is exact, and unreached vertices
+    contribute 0 (the harmonic form's whole point — no infinite
+    distances to patch).
+
+    Scale: the tag product multiplies the EDGE LIST, not the fixpoint
+    depth; each round stays one edges⋈frontier shuffle + map-side
+    MIN. At production scale tags shard the same way any replicated
+    dimension does."""
+    from ..operators.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    tags = spark.range(_CLO_TAGS).select(F.col("id").alias("tag"))
+    tedges = both.crossJoin(F.broadcast(tags)).select(
+        (F.col("tag") * _CLO_ENC + F.col("src")).alias("src"),
+        (F.col("tag") * _CLO_ENC + F.col("dst")).alias("dst"),
+    )
+    sources = tags.select(
+        (
+            F.col("tag") * _CLO_ENC + (13 + 31 * F.col("tag")) % 200
+        ).alias("vid")
+    )
+    out = bfs_distances(tedges, sources, iterations=_CLO_ROUNDS)
+    tag = (F.col("id") / _CLO_ENC).cast("long")
+    return (
+        out.groupBy(tag.alias("tg"))
+        .agg(
+            F.sum(
+                F.when(F.col("dist").between(1, _CLO_ROUNDS), 1).otherwise(0)
+            ).alias("n_reached"),
+            F.sum(
+                F.when(F.col("dist") >= 1, F.floor(12 / F.col("dist")))
+                .otherwise(0)
+            ).alias("h12"),
+        )
+        .select(
+            ((13 + 31 * F.col("tg")) % 200).cast("long").alias("seed"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("h12").cast("long").alias("h12"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_video_framehash — frame-sampled perceptual video dedup
+# ---------------------------------------------------------------------------
+
+_VID_SLICE = 200
+_VID_MIN_FRAMES = 4  # majority: >= 4 of 6 frames within Hamming <= 3
+
+
+def _video_oracle_sql() -> str:
+    """DuckDB replay of the per-frame dHash signatures (same
+    construction as dedup_image_phash with the (group·6 + frame) /
+    (doc·6 + frame) key extension) + the all-pairs majority rule —
+    equal to the banded engine result: a pair with ≥ 4 qualifying
+    frames has, for EACH such frame, Hamming ≤ 3 < 4 bands, so
+    pigeonhole guarantees a shared (frame, band) bucket and the
+    candidate is generated; emission then applies the identical
+    majority condition on both sides."""
+    base = _cms_oracle_bucket_sql(
+        f"((doc_id % {mm.VIDEO_GROUPS}) * {mm.VIDEO_FRAMES} + f) * 1024 + jj",
+        mm.DHASH_SEED_BASE,
+        mm.DHASH_BYTE_MOD,
+    )
+    flip = _cms_oracle_bucket_sql(
+        f"(doc_id * {mm.VIDEO_FRAMES} + f) * 1024 + jj",
+        mm.DHASH_SEED_FLIP,
+        mm.DHASH_FLIPMOD,
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id FROM documents WHERE doc_id < {_VID_SLICE}
+    ), grid AS (
+      SELECT d.doc_id, fr.i AS f, yy.i AS yy, xx.i AS xx, ch.i AS ch,
+             ({mm.DHASH_H - 1} - 2 * yy.i) * {mm.DHASH_STRIDE}
+               + 6 * xx.i + ch.i AS jj
+      FROM d,
+           LATERAL unnest(range({mm.VIDEO_FRAMES})) AS fr(i),
+           LATERAL unnest(range(8)) AS yy(i),
+           LATERAL unnest(range(9)) AS xx(i),
+           LATERAL unnest(range(3)) AS ch(i)
+    ), byte AS (
+      SELECT doc_id, f, yy, xx, ch,
+             (({base})
+              + CASE WHEN ({flip}) = 0 THEN 128 ELSE 0 END)
+             % {mm.DHASH_BYTE_MOD} AS v
+      FROM grid
+    ), lum AS (
+      SELECT doc_id, f, yy, xx,
+             CAST(SUM(CASE ch WHEN 0 THEN v WHEN 1 THEN 2 * v
+                      ELSE v END) // 4 AS BIGINT) AS gv
+      FROM byte GROUP BY doc_id, f, yy, xx
+    ), bits AS (
+      SELECT doc_id, f, yy, xx,
+             CASE WHEN LEAD(gv) OVER (
+               PARTITION BY doc_id, f, yy ORDER BY xx) > gv
+             THEN 1 ELSE 0 END AS bit
+      FROM lum
+    ), sigs AS (
+      SELECT doc_id, f,
+             SUM(CASE WHEN (yy * 8 + xx) // 16 = 0
+                 THEN bit << ((yy * 8 + xx) % 16) ELSE 0 END) AS b0,
+             SUM(CASE WHEN (yy * 8 + xx) // 16 = 1
+                 THEN bit << ((yy * 8 + xx) % 16) ELSE 0 END) AS b1,
+             SUM(CASE WHEN (yy * 8 + xx) // 16 = 2
+                 THEN bit << ((yy * 8 + xx) % 16) ELSE 0 END) AS b2,
+             SUM(CASE WHEN (yy * 8 + xx) // 16 = 3
+                 THEN bit << ((yy * 8 + xx) % 16) ELSE 0 END) AS b3
+      FROM bits WHERE xx < 8 GROUP BY doc_id, f
+    ), fham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f,
+             bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS hm
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND a.f = b.f
+    )
+    SELECT id_a, id_b,
+           CAST(SUM(CASE WHEN hm <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close_frames
+    FROM fham GROUP BY id_a, id_b
+    HAVING SUM(CASE WHEN hm <= 3 THEN 1 ELSE 0 END) >= {_VID_MIN_FRAMES}
+    """
+
+
+@query("dedup_video_framehash", oracle=_video_oracle_sql())
+def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampled perceptual VIDEO dedup — the last multimodal
+    dedup rung (text → image → video): each doc's payload yields 6
+    frame thumbnails (the decode → frame-sample → thumbnail pipeline
+    shape of a real video stack), every frame dHashed through the
+    same real BMP decode as dedup_image_phash, and two videos are
+    near-duplicates when a MAJORITY (≥ 4 of 6) of aligned frames fall
+    within Hamming ≤ 3 — the frame-vote rule that tolerates per-frame
+    edits (intros, watermarks) without an alignment search. Banding:
+    candidates share a (frame, band) bucket — pigeonhole per
+    qualifying frame guarantees recall — then ONE join back to the
+    per-frame signatures verifies the majority. Exact cross-engine
+    twin: the oracle replays signatures AND the all-pairs majority
+    rule; fixture separation is sharp (within-group pairs have 4-6
+    qualifying frames, cross-group 0 of 19,000 — test-pinned).
+
+    Scale: signatures are one Arrow scan emitting K rows per doc; the
+    bucket join shards by (frame, 16-bit band); verification touches
+    only candidate pairs × K frames."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < _VID_SLICE)
+    sigs = mm.video_dhash_signatures(d)
+    chunks = sigs.select(
+        "doc_id",
+        "frame",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("chunk", "cval"),
+    )
+    cand = (
+        chunks.select("frame", "chunk", "cval", F.col("doc_id").alias("id_a"))
+        .join(
+            chunks.select(
+                "frame", "chunk", "cval", F.col("doc_id").alias("id_b")
+            ),
+            ["frame", "chunk", "cval"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        "frame",
+        *[F.col(f"b{c}").alias(f"a{c}") for c in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        "frame",
+        *[F.col(f"b{c}").alias(f"bb{c}") for c in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"bb{c}")))
+        for c in range(4)
+    )
+    fham = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "frame"])
+        .select("id_a", "id_b", ham.alias("hm"))
+    )
+    return (
+        fham.groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("hm") <= 3, 1).otherwise(0)).alias(
+                "n_close_frames"
+            )
+        )
+        .filter(F.col("n_close_frames") >= _VID_MIN_FRAMES)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_close_frames").cast("long").alias("n_close_frames"),
+        )
+    )

@@ -242,3 +242,90 @@ def test_page_hinkley_replay(spark):
     assert got.ph_max_x30 == best[0]
     assert got.peak_day == best[1].strftime("%Y-%m-%d")
     assert got.alarm == (best[0] > 2_000_000_000)
+
+
+def test_t_closeness_rational_identities(spark):
+    """Per-group EMD rationals must be in [0, 1], denominators must be
+    n_g*N*(m-1), and the verdict must equal the cross-multiplication;
+    replay one group's EMD in Python."""
+    rows = QUERIES["p_t_closeness"](spark, SF_DIR).collect()
+    assert len(rows) == 5  # market segments
+    n_total = sum(r.n_g for r in rows)
+    for r in rows:
+        assert 0 <= r.emd_num <= r.emd_den
+        assert r.emd_den == r.n_g * n_total * 4  # m=5 priorities
+        assert r.t_ok == (r.emd_num * 5 <= r.emd_den)
+    # python replay for one group
+    import duckdb
+
+    cells = duckdb.sql(f"""
+        SELECT c.c_mktsegment, CAST(substr(o.o_orderpriority,1,1) AS BIGINT),
+               COUNT(*)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    """).fetchall()
+    grp = rows[0].qi_group
+    cls_tot = {}
+    g_cnt = {}
+    for g, cls, c in cells:
+        cls_tot[cls] = cls_tot.get(cls, 0) + c
+        if g == grp:
+            g_cnt[cls] = c
+    n = sum(cls_tot.values())
+    n_g = sum(g_cnt.values())
+    cum = 0
+    emd = 0
+    for cls in sorted(cls_tot):
+        cum += g_cnt.get(cls, 0) * n - cls_tot[cls] * n_g
+        emd += abs(cum)
+    got = {r.qi_group: r for r in rows}[grp]
+    assert (got.n_g, got.emd_num) == (n_g, emd)
+
+
+def test_closeness_bounded_invariants(spark):
+    """Six seeds, each reaching a positive bounded neighborhood;
+    h12 must be consistent with n_reached: between 3*n (all at hop 4)
+    and 12*n (all at hop 1)."""
+    rows = QUERIES["g_closeness_bounded"](spark, SF_DIR).collect()
+    assert len(rows) == 6
+    seeds = sorted(r.seed for r in rows)
+    assert seeds == sorted((13 + 31 * t) % 200 for t in range(6))
+    for r in rows:
+        assert r.n_reached > 0
+        assert 3 * r.n_reached <= r.h12 <= 12 * r.n_reached
+
+
+def test_video_framehash_majority_and_separation(spark):
+    """Every emitted pair is within-group with >= 4 qualifying
+    frames; the full within-group pair set is emitted (fixture
+    separation: within pairs all have >= 4, cross have 0 — so the
+    emitted set must be EXACTLY the within-group pairs over the
+    slice)."""
+    rows = QUERIES["dedup_video_framehash"](spark, SF_DIR).collect()
+    got = {(r.id_a, r.id_b): r.n_close_frames for r in rows}
+    expected = {
+        (a, b)
+        for a in range(200)
+        for b in range(a + 1, 200)
+        if a % mm.VIDEO_GROUPS == b % mm.VIDEO_GROUPS
+    }
+    assert set(got) == expected
+    assert all(4 <= v <= 6 for v in got.values())
+
+
+def test_video_frames_differ_within_doc():
+    """Frames of one doc must be DIFFERENT images (a real frame
+    sample, not one image repeated): pairwise inter-frame Hamming
+    within a doc must be large."""
+    sigs = [
+        mm._dhash_bands(
+            mm._build_dhash_bmp(5, groups=mm.VIDEO_GROUPS, frame=f,
+                                n_frames=mm.VIDEO_FRAMES)
+        )
+        for f in range(mm.VIDEO_FRAMES)
+    ]
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[i], sigs[j]))
+            assert h > 3, (i, j, h)
