@@ -365,6 +365,11 @@ HEADLINE = [
     "p_t_closeness",
     "g_closeness_bounded",
     "dedup_video_framehash",
+    # r09: trend test, rolling median, rate gate, corpus JSD
+    "a_jonckheere_terpstra",
+    "a_rolling_median_7d",
+    "a_poisson_rate_test",
+    "text_jsd_divergence",
 ]
 
 

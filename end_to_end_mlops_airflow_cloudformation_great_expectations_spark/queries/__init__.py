@@ -259,6 +259,10 @@ _ROUND11_QUEUE = [
     "p_t_closeness",
     "g_closeness_bounded",
     "dedup_video_framehash",
+    "a_jonckheere_terpstra",
+    "a_rolling_median_7d",
+    "a_poisson_rate_test",
+    "text_jsd_divergence",
 ]
 
 

@@ -960,3 +960,280 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_close_frames").cast("long").alias("n_close_frames"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# a_jonckheere_terpstra — ordered-alternative k-sample trend test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_jonckheere_terpstra",
+    oracle="""
+    WITH weekly AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS cls,
+             CAST(FLOOR(EPOCH(o_orderdate) / 604800) AS BIGINT) AS wk,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS xc
+      FROM orders GROUP BY 1, 2
+    ), pairs AS (
+      SELECT CASE WHEN a.xc < b.xc THEN 2
+                  WHEN a.xc = b.xc THEN 1 ELSE 0 END AS u2
+      FROM weekly a JOIN weekly b ON a.cls < b.cls
+    ), groups AS (
+      SELECT cls, COUNT(*) AS n FROM weekly GROUP BY cls
+    ), moments AS (
+      SELECT SUM(n) AS nt, SUM(n * n) AS sn2 FROM groups
+    )
+    SELECT CAST((SELECT COUNT(*) FROM groups) AS BIGINT) AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           CAST((SELECT SUM(u2) FROM pairs) AS BIGINT) AS jt2,
+           CAST(nt * nt - sn2 AS BIGINT) AS jt2_mean_x2
+    FROM moments
+    """,
+)
+def a_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere–Terpstra ORDERED-alternative trend test — the
+    k-sample test the battery lacked (Kruskal–Wallis detects ANY
+    group difference; JT detects a MONOTONE trend across ordered
+    groups, here weekly cent revenue across the 5 priority classes
+    in their natural order). JT = Σ_{g<h} U_gh as Mann–Whitney
+    counts between every ordered group pair; the doubled form
+    jt2 = Σ(2·[x<y] + [x=y]) is an exact integer, and its null mean
+    ×2 is N² − Σn_g² (also exact) — ship both BIGINTs and compare
+    (the band-grid endgame).
+
+    Scale: the fact scan reduces to the bounded weekly×class table
+    (~350×5); the pair join is quadratic in SERIES length only (the
+    a_theil_sen precedent), and the small side broadcasts."""
+    o = _t(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("cls"),
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 604800
+        ).alias("wk"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("xc"))
+    a = weekly.select(F.col("cls").alias("ca"), F.col("xc").alias("xa"))
+    b = weekly.select(F.col("cls").alias("cb"), F.col("xc").alias("xb"))
+    pairs = a.join(F.broadcast(b), F.col("ca") < F.col("cb"))
+    jt2 = pairs.agg(
+        F.sum(
+            F.when(F.col("xa") < F.col("xb"), 2)
+            .when(F.col("xa") == F.col("xb"), 1)
+            .otherwise(0)
+        ).alias("jt2")
+    )
+    groups = weekly.groupBy("cls").agg(F.count("*").alias("n"))
+    mom = groups.agg(
+        F.count("*").alias("k_groups"),
+        F.sum("n").alias("nt"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    return mom.crossJoin(F.broadcast(jt2)).select(
+        F.col("k_groups").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        F.col("jt2").cast("long").alias("jt2"),
+        (F.col("nt") * F.col("nt") - F.col("sn2"))
+        .cast("long")
+        .alias("jt2_mean_x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_rolling_median_7d — exact sliding-window median (dyadic x2 grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_rolling_median_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT l_shipdate AS day,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS xc
+      FROM lineitem GROUP BY 1
+    ), win AS (
+      SELECT day,
+             list(xc) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM daily
+    ), med AS (
+      SELECT day, list_sort(arr) AS l, len(arr) AS n FROM win
+    )
+    SELECT STRFTIME(CAST(day AS DATE), '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_win,
+           CAST(l[(n + 1) // 2] + l[n // 2 + 1] AS BIGINT) AS med_x2
+    FROM med
+    """,
+)
+def a_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day rolling MEDIAN of daily revenue — the
+    robust companion to rolling means/EWMAs (one outlier day skews a
+    mean; the median monitor doesn't): per day, the median of the
+    last ≤7 daily cent sums, shipped as med_x2 = lower-mid +
+    upper-mid on the ×2 dyadic grid (exact for both odd and even
+    windows — no interpolation float). Spark has no exact windowed
+    median; the collect_list-over-bounded-window + array_sort +
+    element_at composition IS the exact distributed form for
+    CONSTANT-width windows (the window is 7 elements, so the array
+    never grows with the corpus — this is NOT the forbidden
+    collect-the-corpus shape).
+
+    Scale: one fact scan → bounded daily table; the window carries ≤7
+    longs per row."""
+    from pyspark.sql import Window
+
+    from ..operators.ranks import constant_partition_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "xc"
+        )
+    )
+    w = (
+        Window.partitionBy(constant_partition_key(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    win = daily.select(
+        "day", F.array_sort(F.collect_list("xc").over(w)).alias("l")
+    ).withColumn("n", F.size("l"))
+    return win.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_win"),
+        (
+            F.element_at("l", ((F.col("n") + 1) / 2).cast("int"))
+            + F.element_at("l", (F.col("n") / 2).cast("int") + 1)
+        )
+        .cast("long")
+        .alias("med_x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_poisson_rate_test — two-sample rate comparison, pure integers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_poisson_rate_test",
+    oracle="""
+    WITH c AS (
+      SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+      FROM events
+    )
+    SELECT CAST(c1 AS BIGINT) AS n_error,
+           CAST(c2 AS BIGINT) AS n_click,
+           CAST(c1 - c2 AS BIGINT) AS diff,
+           (c1 - c2) * (c1 - c2) * 100 > 384 * (c1 + c2) AS significant
+    FROM c
+    """,
+)
+def a_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson RATE test (conditional/binomial form) —
+    "are errors arriving faster than clicks over the same exposure?":
+    under H0 (equal rates, equal exposure) c1 | c1+c2 ~ Bin(n, ½), so
+    z² = (c1−c2)²/(c1+c2), and the α=0.05 verdict is the integer
+    cross-multiplication 100·(c1−c2)² > 384·(c1+c2) (z² > 3.84) — no
+    float z to land on a rounding grid (the a_ab_srm convention; this
+    is the event-rate companion to its user-count gate).
+
+    Scale: one scan, two conditional counts."""
+    e = _t(spark, sf_dir, "events")
+    c = e.agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c2"),
+    )
+    c1, c2 = F.col("c1"), F.col("c2")
+    return c.select(
+        c1.cast("long").alias("n_error"),
+        c2.cast("long").alias("n_click"),
+        (c1 - c2).cast("long").alias("diff"),
+        ((c1 - c2) * (c1 - c2) * 100 > 384 * (c1 + c2)).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_jsd_divergence — corpus-half distribution distance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_jsd_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half,
+             unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ), tk AS (
+      SELECT half, w FROM tok WHERE len(w) > 0
+    ), cnt AS (
+      SELECT w,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cq
+      FROM tk GROUP BY w
+    ), tot AS (
+      SELECT SUM(cp) AS np, SUM(cq) AS nq, COUNT(*) AS vocab FROM cnt
+    ), terms AS (
+      SELECT CASE WHEN cp > 0 THEN
+               (CAST(cp AS DOUBLE) / np) * LOG2(
+                 2.0 * (CAST(cp AS DOUBLE) / np)
+                 / (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))
+             ELSE 0 END AS tp,
+             CASE WHEN cq > 0 THEN
+               (CAST(cq AS DOUBLE) / nq) * LOG2(
+                 2.0 * (CAST(cq AS DOUBLE) / nq)
+                 / (CAST(cp AS DOUBLE) / np + CAST(cq AS DOUBLE) / nq))
+             ELSE 0 END AS tq
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST((SELECT vocab FROM tot) AS BIGINT) AS vocab,
+           CAST((SELECT np FROM tot) AS BIGINT) AS n_tokens_p,
+           CAST((SELECT nq FROM tot) AS BIGINT) AS n_tokens_q,
+           ROUND(0.5 * SUM(tp) + 0.5 * SUM(tq), 6) AS jsd
+    FROM terms
+    """,
+)
+def text_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    two corpus halves (doc_id parity) — the bounded, symmetric
+    distribution distance for corpus-mix monitoring (PSI needs binned
+    numerics; JSD compares whole vocabularies, the quantity mixture
+    designers track when re-weighting domains). One token explode →
+    one per-word count pair → one reduce; JSD = ½Σp·log2(2p/(p+q)) +
+    ½Σq·log2(2q/(p+q)), zero-count terms vanish by construction.
+    Floats are safe here by the big-moment-sum convention: a sum of
+    thousands of log terms carries ~1e-12 relative error against the
+    1e-6 ROUND grid, and the value is irrational (never
+    grid-resident).
+
+    Scale: identical shape to text_unigram_ppl — partial-agg token
+    counts, one shuffle on the word key."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tk = d.select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(tokens).alias("w")
+    )
+    cnt = tk.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cq"),
+    )
+    tot = cnt.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count("*").alias("vocab"),
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = F.col("cp").cast("double") / F.col("np")
+    q = F.col("cq").cast("double") / F.col("nq")
+    tp = F.when(F.col("cp") > 0, p * F.log2(2.0 * p / (p + q))).otherwise(0.0)
+    tq = F.when(F.col("cq") > 0, q * F.log2(2.0 * q / (p + q))).otherwise(0.0)
+    return j.agg(
+        F.max("vocab").cast("long").alias("vocab"),
+        F.max("np").cast("long").alias("n_tokens_p"),
+        F.max("nq").cast("long").alias("n_tokens_q"),
+        F.round(0.5 * F.sum(tp) + 0.5 * F.sum(tq), 6).alias("jsd"),
+    )

@@ -329,3 +329,93 @@ def test_video_frames_differ_within_doc():
         for j in range(i + 1, len(sigs)):
             h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[i], sigs[j]))
             assert h > 3, (i, j, h)
+
+
+def test_jonckheere_terpstra_replay(spark):
+    """Integer replay of jt2 and its null mean from the weekly table;
+    jt2 must be within the valid range [0, 2*sum_{g<h} n_g*n_h]."""
+    import duckdb
+
+    weekly = duckdb.sql(f"""
+        SELECT CAST(substr(o_orderpriority,1,1) AS BIGINT) AS cls,
+               CAST(FLOOR(EPOCH(o_orderdate)/604800) AS BIGINT) AS wk,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS xc
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1, 2
+    """).fetchall()
+    by_cls = {}
+    for cls, wk, xc in weekly:
+        by_cls.setdefault(cls, []).append(xc)
+    jt2 = 0
+    maxjt2 = 0
+    for g in sorted(by_cls):
+        for h in sorted(by_cls):
+            if g < h:
+                maxjt2 += 2 * len(by_cls[g]) * len(by_cls[h])
+                for x in by_cls[g]:
+                    for y in by_cls[h]:
+                        jt2 += 2 if x < y else (1 if x == y else 0)
+    got = QUERIES["a_jonckheere_terpstra"](spark, SF_DIR).collect()[0]
+    assert got.jt2 == jt2
+    assert 0 <= got.jt2 <= maxjt2
+    nt = sum(len(v) for v in by_cls.values())
+    sn2 = sum(len(v) ** 2 for v in by_cls.values())
+    assert got.jt2_mean_x2 == nt * nt - sn2
+
+
+def test_rolling_median_exactness(spark):
+    """med_x2 must equal lower-mid + upper-mid of the sorted trailing
+    window, replayed in Python; window width saturates at 7."""
+    rows = QUERIES["a_rolling_median_7d"](spark, SF_DIR).collect()
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_shipdate")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             .alias("xc"))
+        .collect()
+    )
+    series = [x for _, x in sorted((r.l_shipdate, r.xc) for r in daily)]
+    got = sorted(rows, key=lambda r: r.day)
+    assert len(got) == len(series)
+    for i, r in enumerate(got):
+        win = sorted(series[max(0, i - 6): i + 1])
+        n = len(win)
+        assert r.n_win == n
+        assert r.med_x2 == win[(n - 1) // 2] + win[n // 2]
+
+
+def test_poisson_rate_verdict_is_cross_multiplied(spark):
+    r = QUERIES["a_poisson_rate_test"](spark, SF_DIR).collect()[0]
+    assert r.diff == r.n_error - r.n_click
+    assert r.significant == (
+        100 * r.diff * r.diff > 384 * (r.n_error + r.n_click)
+    )
+
+
+def test_jsd_bounds_and_symmetry(spark):
+    """JSD (log2) lives in [0, 1]; swapping the halves must give the
+    same value (symmetry) — checked by replaying with parity
+    flipped."""
+    r = QUERIES["text_jsd_divergence"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.jsd <= 1.0
+    assert r.vocab > 0 and r.n_tokens_p > 0 and r.n_tokens_q > 0
+    import duckdb
+
+    flipped = duckdb.sql(f"""
+    WITH tok AS (
+      SELECT (doc_id + 1) % 2 AS half,
+             unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM '{SF_DIR}/documents.parquet'
+    ), tk AS (SELECT half, w FROM tok WHERE len(w) > 0),
+    cnt AS (
+      SELECT w, SUM(CASE WHEN half=0 THEN 1 ELSE 0 END) AS cp,
+             SUM(CASE WHEN half=1 THEN 1 ELSE 0 END) AS cq
+      FROM tk GROUP BY w
+    ), tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq FROM cnt),
+    terms AS (
+      SELECT CASE WHEN cp>0 THEN (cp*1.0/np)*LOG2(2.0*(cp*1.0/np)/(cp*1.0/np+cq*1.0/nq)) ELSE 0 END AS tp,
+             CASE WHEN cq>0 THEN (cq*1.0/nq)*LOG2(2.0*(cq*1.0/nq)/(cp*1.0/np+cq*1.0/nq)) ELSE 0 END AS tq
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT ROUND(0.5*SUM(tp)+0.5*SUM(tq), 6) FROM terms
+    """).fetchone()[0]
+    assert abs(r.jsd - flipped) < 2e-6  # symmetric up to the grid
