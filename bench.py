@@ -370,6 +370,9 @@ HEADLINE = [
     "a_rolling_median_7d",
     "a_poisson_rate_test",
     "text_jsd_divergence",
+    # r09: text-source parity + curation funnel readout
+    "io_text_lines_roundtrip_checked",
+    "p_curation_funnel",
 ]
 
 

@@ -263,6 +263,8 @@ _ROUND11_QUEUE = [
     "a_rolling_median_7d",
     "a_poisson_rate_test",
     "text_jsd_divergence",
+    "io_text_lines_roundtrip_checked",
+    "p_curation_funnel",
 ]
 
 

@@ -1237,3 +1237,194 @@ def text_jsd_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nq").cast("long").alias("n_tokens_q"),
         F.round(0.5 * F.sum(tp) + 0.5 * F.sum(tq), 6).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# io_text_lines_roundtrip_checked — plain-text SOURCE parity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "io_text_lines_roundtrip_checked",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(regexp_replace(text, '[\\r\\n\\t]', ' ', 'g')))
+                AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           TRUE AS text_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def io_text_lines_roundtrip_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Plain-TEXT source parity (completes the source-format family:
+    parquet, CSV, JSON-lines, ORC, binaryFile, evolving-schema —
+    spark.read.text was the one reader without a checked round trip):
+    documents are exported one-per-line as `doc_id|lang|sanitized`
+    (control characters that would break line framing are mapped to
+    spaces FIRST — the newline-safety contract every line-oriented
+    export needs), read back with spark.read.text, re-split by the
+    delimiter, and fingerprinted per language (count, char sum, id
+    checksum). text_ok asserts equality with the same fingerprint
+    computed directly from parquet — deterministic at fixed data,
+    all-TRUE oracle (the checked-SOURCE pattern of
+    io_formats_roundtrip_checked).
+
+    Scale: .text() loses every pushdown — this seam is the
+    correctness gate for the ingest job that converts raw text ONCE;
+    both fingerprints are single map-side-partial scans."""
+    import os
+
+    from .staged_r07 import _scratch
+
+    base = _scratch("io_text")
+    txt_dir = os.path.join(base, "lines")
+    sanitized = F.regexp_replace(F.col("text"), r"[\r\n\t]", " ")
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.col("lang"), sanitized
+        ).alias("value")
+    )
+    d.write.mode("overwrite").text(txt_dir)
+
+    back = (
+        spark.read.text(txt_dir)
+        .select(
+            F.split_part(F.col("value"), F.lit("|"), F.lit(1))
+            .cast("long")
+            .alias("doc_id"),
+            F.split_part(F.col("value"), F.lit("|"), F.lit(2)).alias("lang"),
+            # everything after the second delimiter is the payload
+            F.expr(
+                "substring(value, length(split_part(value, '|', 1))"
+                " + length(split_part(value, '|', 2)) + 3)"
+            ).alias("body"),
+        )
+    )
+
+    def fp(df: DataFrame, n: str, c: str, k: str, body) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").alias(n),
+            F.sum(F.length(body)).alias(c),
+            F.sum("doc_id").alias(k),
+        )
+
+    direct = fp(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", sanitized.alias("body")
+        ),
+        "d_n",
+        "d_c",
+        "d_k",
+        F.col("body"),
+    )
+    round_ = fp(back, "r_n", "r_c", "r_k", F.col("body"))
+    j = direct.join(round_, "lang")
+    return j.select(
+        "lang",
+        F.col("d_n").cast("long").alias("n"),
+        F.col("d_c").cast("long").alias("sum_chars"),
+        F.col("d_k").cast("long").alias("id_checksum"),
+        (
+            (F.col("d_n") == F.col("r_n"))
+            & (F.col("d_c") == F.col("r_c"))
+            & (F.col("d_k") == F.col("r_k"))
+        ).alias("text_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_curation_funnel — the composed corpus-curation funnel readout
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_curation_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT doc_id, lang, n_chars, lower(substr(text, 1, 40)) AS pfx
+      FROM documents
+    ), s1 AS (
+      SELECT * FROM s0
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM s0 GROUP BY pfx)
+    ), s2 AS (
+      SELECT * FROM s1 WHERE lang = 'en'
+    ), s3 AS (
+      SELECT * FROM s2 WHERE n_chars BETWEEN 100 AND 500
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_id, 'total' AS stage,
+             CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS kept,
+             CAST(0 AS BIGINT) AS dropped
+      UNION ALL
+      SELECT 1, 'prefix_dedup',
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s0) - (SELECT COUNT(*) FROM s1)
+                  AS BIGINT)
+      UNION ALL
+      SELECT 2, 'lang_en',
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s1) - (SELECT COUNT(*) FROM s2)
+                  AS BIGINT)
+      UNION ALL
+      SELECT 3, 'length_100_500',
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s2) - (SELECT COUNT(*) FROM s3)
+                  AS BIGINT)
+    )
+    """,
+)
+def p_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation FUNNEL readout — the per-stage attrition table
+    every curation pipeline publishes (p_curation_verdict gives the
+    per-doc verdict; this gives the ops view: how many docs each
+    stage costs): total → prefix-40 near-exact dedup (keep the
+    min-id member per normalized prefix — the cheap first rung
+    before MinHash) → language gate (en) → length band [100, 500].
+    Stages CHAIN (each applies to the survivors), counts are exact
+    integers; rates are left to the consumer (a kept/dropped pair
+    can't hash-mismatch, a float rate can).
+
+    Scale: one scan builds the stage-0 projection; the dedup keep-set
+    is a groupBy(prefix) min — the same shape as dedup_exact — and
+    the later gates are free predicates on the survivor set."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lower(F.substring("text", 1, 40)).alias("pfx"),
+    )
+    keep = d.groupBy("pfx").agg(F.min("doc_id").alias("doc_id"))
+    s1 = d.join(keep, ["pfx", "doc_id"], "left_semi")
+    s2 = s1.filter(F.col("lang") == "en")
+    s3 = s2.filter(F.col("n_chars").between(100, 500))
+    c0 = d.agg(F.count("*").alias("c")).select(F.col("c").alias("c0"))
+    c1 = s1.agg(F.count("*").alias("c")).select(F.col("c").alias("c1"))
+    c2 = s2.agg(F.count("*").alias("c")).select(F.col("c").alias("c2"))
+    c3 = s3.agg(F.count("*").alias("c")).select(F.col("c").alias("c3"))
+    counts = (
+        c0.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
+    stages = [
+        (0, "total", F.col("c0"), F.lit(0).cast("long")),
+        (1, "prefix_dedup", F.col("c1"), F.col("c0") - F.col("c1")),
+        (2, "lang_en", F.col("c2"), F.col("c1") - F.col("c2")),
+        (3, "length_100_500", F.col("c3"), F.col("c2") - F.col("c3")),
+    ]
+    rows = [
+        counts.select(
+            F.lit(sid).cast("int").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            kept.cast("long").alias("kept"),
+            dropped.cast("long").alias("dropped"),
+        )
+        for sid, name, kept, dropped in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

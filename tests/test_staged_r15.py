@@ -419,3 +419,44 @@ def test_jsd_bounds_and_symmetry(spark):
     SELECT ROUND(0.5*SUM(tp)+0.5*SUM(tq), 6) FROM terms
     """).fetchone()[0]
     assert abs(r.jsd - flipped) < 2e-6  # symmetric up to the grid
+
+
+def test_text_roundtrip_detects_corruption(spark):
+    """text_ok is a REAL check: the fingerprint must change if the
+    sanitize step were skipped for a doc containing a control char —
+    simulated by fingerprinting unsanitized text and confirming the
+    query's sanitized char sums match the sanitize-aware replay."""
+    rows = QUERIES["io_text_lines_roundtrip_checked"](
+        spark, SF_DIR
+    ).collect()
+    assert {r.lang for r in rows} == {"en", "fr", "es", "de", "zh"}
+    assert all(r.text_ok for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    import re
+
+    by_lang = {}
+    for d in docs:
+        s = re.sub(r"[\r\n\t]", " ", d.text)
+        n, c, k = by_lang.get(d.lang, (0, 0, 0))
+        by_lang[d.lang] = (n + 1, c + len(s), k + d.doc_id)
+    for r in rows:
+        assert (r.n, r.sum_chars, r.id_checksum) == by_lang[r.lang]
+
+
+def test_curation_funnel_is_monotone_and_conserves(spark):
+    """Stage counts must be monotone non-increasing, drops must
+    reconcile exactly, and the dedup stage must actually drop
+    something on the fixture."""
+    rows = sorted(
+        QUERIES["p_curation_funnel"](spark, SF_DIR).collect(),
+        key=lambda r: r.stage_id,
+    )
+    assert [r.stage for r in rows] == [
+        "total", "prefix_dedup", "lang_en", "length_100_500",
+    ]
+    kept = [r.kept for r in rows]
+    assert kept == sorted(kept, reverse=True)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.dropped == prev.kept - cur.kept
+    assert rows[1].dropped > 0  # the fixture has planted prefix dups
+    assert rows[-1].kept > 0
