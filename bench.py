@@ -373,6 +373,8 @@ HEADLINE = [
     # r09: text-source parity + curation funnel readout
     "io_text_lines_roundtrip_checked",
     "p_curation_funnel",
+    # r09: joint autocorrelation diagnostic
+    "a_ljung_box",
 ]
 
 

@@ -265,6 +265,7 @@ _ROUND11_QUEUE = [
     "text_jsd_divergence",
     "io_text_lines_roundtrip_checked",
     "p_curation_funnel",
+    "a_ljung_box",
 ]
 
 

@@ -1428,3 +1428,119 @@ def p_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# a_ljung_box — joint autocorrelation (portmanteau) test
+# ---------------------------------------------------------------------------
+
+_LB_LAGS = 10
+
+
+@query(
+    "a_ljung_box",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) AS n, SUM(x) / COUNT(*) AS mu,
+             SUM(x * x) - SUM(x) * SUM(x) / COUNT(*) AS den
+      FROM c
+    ), lags AS (
+      SELECT k FROM generate_series(1, {_LB_LAGS}) AS t(k)
+    ), pairs AS (
+      SELECT l.k, a.x AS x, b.x AS y
+      FROM lags l
+      JOIN c a ON TRUE
+      JOIN c b ON b.h = a.h + l.k
+    ), rk AS (
+      SELECT k,
+             SUM(x * y) - (SELECT mu FROM tot) * (SUM(x) + SUM(y))
+               + COUNT(*) * (SELECT mu FROM tot) * (SELECT mu FROM tot)
+               AS num
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n_hours,
+           CAST({_LB_LAGS} AS BIGINT) AS k_lags,
+           ROUND((SELECT n FROM tot) * ((SELECT n FROM tot) + 2)
+                 * SUM((num / (SELECT den FROM tot))
+                       * (num / (SELECT den FROM tot))
+                       / ((SELECT n FROM tot) - k)), 6) AS lb_stat
+    FROM rk
+    """,
+)
+def a_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test — the JOINT autocorrelation
+    diagnostic completing the serial-dependence pair (Durbin–Watson
+    tests lag 1; LB tests lags 1..{k} together — "is this series
+    white noise at all?"): LB = n(n+2)·Σ r_k²/(n−k) over the hourly
+    event-count series, with r_k from demeaned cross products via the
+    one-pass moment identity. Same scale-correct shape as
+    a_autocorrelation (whose keyed-series convention this inherits —
+    gaps in the hour keys pair at h+k, documented there): NO global
+    window, one series self-join fanned across a {k}-row broadcast of
+    lags. Floats by the big-moment-sum convention, final stat ROUND 6
+    (irrational ratio — never grid-resident); the χ² verdict is left
+    to the consumer (a float threshold boolean could flip on ULPs;
+    the repo ships verdicts only when they cross-multiply on
+    integers).
+
+    Scale: identical cost profile to a_autocorrelation — the series
+    is bounded (one row per corpus hour)."""
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    tot = c.agg(
+        F.count("*").alias("n"),
+        (F.sum("x") / F.count("*")).alias("mu"),
+        (F.sum(F.col("x") * F.col("x"))
+         - F.sum("x") * F.sum("x") / F.count("*")).alias("den"),
+    )
+    lags = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("k"))
+    a = c.crossJoin(F.broadcast(lags))
+    b = c.select(F.col("h").alias("hb"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("hb") == F.col("h") + F.col("k"))
+    rk = (
+        pairs.groupBy("k")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n",
+            "den",
+            (
+                F.col("sxy")
+                - F.col("mu") * (F.col("sx") + F.col("sy"))
+                + F.col("cnt") * F.col("mu") * F.col("mu")
+            ).alias("num"),
+        )
+    )
+    return rk.agg(
+        F.max("n").cast("long").alias("n_hours"),
+        F.lit(_LB_LAGS).cast("long").alias("k_lags"),
+        F.round(
+            F.max("n")
+            * (F.max("n") + 2)
+            * F.sum(
+                (F.col("num") / F.col("den"))
+                * (F.col("num") / F.col("den"))
+                / (F.col("n") - F.col("k"))
+            ),
+            6,
+        ).alias("lb_stat"),
+    )
+
+
+a_ljung_box.__doc__ = a_ljung_box.__doc__.replace("{k}", str(_LB_LAGS))

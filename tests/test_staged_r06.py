@@ -236,30 +236,26 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round8_queue_rotated_into_window():
-    """Round-8 rotation executed (CORRECTNESS_r07 closed the
-    pre-round-7 ledger at 218/218): the first 50 of the 92-query
-    round-8 queue — TPC-H SQL passthroughs, the trainer family, the
-    index lifecycles, the checked sinks — now occupy the driver
-    window, and the round-7 names they displaced keep their
-    driver-green rows from CORRECTNESS_r07 (superseded the round-7
-    version of this test)."""
+def test_round9_queue_rotated_into_window():
+    """Round-9 rotation executed (CORRECTNESS_r08 closed the round-8
+    window 50/50): the 42-name round-9 queue + 8 round-8 additions
+    now occupy the driver window, and the round-8 names they
+    displaced keep their driver-green rows from CORRECTNESS_r08
+    (supersedes the round-8 version of this test)."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
     for n in (
-        "sql_tpch_q1",
-        "sql_tpch_q22",
-        "sql_window_topk",
-        "train_logreg_banded",
-        "train_tree2_banded",
-        "dedup_minhash_lifecycle",
-        "dedup_embedding_lifecycle",
-        "text_bm25_indexed",
-        "stream_quantile_sink_checked",
-        "stream_cms_sink_checked",
-        "stream_topk_sink_checked",
-        "a_mann_kendall",
+        "a_roc_auc",
+        "a_permutation_test",
+        "g_modularity",
+        "dedup_embedding_probe_topk",
+        "sim_knn_classify_ivf",
+        "tpch_q2_partsupp",
+        "tpch_q20_partsupp",
+        "stream_pca_checked",
+        "j_entity_resolution",
+        "a_bloom_filter_checked",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) < 50

@@ -460,3 +460,32 @@ def test_curation_funnel_is_monotone_and_conserves(spark):
         assert cur.dropped == prev.kept - cur.kept
     assert rows[1].dropped > 0  # the fixture has planted prefix dups
     assert rows[-1].kept > 0
+
+
+def test_ljung_box_replay(spark):
+    """Python replay of the LB statistic over the keyed hourly
+    series (same h+k pairing convention as a_autocorrelation)."""
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+        )
+        .agg(F.count("*").cast("double").alias("x"))
+        .collect()
+    )
+    series = {r.h: r.x for r in rows}
+    n = len(series)
+    mu = sum(series.values()) / n
+    den = sum((v - mu) ** 2 for v in series.values())
+    lb = 0.0
+    for k in range(1, 11):
+        num = sum(
+            (series[h] - mu) * (series[h + k] - mu)
+            for h in series
+            if h + k in series
+        )
+        lb += (num / den) ** 2 / (n - k)
+    lb *= n * (n + 2)
+    got = QUERIES["a_ljung_box"](spark, SF_DIR).collect()[0]
+    assert got.n_hours == n
+    assert abs(got.lb_stat - lb) < 1e-4
