@@ -375,6 +375,9 @@ HEADLINE = [
     "p_curation_funnel",
     # r09: joint autocorrelation diagnostic
     "a_ljung_box",
+    # r09: coverage estimators (population + vocabulary saturation)
+    "a_capture_recapture",
+    "a_chao1_richness",
 ]
 
 

@@ -266,6 +266,8 @@ _ROUND11_QUEUE = [
     "io_text_lines_roundtrip_checked",
     "p_curation_funnel",
     "a_ljung_box",
+    "a_capture_recapture",
+    "a_chao1_richness",
 ]
 
 

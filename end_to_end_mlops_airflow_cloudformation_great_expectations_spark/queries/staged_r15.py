@@ -1544,3 +1544,130 @@ def a_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 a_ljung_box.__doc__ = a_ljung_box.__doc__.replace("{k}", str(_LB_LAGS))
+
+
+# ---------------------------------------------------------------------------
+# a_capture_recapture — Lincoln-Petersen population estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_capture_recapture",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+    ), marked AS (
+      -- exact microseconds (epoch_us), doubled to avoid the /2:
+      -- 2*(ts - t0) < (t1 - t0) is pure integer arithmetic
+      SELECT user_id,
+             MAX(CASE WHEN 2 * (epoch_us(ts) - epoch_us(t0))
+                      < epoch_us(t1) - epoch_us(t0) THEN 1 ELSE 0 END) AS w1,
+             MAX(CASE WHEN 2 * (epoch_us(ts) - epoch_us(t0))
+                      >= epoch_us(t1) - epoch_us(t0) THEN 1 ELSE 0 END) AS w2
+      FROM events CROSS JOIN span
+      GROUP BY user_id
+    )
+    SELECT CAST(SUM(w1) AS BIGINT) AS n1,
+           CAST(SUM(w2) AS BIGINT) AS n2,
+           CAST(SUM(w1 * w2) AS BIGINT) AS m_both,
+           CAST(SUM(w1) * SUM(w2) AS BIGINT) AS n_hat_num,
+           CAST(SUM(w1 * w2) AS BIGINT) AS n_hat_den
+    FROM marked
+    """,
+)
+def a_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen capture–recapture estimate of the TOTAL user
+    population from two observation windows (first vs second half of
+    the corpus time span): n1 seen early, n2 seen late, m in both ⇒
+    N̂ = n1·n2/m. The estimator every coverage audit reaches for when
+    the denominator is unobservable ("how many users/documents exist
+    that we have NEVER seen?") — the same arithmetic estimates dedup
+    coverage from two independent dedup passes. Shipped as the exact
+    integer tuple (n1, n2, m, N̂'s numerator/denominator) — the
+    rational N̂ never becomes a float column.
+
+    Scale: one scan + a per-user MAX flags groupBy; the window split
+    is arithmetic on the broadcast corpus span."""
+    e = _t(spark, sf_dir, "events")
+    span = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    j = e.crossJoin(F.broadcast(span))
+    # exact integer microseconds, doubled split (the p_profile_drift
+    # convention: ts loads as NTZ, unix_micros needs the zoned cast,
+    # identity under the UTC session)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    early = 2 * (us("ts") - us("t0")) < us("t1") - us("t0")
+    marked = j.groupBy("user_id").agg(
+        F.max(early.cast("int")).alias("w1"),
+        F.max((~early).cast("int")).alias("w2"),
+    )
+    return marked.agg(
+        F.sum("w1").cast("long").alias("n1"),
+        F.sum("w2").cast("long").alias("n2"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("m_both"),
+        (F.sum("w1") * F.sum("w2")).cast("long").alias("n_hat_num"),
+        F.sum(F.col("w1") * F.col("w2")).cast("long").alias("n_hat_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_chao1_richness — vocabulary richness / unseen-mass estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_chao1_richness",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM tok WHERE len(w) > 0 GROUP BY w
+    ), f AS (
+      SELECT COUNT(*) AS v,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+      FROM cnt
+    )
+    SELECT CAST(v AS BIGINT) AS vocab,
+           CAST(f1 AS BIGINT) AS hapax,
+           CAST(f2 AS BIGINT) AS dis,
+           CAST(2 * v * f2 + f1 * f1 AS BIGINT) AS chao1_num,
+           CAST(2 * f2 AS BIGINT) AS chao1_den
+    FROM f
+    """,
+)
+def a_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate — "how many word types
+    exist that the corpus has NOT yet seen?", the saturation signal a
+    data-mix designer reads before buying more of a domain: Chao1 =
+    V + f1²/(2·f2) from the hapax (f1) and dis-legomena (f2) counts.
+    Shipped as exact integers (V, f1, f2, and the single-fraction
+    form (2·V·f2 + f1²)/(2·f2)) — the classic estimator with zero
+    float columns.
+
+    Scale: one token explode → word-count groupBy (map-side partial)
+    → a 3-counter reduce; the frequency-of-frequencies never
+    materializes beyond two conditional sums."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    cnt = (
+        d.select(F.explode(tokens).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    f = cnt.agg(
+        F.count("*").alias("v"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    return f.select(
+        F.col("v").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("hapax"),
+        F.col("f2").cast("long").alias("dis"),
+        (2 * F.col("v") * F.col("f2") + F.col("f1") * F.col("f1"))
+        .cast("long")
+        .alias("chao1_num"),
+        (2 * F.col("f2")).cast("long").alias("chao1_den"),
+    )

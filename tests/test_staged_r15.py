@@ -489,3 +489,48 @@ def test_ljung_box_replay(spark):
     got = QUERIES["a_ljung_box"](spark, SF_DIR).collect()[0]
     assert got.n_hours == n
     assert abs(got.lb_stat - lb) < 1e-4
+
+
+def test_capture_recapture_replay(spark):
+    """Replay the two-window marking from raw events at exact
+    microseconds; the estimator pair must reconcile and bound the
+    true population from below sanely (N_hat >= max(n1, n2))."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    ts = sorted(e.ts for e in ev)
+    t0, t1 = ts[0], ts[-1]
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    w1, w2 = set(), set()
+    for e in ev:
+        if 2 * (us(e.ts) - us(t0)) < us(t1) - us(t0):
+            w1.add(e.user_id)
+        else:
+            w2.add(e.user_id)
+    got = QUERIES["a_capture_recapture"](spark, SF_DIR).collect()[0]
+    assert (got.n1, got.n2, got.m_both) == (
+        len(w1), len(w2), len(w1 & w2),
+    )
+    assert got.n_hat_num == got.n1 * got.n2
+    assert got.n_hat_den == got.m_both
+    assert got.n_hat_num >= max(got.n1, got.n2) * got.n_hat_den
+
+
+def test_chao1_replay_and_bound(spark):
+    """Replay V/f1/f2 from a token count; Chao1 must be >= V (the
+    estimator only ADDS unseen mass)."""
+    import re
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    cnt = Counter()
+    for d in docs:
+        for w in re.split(r"\s+", d.text.lower()):
+            if w:
+                cnt[w] += 1
+    v = len(cnt)
+    f1 = sum(1 for c in cnt.values() if c == 1)
+    f2 = sum(1 for c in cnt.values() if c == 2)
+    got = QUERIES["a_chao1_richness"](spark, SF_DIR).collect()[0]
+    assert (got.vocab, got.hapax, got.dis) == (v, f1, f2)
+    assert got.chao1_num == 2 * v * f2 + f1 * f1
+    assert got.chao1_den == 2 * f2
+    assert got.chao1_num >= v * got.chao1_den
