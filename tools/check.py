@@ -1,7 +1,10 @@
 """Local driver-simulator: run every registered query on Spark AND its
 DuckDB oracle, compare row-count + schema + order-insensitive values.
 
-Usage: python tools/check.py [--plain] [sf_dir] [query_name ...]
+Usage: python tools/check.py [--plain] [--window] [sf_dir] [name ...]
+
+``--window`` adds the live 50-name driver window to the selection —
+the every-round re-proof is one command.
 
 ``--plain`` runs against a bare ``SparkSession`` (no engine conf
 profile) — exactly what the real driver does — so it catches queries
@@ -60,12 +63,18 @@ def normalize(df):
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    argv = [a for a in sys.argv[1:] if a not in ("--plain", "--window")]
     plain = "--plain" in sys.argv[1:]
+    window = "--window" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
 
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import ORACLES, QUERIES
+
+    if window:  # the live 50-name driver window (every-round re-proof)
+        import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as _qpkg
+
+        only |= set(_qpkg._DRIVER_WINDOW_FIRST)
 
     if plain:
         from pyspark.sql import SparkSession
