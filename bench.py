@@ -378,6 +378,8 @@ HEADLINE = [
     # r09: coverage estimators (population + vocabulary saturation)
     "a_capture_recapture",
     "a_chao1_richness",
+    # r09: per-user inter-arrival median (exact distributed median)
+    "w_interarrival_median",
 ]
 
 

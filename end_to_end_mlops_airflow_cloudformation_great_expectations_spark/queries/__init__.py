@@ -268,6 +268,7 @@ _ROUND11_QUEUE = [
     "a_ljung_box",
     "a_capture_recapture",
     "a_chao1_richness",
+    "w_interarrival_median",
 ]
 
 

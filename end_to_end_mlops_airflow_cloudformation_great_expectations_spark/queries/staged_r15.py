@@ -1671,3 +1671,81 @@ def a_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chao1_num"),
         (2 * F.col("f2")).cast("long").alias("chao1_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w_interarrival_median — exact per-user median inter-arrival gap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_interarrival_median",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap
+      FROM events
+    ), g AS (
+      SELECT user_id, gap,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY gap
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE gap IS NOT NULL
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = n // 2 + 1
+                    THEN gap ELSE 0 END)
+                * (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END)
+                AS BIGINT) AS med_gap_us_x2
+    FROM g GROUP BY user_id
+    """,
+)
+def w_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user MEDIAN inter-arrival gap (microseconds, ×2
+    dyadic grid) — the behavioral-cadence feature (bot vs human, paid
+    vs organic) that needs a median, not a skew-dominated mean. The
+    DISTRIBUTED exact-median-per-group pattern, distinct from
+    a_rolling_median_7d's bounded-window form: rank each user's gaps
+    with a user-partitioned ROW_NUMBER, select the two middle
+    positions by arithmetic on (rn, n), and sum — per-group medians
+    for ANY group size with zero arrays and zero collects (for odd n
+    the single middle is doubled, so med_x2 is exact on both
+    parities). Gap ordering ties are harmless: equal gap values make
+    position choice irrelevant to the selected VALUES.
+
+    Scale: two user-partitioned windows + one groupBy — shards by
+    user like every behavioral query; no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w_seq)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    w_rank = Window.partitionBy("user_id").orderBy("gap")
+    w_all = Window.partitionBy("user_id")
+    g = gaps.select(
+        "user_id",
+        "gap",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    mid = F.when(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1),
+        F.col("gap"),
+    ).otherwise(0)
+    return g.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        (
+            F.sum(mid)
+            * F.when(F.max("n") % 2 == 1, 2).otherwise(1)
+        )
+        .cast("long")
+        .alias("med_gap_us_x2"),
+    )

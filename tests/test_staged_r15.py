@@ -557,3 +557,27 @@ def test_resolve_uri_scheme_contract():
         resolve_uri("ftp://host/x")
     with pytest.raises(ValueError, match="credentials"):
         resolve_uri("s3://AKIA:secret@bkt/k")
+
+
+def test_interarrival_median_replay(spark):
+    """Per-user exact-median replay from raw events at exact
+    microseconds — both parities of gap count covered by the x2
+    grid."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    want = {}
+    for u, es in by_user.items():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        us = [int(e.ts.timestamp() * 1_000_000) for e in es]
+        gaps = sorted(b - a for a, b in zip(us, us[1:]))
+        if not gaps:
+            continue
+        n = len(gaps)
+        want[u] = (n, gaps[(n - 1) // 2] + gaps[n // 2])
+    got = {
+        r.user_id: (r.n_gaps, r.med_gap_us_x2)
+        for r in QUERIES["w_interarrival_median"](spark, SF_DIR).collect()
+    }
+    assert got == want
