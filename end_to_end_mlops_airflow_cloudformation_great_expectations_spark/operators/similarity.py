@@ -320,9 +320,15 @@ def ivf_index_build(
     c = _persist_tracked(c)
     C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
     assigned = c.withColumn("cell", _cell_assign_udf(C)(F.col("cv")))
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{base_dir}/postings"
-    )
+    # Shuffle by cell before the partitioned write: without it every
+    # input task writes a file into every cell directory (tasks×cells
+    # files — the small-files problem at the pruning unit); with it
+    # file count tracks the partition count and each file is
+    # cell-pure, which is what the probe's partition pruning reads.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned.repartition(par, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{base_dir}/postings")
     cent = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
     corpus.sparkSession.createDataFrame(
         cent, "cell int, centroid array<double>"
