@@ -380,6 +380,8 @@ HEADLINE = [
     "a_chao1_richness",
     # r09: per-user inter-arrival median (exact distributed median)
     "w_interarrival_median",
+    # r09: parametric calibration (Platt scaling via the logreg trainer)
+    "a_platt_calibration",
 ]
 
 

@@ -269,6 +269,7 @@ _ROUND11_QUEUE = [
     "a_capture_recapture",
     "a_chao1_richness",
     "w_interarrival_median",
+    "a_platt_calibration",
 ]
 
 

@@ -1749,3 +1749,115 @@ def w_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("med_gap_us_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a_platt_calibration — parametric calibration (isotonic's companion)
+# ---------------------------------------------------------------------------
+
+_PLATT_LR = 4.0
+_PLATT_ROUNDS = 5
+_PLATT_BAND = 1_000_000
+
+
+def _platt_oracle_sql() -> str:
+    """Unrolled-CTE replay of the 1-feature GD fit (the
+    train_logreg_banded convention: same left-associated z, same EXP
+    sigmoid, FLOOR 1e-6 bands absorbing reduce-order float noise)."""
+    from .staged_r10 import _SCORES_CTE
+
+    sig = "1.0/(1.0 + EXP(-(w.w1*d.x1 + w.b)))"
+    rounds = []
+    for k in range(1, _PLATT_ROUNDS + 1):
+        rounds.append(
+            f"w{k} AS (SELECT "
+            f"MIN(w.w1) + {_PLATT_LR}*AVG((d.y - {sig})*d.x1) AS w1, "
+            f"MIN(w.b) + {_PLATT_LR}*AVG(d.y - {sig}) AS b "
+            f"FROM data d CROSS JOIN w{k - 1} w)"
+        )
+    return f"""
+    WITH {_SCORES_CTE},
+    data AS (
+      SELECT score AS x1, CAST(is_pos AS DOUBLE) AS y FROM scores
+    ), w0 AS (SELECT 0.0 AS w1, 0.0 AS b),
+    {",".join(rounds)},
+    fin AS (
+      SELECT MIN(w.w1) AS w1, MIN(w.b) AS b,
+             AVG(-(d.y*LN({sig}) + (1.0 - d.y)*LN(1.0 - {sig})))
+               AS logloss,
+             COUNT(*) AS n
+      FROM data d CROSS JOIN w{_PLATT_ROUNDS} w
+    )
+    SELECT term, band FROM (
+      SELECT 'a' AS term, CAST(FLOOR(w1*{_PLATT_BAND}) AS BIGINT) AS band
+      FROM fin
+      UNION ALL SELECT 'bias', CAST(FLOOR(b*{_PLATT_BAND}) AS BIGINT)
+      FROM fin
+      UNION ALL SELECT 'logloss', CAST(FLOOR(logloss*{_PLATT_BAND}) AS BIGINT)
+      FROM fin
+      UNION ALL SELECT 'n', CAST(n AS BIGINT) FROM fin
+    )
+    """
+
+
+@query("a_platt_calibration", oracle=_platt_oracle_sql())
+def a_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt scaling — the PARAMETRIC calibrator beside
+    a_isotonic_calibration (isotonic is nonparametric/step-shaped and
+    can overfit small bins; Platt fits the 2-parameter sigmoid
+    σ(A·score + B), the production default when scores are already
+    roughly sigmoid-shaped): the same centroid-cosine scorer the eval
+    battery grades (a_roc_auc / a_ece / a_brier_score use this exact
+    (score, is_pos) table), calibrated by 5 full-batch GD rounds of
+    operators/train.logreg_fit on ONE feature — the trainer family
+    reused as-is. Banded oracle (train_logreg_banded convention):
+    unrolled-CTE GD twin, FLOOR 1e-6 bands on A, B, and the
+    post-calibration logloss (irrational — never grid-resident).
+
+    Scale: the fit is {r} lazy corpus scans (one per GD round) over
+    the 2-column (score, y) projection; serving is the map-only
+    σ(A·s + B)."""
+    from ..operators import train
+    from ..operators.train import _sigmoid
+    from .staged_r10 import _centroid0_scores
+
+    scores = _centroid0_scores(spark, sf_dir)
+    data = scores.select(
+        F.col("score").alias("x1"), F.col("is_pos").cast("double").alias("y")
+    )
+    w = train.logreg_fit(
+        data, ["x1"], "y", lr=_PLATT_LR, rounds=_PLATT_ROUNDS
+    )
+    fin = data.crossJoin(F.broadcast(w))
+    p = _sigmoid(F.col("w1") * F.col("x1") + F.col("b"))
+    agg = fin.agg(
+        F.min("w1").alias("w1"),
+        F.min("b").alias("b"),
+        F.avg(
+            -(
+                F.col("y") * F.log(p)
+                + (1.0 - F.col("y")) * F.log(1.0 - p)
+            )
+        ).alias("logloss"),
+        F.count("*").alias("n"),
+    )
+    band = lambda c: F.floor(c * _PLATT_BAND).cast("long")  # noqa: E731
+    rows = [
+        agg.select(F.lit("a").alias("term"), band(F.col("w1")).alias("band")),
+        agg.select(F.lit("bias").alias("term"), band(F.col("b")).alias("band")),
+        agg.select(
+            F.lit("logloss").alias("term"), band(F.col("logloss")).alias("band")
+        ),
+        agg.select(
+            F.lit("n").alias("term"), F.col("n").cast("long").alias("band")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+a_platt_calibration.__doc__ = a_platt_calibration.__doc__.replace(
+    "{r}", str(_PLATT_ROUNDS)
+)

@@ -581,3 +581,41 @@ def test_interarrival_median_replay(spark):
         for r in QUERIES["w_interarrival_median"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_platt_calibration_improves_logloss(spark):
+    """The fitted sigmoid must beat the UNCALIBRATED baseline (A=1,
+    B=0 — treating the raw cosine as a logit) on logloss, and A must
+    be positive (higher score => higher probability — the scorer is
+    genuinely informative on the fixture)."""
+    import math
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries.staged_r10 import (
+        _centroid0_scores,
+    )
+
+    rows = {
+        r.term: r.band
+        for r in QUERIES["a_platt_calibration"](spark, SF_DIR).collect()
+    }
+    a = rows["a"] / 1e6
+    b = rows["bias"] / 1e6
+    fitted_ll = rows["logloss"] / 1e6
+    assert a > 0
+    data = [
+        (r.score, r.is_pos)
+        for r in _centroid0_scores(spark, SF_DIR).collect()
+    ]
+    assert rows["n"] == len(data)
+
+    def ll(aa, bb):
+        tot = 0.0
+        for s, y in data:
+            p = 1.0 / (1.0 + math.exp(-(aa * s + bb)))
+            p = min(max(p, 1e-12), 1 - 1e-12)
+            tot += -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        return tot / len(data)
+
+    assert fitted_ll <= ll(1.0, 0.0) + 1e-6  # beats the raw-logit baseline
+    # and is consistent with the replayed logloss at the banded params
+    assert abs(ll(a, b) - fitted_ll) < 5e-3
