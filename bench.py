@@ -382,6 +382,9 @@ HEADLINE = [
     "w_interarrival_median",
     # r09: parametric calibration (Platt scaling via the logreg trainer)
     "a_platt_calibration",
+    # r09: trigram freshness monitor + EWMA control chart
+    "text_ngram_novelty",
+    "a_ewma_control",
 ]
 
 

@@ -270,6 +270,8 @@ _ROUND11_QUEUE = [
     "a_chao1_richness",
     "w_interarrival_median",
     "a_platt_calibration",
+    "text_ngram_novelty",
+    "a_ewma_control",
 ]
 
 

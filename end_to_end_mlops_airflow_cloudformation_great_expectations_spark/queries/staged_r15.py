@@ -1861,3 +1861,229 @@ def a_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 a_platt_calibration.__doc__ = a_platt_calibration.__doc__.replace(
     "{r}", str(_PLATT_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — unseen-trigram rate of a new batch vs reference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id % 2 AS half,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), g AS (
+      SELECT half,
+             unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, GREATEST(len(ws) - 2, 0))])
+               AS tg
+      FROM w
+    ), ref AS (
+      SELECT DISTINCT tg FROM g WHERE half = 0
+    ), new_ AS (
+      SELECT tg, COUNT(*) AS occ FROM g WHERE half = 1 GROUP BY tg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ref) AS BIGINT) AS ref_grams,
+           CAST(COUNT(*) AS BIGINT) AS new_grams,
+           CAST(SUM(occ) AS BIGINT) AS new_occ,
+           CAST(SUM(CASE WHEN r.tg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS unseen_grams,
+           CAST(SUM(CASE WHEN r.tg IS NULL THEN occ ELSE 0 END) AS BIGINT)
+             AS unseen_occ
+    FROM new_ n LEFT JOIN ref r ON r.tg = n.tg
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram NOVELTY of a new corpus batch against a reference —
+    the data-freshness/memorization monitor pairing with
+    text_decontaminate (decontamination asks "does training data leak
+    the benchmark?"; novelty asks "does the new batch add anything,
+    or is it re-crawled text we already have?"): distinct word
+    trigrams of half 1 anti-joined against half 0's reference set,
+    counted at both type and occurrence level. Exact integers end to
+    end — the novelty RATES (unseen_grams/new_grams,
+    unseen_occ/new_occ) are left to the consumer as fractions of the
+    shipped BIGINTs.
+
+    Scale: one token explode per half, a distinct + a left join on
+    the gram key — identical sharding to the 13-gram decontamination
+    join; at 100 TB the reference set is the persisted Bloom/exact
+    gram index."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    # NON-distinct trigram occurrences per doc: same zip_with build
+    # as dedup.word_ngrams but without the distinct (occurrence-level
+    # counts are part of the readout)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    grams = toks
+    for shift in range(1, 3):
+        shifted = F.slice(
+            toks, shift + 1, F.greatest(F.size(toks), F.lit(1))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t)
+        )
+    g = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.filter(grams, lambda x: x.isNotNull())).alias("tg"),
+    )
+    ref = g.filter(F.col("half") == 0).select("tg").distinct()
+    new_ = (
+        g.filter(F.col("half") == 1)
+        .groupBy("tg")
+        .agg(F.count("*").alias("occ"))
+    )
+    refc = ref.agg(F.count("*").alias("ref_grams"))
+    j = new_.join(
+        ref.select(F.col("tg").alias("rtg")),
+        F.col("tg") == F.col("rtg"),
+        "left",
+    )
+    agg = j.agg(
+        F.count("*").alias("new_grams"),
+        F.sum("occ").alias("new_occ"),
+        F.sum(F.col("rtg").isNull().cast("long")).alias("unseen_grams"),
+        F.sum(
+            F.when(F.col("rtg").isNull(), F.col("occ")).otherwise(0)
+        ).alias("unseen_occ"),
+    )
+    return refc.crossJoin(F.broadcast(agg)).select(
+        F.col("ref_grams").cast("long").alias("ref_grams"),
+        F.col("new_grams").cast("long").alias("new_grams"),
+        F.col("new_occ").cast("long").alias("new_occ"),
+        F.col("unseen_grams").cast("long").alias("unseen_grams"),
+        F.col("unseen_occ").cast("long").alias("unseen_occ"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_ewma_control — EWMA control chart (SPC) over the daily series
+# ---------------------------------------------------------------------------
+
+_EWC_CALIB = 30
+_EWC_LAMBDA = 0.25  # dyadic: z = 0.25*x + 0.75*z is exact per step
+
+
+@query(
+    "a_ewma_control",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT l_shipdate AS day,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS x
+      FROM lineitem GROUP BY 1
+    ), ord AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+    ), calib AS (
+      SELECT SUM(x) / {_EWC_CALIB} AS mu,
+             3.0 * SQRT((SUM(x * x) - SUM(x) * SUM(x) / {_EWC_CALIB})
+                        / ({_EWC_CALIB} - 1))
+                 * SQRT({_EWC_LAMBDA} / (2.0 - {_EWC_LAMBDA})) AS lim
+      FROM ord WHERE t <= {_EWC_CALIB}
+    ), fold AS (
+      SELECT o.day, o.t, o.x,
+             {_EWC_LAMBDA} * o.x + (1.0 - {_EWC_LAMBDA}) * c.mu AS z
+      FROM ord o CROSS JOIN calib c WHERE o.t = {_EWC_CALIB} + 1
+      UNION ALL
+      SELECT o.day, o.t, o.x,
+             {_EWC_LAMBDA} * o.x + (1.0 - {_EWC_LAMBDA}) * f.z AS z
+      FROM fold f JOIN ord o ON o.t = f.t + 1
+    )
+    SELECT STRFTIME(CAST(f.day AS DATE), '%Y-%m-%d') AS day,
+           f.z AS z,
+           ABS(f.z - c.mu) AS dev,
+           ROUND(c.lim, 6) AS lim6,
+           ABS(f.z - c.mu) > c.lim AS violation
+    FROM fold f CROSS JOIN calib c
+    """,
+)
+def a_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA CONTROL CHART (the SPC classic) over daily revenue — the
+    monitoring rule between a raw threshold (noisy) and CUSUM/PH
+    (detects sustained shifts but not their size): calibrate μ and
+    the steady-state 3σ·√(λ/(2−λ)) limit on the first {c} days, then
+    fold z_t = λ·x_t + (1−λ)·z_(t−1) (dyadic λ = {lam} ⇒ every step
+    is exact IEEE given the same op order, the a_holt_forecast
+    convention: Python scalar fold == recursive-CTE twin, identical
+    op sequence). The violation flag compares the ROUNDED deviation
+    to the ROUNDED limit — both engines compare the same grid values,
+    so the boolean is deterministic (never a raw float-threshold
+    boolean). μ is exact (a sum of {c} integers < 2⁵³); the limit
+    carries ~1e-9 relative float noise against the 1e-6 grid (the
+    big-moment-sum convention).
+
+    Scale: one fact scan → the bounded daily series; the sequential
+    fold is one single-group pass (at streaming scale the same
+    recurrence is a moment-sink update).
+
+    Cross-engine contract (a live half-grid flip taught it here,
+    again): z is an exact dyadic-grid rational at ~1e7 magnitude —
+    ROUND 6 of such values is exactly the engines' disagreement zone
+    (observed: 17470323.409175 vs .409174), so z and dev ship as RAW
+    doubles (identical op order ⇒ bit-identical on both engines — the
+    strongest possible check); only the limit (which carries
+    sum-order noise) is rounded, and the violation boolean compares
+    the raw quantities — safe because the fixture's minimum
+    |dev − lim| gap is 1.7e4/2.7e5 at sf0.001/0.01, ten orders above
+    the 1e-9 float noise (gap test-pinned, the spatial-join
+    discipline)."""
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("double")
+        .alias("x")
+    )
+
+    lam, calib = _EWC_LAMBDA, _EWC_CALIB
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        xs = pdf["x"].to_numpy()
+        days = pdf["day"].to_numpy()
+        head = xs[:calib]
+        sx = 0.0
+        sxx = 0.0
+        for v in head:  # ascending-day order, mirrored by the CTE
+            sx += v
+            sxx += v * v
+        mu = sx / calib
+        lim = (
+            3.0
+            * ((sxx - sx * sx / calib) / (calib - 1)) ** 0.5
+            * (lam / (2.0 - lam)) ** 0.5
+        )
+        out = []
+        z = mu
+        for d, v in zip(days[calib:], xs[calib:]):
+            z = lam * v + (1.0 - lam) * z
+            out.append((d, z, abs(z - mu), lim))
+        return pd.DataFrame(
+            out, columns=["day", "z", "dev", "lim"]
+        )
+
+    folded = (
+        daily.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(fold, "day timestamp_ntz, z double, dev double, lim double")
+    )
+    return folded.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("z").alias("z"),
+        F.col("dev").alias("dev"),
+        F.round("lim", 6).alias("lim6"),
+        (F.col("dev") > F.col("lim")).alias("violation"),
+    )
+
+
+a_ewma_control.__doc__ = a_ewma_control.__doc__.replace(
+    "{c}", str(_EWC_CALIB)
+).replace("{lam}", str(_EWC_LAMBDA))

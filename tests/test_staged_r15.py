@@ -619,3 +619,73 @@ def test_platt_calibration_improves_logloss(spark):
     assert fitted_ll <= ll(1.0, 0.0) + 1e-6  # beats the raw-logit baseline
     # and is consistent with the replayed logloss at the banded params
     assert abs(ll(a, b) - fitted_ll) < 5e-3
+
+
+def test_ngram_novelty_replay(spark):
+    """Exact integer replay of the trigram type/occurrence novelty."""
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ref, new_cnt = set(), {}
+    for d in docs:
+        ws = [w for w in re.split(r"\s+", d.text.lower()) if w]
+        grams = [
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 0))
+        ]
+        if d.doc_id % 2 == 0:
+            ref.update(grams)
+        else:
+            for g in grams:
+                new_cnt[g] = new_cnt.get(g, 0) + 1
+    got = QUERIES["text_ngram_novelty"](spark, SF_DIR).collect()[0]
+    assert got.ref_grams == len(ref)
+    assert got.new_grams == len(new_cnt)
+    assert got.new_occ == sum(new_cnt.values())
+    unseen = {g: c for g, c in new_cnt.items() if g not in ref}
+    assert got.unseen_grams == len(unseen)
+    assert got.unseen_occ == sum(unseen.values())
+    assert 0 < got.unseen_grams < got.new_grams  # non-degenerate split
+
+
+def test_ewma_control_gap_and_replay(spark):
+    """The violation boundary gap must stay orders above float noise
+    (the spatial-join discipline: a data regen that lands a day ON
+    the limit fails here, not as a silent cross-engine flip); the
+    fold replays exactly in Python."""
+    rows = QUERIES["a_ewma_control"](spark, SF_DIR).collect()
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_shipdate")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("double")
+            .alias("x")
+        )
+        .collect()
+    )
+    series = [x for _, x in sorted((r.l_shipdate, r.x) for r in daily)]
+    head = series[:30]
+    sx = sxx = 0.0
+    for v in head:
+        sx += v
+        sxx += v * v
+    mu = sx / 30
+    lim = (
+        3.0 * ((sxx - sx * sx / 30) / 29) ** 0.5 * (0.25 / 1.75) ** 0.5
+    )
+    z = mu
+    want = []
+    for v in series[30:]:
+        z = 0.25 * v + 0.75 * z
+        want.append((z, abs(z - mu)))
+    got = sorted(rows, key=lambda r: r.day)
+    assert len(got) == len(want)
+    min_gap = min(abs(dev - lim) for _, dev in want)
+    assert min_gap > 1.0, min_gap  # >= 1 cent-unit above float noise
+    n_viol = 0
+    for r, (zz, dev) in zip(got, want):
+        assert r.z == zz  # bit-identical fold
+        assert r.dev == dev
+        assert r.violation == (dev > lim)
+        n_viol += r.violation
+    assert 0 < n_viol < len(got)  # chart alarms, but not always
