@@ -388,6 +388,62 @@ HEADLINE = [
 ]
 
 
+#: Host-health control (VERDICT r09 item 5): a cheap, stable, pure-JVM
+#: scan+agg whose bar has never drifted. If THIS query runs slow, the
+#: host is throttled and the RUN is suspect — re-records are refused,
+#: so machine episodes can no longer ratchet the bars (the r09
+#: "machine episode" re-recorded four rounds-2-6 bars; last-recorded-
+#: wins would silently absorb a real regression the same way).
+_CONTROL_QUERY = "tpch_q1_pricing_summary"
+_CONTROL_MAX_RATIO = 1.2
+
+
+def _bars_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_bars.json"
+    )
+
+
+def _control_ratio(
+    timings: dict[str, float], bars: dict[str, float]
+) -> float | None:
+    """Ratio of the control query's time to its bar, or None if the
+    run didn't include the control (subset runs may not)."""
+    sec = timings.get(_CONTROL_QUERY)
+    bar = bars.get(_CONTROL_QUERY)
+    if sec is None or not bar:
+        return None
+    return sec / bar
+
+
+def _rerecord_decision(
+    timings: dict[str, float],
+    bars: dict[str, float],
+    names: list[str],
+) -> tuple[bool, str]:
+    """Pure decision core for --rerecord (unit-tested with synthetic
+    artifacts): accept the new bars only when the control query ran
+    within _CONTROL_MAX_RATIO of ITS bar — a throttled host
+    invalidates the RUN, never the bars."""
+    ratio = _control_ratio(timings, bars)
+    if ratio is None:
+        return False, (
+            f"re-record refused: control query {_CONTROL_QUERY!r} was "
+            "not timed in this run (it is added automatically — do not "
+            "exclude it)"
+        )
+    if ratio > _CONTROL_MAX_RATIO:
+        return False, (
+            f"re-record refused: host suspect — control "
+            f"{_CONTROL_QUERY} ran {ratio:.2f}x of its bar "
+            f"(> {_CONTROL_MAX_RATIO}x); re-run on a quiet host"
+        )
+    missing = [n for n in names if n not in timings]
+    if missing:
+        return False, f"re-record refused: no timing for {missing}"
+    return True, f"control {_CONTROL_QUERY} at {ratio:.2f}x — run accepted"
+
+
 def _gate(timings: dict[str, float]) -> int:
     """Scriptable 2x gate (VERDICT r08 item 5): compare timings
     against the canonical machine-readable bars in BASELINE_bars.json
@@ -395,10 +451,7 @@ def _gate(timings: dict[str, float]) -> int:
     any query exceeds 2x of its bar. Queries without a bar yet are
     WARNED, not failed — the re-record protocol adds their bar with
     the next BASELINE entry."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BASELINE_bars.json"
-    )
-    with open(path) as fh:
+    with open(_bars_path()) as fh:
         bars = json.load(fh)["bars"]
     failures, warned = [], []
     common_t = common_b = 0.0
@@ -421,6 +474,14 @@ def _gate(timings: dict[str, float]) -> int:
             file=sys.stderr,
         )
     agg = common_t / common_b if common_b else 0.0
+    ctl = _control_ratio(timings, bars)
+    if ctl is not None and ctl > _CONTROL_MAX_RATIO:
+        print(
+            f"GATE SUSPECT: control {_CONTROL_QUERY} at {ctl:.2f}x of "
+            f"its bar (> {_CONTROL_MAX_RATIO}x) — host throttled; this "
+            "run is NOT valid evidence for bar re-records",
+            file=sys.stderr,
+        )
     print(
         f"GATE {'FAIL' if failures else 'PASS'}: "
         f"{len(timings) - len(warned)} gated, {len(failures)} over 2x, "
@@ -436,6 +497,18 @@ def main() -> None:
     # Optional subset (isolated variance re-records): bench.py q1 q2 …
     subset = [a for a in sys.argv[1:] if not a.startswith("-")]
     gate = "--gate" in sys.argv
+    # --rerecord q1 q2 …: time the named queries (median-of-3, cache-
+    # isolated, exactly like a normal subset run) PLUS the control
+    # query, then update BASELINE_bars.json — but only if the control
+    # ran within 1.2x of its bar (VERDICT r09 item 5: a throttled host
+    # invalidates the RUN, never the bars).
+    rerecord = "--rerecord" in sys.argv
+    if rerecord:
+        if not subset:
+            print("--rerecord needs query names", file=sys.stderr)
+            sys.exit(2)
+        if _CONTROL_QUERY not in subset:
+            subset = [_CONTROL_QUERY, *subset]
     # --gate-only: gate the committed BENCH_local_latest.json without
     # re-running (the judge-auditable path)
     if "--gate-only" in sys.argv:
@@ -546,6 +619,23 @@ def main() -> None:
         except OSError:
             pass  # read-only checkout must not fail the bench
     spark.stop()
+    if rerecord:
+        with open(_bars_path()) as fh:
+            doc = json.load(fh)
+        names = [n for n in subset if n != _CONTROL_QUERY]
+        ok, msg = _rerecord_decision(timings, doc["bars"], names)
+        print(f"RERECORD {'OK' if ok else 'REFUSED'}: {msg}", file=sys.stderr)
+        if not ok:
+            sys.exit(2)
+        for n in names:
+            old = doc["bars"].get(n)
+            doc["bars"][n] = timings[n]
+            print(
+                f"RERECORD  {n}: {old} -> {timings[n]}", file=sys.stderr
+            )
+        with open(_bars_path(), "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     if gate:
         sys.exit(_gate(timings))
 

@@ -740,7 +740,7 @@ DHASH_STRIDE = (DHASH_W * 3 + 3) // 4 * 4  # 56
 #: (group*1024*KNUTH = 0 mod 256) and makes cross-group images
 #: constant-shifted copies — which dHash, being a gradient sign, is
 #: INVARIANT to (measured live: cross-group Hamming 0). The repo's
-#: portable_arm parity lesson, third sighting.
+#: portable_arm parity lesson, fourth sighting (CLAUDE.md).
 DHASH_GROUPS = 40
 DHASH_FLIPMOD = 193
 DHASH_BYTE_MOD = 251

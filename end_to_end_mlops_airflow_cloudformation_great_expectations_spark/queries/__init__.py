@@ -174,13 +174,7 @@ _ROUND9_WINDOW = [
     "stream_pca_checked",
 ]
 
-#: ROUND-9 ROTATION EXECUTED (VERDICT r08 item 1): CORRECTNESS_r08
-#: was 50/50 green, so the staged window above becomes the live
-#: driver window — greening it closes the pre-round-8 ledger at
-#: 310/310 and checks 8 of the round-8 additions.
-_DRIVER_WINDOW_FIRST = _ROUND9_WINDOW
-
-#: The ROUND-10 window, pinned NOW (VERDICT r08 item 2): the 47
+#: The ROUND-10 window, pinned in round 9 (VERDICT r08 item 2): the 47
 #: remaining never-driver-checked oracle-backed names (computed as
 #: ORACLES minus the union of green rows in CORRECTNESS_r01..r08
 #: minus _ROUND9_WINDOW — recomputed and test-pinned in
@@ -245,6 +239,12 @@ _ROUND10_WINDOW = [
     "sql_tpch_q12",
 ]
 
+#: ROUND-10 ROTATION EXECUTED (VERDICT r09 item 1): CORRECTNESS_r09
+#: landed 50/50 green, so the staged r10 window above becomes the
+#: live driver window — greening it closes the pre-round-9
+#: oracle-backed ledger at 365/365.
+_DRIVER_WINDOW_FIRST = _ROUND10_WINDOW
+
 #: Oracle-backed queries ADDED in round 9 (after _ROUND10_WINDOW was
 #: pinned): they queue for the ROUND-11 window. Test-pinned so the
 #: never-driver-checked set is always exactly
@@ -273,6 +273,24 @@ _ROUND11_QUEUE = [
     "text_ngram_novelty",
     "a_ewma_control",
 ]
+
+#: The ROUND-11 window, pinned NOW (VERDICT r09 item 7): the 21
+#: round-9 additions (_ROUND11_QUEUE, never driver-checked) + 29
+#: driver-green pads from the greened r9 window. Once
+#: CORRECTNESS_r10 lands green, swap
+#: _DRIVER_WINDOW_FIRST = _ROUND11_WINDOW — greening it closes the
+#: ledger at 386/386 of the pre-round-10 oracle-backed set.
+_ROUND11_WINDOW = [
+    *_ROUND11_QUEUE,
+    *_ROUND9_QUEUE[:29],
+]
+
+#: Oracle-backed queries ADDED in round 10 (after _ROUND11_WINDOW was
+#: pinned): they queue for the ROUND-12 window. Same discipline —
+#: prove at sf0.001+sf0.01 incl. --plain BEFORE landing; additions
+#: that forget to enqueue here fail tests/test_registry_order.py's
+#: never-checked-partition invariant.
+_ROUND12_QUEUE: list[str] = []
 
 
 def _reorder() -> None:

@@ -1976,15 +1976,19 @@ _EWC_LAMBDA = 0.25  # dyadic: z = 0.25*x + 0.75*z is exact per step
     oracle=f"""
     WITH RECURSIVE daily AS (
       SELECT l_shipdate AS day,
-             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
-                  AS DOUBLE) AS x
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS xl
       FROM lineitem GROUP BY 1
     ), ord AS (
-      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
+      SELECT day, CAST(xl AS DOUBLE) AS x, xl,
+             ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily
     ), calib AS (
-      SELECT SUM(x) / {_EWC_CALIB} AS mu,
-             3.0 * SQRT((SUM(x * x) - SUM(x) * SUM(x) / {_EWC_CALIB})
-                        / ({_EWC_CALIB} - 1))
+      -- exact 128-bit integer moments (ADVICE r09): the second moment
+      -- is order-independent, so lim no longer depends on SQL
+      -- aggregation order matching the Python fold
+      SELECT CAST(SUM(xl) AS DOUBLE) / {_EWC_CALIB} AS mu,
+             3.0 * SQRT(CAST({_EWC_CALIB} * SUM(CAST(xl AS HUGEINT) * xl)
+                             - SUM(xl) * SUM(xl) AS DOUBLE)
+                        / ({_EWC_CALIB} * ({_EWC_CALIB} - 1)))
                  * SQRT({_EWC_LAMBDA} / (2.0 - {_EWC_LAMBDA})) AS lim
       FROM ord WHERE t <= {_EWC_CALIB}
     ), fold AS (
@@ -2028,20 +2032,25 @@ def a_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND 6 of such values is exactly the engines' disagreement zone
     (observed: 17470323.409175 vs .409174), so z and dev ship as RAW
     doubles (identical op order ⇒ bit-identical on both engines — the
-    strongest possible check); only the limit (which carries
-    sum-order noise) is rounded, and the violation boolean compares
-    the raw quantities — safe because the fixture's minimum
-    |dev − lim| gap is 1.7e4/2.7e5 at sf0.001/0.01, ten orders above
-    the 1e-9 float noise (gap test-pinned, the spatial-join
-    discipline)."""
+    strongest possible check); only the limit is rounded, and the
+    violation boolean compares the raw quantities — safe because the
+    fixture's minimum |dev − lim| gap is 1.7e4/2.7e5 at
+    sf0.001/0.01, ten orders above the 1e-9 float noise (gap
+    test-pinned, the spatial-join discipline). The calibration
+    moments are EXACT integers on both engines (Python bigints /
+    DuckDB HUGEINT — ADVICE r09: the earlier float ascending-day
+    second-moment fold silently depended on DuckDB's unspecified
+    SUM accumulation order), so lim carries exactly one deterministic
+    rounding (the 128-bit→double cast) and is bit-identical by
+    construction, not by accumulation luck."""
+    import math
+
     import pandas as pd
 
     li = _t(spark, sf_dir, "lineitem")
     daily = li.groupBy(F.col("l_shipdate").alias("day")).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-        .cast("double")
-        .alias("x")
-    )
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("xl")
+    ).withColumn("x", F.col("xl").cast("double"))
 
     lam, calib = _EWC_LAMBDA, _EWC_CALIB
 
@@ -2049,17 +2058,15 @@ def a_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("day")
         xs = pdf["x"].to_numpy()
         days = pdf["day"].to_numpy()
-        head = xs[:calib]
-        sx = 0.0
-        sxx = 0.0
-        for v in head:  # ascending-day order, mirrored by the CTE
-            sx += v
-            sxx += v * v
+        head = [int(v) for v in pdf["xl"].tolist()[:calib]]
+        sx = sum(head)  # exact python ints — order-independent
+        sxx = sum(v * v for v in head)
+        ssd = calib * sxx - sx * sx  # exact ⇒ one rounding at the cast
         mu = sx / calib
         lim = (
             3.0
-            * ((sxx - sx * sx / calib) / (calib - 1)) ** 0.5
-            * (lam / (2.0 - lam)) ** 0.5
+            * math.sqrt(float(ssd) / (calib * (calib - 1)))
+            * math.sqrt(lam / (2.0 - lam))
         )
         out = []
         z = mu

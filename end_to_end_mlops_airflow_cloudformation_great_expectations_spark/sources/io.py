@@ -215,13 +215,20 @@ def resolve_uri(uri: str) -> str:
     if "://" not in uri:
         return uri  # bare local path
     scheme, rest = uri.split("://", 1)
-    scheme = scheme.lower()
-    if "@" in rest.split("/", 1)[0]:
-        raise ValueError(
-            "credentials must not be embedded in storage URIs; "
-            "configure spark.hadoop.fs.s3a.access.key / secret.key"
-        )
-    scheme = _SCHEME_REWRITES.get(scheme, scheme)
+    scheme = _SCHEME_REWRITES.get(scheme.lower(), scheme.lower())
     if scheme not in _KNOWN_SCHEMES:
         raise ValueError(f"unsupported storage scheme: {scheme}://")
+    authority = rest.split("/", 1)[0]
+    if "@" in authority:
+        # Azure URIs REQUIRE a container@account authority
+        # (abfss://container@acct.dfs.core.windows.net/...) — that is
+        # addressing, not credentials (ADVICE r09). A ':' before the
+        # '@' is the key:secret userinfo form, which is always a
+        # credential leak; a bare user@ on non-Azure schemes is too.
+        userinfo = authority.rsplit("@", 1)[0]
+        if ":" in userinfo or scheme not in {"abfss", "wasbs"}:
+            raise ValueError(
+                "credentials must not be embedded in storage URIs; "
+                "configure spark.hadoop.fs.s3a.access.key / secret.key"
+            )
     return f"{scheme}://{rest}"

@@ -51,12 +51,10 @@ def test_coverage_md_totals_match_registry():
     assert rows_only == len(QUERIES) - len(ORACLES)
 
 
-def test_round9_window_is_live_and_disjoint_from_r8():
-    """VERDICT r08 item 1: the staged r9 window is now the live
-    driver window — 50 names, all oracle-backed, zero overlap with
-    the greened r8 window (no wasted slots)."""
+def test_round9_window_is_greened_history():
+    """The r9 window greened in CORRECTNESS_r09 (50/50); keep its
+    composition pinned so the ledger accounting stays auditable."""
     w9 = _qpkg._ROUND9_WINDOW
-    assert _qpkg._DRIVER_WINDOW_FIRST is w9
     assert len(w9) == 50
     assert len(set(w9)) == 50
     assert not set(w9) & set(_qpkg._ROUND8_WINDOW)
@@ -64,16 +62,17 @@ def test_round9_window_is_live_and_disjoint_from_r8():
     assert w9[:42] == _qpkg._ROUND9_QUEUE
 
 
-def test_round10_window_is_staged():
-    """VERDICT r08 item 2: the r10 window is pinned now — the 47
+def test_round10_window_is_live():
+    """VERDICT r09 item 1: CORRECTNESS_r09 landed 50/50 green, so the
+    staged r10 window is now the live driver window — the 47
     never-driver-checked oracle-backed names (computed from the
-    CORRECTNESS_r01..r08 artifacts union) + 3 driver-green pads, so
-    greening r9+r10 closes the ledger at 365/365 without
-    re-litigating composition."""
+    CORRECTNESS_r01..r09 artifacts union) + 3 driver-green pads.
+    Greening it closes the pre-round-9 ledger at 365/365."""
     import json
     import pathlib
 
     w10 = _qpkg._ROUND10_WINDOW
+    assert _qpkg._DRIVER_WINDOW_FIRST is w10
     assert len(w10) == 50
     assert len(set(w10)) == 50
     assert [n for n in w10 if n not in ORACLES] == []
@@ -81,19 +80,80 @@ def test_round10_window_is_staged():
     pads = set(w10) & set(_qpkg._ROUND8_WINDOW)
     assert pads == {"sql_tpch_q1", "sql_tpch_q6", "sql_tpch_q12"}
     assert set(w10[-3:]) == pads
-    # the other 47 are exactly the never-checked remainder
+    # the other 47 + the queued r11/r12 batches are exactly the
+    # never-checked remainder — an addition that forgets to enqueue
+    # in the newest _ROUND*_QUEUE fails here
     root = pathlib.Path(__file__).resolve().parents[1]
     green = set()
-    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(f.read_text()).items():
             if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
                 green.add(name)
-    never = set(ORACLES) - green - set(_qpkg._ROUND9_WINDOW)
-    # round-9+ additions queue for r11 behind the pinned r10 window;
-    # an addition that forgets to enqueue in _ROUND11_QUEUE fails here
-    assert set(w10[:-3]) | set(_qpkg._ROUND11_QUEUE) == never
-    assert not set(_qpkg._ROUND11_QUEUE) & set(w10)
-    assert [n for n in _qpkg._ROUND11_QUEUE if n not in ORACLES] == []
+    never = set(ORACLES) - green
+    queued = set(_qpkg._ROUND11_QUEUE) | set(_qpkg._ROUND12_QUEUE)
+    assert set(w10[:-3]) | queued == never
+    assert not queued & set(w10)
+    assert not set(_qpkg._ROUND11_QUEUE) & set(_qpkg._ROUND12_QUEUE)
+    assert [n for n in queued if n not in ORACLES] == []
+
+
+def test_round11_window_is_staged():
+    """VERDICT r09 item 7: the r11 window is pinned now — the 21
+    round-9 additions (never driver-checked) + 29 driver-green pads
+    from the greened r9 window. Swap once CORRECTNESS_r10 lands
+    green; greening it closes the ledger at 386/386 of the
+    pre-round-10 oracle-backed set."""
+    w11 = _qpkg._ROUND11_WINDOW
+    assert len(w11) == 50
+    assert len(set(w11)) == 50
+    assert [n for n in w11 if n not in ORACLES] == []
+    assert w11[:21] == _qpkg._ROUND11_QUEUE
+    # pads are r9-queue names, all greened in CORRECTNESS_r09
+    assert set(w11[21:]) <= set(_qpkg._ROUND9_QUEUE)
+    # no overlap with the live r10 window (no wasted slots)
+    assert not set(w11) & set(_qpkg._ROUND10_WINDOW)
+
+
+def test_rerecord_refuses_throttled_host():
+    """VERDICT r09 item 5: bar re-records must be refused when the
+    host-health control query runs slow — machine episodes invalidate
+    the RUN, not the bars (synthetic-artifact unit test of the pure
+    decision core)."""
+    import bench
+
+    bars = {bench._CONTROL_QUERY: 1.0, "q_slow": 2.0}
+    # healthy host: control at 1.1x -> accepted
+    ok, msg = bench._rerecord_decision(
+        {bench._CONTROL_QUERY: 1.1, "q_slow": 3.0}, bars, ["q_slow"]
+    )
+    assert ok, msg
+    # throttled host: control at 1.5x -> refused
+    ok, msg = bench._rerecord_decision(
+        {bench._CONTROL_QUERY: 1.5, "q_slow": 3.0}, bars, ["q_slow"]
+    )
+    assert not ok and "host suspect" in msg
+    # control missing from the run -> refused
+    ok, msg = bench._rerecord_decision({"q_slow": 3.0}, bars, ["q_slow"])
+    assert not ok and "not timed" in msg
+    # named query missing a timing -> refused
+    ok, msg = bench._rerecord_decision(
+        {bench._CONTROL_QUERY: 1.0}, bars, ["q_slow"]
+    )
+    assert not ok and "no timing" in msg
+
+
+def test_control_query_has_a_stable_bar():
+    """The control must exist in both HEADLINE and the bars file, or
+    the suspect-host check silently never fires."""
+    import json
+    import pathlib
+
+    import bench
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    bars = json.loads((root / "BASELINE_bars.json").read_text())["bars"]
+    assert bench._CONTROL_QUERY in bench.HEADLINE
+    assert bars.get(bench._CONTROL_QUERY)
 
 
 def test_every_headline_query_has_a_bar_and_is_registered():
