@@ -385,6 +385,9 @@ HEADLINE = [
     # r09: trigram freshness monitor + EWMA control chart
     "text_ngram_novelty",
     "a_ewma_control",
+    # r10: exact-substring dedup + BPE encode/pack
+    "dedup_substring",
+    "text_bpe_encode",
 ]
 
 

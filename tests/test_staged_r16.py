@@ -1,0 +1,185 @@
+"""Round-10 additions: exact-substring dedup + BPE encode/pack."""
+
+from pyspark.sql import functions as F
+
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+    dedup,
+)
+from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
+    QUERIES,
+)
+from tests.conftest import SF_DIR
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_duplicated_spans_planted(spark):
+    """Hand-planted corpus: a 30-token cross-doc shared run merges to
+    ONE maximal span in each doc (window starts are adjacent), a
+    within-doc repeated 20-token run yields TWO spans (gap > L), and
+    a unique doc is absent."""
+    s_run = " ".join(f"s{i}" for i in range(30))
+    r_run = " ".join(f"r{i}" for i in range(20))
+    texts = [
+        " ".join(f"u{i}" for i in range(10)) + " " + s_run + " "
+        + " ".join(f"v{i}" for i in range(30)),  # doc 0: shared at 11..40
+        " ".join(f"w{i}" for i in range(15)) + " " + s_run + " "
+        + " ".join(f"x{i}" for i in range(15)),  # doc 1: shared at 16..45
+        r_run + " " + " ".join(f"m{i}" for i in range(10)) + " " + r_run,
+        " ".join(f"d{i}" for i in range(30)),  # doc 3: unique
+    ]
+    for hg in (False, True):
+        spans = {
+            (r.doc_id, r.span_start): r
+            for r in dedup.duplicated_token_spans(
+                _mkdocs(spark, texts), min_tokens=20, hash_grams=hg
+            ).collect()
+        }
+        assert set(spans) == {(0, 11), (1, 16), (2, 1), (2, 31)}, hg
+        assert spans[(0, 11)].span_tokens == 30
+        assert spans[(1, 16)].span_tokens == 30
+        assert spans[(0, 11)].n_tokens == 70
+        assert spans[(2, 1)].span_tokens == 20
+        assert spans[(2, 31)].span_tokens == 20
+
+
+def test_duplicated_spans_hash_equals_string_on_fixture(spark):
+    """The 100 TB hash-key path must emit the identical span set as
+    the exact-string oracle path on the fixture (a 64-bit collision
+    would need ~2^32 distinct grams)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = set(
+        map(
+            tuple,
+            dedup.duplicated_token_spans(docs, 20, hash_grams=True).collect(),
+        )
+    )
+    b = set(
+        map(
+            tuple,
+            dedup.duplicated_token_spans(docs, 20, hash_grams=False).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0  # fixture has planted near-dup chains
+
+
+def test_dedup_substring_python_replay(spark):
+    """Independent brute-force replay (dict of gram occurrences +
+    interval-union merge in Python — no window arithmetic shared with
+    either engine)."""
+    rows = QUERIES["dedup_substring"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    grams: dict = {}
+    toks = {}
+    ln = 20
+    for d in docs:
+        ws = [w for w in d.text.lower().split() if w]
+        toks[d.doc_id] = ws
+        for p in range(len(ws) - ln + 1):
+            g = " ".join(ws[p : p + ln])
+            grams[g] = grams.get(g, 0) + 1
+    want: dict = {}
+    for did, ws in toks.items():
+        covered = [
+            p + 1
+            for p in range(len(ws) - ln + 1)
+            if grams[" ".join(ws[p : p + ln])] >= 2
+        ]
+        if not covered:
+            continue
+        spans = []
+        start = prev = covered[0]
+        for p in covered[1:]:
+            if p - prev > ln:
+                spans.append((start, prev - start + ln))
+                start = p
+            prev = p
+        spans.append((start, prev - start + ln))
+        want[did] = (
+            len(ws),
+            len(spans),
+            sum(t for _, t in spans),
+        )
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens) for r in rows}
+    assert got == want
+    for r in rows:
+        # dup_frac ships ROUND 6 of the exact integer ratio
+        assert abs(r.dup_frac - r.dup_tokens / r.n_tokens) <= 5.001e-7
+
+
+def _py_bpe(ws_by_doc, k=3):
+    """Sequential greedy BPE reference, independent of both engines'
+    window formulation: k rounds of (count adjacent pairs, pick
+    (cnt DESC, a ASC, b ASC), apply greedy left-to-right)."""
+    toks = {d: list(ws) for d, ws in ws_by_doc.items()}
+    for _ in range(k):
+        counts: dict = {}
+        for ws in toks.values():
+            for a, b in zip(ws, ws[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        (wa, wb), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for d, ws in toks.items():
+            out = []
+            i = 0
+            while i < len(ws):
+                if i + 1 < len(ws) and ws[i] == wa and ws[i + 1] == wb:
+                    out.append(wa + " " + wb)
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            toks[d] = out
+    return toks
+
+
+def test_bpe_encode_matches_python_tokenizer(spark):
+    """The applied merge table must reproduce a sequential Python
+    greedy-BPE tokenizer on the fixture — per-doc token counts AND
+    fused-symbol counts (the parity-window application is the part
+    a shared-construction bug would hide)."""
+    rows = {r.doc_id: r for r in QUERIES["text_bpe_encode"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ws_by_doc = {
+        d.doc_id: [w for w in d.text.lower().split() if w] for d in docs
+    }
+    enc = _py_bpe(ws_by_doc, k=3)
+    assert set(rows) == set(enc)
+    for did, syms in enc.items():
+        r = rows[did]
+        assert r.n_bpe_tokens == len(syms), did
+        assert r.n_ws_tokens == len(ws_by_doc[did])
+        assert r.n_fused_syms == sum(1 for s in syms if " " in s)
+        # exact reconciliation: every whitespace token is accounted for
+        assert r.n_ws_tokens == sum(s.count(" ") + 1 for s in syms)
+
+
+def test_bpe_encode_pack_bins_replay(spark):
+    """Bin assignments replay the next-fit fold on the encoded counts
+    (capacity 256, id order within shard) and never overflow except
+    for oversized single docs."""
+    rows = QUERIES["text_bpe_encode"](spark, SF_DIR).collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 8
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        fill = 0
+        b = 0
+        for i, r in enumerate(rs):
+            if i > 0 and fill + r.n_bpe_tokens <= 256:
+                fill += r.n_bpe_tokens
+            else:
+                if i > 0:
+                    b += 1
+                fill = r.n_bpe_tokens
+            assert r.bin == b, (shard, r.doc_id)
