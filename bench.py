@@ -385,9 +385,10 @@ HEADLINE = [
     # r09: trigram freshness monitor + EWMA control chart
     "text_ngram_novelty",
     "a_ewma_control",
-    # r10: exact-substring dedup + BPE encode/pack
+    # r10: exact-substring dedup + BPE encode/pack + graph ANN
     "dedup_substring",
     "text_bpe_encode",
+    "sim_topk_hnsw",
 ]
 
 

@@ -745,6 +745,7 @@ def lsh_neardup_pairs(
     seed: int = 42,
     chunk_rows: int = 1024,
     max_bucket_size: int = 100_000,
+    split_oversized: bool = False,
 ) -> DataFrame:
     """LSH-bucketed semantic near-dup pairs — the SCALE path for
     :func:`embedding_dedup` (whose in-block all-pairs is the documented
@@ -764,7 +765,17 @@ def lsh_neardup_pairs(
     a power-law bucket-size distribution) are dropped before the
     quadratic step — at 100 TB a single mega-bucket would otherwise
     dominate the stage. The windowed count is per (table, bucket), one
-    shuffle over narrow rows."""
+    shuffle over narrow rows.
+
+    ``split_oversized=True`` SUB-SPLITS oversized buckets into
+    hash-salted sub-blocks of <= max_bucket_size instead of dropping
+    them — the kNN-GRAPH build mode (neighbor_graph_build), where
+    dropping a mega-bucket would orphan its vectors: candidate work
+    becomes LINEAR (<= max_bucket_size · rows per table) at the price
+    of missing cross-sub-block pairs, which extra tables compensate
+    (each table re-rolls the salt). The per-block size table is
+    bounded by construction (<= n_tables · 2^n_planes rows), so its
+    broadcast is safe at any corpus size — it is NOT corpus-scaled."""
     from pyspark.sql import Window
 
     e = embeddings.select(
@@ -786,13 +797,27 @@ def lsh_neardup_pairs(
     # the grouped-map partitioning the pair stage needs anyway — the
     # previous window formulation dragged every d-dim array through a
     # count-only shuffle first
-    hot = (
-        buckets.groupBy("block")
-        .count()
-        .filter(F.col("count") > max_bucket_size)
-        .select("block")
-    )
-    sized = buckets.join(F.broadcast(hot), "block", "left_anti")
+    if split_oversized:
+        sizes = buckets.groupBy("block").agg(F.count("*").alias("n_b"))
+        k_sub = F.greatest(
+            F.ceil(F.col("n_b") / max_bucket_size), F.lit(1)
+        ).cast("long")
+        sized = buckets.join(F.broadcast(sizes), "block").select(
+            (
+                F.col("block") * F.lit(1 << 20)
+                + F.pmod(F.xxhash64(F.col(id_col), F.col("block")), k_sub)
+            ).alias("block"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+    else:
+        hot = (
+            buckets.groupBy("block")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("block")
+        )
+        sized = buckets.join(F.broadcast(hot), "block", "left_anti")
     pairs = cosine_neardup_pairs_arrow(
         sized, "block", threshold, id_col, vec_col, chunk_rows
     )
@@ -1521,3 +1546,168 @@ def embdedup_index_compact(spark, base_dir: str) -> None:
     from . import ledger
 
     ledger.compact_delta_index(spark, base_dir, _EMBDEDUP_TABLES)
+
+
+# ---------------------------------------------------------------------------
+# HNSW-lite: bounded-degree neighbor graph + greedy beam search
+# ---------------------------------------------------------------------------
+
+
+def neighbor_graph_build(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Bounded-degree k-NN NEIGHBOR GRAPH — the base layer of
+    graph-based ANN (HNSW/NSG family), completing the index families
+    next to IVF/PQ/LSH: per vector, the top-``m`` candidates by true
+    cosine among its LSH-bucket neighbours, symmetrized (edges run
+    both ways, so out-degree is bounded by 2m). Candidate generation
+    is the SAME banded machinery as :func:`lsh_neardup_pairs`
+    (threshold -1 keeps every bucket pair; the per-bucket BLAS tile
+    computes exact cosines; hot buckets are skew-capped) — never
+    all-pairs. Returns (src, dst, cos_sim) directed edges, LAZY.
+
+    Scale: the build is the standard distributed kNN-graph shape —
+    Σ n_bucket²·L candidate work, one groupBy dedupe, one per-src
+    top-m window; edges are narrow rows, m·n per index."""
+    pairs = _persist_tracked(
+        lsh_neardup_pairs(
+            embeddings,
+            threshold=-1.0,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            # bound the quadratic: sub-split oversized buckets (the
+            # graph-build mode — candidate work stays <= 512 · rows
+            # per table at ANY corpus size; plane count is the
+            # quality knob to grow with log(corpus), the
+            # sim_topk_lsh convention). No split triggers at the
+            # oracle scales (buckets ~62 rows at sf0.1), so recall
+            # there is exactly the unsplit measurement.
+            max_bucket_size=512,
+            split_oversized=True,
+        )
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
+    return (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= m)
+        .select("src", "dst", "cos_sim")
+    )
+
+
+def graph_greedy_search(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 8,
+    rounds: int = 3,
+    n_entry: int = 4,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Greedy BEAM search over the neighbor graph — HNSW's search
+    loop as ``rounds`` bounded relaxation rounds (the g_sssp_bounded
+    convention): seed each query's beam with the ``n_entry`` fixed
+    entry points, then repeatedly expand every beam node's out-edges,
+    score the frontier by true cosine, and keep the top-``beam``.
+    Beam membership is monotone-improving (the union keeps previous
+    winners), so rounds only ever raise recall.
+
+    The beam is carried as ONE ARRAY ROW PER QUERY of
+    (cos, -node) structs (the lazy-fixpoint discipline: each round
+    references the previous round exactly once — linear plan growth;
+    sort_array DESC on that struct is cos DESC, node ASC). A query
+    whose whole beam is edge-less keeps its beam (left-join guard),
+    never vanishes. Cost per round: |beam|·2m candidate rows per
+    query, one groupBy dedupe, one hash join to the corpus for
+    vectors — at serving scale the graph and corpus joins are the
+    same partition-pruned point lookups every graph-ANN store does.
+
+    Returns (query_id, neighbor_id, cos_sim, rnk) like
+    :func:`brute_force_topk`; self-matches excluded at readout (the
+    query's own node is deliberately KEPT in the beam — it is the
+    best hub to its true neighbours)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _as_double(F.col(query_vec)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"), _as_double(F.col(corpus_vec)).alias("cv")
+    )
+    entry = c.filter(F.col("nid") < n_entry)
+    e_struct = F.struct(
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        (-F.col("nid")).cast("long").alias("mnode"),
+    )
+    init = F.broadcast(q).crossJoin(entry).select("query_id", e_struct.alias("e"))
+    f = init.groupBy("query_id").agg(
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list("e"))), 1, beam
+        ).alias("arr")
+    )
+    edges = graph.select("src", "dst")
+    for _ in range(rounds):
+        x = (
+            f.select("query_id", "arr", F.explode("arr").alias("e"))
+            .select("query_id", "arr", (-F.col("e.mnode")).alias("node"))
+            .join(edges, F.col("node") == F.col("src"), "left")
+            .groupBy("query_id", "dst")
+            .agg(F.first("arr").alias("arr"))
+        )
+        x = (
+            x.join(c, F.col("dst") == F.col("nid"), "left")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "arr",
+                F.when(F.col("nid").isNotNull(), e_struct).alias("e"),
+            )
+        )
+        f = x.groupBy("query_id").agg(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.flatten(
+                                F.array(
+                                    F.first("arr"), F.collect_list("e")
+                                )
+                            )
+                        )
+                    )
+                ),
+                1,
+                beam,
+            ).alias("arr")
+        )
+    out = f.select("query_id", F.explode("arr").alias("e")).select(
+        "query_id",
+        (-F.col("e.mnode")).alias("neighbor_id"),
+        F.col("e.cos").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        out.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -294,6 +294,7 @@ _ROUND11_WINDOW = [
 _ROUND12_QUEUE: list[str] = [
     "dedup_substring",
     "text_bpe_encode",
+    "sim_topk_hnsw_recall",
 ]
 
 

@@ -309,6 +309,8 @@ _register_ann_recall("sim_topk_lsh_recall", "sim_topk_lsh", 0.40)
 _register_ann_recall("sim_topk_ivf_recall", "sim_topk_ivf", 0.50)
 _register_ann_recall("sim_topk_pq_recall", "sim_topk_pq", 0.70)
 _register_ann_recall("sim_topk_ivfpq_recall", "sim_topk_ivfpq", 0.60)
+# round 10: graph ANN (HNSW-lite) — measured 0.98 at all three scales
+_register_ann_recall("sim_topk_hnsw_recall", "sim_topk_hnsw", 0.80)
 
 
 @query(

@@ -985,3 +985,58 @@ def test_ivf_compact_preserves_inflight_partial_delta(spark, tmp_path):
     )
     similarity.ivf_index_append(base)(late, 7)
     assert os.path.exists(os.path.join(partial, "_SUCCESS"))
+
+
+def test_hnsw_graph_bounded_degree_and_recall(spark):
+    """HNSW-lite (round 10): the neighbor graph's out-degree must stay
+    <= m after symmetrization-then-recap, every edge's cosine must be
+    the true rounded cosine, and beam search must hit the measured
+    recall (0.98 on this fixture at the registered config; 0.85 floor
+    leaves seed headroom while failing under a broken expand round —
+    a 1-round search scores ~0.5)."""
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    g = similarity.neighbor_graph_build(e, m=16, n_planes=5, n_tables=16)
+    deg = g.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= 16
+    q = e.filter(F.col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.brute_force_topk(q, e, k=5).collect()
+    approx = similarity.graph_greedy_search(
+        g, e, q, k=5, beam=24, rounds=4, n_entry=8
+    ).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    print(f"HNSW-lite top-5 recall vs brute force: {recall:.3f}")
+    assert recall >= 0.85, f"graph-ANN recall collapsed: {recall}"
+    # self-matches excluded, ranks contiguous from 1
+    for r in approx:
+        assert r["query_id"] != r["neighbor_id"]
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hnsw_beam_monotone_in_rounds(spark):
+    """The union-keep beam means more rounds can only raise recall —
+    the property that makes `rounds` a safe knob (a regression that
+    drops previous winners shows up as non-monotone recall here)."""
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    g = similarity.neighbor_graph_build(e, m=16, n_planes=5, n_tables=16)
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, e, k=5).collect()
+    }
+    last = -1.0
+    for rounds in (1, 2, 4):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.graph_greedy_search(
+                g, e, q, k=5, beam=24, rounds=rounds, n_entry=8
+            ).collect()
+        }
+        rec = len(got & exact) / len(exact)
+        assert rec >= last - 1e-9, (rounds, rec, last)
+        last = rec
