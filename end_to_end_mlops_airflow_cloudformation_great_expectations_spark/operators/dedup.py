@@ -1159,6 +1159,7 @@ def duplicated_token_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """EXACT-SUBSTRING duplication spans — the strongest dedup rung
     for training corpora (Lee et al., "Deduplicating Training Data
@@ -1188,7 +1189,15 @@ def duplicated_token_spans(
     need ~2^32 distinct grams in one corpus (birthday bound) and can
     only ADD a span, never drop one. The exact-string form exists for
     oracle replay (DuckDB has no xxhash64); equality of the two forms
-    on the fixture is test-pinned."""
+    on the fixture is test-pinned.
+
+    ``keep_first=False`` (the AUDIT form) marks every occurrence of a
+    duplicated window; ``keep_first=True`` is the REMOVAL form Lee et
+    al. actually apply — the corpus-first occurrence of each window
+    (by (doc_id, pos)) is kept, so the returned spans are exactly the
+    tokens a rewrite job deletes while one copy of every substring
+    survives. Same shuffles: the occurrence count window becomes a
+    row_number over the same gram key."""
     ln = min_tokens
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
@@ -1216,12 +1225,20 @@ def duplicated_token_spans(
         "pos",
         (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("k"),
     )
-    w_k = Window.partitionBy("k")
-    cov = (
-        g.withColumn("occ", F.count("*").over(w_k))
-        .filter(F.col("occ") >= 2)
-        .drop("k", "occ")
-    )
+    if keep_first:
+        w_k = Window.partitionBy("k").orderBy("doc_id", "pos")
+        cov = (
+            g.withColumn("rn", F.row_number().over(w_k))
+            .filter(F.col("rn") >= 2)
+            .drop("k", "rn")
+        )
+    else:
+        w_k = Window.partitionBy("k")
+        cov = (
+            g.withColumn("occ", F.count("*").over(w_k))
+            .filter(F.col("occ") >= 2)
+            .drop("k", "occ")
+        )
     w_d = Window.partitionBy("doc_id").orderBy("pos")
     isl = cov.withColumn(
         "brk",

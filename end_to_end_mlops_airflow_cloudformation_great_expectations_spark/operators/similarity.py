@@ -1553,6 +1553,68 @@ def embdedup_index_compact(spark, base_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _block_topm_edges(
+    embeddings: DataFrame,
+    block_col: str,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-block per-NODE top-``m`` directed candidate edges via one
+    BLAS tile per block (the graph-build sibling of
+    :func:`cosine_neardup_pairs_arrow`): for every node in a block,
+    its ``m`` best block-mates by cosine — so a block of n rows emits
+    n·m rows instead of n² pairs. Per-block top-m is LOSSLESS for the
+    downstream global per-node top-m: a candidate outranked by m
+    block-mates in EVERY shared block is outranked by m candidates
+    globally, so it can never be in the global top-m."""
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    out_schema = f"src {id_type}, dst {id_type}, cos_sim double"
+    e = embeddings.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.stack(pdf["v"].to_numpy()[order]).astype("float64")
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos_sim": []})
+        srcs: list = []
+        dsts: list = []
+        coss: list = []
+        k = min(m, n - 1)
+        for i0 in range(0, n, 1024):
+            i1 = min(i0 + 1024, n)
+            tile = np.round(Xn[i0:i1] @ Xn.T, 6)
+            tile[np.arange(i1 - i0), np.arange(i0, i1)] = -2.0  # no self
+            # top-k per row, deterministic (cos DESC, dst ASC) order
+            idx = np.argpartition(-tile, k - 1, axis=1)[:, :k]
+            for r in range(i1 - i0):
+                cols = idx[r]
+                cs = tile[r, cols]
+                o = np.lexsort((ids[cols], -cs))
+                srcs.append(np.repeat(ids[i0 + r], k))
+                dsts.append(ids[cols[o]])
+                coss.append(cs[o])
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(srcs),
+                "dst": np.concatenate(dsts),
+                "cos_sim": np.concatenate(coss),
+            }
+        )
+
+    return e.groupBy("block").applyInPandas(per_block, out_schema)
+
+
 def neighbor_graph_build(
     embeddings: DataFrame,
     m: int = 8,
@@ -1561,50 +1623,56 @@ def neighbor_graph_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int = 512,
 ) -> DataFrame:
     """Bounded-degree k-NN NEIGHBOR GRAPH — the base layer of
     graph-based ANN (HNSW/NSG family), completing the index families
     next to IVF/PQ/LSH: per vector, the top-``m`` candidates by true
-    cosine among its LSH-bucket neighbours, symmetrized (edges run
-    both ways, so out-degree is bounded by 2m). Candidate generation
-    is the SAME banded machinery as :func:`lsh_neardup_pairs`
-    (threshold -1 keeps every bucket pair; the per-bucket BLAS tile
-    computes exact cosines; hot buckets are skew-capped) — never
-    all-pairs. Returns (src, dst, cos_sim) directed edges, LAZY.
+    cosine among its LSH-bucket neighbours. Returns (src, dst,
+    cos_sim) directed edges (out-degree ≤ m), LAZY.
 
-    Scale: the build is the standard distributed kNN-graph shape —
-    Σ n_bucket²·L candidate work, one groupBy dedupe, one per-src
-    top-m window; edges are narrow rows, m·n per index."""
-    pairs = _persist_tracked(
-        lsh_neardup_pairs(
-            embeddings,
-            threshold=-1.0,
-            n_planes=n_planes,
-            n_tables=n_tables,
-            id_col=id_col,
-            vec_col=vec_col,
-            seed=seed,
-            # bound the quadratic: sub-split oversized buckets (the
-            # graph-build mode — candidate work stays <= 512 · rows
-            # per table at ANY corpus size; plane count is the
-            # quality knob to grow with log(corpus), the
-            # sim_topk_lsh convention). No split triggers at the
-            # oracle scales (buckets ~62 rows at sf0.1), so recall
-            # there is exactly the unsplit measurement.
-            max_bucket_size=512,
-            split_oversized=True,
-        )
+    Scale shape (the first cut was live-measured unscalable and
+    replaced): multi-table hyperplane buckets, oversized buckets
+    SUB-SPLIT to ≤ ``max_bucket_size`` rows (salted; the bounded
+    size table broadcasts safely), then ONE BLAS tile per block that
+    emits only each node's per-block top-m (:func:`_block_topm_edges`
+    — n·m rows per block, never the n² pair list whose global dedupe
+    shuffle dominated: 765M pair rows at the 100x stress point), a
+    (src, dst) max-dedupe across tables, and the global per-src
+    top-m window. Per-block top-m is lossless for the global top-m
+    (proof in the tile docstring), so this emits exactly the edges
+    the pair-list formulation did. Plane count remains the quality
+    knob to grow with log(corpus) — the sim_topk_lsh convention."""
+    sigs = table_signatures_udf(n_planes, n_tables, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    directed = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cos_sim"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cos_sim"
-        )
+    buckets = e.select(
+        "id", "v", F.posexplode(sigs("v")).alias("table", "bucket")
+    ).select(
+        (
+            F.col("table").cast("long") * F.lit(2**n_planes) + F.col("bucket")
+        ).alias("block"),
+        "id",
+        "v",
     )
+    sizes = buckets.groupBy("block").agg(F.count("*").alias("n_b"))
+    k_sub = F.greatest(
+        F.ceil(F.col("n_b") / max_bucket_size), F.lit(1)
+    ).cast("long")
+    sized = buckets.join(F.broadcast(sizes), "block").select(
+        (
+            F.col("block") * F.lit(1 << 20)
+            + F.pmod(F.xxhash64(F.col("id"), F.col("block")), k_sub)
+        ).alias("block"),
+        "id",
+        "v",
+    )
+    cand = _block_topm_edges(sized, "block", m, id_col="id", vec_col="v")
+    dedup = cand.groupBy("src", "dst").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
     return (
-        directed.withColumn("rnk", F.row_number().over(w))
+        dedup.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= m)
         .select("src", "dst", "cos_sim")
     )

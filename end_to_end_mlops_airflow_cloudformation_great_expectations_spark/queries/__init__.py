@@ -295,6 +295,7 @@ _ROUND12_QUEUE: list[str] = [
     "dedup_substring",
     "text_bpe_encode",
     "sim_topk_hnsw_recall",
+    "dedup_substring_keepfirst",
 ]
 
 

@@ -227,3 +227,94 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_bpe_encode.__doc__ = text_bpe_encode.__doc__.replace(
     "{cap}", str(_ENC_CAPACITY)
 ).replace("{sh}", str(_ENC_SHARDS))
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_keepfirst — the Lee-et-al REMOVAL form
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_keepfirst",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, LEN(ws) AS n_tokens, ws,
+             unnest(generate_series(1, GREATEST(LEN(ws) - {_SUB_L} + 1, 0)))
+               AS pos
+      FROM w
+    ), gr AS (
+      SELECT doc_id, n_tokens, pos,
+             list_aggr(ws[pos:pos + {_SUB_L} - 1], 'string_agg', ' ') AS gram
+      FROM pos
+    ), cov AS (
+      SELECT doc_id, n_tokens, pos
+      FROM (SELECT doc_id, n_tokens, pos,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM gr)
+      WHERE rn >= 2
+    ), isl AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN COALESCE(pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos), {_SUB_L} + 1)
+                  > {_SUB_L} THEN 1 ELSE 0 END AS brk
+      FROM cov
+    ), sp AS (
+      SELECT doc_id, n_tokens, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS span
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, n_tokens, span,
+             MAX(pos) - MIN(pos) + {_SUB_L} AS span_tokens
+      FROM sp GROUP BY doc_id, n_tokens, span
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS removed_tokens,
+           CAST(n_tokens - SUM(span_tokens) AS BIGINT) AS kept_tokens
+    FROM spans
+    GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, REMOVAL form — what Lee et al. actually
+    apply to a training corpus: for every duplicated >= {L}-token
+    window, the corpus-FIRST occurrence (by doc_id, pos) survives and
+    every later one is marked for removal, so exactly one copy of
+    each substring remains. dedup_substring is the AUDIT form
+    (marks all occurrences); this is the rewrite plan — per doc, the
+    maximal removable spans rolled up to exact integers
+    (removed_tokens + kept_tokens == n_tokens by construction, both
+    shipped). Same two-shuffle shape; the occurrence-count window
+    becomes a row_number over the same 8-byte hash key.
+
+    The asymmetry vs the audit form is itself planted-test-pinned:
+    the first copy of a cross-doc shared run keeps its tokens here
+    but is flagged there."""
+    from ..operators import dedup
+
+    spans = dedup.duplicated_token_spans(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=_SUB_L,
+        hash_grams=True,
+        keep_first=True,
+    )
+    return spans.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("removed_tokens"),
+        (F.col("n_tokens") - F.sum("span_tokens"))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+dedup_substring_keepfirst.__doc__ = dedup_substring_keepfirst.__doc__.replace(
+    "{L}", str(_SUB_L)
+)

@@ -236,26 +236,26 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round9_queue_rotated_into_window():
-    """Round-9 rotation executed (CORRECTNESS_r08 closed the round-8
-    window 50/50): the 42-name round-9 queue + 8 round-8 additions
-    now occupy the driver window, and the round-8 names they
-    displaced keep their driver-green rows from CORRECTNESS_r08
-    (supersedes the round-8 version of this test)."""
+def test_round10_window_rotated_in():
+    """Round-10 rotation executed (CORRECTNESS_r09 closed the round-9
+    window 50/50): the staged_r13-remainder + staged_r14 names now
+    occupy the driver window, and the round-9 names they displaced
+    keep their driver-green rows from CORRECTNESS_r09 (supersedes the
+    round-9 version of this test)."""
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
     names = list(qpkg.QUERIES)
     for n in (
-        "a_roc_auc",
-        "a_permutation_test",
-        "g_modularity",
-        "dedup_embedding_probe_topk",
-        "sim_knn_classify_ivf",
-        "tpch_q2_partsupp",
-        "tpch_q20_partsupp",
-        "stream_pca_checked",
-        "j_entity_resolution",
-        "a_bloom_filter_checked",
+        "a_spearman_corr",
+        "a_kendall_tau",
+        "a_friedman_test",
+        "train_gbt_stumps",
+        "emb_matryoshka_truncate",
+        "dedup_url_canonical",
+        "io_formats_roundtrip_checked",
+        "a_mcnemar_test",
+        "a_odds_ratio",
+        "a13b_partsupp_expectations",
     ):
         assert n in qpkg.ORACLES
         assert names.index(n) < 50

@@ -183,3 +183,43 @@ def test_bpe_encode_pack_bins_replay(spark):
                     b += 1
                 fill = r.n_bpe_tokens
             assert r.bin == b, (shard, r.doc_id)
+
+
+def test_keepfirst_removal_semantics(spark):
+    """The removal form keeps the corpus-first copy: on the planted
+    corpus, doc 0's shared run survives (first by doc_id) while doc
+    1's is removable; the within-doc repeat keeps its first
+    occurrence only. Reconciliation removed+kept == n_tokens."""
+    s_run = " ".join(f"s{i}" for i in range(30))
+    r_run = " ".join(f"r{i}" for i in range(20))
+    texts = [
+        " ".join(f"u{i}" for i in range(10)) + " " + s_run + " "
+        + " ".join(f"v{i}" for i in range(30)),
+        " ".join(f"w{i}" for i in range(15)) + " " + s_run + " "
+        + " ".join(f"x{i}" for i in range(15)),
+        r_run + " " + " ".join(f"m{i}" for i in range(10)) + " " + r_run,
+    ]
+    spans = {
+        (r.doc_id, r.span_start): r
+        for r in dedup.duplicated_token_spans(
+            _mkdocs(spark, texts), min_tokens=20, keep_first=True
+        ).collect()
+    }
+    # doc 0 (first copy) keeps everything; doc 1 loses its copy; the
+    # within-doc repeat in doc 2 loses only the SECOND occurrence
+    assert set(spans) == {(1, 16), (2, 31)}
+    assert spans[(1, 16)].span_tokens == 30
+    assert spans[(2, 31)].span_tokens == 20
+
+
+def test_keepfirst_query_reconciles_and_is_subset(spark):
+    """Removal accounting reconciles exactly per doc, and the
+    removable set is a strict subset of the audit set (the first
+    copies are the difference)."""
+    rem = {r.doc_id: r for r in QUERIES["dedup_substring_keepfirst"](spark, SF_DIR).collect()}
+    audit = {r.doc_id: r for r in QUERIES["dedup_substring"](spark, SF_DIR).collect()}
+    assert set(rem) <= set(audit)
+    assert len(rem) < len(audit)  # some docs hold only first copies
+    for did, r in rem.items():
+        assert r.removed_tokens + r.kept_tokens == r.n_tokens
+        assert r.removed_tokens <= audit[did].dup_tokens
