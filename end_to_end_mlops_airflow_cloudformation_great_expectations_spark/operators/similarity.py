@@ -1779,3 +1779,172 @@ def graph_greedy_search(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted HNSW-lite index lifecycle (shared ledger protocol, 5th
+# instantiation after MinHash / BM25 / IVF / embdedup)
+# ---------------------------------------------------------------------------
+
+_HNSW_TABLES = ("edges", "vectors")
+
+
+def _hnsw_params_path(base_dir: str) -> str:
+    import os
+
+    return os.path.join(base_dir, "_PARAMS.json")
+
+
+def hnsw_index_build(
+    embeddings: DataFrame,
+    base_dir: str,
+    m: int = 16,
+    n_planes: int = 5,
+    n_tables: int = 16,
+    seed: int = 42,
+    n_entry: int = 8,
+    beam: int = 24,
+    rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the neighbor graph + vector store of a corpus as a
+    persisted SERVING index (the graph-ANN sibling of the IVF index):
+    edges from :func:`neighbor_graph_build`, vectors alongside (the
+    search's point lookups), and the build/search parameters in
+    ``_PARAMS.json`` so appends and searches are self-describing —
+    a mismatched beam/entry config would silently change results; the
+    index pins its own."""
+    import json
+    import os
+
+    edges = neighbor_graph_build(
+        embeddings, m, n_planes, n_tables, id_col, vec_col, seed
+    )
+    vectors = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(base_dir, "edges"))
+    vectors.write.mode("overwrite").parquet(os.path.join(base_dir, "vectors"))
+    with open(_hnsw_params_path(base_dir), "w") as fh:
+        json.dump(
+            {
+                "m": m,
+                "n_planes": n_planes,
+                "n_tables": n_tables,
+                "seed": seed,
+                "n_entry": n_entry,
+                "beam": beam,
+                "rounds": rounds,
+            },
+            fh,
+        )
+
+
+def _hnsw_params(base_dir: str) -> dict:
+    import json
+
+    with open(_hnsw_params_path(base_dir)) as fh:
+        return json.load(fh)
+
+
+def hnsw_index_search(
+    spark,
+    base_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Beam search over the PERSISTED graph (base + committed deltas —
+    READ-ONLY snapshot resolution, so searches can race appends and a
+    live compactor). Entry points are the stored ``n_entry`` smallest
+    vector ids — stable across appends because appended ids are new."""
+    from . import ledger
+
+    p = _hnsw_params(base_dir)
+    t = ledger.resolve_delta_tables(spark, base_dir, _HNSW_TABLES)
+    return graph_greedy_search(
+        t["edges"],
+        t["vectors"],
+        queries,
+        k=k,
+        beam=p["beam"],
+        rounds=p["rounds"],
+        n_entry=p["n_entry"],
+        query_id=query_id,
+        corpus_id="id",
+        query_vec=query_vec,
+        corpus_vec="v",
+    )
+
+
+def hnsw_index_append(
+    base_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+):
+    """foreachBatch sink: INCREMENTAL graph insertion, the way real
+    HNSW inserts work — search the EXISTING index for each new
+    vector's top-m (the stored beam config), then land the batch as a
+    committed delta of (a) the new vectors and (b) edges BOTH ways
+    (new→found makes the new vector searchable outward; found→new
+    makes it REACHABLE from the old graph). Shared protocol
+    (:func:`.ledger.delta_append_sink`): root _SUCCESS commit,
+    replay-no-op, tombstone check.
+
+    Honest contracts, documented: (1) reverse edges can push an old
+    node's out-degree above m between rebuilds — the periodic full
+    rebuild is the degree re-cap (real HNSW prunes at insert; a
+    delta-append store cannot rewrite base rows); (2) batch-INTERNAL
+    near-duplicates connect through shared old neighbors, not
+    directly — per-batch internal edges would need the batch's own
+    neighbor_graph_build, omitted to keep appends O(batch·search)."""
+    from . import ledger
+
+    p = _hnsw_params(base_dir)
+
+    def tables_fn(batch: DataFrame) -> dict:
+        spark = batch.sparkSession
+        t = ledger.resolve_delta_tables(spark, base_dir, _HNSW_TABLES)
+        q = batch.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        found = graph_greedy_search(
+            t["edges"],
+            t["vectors"],
+            q,
+            k=p["m"],
+            beam=p["beam"],
+            rounds=p["rounds"],
+            n_entry=p["n_entry"],
+            query_id="query_id",
+            corpus_id="id",
+            query_vec="qv",
+            corpus_vec="v",
+        )
+        fwd = found.select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "cos_sim",
+        )
+        rev = found.select(
+            F.col("neighbor_id").alias("src"),
+            F.col("query_id").alias("dst"),
+            "cos_sim",
+        )
+        vectors = batch.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        return {"edges": fwd.unionByName(rev), "vectors": vectors}
+
+    return ledger.delta_append_sink(base_dir, tables_fn)
+
+
+def hnsw_index_compact(spark, base_dir: str) -> None:
+    """Fold append deltas into the base layout (shared protocol —
+    version-then-swap, ONE atomic ledger commit for both subtables).
+    Search results are identical before and after (test-pinned): only
+    the file layout changes."""
+    from . import ledger
+
+    ledger.compact_delta_index(spark, base_dir, _HNSW_TABLES)

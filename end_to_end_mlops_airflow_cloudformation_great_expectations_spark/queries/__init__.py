@@ -296,6 +296,7 @@ _ROUND12_QUEUE: list[str] = [
     "text_bpe_encode",
     "sim_topk_hnsw_recall",
     "dedup_substring_keepfirst",
+    "sim_hnsw_lifecycle",
 ]
 
 

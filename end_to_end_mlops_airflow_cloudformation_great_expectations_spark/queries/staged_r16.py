@@ -6,12 +6,14 @@ driver window; enqueued in _ROUND12_QUEUE for the r12 rotation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import query
 from .staged_r05 import _bpe_round_sql
-from .staged_r07 import _t
+from .staged_r07 import _scratch, _t
 
 # ---------------------------------------------------------------------------
 # dedup_substring — exact-substring duplication accounting
@@ -318,3 +320,119 @@ def dedup_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_substring_keepfirst.__doc__ = dedup_substring_keepfirst.__doc__.replace(
     "{L}", str(_SUB_L)
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_hnsw_lifecycle — persisted graph-ANN index maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_hnsw_lifecycle",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS new_id,
+           TRUE AS self_found, TRUE AS compact_ok, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 4 = 3 AND vec_id < 400
+    """,
+)
+def sim_hnsw_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted GRAPH-ANN index lifecycle as a driver-checkable
+    invariant — the serving story for sim_topk_hnsw (fifth
+    instantiation of the shared ledger protocol, after MinHash /
+    BM25 / IVF / embdedup): build the neighbor-graph index on
+    vec_id % 4 != 3, stream the rest through hnsw_index_append in two
+    delta batches (INCREMENTAL insertion: each new vector's top-m is
+    found by searching the existing graph — the real HNSW insert —
+    and edges land BOTH ways so new vectors are reachable), then
+    assert
+
+      self_found : every appended probe (bounded cohort, vec_id<400)
+                   is FOUND by a fresh search with its own vector
+                   (top-3 contains it at cos 1.0) — proves appended
+                   vectors are searchable, not just stored
+      compact_ok : the 10-query search signature is identical before
+                   and after compaction (bounded pre-compaction
+                   snapshot collect — the fenced lifecycle exception)
+      recall_ok  : post-append recall@5 vs the exact brute force over
+                   the FULL corpus >= 0.9 (measured 1.0 at all three
+                   scales)
+
+    Deterministic at fixed data (seeded hyperplanes, id tie-breaks) =>
+    the all-TRUE DuckDB twin is a real hash check. Eager at build
+    time (index build + two sink writes + compaction into throwaway
+    scratch — the documented bounded-lint-execution class)."""
+    from ..operators import similarity
+
+    base = os.path.join(_scratch("hnsw_life"), "idx")
+    e = _t(spark, sf_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 4 != 3)
+    similarity.hnsw_index_build(old, base)
+    sink = similarity.hnsw_index_append(base)
+    sink(e.filter(F.col("vec_id") % 8 == 3), 0)
+    sink(e.filter(F.col("vec_id") % 8 == 7), 1)
+
+    q10 = e.filter(F.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    def sig(df: DataFrame) -> DataFrame:
+        return df.groupBy("query_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("rnk", "neighbor_id", "cos_sim"))
+            ).alias("sig")
+        )
+
+    sig_schema = (
+        "query_id long, sig array<struct<rnk: long, neighbor_id: long, "
+        "cos_sim: double>>"
+    )
+    pre = spark.createDataFrame(
+        sig(similarity.hnsw_index_search(spark, base, q10, k=5)).collect(),
+        sig_schema,
+    )
+    similarity.hnsw_index_compact(spark, base)
+    post = sig(similarity.hnsw_index_search(spark, base, q10, k=5))
+    compact_row = (
+        pre.withColumnRenamed("sig", "pre_sig")
+        .join(post.withColumnRenamed("sig", "post_sig"), "query_id", "full")
+        .agg(
+            F.min(
+                F.col("pre_sig").eqNullSafe(F.col("post_sig"))
+            ).alias("compact_ok")
+        )
+    )
+
+    truth = similarity.brute_force_topk(q10, e, k=5)
+    got = similarity.hnsw_index_search(spark, base, q10, k=5)
+    hits = got.select("query_id", "neighbor_id").join(
+        truth.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count("*").alias("hits"))
+    total = truth.agg(F.count("*").alias("total"))
+    recall_row = hits.crossJoin(F.broadcast(total)).select(
+        (F.col("hits") / F.col("total") >= 0.9).alias("recall_ok")
+    )
+
+    probes = e.filter((F.col("vec_id") % 4 == 3) & (F.col("vec_id") < 400))
+    pq = probes.select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"), "embedding"
+    )
+    found = similarity.hnsw_index_search(spark, base, pq, k=3)
+    self_hit = (
+        found.filter(
+            (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+            & (F.col("cos_sim") == 1.0)
+        )
+        .select((F.col("query_id") - 1_000_000).alias("new_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    per_probe = (
+        probes.select(F.col("vec_id").cast("long").alias("new_id"))
+        .join(self_hit, "new_id", "left")
+        .select(
+            "new_id", F.coalesce(F.col("hit"), F.lit(False)).alias("self_found")
+        )
+    )
+    return per_probe.crossJoin(F.broadcast(compact_row)).crossJoin(
+        F.broadcast(recall_row)
+    )

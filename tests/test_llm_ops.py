@@ -1040,3 +1040,49 @@ def test_hnsw_beam_monotone_in_rounds(spark):
         rec = len(got & exact) / len(exact)
         assert rec >= last - 1e-9, (rounds, rec, last)
         last = rec
+
+
+def test_hnsw_index_append_replay_noop_and_reachability(spark, tmp_path):
+    """Ledger-protocol contracts on the HNSW index: a re-delivered
+    batch id is a no-op (at-least-once -> exactly-once), appended
+    vectors are reachable by search, and compaction changes nothing
+    (file layout only)."""
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    base = str(tmp_path / "hnsw")
+    similarity.hnsw_index_build(e.filter(F.col("vec_id") % 2 == 0), base)
+    sink = similarity.hnsw_index_append(base)
+    batch = e.filter(F.col("vec_id") % 2 == 1).limit(40)
+    sink(batch, 0)
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        ledger,
+    )
+
+    t1 = ledger.resolve_delta_tables(spark, base, similarity._HNSW_TABLES)
+    n_edges = t1["edges"].count()
+    n_vecs = t1["vectors"].count()
+    sink(batch, 0)  # replay — must no-op
+    t2 = ledger.resolve_delta_tables(spark, base, similarity._HNSW_TABLES)
+    assert t2["edges"].count() == n_edges
+    assert t2["vectors"].count() == n_vecs
+    # appended vectors are searchable: probe with their own vectors
+    probes = batch.select(
+        (F.col("vec_id") + 10_000).alias("query_id"), "embedding"
+    ).limit(10)
+    res = similarity.hnsw_index_search(spark, base, probes, k=3).collect()
+    found = {
+        r.query_id - 10_000
+        for r in res
+        if r.neighbor_id == r.query_id - 10_000 and r.cos_sim == 1.0
+    }
+    probe_ids = {r.vec_id for r in batch.limit(10).collect()}
+    assert found == probe_ids
+    # compaction invariance on a fixed query cohort
+    q = e.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    pre = sorted(
+        map(tuple, similarity.hnsw_index_search(spark, base, q, k=5).collect())
+    )
+    similarity.hnsw_index_compact(spark, base)
+    post = sorted(
+        map(tuple, similarity.hnsw_index_search(spark, base, q, k=5).collect())
+    )
+    assert pre == post
