@@ -385,10 +385,15 @@ HEADLINE = [
     # r09: trigram freshness monitor + EWMA control chart
     "text_ngram_novelty",
     "a_ewma_control",
-    # r10: exact-substring dedup + BPE encode/pack + graph ANN
+    # r10: exact-substring dedup + BPE encode/pack + graph ANN +
+    # off-policy evaluation (dedup_substring_keepfirst shares
+    # dedup_substring's scan shape and sim_hnsw_lifecycle is a
+    # verification job — both stay out per the twin/lifecycle rules,
+    # bars recorded anyway)
     "dedup_substring",
     "text_bpe_encode",
     "sim_topk_hnsw",
+    "a_offpolicy_replay",
 ]
 
 

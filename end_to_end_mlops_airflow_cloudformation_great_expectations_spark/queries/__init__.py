@@ -297,6 +297,7 @@ _ROUND12_QUEUE: list[str] = [
     "sim_topk_hnsw_recall",
     "dedup_substring_keepfirst",
     "sim_hnsw_lifecycle",
+    "a_offpolicy_replay",
 ]
 
 

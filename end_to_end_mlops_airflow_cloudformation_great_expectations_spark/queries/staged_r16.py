@@ -436,3 +436,118 @@ def sim_hnsw_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.crossJoin(F.broadcast(compact_row)).crossJoin(
         F.broadcast(recall_row)
     )
+
+
+# ---------------------------------------------------------------------------
+# a_offpolicy_replay — off-policy policy-value estimation (replay method)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a_offpolicy_replay",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), arms AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+      FROM (SELECT DISTINCT event_type FROM e)
+    ), hashm AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS r
+      FROM e JOIN arms USING (event_type)
+      WHERE (user_id * 2654435761) % 4294967296
+            % (SELECT COUNT(*) FROM arms) = idx
+    ), best AS (
+      SELECT event_type FROM e GROUP BY 1
+      ORDER BY SUM(cents) DESC, event_type LIMIT 1
+    ), bestm AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS r FROM e JOIN best USING (event_type)
+    ), logged AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS r FROM e
+    )
+    SELECT 'best_global' AS policy, CAST(n AS BIGINT) AS n_matched,
+           CAST(r AS BIGINT) AS reward_cents
+    FROM bestm
+    UNION ALL
+    SELECT 'hash5', CAST(n AS BIGINT), CAST(r AS BIGINT) FROM hashm
+    UNION ALL
+    SELECT 'logged', CAST(n AS BIGINT), CAST(r AS BIGINT) FROM logged
+    """,
+)
+def a_offpolicy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY policy-value estimation by the REPLAY method (Li et
+    al. 2011 — the standard way to evaluate a new serving/ranking
+    policy on logged data WITHOUT deploying it): keep exactly the
+    logged events where the candidate policy would have chosen the
+    same arm the logger did, and read the matched subset's reward.
+    Two candidates against the logged baseline — 'hash5', a
+    deterministic per-user personalization (arm index =
+    portable_bucket(user_id, k) over the alphabetical arm list;
+    5 arms is a non-power-of-2 width, unaffected by the portable-arm
+    parity lesson), and 'best_global' (always play the arm with the
+    highest total logged reward — data-derived 1-row broadcast).
+    Everything ships as exact integers (match counts + cent-grid
+    reward sums); the per-match value is the consumer's division
+    (band-grid endgame). Under a uniform logger the replay estimate
+    is unbiased for the policy's value — the test pins the estimator
+    against an independent Python replay.
+
+    Scale: one fact scan + a 5-row broadcast per policy arm table;
+    three 1-row reduces."""
+    from ..functions.columns import portable_bucket
+    from ..operators.ranks import constant_partition_key
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    arms = e.select("event_type").distinct()
+    w = Window.partitionBy(constant_partition_key(F.col("event_type"))).orderBy(
+        "event_type"
+    )
+    arms_idx = arms.select(
+        "event_type",
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.count("*")
+        .over(
+            Window.partitionBy(constant_partition_key(F.col("event_type")))
+        )
+        .alias("k"),
+    )
+    # portable_bucket with the FULL 2^32 modulus returns the raw mix;
+    # the data-derived arm count then mods it as a column (matching
+    # the twin's `% 4294967296 % k` exactly)
+    mix = portable_bucket(F.col("user_id"), 2**32)
+    hashm = (
+        e.join(F.broadcast(arms_idx), "event_type")
+        .filter(F.pmod(mix, F.col("k")) == F.col("idx"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("r"))
+    )
+    best = (
+        e.groupBy("event_type")
+        .agg(F.sum("cents").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("event_type"))
+        .limit(1)
+        .select("event_type")
+    )
+    bestm = e.join(F.broadcast(best), "event_type").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("r")
+    )
+    logged = e.agg(F.count("*").alias("n"), F.sum("cents").alias("r"))
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("policy"),
+            F.col("n").cast("long").alias("n_matched"),
+            F.col("r").cast("long").alias("reward_cents"),
+        )
+
+    return (
+        row("best_global", bestm)
+        .unionByName(row("hash5", hashm))
+        .unionByName(row("logged", logged))
+    )

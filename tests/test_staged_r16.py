@@ -223,3 +223,39 @@ def test_keepfirst_query_reconciles_and_is_subset(spark):
     for did, r in rem.items():
         assert r.removed_tokens + r.kept_tokens == r.n_tokens
         assert r.removed_tokens <= audit[did].dup_tokens
+
+
+def test_offpolicy_replay_python(spark):
+    """Independent Python replay of both candidate policies' matched
+    sets and reward sums (exact integers), plus the structural
+    invariant n_matched(logged) == total events."""
+    import math
+
+    rows = {r.policy: r for r in QUERIES["a_offpolicy_replay"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    cents = [
+        (r.user_id, r.event_type, int(math.floor(r.value * 100 + 0.5)))
+        for r in ev
+    ]
+    arms = sorted({a for _, a, _ in cents})
+    k = len(arms)
+    idx = {a: i for i, a in enumerate(arms)}
+    hash_m = [
+        (u, a, c)
+        for u, a, c in cents
+        if (u * 2654435761) % 2**32 % k == idx[a]
+    ]
+    tot = {a: sum(c for _, aa, c in cents if aa == a) for a in arms}
+    # argmax by total reward, tie-break name ASC
+    best = sorted(arms, key=lambda a: (-tot[a], a))[0]
+    best_m = [(u, a, c) for u, a, c in cents if a == best]
+    assert rows["logged"].n_matched == len(cents)
+    assert rows["logged"].reward_cents == sum(c for _, _, c in cents)
+    assert rows["hash5"].n_matched == len(hash_m)
+    assert rows["hash5"].reward_cents == sum(c for _, _, c in hash_m)
+    assert rows["best_global"].n_matched == len(best_m)
+    assert rows["best_global"].reward_cents == sum(c for _, _, c in best_m)
+    # a replay estimate only exists when the policy matched something
+    assert rows["hash5"].n_matched > 0
