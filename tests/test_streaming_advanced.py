@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -854,3 +855,76 @@ def test_t10b_stream_asof_left_outer_equals_registered_twin(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hnsw_index_streaming_append_equals_direct(spark, tmp_path):
+    """The graph-ANN index stays correct under a REAL stream: feeding
+    two append batches through hnsw_index_append via availableNow
+    micro-batches yields the same search results as the direct
+    two-call sink (HNSW appends are ORDER-dependent — batch 2's
+    inserts search a graph already holding batch 1's edges — so the
+    twin replays the same splits in the same order; the feed files
+    land in that order)."""
+    import pyspark.sql.functions as SF
+
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(SF.col("vec_id") % 4 != 3)
+    q = e.filter(SF.col("vec_id") < 10).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+
+    direct = str(tmp_path / "hnsw_direct")
+    similarity.hnsw_index_build(old, direct)
+    sink = similarity.hnsw_index_append(direct)
+    sink(e.filter(SF.col("vec_id") % 8 == 3), 0)
+    sink(e.filter(SF.col("vec_id") % 8 == 7), 1)
+    truth = sorted(
+        tuple(r)
+        for r in similarity.hnsw_index_search(spark, direct, q, k=5).collect()
+    )
+    assert truth
+
+    feed = tmp_path / "hnsw_feed"
+    for b in (3, 7):
+        e.filter(SF.col("vec_id") % 8 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        # FileStreamSource orders batches by mod time; HNSW appends
+        # are order-dependent, so same-millisecond writes would make
+        # the stream's batch order (and thus the test) flaky
+        time.sleep(1.1)
+    inc = str(tmp_path / "hnsw_stream")
+    similarity.hnsw_index_build(old, inc)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    sq = (
+        stream.writeStream.foreachBatch(similarity.hnsw_index_append(inc))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    got = sorted(
+        tuple(r)
+        for r in similarity.hnsw_index_search(spark, inc, q, k=5).collect()
+    )
+    assert got == truth
+    # appended vectors reachable in the STREAMED index too
+    probes = e.filter((SF.col("vec_id") % 4 == 3) & (SF.col("vec_id") < 100)).select(
+        (SF.col("vec_id") + 10_000).alias("query_id"), "embedding"
+    )
+    res = similarity.hnsw_index_search(spark, inc, probes, k=3).collect()
+    found = {
+        r.query_id - 10_000
+        for r in res
+        if r.neighbor_id == r.query_id - 10_000 and r.cos_sim == 1.0
+    }
+    want = {r.vec_id for r in e.filter((SF.col("vec_id") % 4 == 3) & (SF.col("vec_id") < 100)).collect()}
+    assert found == want
