@@ -394,6 +394,7 @@ HEADLINE = [
     "text_bpe_encode",
     "sim_topk_hnsw",
     "a_offpolicy_replay",
+    "dedup_substring_rewrite",
 ]
 
 
