@@ -1184,12 +1184,22 @@ def duplicated_token_spans(
     (doc_id, n_tokens, span_start, span_tokens) — the removal-ready
     artifact a rewrite job joins back on doc_id.
 
-    ``hash_grams=True`` (the 100 TB path) shuffles 8-byte xxhash64
-    keys instead of ~6·L-char gram strings; a 64-bit collision would
-    need ~2^32 distinct grams in one corpus (birthday bound) and can
-    only ADD a span, never drop one. The exact-string form exists for
-    oracle replay (DuckDB has no xxhash64); equality of the two forms
-    on the fixture is test-pinned.
+    ``hash_grams=True`` (the 100 TB path) shuffles hash keys instead
+    of ~6·L-char gram strings. In the AUDIT form (keep_first=False) a
+    single 8-byte xxhash64 suffices: a collision merges two gram
+    groups and can only ADD a span, never drop one — safe-direction
+    error, and the marked set stays a superset of the true duplicate
+    set. In the REMOVAL form (keep_first=True) that direction flips:
+    a collision would merge a unique gram into another group's
+    row_number partition and DELETE unique text, and at 100 TB the
+    distinct-gram count (~2^43) is far past the 64-bit birthday bound
+    (~2^32), so removal mode keys on a 128-bit composite (two
+    independently-seeded xxhash64 values — birthday bound ~2^64,
+    collision probability ~2^-42 at 2^43 grams): 16 bytes per shuffle
+    row, still ~40x narrower than the gram string. The exact-string
+    form (hash_grams=False) remains the belt-and-braces removal path
+    and the oracle replay (DuckDB has no xxhash64); equality of the
+    forms on the fixture is test-pinned.
 
     ``keep_first=False`` (the AUDIT form) marks every occurrence of a
     duplicated window; ``keep_first=True`` is the REMOVAL form Lee et
@@ -1219,20 +1229,31 @@ def duplicated_token_spans(
         (F.col("pos0") + 1).alias("pos"),
         gram.alias("gram"),
         F.lead("w", ln - 1).over(w_seq).isNotNull().alias("fullwin"),
-    ).filter("fullwin").select(
-        "doc_id",
-        "n_tokens",
-        "pos",
-        (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("k"),
-    )
+    ).filter("fullwin")
     if keep_first:
-        w_k = Window.partitionBy("k").orderBy("doc_id", "pos")
+        # removal mode: collisions delete unique text, so the hashed
+        # key is the 128-bit composite (xxhash64 under two seeds via
+        # a leading literal — independent mixes of the same string)
+        key_cols = (
+            [F.xxhash64("gram").alias("k"),
+             F.xxhash64(F.lit(0x9E3779B9), F.col("gram")).alias("k2")]
+            if hash_grams
+            else [F.col("gram").alias("k"), F.lit(0).alias("k2")]
+        )
+        g = g.select("doc_id", "n_tokens", "pos", *key_cols)
+        w_k = Window.partitionBy("k", "k2").orderBy("doc_id", "pos")
         cov = (
             g.withColumn("rn", F.row_number().over(w_k))
             .filter(F.col("rn") >= 2)
-            .drop("k", "rn")
+            .drop("k", "k2", "rn")
         )
     else:
+        g = g.select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("k"),
+        )
         w_k = Window.partitionBy("k")
         cov = (
             g.withColumn("occ", F.count("*").over(w_k))

@@ -735,6 +735,32 @@ def embedding_dedup(
     return embeddings.join(losers, id_col, "left_anti")
 
 
+def _subsplit_blocks(
+    buckets: DataFrame,
+    max_bucket_size: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Hash-salt oversized blocks into sub-blocks of
+    <= ``max_bucket_size`` rows (shared by :func:`lsh_neardup_pairs`'s
+    split_oversized mode and :func:`neighbor_graph_build`). The
+    per-block size table is bounded by construction
+    (<= n_tables · 2^n_planes rows), so its broadcast is safe at any
+    corpus size — it is NOT corpus-scaled."""
+    sizes = buckets.groupBy("block").agg(F.count("*").alias("n_b"))
+    k_sub = F.greatest(
+        F.ceil(F.col("n_b") / max_bucket_size), F.lit(1)
+    ).cast("long")
+    return buckets.join(F.broadcast(sizes), "block").select(
+        (
+            F.col("block") * F.lit(1 << 20)
+            + F.pmod(F.xxhash64(F.col(id_col), F.col("block")), k_sub)
+        ).alias("block"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -769,13 +795,15 @@ def lsh_neardup_pairs(
 
     ``split_oversized=True`` SUB-SPLITS oversized buckets into
     hash-salted sub-blocks of <= max_bucket_size instead of dropping
-    them — the kNN-GRAPH build mode (neighbor_graph_build), where
-    dropping a mega-bucket would orphan its vectors: candidate work
-    becomes LINEAR (<= max_bucket_size · rows per table) at the price
-    of missing cross-sub-block pairs, which extra tables compensate
-    (each table re-rolls the salt). The per-block size table is
-    bounded by construction (<= n_tables · 2^n_planes rows), so its
-    broadcast is safe at any corpus size — it is NOT corpus-scaled."""
+    them (shared :func:`_subsplit_blocks` path, also the kNN-graph
+    build's bucketing — neighbor_graph_build calls the same helper):
+    useful when dropping a mega-bucket would orphan its vectors —
+    candidate work becomes LINEAR (<= max_bucket_size · rows per
+    table) at the price of missing cross-sub-block pairs, which extra
+    tables compensate (each table re-rolls the salt). The per-block
+    size table is bounded by construction (<= n_tables · 2^n_planes
+    rows), so its broadcast is safe at any corpus size — it is NOT
+    corpus-scaled."""
     from pyspark.sql import Window
 
     e = embeddings.select(
@@ -798,18 +826,7 @@ def lsh_neardup_pairs(
     # previous window formulation dragged every d-dim array through a
     # count-only shuffle first
     if split_oversized:
-        sizes = buckets.groupBy("block").agg(F.count("*").alias("n_b"))
-        k_sub = F.greatest(
-            F.ceil(F.col("n_b") / max_bucket_size), F.lit(1)
-        ).cast("long")
-        sized = buckets.join(F.broadcast(sizes), "block").select(
-            (
-                F.col("block") * F.lit(1 << 20)
-                + F.pmod(F.xxhash64(F.col(id_col), F.col("block")), k_sub)
-            ).alias("block"),
-            F.col(id_col),
-            F.col(vec_col),
-        )
+        sized = _subsplit_blocks(buckets, max_bucket_size, id_col, vec_col)
     else:
         hot = (
             buckets.groupBy("block")
@@ -1565,9 +1582,14 @@ def _block_topm_edges(
     :func:`cosine_neardup_pairs_arrow`): for every node in a block,
     its ``m`` best block-mates by cosine — so a block of n rows emits
     n·m rows instead of n² pairs. Per-block top-m is LOSSLESS for the
-    downstream global per-node top-m: a candidate outranked by m
-    block-mates in EVERY shared block is outranked by m candidates
-    globally, so it can never be in the global top-m."""
+    downstream global per-node top-m UP TO TIES in the rounded cosine
+    at the k-boundary: a candidate STRICTLY outranked by m block-mates
+    in EVERY shared block is outranked by m candidates globally, so it
+    can never be in the global top-m; among k-boundary candidates with
+    EQUAL rounded cosine, np.argpartition picks arbitrarily (vs the
+    global window's dst-ASC tie-break), so a quality-equivalent edge
+    may survive instead — deterministic for fixed data, identical
+    edge quality, not byte-identical edge identity."""
     id_type = embeddings.schema[id_col].dataType.simpleString()
     out_schema = f"src {id_type}, dst {id_type}, cos_sim double"
     e = embeddings.select(
@@ -1640,9 +1662,11 @@ def neighbor_graph_build(
     shuffle dominated: 765M pair rows at the 100x stress point), a
     (src, dst) max-dedupe across tables, and the global per-src
     top-m window. Per-block top-m is lossless for the global top-m
-    (proof in the tile docstring), so this emits exactly the edges
-    the pair-list formulation did. Plane count remains the quality
-    knob to grow with log(corpus) — the sim_topk_lsh convention."""
+    up to rounded-cosine TIES at the k-boundary (proof + tie caveat
+    in the tile docstring), so this emits the pair-list formulation's
+    edge set up to quality-equivalent tie swaps. Plane count remains
+    the quality knob to grow with log(corpus) — the sim_topk_lsh
+    convention."""
     sigs = table_signatures_udf(n_planes, n_tables, seed)
     e = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -1656,18 +1680,7 @@ def neighbor_graph_build(
         "id",
         "v",
     )
-    sizes = buckets.groupBy("block").agg(F.count("*").alias("n_b"))
-    k_sub = F.greatest(
-        F.ceil(F.col("n_b") / max_bucket_size), F.lit(1)
-    ).cast("long")
-    sized = buckets.join(F.broadcast(sizes), "block").select(
-        (
-            F.col("block") * F.lit(1 << 20)
-            + F.pmod(F.xxhash64(F.col("id"), F.col("block")), k_sub)
-        ).alias("block"),
-        "id",
-        "v",
-    )
+    sized = _subsplit_blocks(buckets, max_bucket_size, "id", "v")
     cand = _block_topm_edges(sized, "block", m, id_col="id", vec_col="v")
     dedup = cand.groupBy("src", "dst").agg(F.max("cos_sim").alias("cos_sim"))
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.col("dst"))
@@ -1693,8 +1706,10 @@ def graph_greedy_search(
 ) -> DataFrame:
     """Greedy BEAM search over the neighbor graph — HNSW's search
     loop as ``rounds`` bounded relaxation rounds (the g_sssp_bounded
-    convention): seed each query's beam with the ``n_entry`` fixed
-    entry points, then repeatedly expand every beam node's out-edges,
+    convention): seed each query's beam with the ``n_entry``
+    smallest-id corpus nodes actually present (bounded TakeOrdered —
+    no dense-id assumption), then repeatedly expand every beam node's
+    out-edges,
     score the frontier by true cosine, and keep the top-``beam``.
     Beam membership is monotone-improving (the union keeps previous
     winners), so rounds only ever raise recall.
@@ -1720,7 +1735,10 @@ def graph_greedy_search(
     c = corpus.select(
         F.col(corpus_id).alias("nid"), _as_double(F.col(corpus_vec)).alias("cv")
     )
-    entry = c.filter(F.col("nid") < n_entry)
+    # the n_entry SMALLEST ids actually present (bounded TakeOrdered —
+    # a filter on nid < n_entry assumed a dense 0-based id space and
+    # silently returned zero results on corpora whose ids start higher)
+    entry = c.orderBy("nid").limit(n_entry)
     e_struct = F.struct(
         F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
         (-F.col("nid")).cast("long").alias("mnode"),

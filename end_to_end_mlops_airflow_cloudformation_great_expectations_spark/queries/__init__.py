@@ -241,10 +241,10 @@ _ROUND10_WINDOW = [
 ]
 
 #: ROUND-10 ROTATION EXECUTED (VERDICT r09 item 1): CORRECTNESS_r09
-#: landed 50/50 green, so the staged r10 window above becomes the
-#: live driver window — greening it closes the pre-round-9
-#: oracle-backed ledger at 365/365.
-_DRIVER_WINDOW_FIRST = _ROUND10_WINDOW
+#: landed 50/50 green, so the staged r10 window above became the
+#: live driver window for round 10; CORRECTNESS_r10 greened it
+#: 50/50, closing the pre-round-9 oracle-backed ledger at 365/365.
+#: (superseded — see _DRIVER_WINDOW_FIRST below)
 
 #: Oracle-backed queries ADDED in round 9 (after _ROUND10_WINDOW was
 #: pinned): they queue for the ROUND-11 window. Test-pinned so the
@@ -300,6 +300,33 @@ _ROUND12_QUEUE: list[str] = [
     "a_offpolicy_replay",
     "dedup_substring_rewrite",
 ]
+
+#: ROUND-11 ROTATION EXECUTED (VERDICT r10 item 1): CORRECTNESS_r10
+#: landed 50/50 green, so the staged r11 window becomes the live
+#: driver window — greening it closes the pre-round-10 oracle-backed
+#: ledger at 386/386 (the 21 round-9 additions get their driver
+#: rows; the 29 pads are already green).
+_DRIVER_WINDOW_FIRST = _ROUND11_WINDOW
+
+#: The ROUND-12 window, pinned NOW (VERDICT r10 item 2): the 7
+#: round-10 additions (_ROUND12_QUEUE, never driver-checked) + 43
+#: driver-green pads from the greened r10 window. Once
+#: CORRECTNESS_r11 lands green, swap
+#: _DRIVER_WINDOW_FIRST = _ROUND12_WINDOW — greening it closes the
+#: ENTIRE oracle-backed ledger: every registered oracle query will
+#: have a driver CORRECTNESS row (modulo round-11+ additions, which
+#: queue in _ROUND13_QUEUE below).
+_ROUND12_WINDOW = [
+    *_ROUND12_QUEUE,
+    *_ROUND10_WINDOW[:43],
+]
+
+#: Oracle-backed queries ADDED in round 11 (after _ROUND12_WINDOW was
+#: pinned): they queue for the ROUND-13 window. Same discipline —
+#: prove at sf0.001+sf0.01 incl. --plain BEFORE landing; additions
+#: that forget to enqueue here fail tests/test_registry_order.py's
+#: never-checked-partition invariant.
+_ROUND13_QUEUE: list[str] = []
 
 
 def _reorder() -> None:

@@ -333,9 +333,11 @@ def sim_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 graph-ANN path (VERDICT r09 stretch item 9 — completes the
     index families next to IVF/PQ/LSH): bounded-degree k-NN neighbor
     graph (per-vector top-16 by true cosine among LSH-bucket
-    candidates, symmetrized — similarity.neighbor_graph_build) +
+    candidates; DIRECTED, out-degree <= m — only the persisted
+    index's hnsw_index_append lands edges both ways;
+    similarity.neighbor_graph_build) +
     greedy BEAM search as 4 bounded relaxation rounds
-    (graph_greedy_search: beam 24, 8 fixed entry points, the beam
+    (graph_greedy_search: beam 24, the 8 smallest-id entry points, the beam
     carried as one array row per query — the lazy-fixpoint
     discipline, linear plan growth). Monotone-improving beam ⇒
     rounds only raise recall; measured recall@5 = 0.98 at

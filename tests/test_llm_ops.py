@@ -988,8 +988,9 @@ def test_ivf_compact_preserves_inflight_partial_delta(spark, tmp_path):
 
 
 def test_hnsw_graph_bounded_degree_and_recall(spark):
-    """HNSW-lite (round 10): the neighbor graph's out-degree must stay
-    <= m after symmetrization-then-recap, every edge's cosine must be
+    """HNSW-lite (round 10): the DIRECTED neighbor graph's out-degree
+    must stay <= m (no symmetrization here — only the persisted
+    index's append lands edges both ways), every edge's cosine must be
     the true rounded cosine, and beam search must hit the measured
     recall (0.98 on this fixture at the registered config; 0.85 floor
     leaves seed headroom while failing under a broken expand round —

@@ -62,27 +62,40 @@ def test_round9_window_is_greened_history():
     assert w9[:42] == _qpkg._ROUND9_QUEUE
 
 
-def test_round10_window_is_live():
-    """VERDICT r09 item 1: CORRECTNESS_r09 landed 50/50 green, so the
-    staged r10 window is now the live driver window — the 47
-    never-driver-checked oracle-backed names (computed from the
-    CORRECTNESS_r01..r09 artifacts union) + 3 driver-green pads.
-    Greening it closes the pre-round-9 ledger at 365/365."""
-    import json
-    import pathlib
-
+def test_round10_window_is_greened_history():
+    """The r10 window greened in CORRECTNESS_r10 (50/50); keep its
+    composition pinned so the ledger accounting stays auditable."""
     w10 = _qpkg._ROUND10_WINDOW
-    assert _qpkg._DRIVER_WINDOW_FIRST is w10
     assert len(w10) == 50
     assert len(set(w10)) == 50
     assert [n for n in w10 if n not in ORACLES] == []
-    # pads come last and are already driver-green (r8 window)
     pads = set(w10) & set(_qpkg._ROUND8_WINDOW)
     assert pads == {"sql_tpch_q1", "sql_tpch_q6", "sql_tpch_q12"}
     assert set(w10[-3:]) == pads
-    # the other 47 + the queued r11/r12 batches are exactly the
-    # never-checked remainder — an addition that forgets to enqueue
-    # in the newest _ROUND*_QUEUE fails here
+
+
+def test_round11_window_is_live():
+    """VERDICT r10 item 1: CORRECTNESS_r10 landed 50/50 green, so the
+    staged r11 window is now the live driver window — the 21 round-9
+    additions (never driver-checked) + 29 driver-green pads from the
+    greened r9 window. Greening it closes the pre-round-10 ledger at
+    386/386. The never-checked partition is recomputed from the
+    CORRECTNESS_r01.. artifact union — an addition that forgets to
+    enqueue in the newest _ROUND*_QUEUE fails here."""
+    import json
+    import pathlib
+
+    w11 = _qpkg._ROUND11_WINDOW
+    assert _qpkg._DRIVER_WINDOW_FIRST is w11
+    assert len(w11) == 50
+    assert len(set(w11)) == 50
+    assert [n for n in w11 if n not in ORACLES] == []
+    assert w11[:21] == _qpkg._ROUND11_QUEUE
+    # pads are r9-queue names, all greened in CORRECTNESS_r09
+    assert set(w11[21:]) <= set(_qpkg._ROUND9_QUEUE)
+    assert not set(w11) & set(_qpkg._ROUND10_WINDOW)
+    # the 21 queue names + the staged r12/r13 batches are exactly the
+    # never-checked remainder
     root = pathlib.Path(__file__).resolve().parents[1]
     green = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -90,28 +103,28 @@ def test_round10_window_is_live():
             if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
                 green.add(name)
     never = set(ORACLES) - green
-    queued = set(_qpkg._ROUND11_QUEUE) | set(_qpkg._ROUND12_QUEUE)
-    assert set(w10[:-3]) | queued == never
-    assert not queued & set(w10)
-    assert not set(_qpkg._ROUND11_QUEUE) & set(_qpkg._ROUND12_QUEUE)
+    queued = set(_qpkg._ROUND12_QUEUE) | set(_qpkg._ROUND13_QUEUE)
+    assert set(_qpkg._ROUND11_QUEUE) | queued == never
+    assert not queued & set(w11)
+    assert not set(_qpkg._ROUND12_QUEUE) & set(_qpkg._ROUND13_QUEUE)
     assert [n for n in queued if n not in ORACLES] == []
 
 
-def test_round11_window_is_staged():
-    """VERDICT r09 item 7: the r11 window is pinned now — the 21
-    round-9 additions (never driver-checked) + 29 driver-green pads
-    from the greened r9 window. Swap once CORRECTNESS_r10 lands
-    green; greening it closes the ledger at 386/386 of the
-    pre-round-10 oracle-backed set."""
-    w11 = _qpkg._ROUND11_WINDOW
-    assert len(w11) == 50
-    assert len(set(w11)) == 50
-    assert [n for n in w11 if n not in ORACLES] == []
-    assert w11[:21] == _qpkg._ROUND11_QUEUE
-    # pads are r9-queue names, all greened in CORRECTNESS_r09
-    assert set(w11[21:]) <= set(_qpkg._ROUND9_QUEUE)
-    # no overlap with the live r10 window (no wasted slots)
-    assert not set(w11) & set(_qpkg._ROUND10_WINDOW)
+def test_round12_window_is_staged():
+    """VERDICT r10 item 2: the r12 window is pinned now — the 7
+    round-10 additions (never driver-checked) + 43 driver-green pads
+    from the greened r10 window. Swap once CORRECTNESS_r11 lands
+    green; greening it closes the ENTIRE pre-round-11 oracle-backed
+    ledger at 393/393."""
+    w12 = _qpkg._ROUND12_WINDOW
+    assert len(w12) == 50
+    assert len(set(w12)) == 50
+    assert [n for n in w12 if n not in ORACLES] == []
+    assert w12[:7] == _qpkg._ROUND12_QUEUE
+    # pads are r10-window names, all greened in CORRECTNESS_r10
+    assert set(w12[7:]) <= set(_qpkg._ROUND10_WINDOW)
+    # no overlap with the live r11 window (no wasted slots)
+    assert not set(w12) & set(_qpkg._ROUND11_WINDOW)
 
 
 def test_rerecord_refuses_throttled_host():
