@@ -67,6 +67,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def bounded_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bytes_per_part: int = 4 << 20,
+) -> int | None:
+    """Partition count keyed off INPUT SIZE, for iterative k-pass
+    queries that must not inherit the driver's plain-session default
+    of 200 shuffle partitions (VERDICT r10 item 6: text_bpe_encode's
+    k window passes ran 200 tasks each under ``--plain`` because
+    cached round plans pin their partitioning —
+    spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+    false — so AQE never coalesced them; 71 s at sf0.01 for ~60 KB of
+    input). Floor = defaultParallelism (keeps every core busy and
+    leaves the profiled 32-thread bench environment unchanged);
+    growth = one partition per ``bytes_per_part`` of on-disk input,
+    so at 100 TB the bytes term dominates and the bound scales
+    linearly with data. Returns None for non-local paths (remote
+    deployments size their sessions explicitly)."""
+    path = table_path(sf_dir, name)
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        elif os.path.isfile(path):
+            size = os.path.getsize(path)
+        else:
+            return None
+    except OSError:
+        return None
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(size // bytes_per_part) + 1,
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in schemas.TABLES}
 

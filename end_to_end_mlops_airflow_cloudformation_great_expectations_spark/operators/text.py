@@ -207,6 +207,7 @@ def bpe_merge_rounds(
     id_col: str = "doc_id",
     return_tokens: bool = False,
     persist_rounds: bool = True,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Iterative BPE-style tokenizer induction: ``k`` merge rounds over
     the whitespace-token corpus, returning the chosen merge per round
@@ -257,6 +258,16 @@ def bpe_merge_rounds(
         F.col(id_col).alias("doc_id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "sym"),
     )
+    if n_parts is not None:
+        # ONE bounded exchange up front: hashpartitioning(doc_id, n)
+        # satisfies every round's window ClusteredDistribution, and the
+        # per-round lazy persists pin THIS partitioning instead of the
+        # session default (a plain driver session's 200 shuffle
+        # partitions otherwise run 200 tiny tasks per window pass per
+        # round — cached plans block AQE coalescing; VERDICT r10
+        # item 6, measured 71 s -> bounded at sf0.01 --plain). Callers
+        # size it off input bytes via catalog.bounded_parts.
+        tok = tok.repartition(n_parts, "doc_id")
     w = Window.partitionBy("doc_id").orderBy("pos")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds = []

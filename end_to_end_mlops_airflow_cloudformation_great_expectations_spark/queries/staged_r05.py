@@ -694,7 +694,13 @@ def text_bpe_merges_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. The per-round merge application was additionally verified
     against a sequential Python greedy-BPE reference at sf0.001
     (tests/test_staged_r05.py pins the invariants)."""
-    return text.bpe_merge_rounds(_t(spark, sf_dir, "documents"), k=3)
+    from .. import catalog
+
+    return text.bpe_merge_rounds(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        n_parts=catalog.bounded_parts(spark, sf_dir, "documents"),
+    )
 
 
 @query(
@@ -848,8 +854,13 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     window arithmetic, so the merge APPLICATION (not just the chosen
     winners) is verified document-by-document cross-engine. Same lazy
     plan discipline as text_bpe_merges_k."""
+    from .. import catalog
+
     tok = text.bpe_merge_rounds(
-        _t(spark, sf_dir, "documents"), k=3, return_tokens=True
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        return_tokens=True,
+        n_parts=catalog.bounded_parts(spark, sf_dir, "documents"),
     )
     return tok.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_syms"),

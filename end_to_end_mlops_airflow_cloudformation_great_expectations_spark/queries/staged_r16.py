@@ -140,7 +140,12 @@ _BPE_ENCODE_ORACLE = (
              SUM(CASE WHEN LEN(string_split(sym, ' ')) > 1
                       THEN 1 ELSE 0 END) AS n_fused_syms
       FROM t3 GROUP BY doc_id
-    ), d AS (
+    ), d AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing: the recursive walk below
+      -- references d once per rank, and an inlined d re-runs the
+      -- whole 3-round merge pipeline per iteration (measured 62 s of
+      -- the 65 s --plain check at sf0.01; materialized, the walk is
+      -- ~1 s — VERDICT r10 item 6)
       SELECT doc_id, n_bpe_tokens, n_ws_tokens, n_fused_syms,
              doc_id % {_ENC_SHARDS} AS shard,
              ROW_NUMBER() OVER (PARTITION BY doc_id % {_ENC_SHARDS}
@@ -197,10 +202,16 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, counts) rows enter the packing shuffle; text never
     moves. Lazy end to end (persist_rounds marks round caches
     lazily)."""
+    from .. import catalog
     from ..operators import packing, text
 
     toks = text.bpe_merge_rounds(
-        _t(spark, sf_dir, "documents"), k=3, return_tokens=True
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        return_tokens=True,
+        # plain-session guard (VERDICT r10 item 6): bound the k window
+        # passes' partitioning off input bytes, not the session default
+        n_parts=catalog.bounded_parts(spark, sf_dir, "documents"),
     )
     n_parts = F.size(F.split(F.col("sym"), " "))
     enc = toks.groupBy("doc_id").agg(
