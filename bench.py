@@ -394,6 +394,9 @@ HEADLINE = [
     "text_bpe_encode",
     "sim_topk_hnsw",
     "a_offpolicy_replay",
+    # round-11 additions
+    "text_bpe_merges_k16",
+    "p_curation_pipeline",
     "dedup_substring_rewrite",
 ]
 

@@ -329,12 +329,14 @@ def minhash_neardup_pairs(
     # shuffle_hash left Catalyst free to broadcast the OTHER side's
     # arrays. So the exact-Jaccard verify never joins arrays at all:
     #   1. semi-prune sh to candidate ids (SHUFFLE_HASH built on the
-    #      narrow id set — wide rows stream past a hash set of longs);
+    #      DISTINCT id set, bounded at one long per corpus doc — wide
+    #      rows stream past a hash set of longs);
     #   2. EXPLODE the pruned table to narrow (id, shingle, |doc|)
     #      postings and count per-pair intersections: cands ⋈
-    #      postings(id_a) on id_a (SHUFFLE_HASH built on the narrow pair
-    #      list), then postings(id_b) on (id_b, shingle) with a MERGE
-    #      hint — both sides are big, so big-big SMJ over narrow rows
+    #      postings(id_a) on id_a and postings(id_b) on (id_b, shingle),
+    #      BOTH with MERGE hints — the pair list is superlinear in
+    #      clone-cluster size and the postings are corpus-scaled, so
+    #      big-big SMJ over narrow rows
     #      with spillable sorts is the only safe shape (Catalyst's
     #      size-underestimate of the cached/exploded side otherwise
     #      picks a broadcast that OOMs the driver — measured at 10x/2g);
@@ -346,17 +348,31 @@ def minhash_neardup_pairs(
     # Pairs with zero intersection drop out of the inner join — correct
     # here because threshold > 0 discards them anyway.
     cands = _persist_tracked(cands, fresh=False)
-    # one scan of the cached pair list, no distinct: a left-semi build
-    # side tolerates duplicate keys, so the extra exchange buys nothing
+    # DISTINCT candidate ids for the semi-prune build side: a left-semi
+    # probe tolerates duplicate build keys, but LongHashedRelation
+    # appends every build ROW — the raw exploded pair list scales
+    # superlinearly with clone-cluster size (each k-clone cluster emits
+    # O(k^2) pairs), and at the 100x/4GB stress point the un-distinct
+    # build OOM'd the SHJ ("can't acquire 128MB to build hash
+    # relation", measured live r11). The distinct is a map-side
+    # partial agg and bounds the build at one long per CORPUS doc,
+    # which scales linearly with partitions.
     cand_ids = cands.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
-    )
+    ).distinct()
     sh_cand = sh.join(cand_ids.hint("shuffle_hash"), id_col, "left_semi")
     postings = sh_cand.select(
         F.col(id_col), F.explode("sh").alias("x"), F.size("sh").alias("n")
     )
+    # The pair list is SUPERLINEAR in clone-cluster size, so it must
+    # never be a hash-relation build side either (the former
+    # shuffle_hash hint here OOM'd at 100x/4GB, same failure as the
+    # semi-prune above): both sides are narrow longs, so the spillable
+    # big-big SMJ is the safe shape — the wide-row SMJ objection in the
+    # strategy note applies only to the shingle ARRAYS, which never
+    # reach a sort.
     inter = (
-        cands.hint("shuffle_hash")
+        cands.hint("merge")
         .join(
             postings.select(
                 F.col(id_col).alias("id_a"), "x", F.col("n").alias("n_a")
@@ -940,6 +956,7 @@ def decontaminate(
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION (the GPT-3 appendix-C / PaLM
     discipline): flag every training document that shares at least one
@@ -971,8 +988,16 @@ def decontaminate(
         probe.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
         .distinct()
     )
+    # broadcast_probe=False is the big-benchmark shape the docstring
+    # promises: the same plan becomes a shuffle join on the gram key
+    # (corpus side shuffles gram rows, never text) — required when the
+    # probe's distinct-gram set outgrows executor memory (a benchmark
+    # side that scales with the corpus, as in p_curation_pipeline's
+    # 20% split, eventually will; the broadcast form stays the default
+    # for the real fixed-size-benchmark use)
+    probe_side = F.broadcast(probe_g) if broadcast_probe else probe_g
     return (
-        g.join(F.broadcast(probe_g), "g")
+        g.join(probe_side, "g")
         .groupBy("id", "n_grams")
         .agg(F.count("*").alias("n_gram_hits"))
         .select(

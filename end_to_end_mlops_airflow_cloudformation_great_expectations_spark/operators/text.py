@@ -208,6 +208,7 @@ def bpe_merge_rounds(
     return_tokens: bool = False,
     persist_rounds: bool = True,
     n_parts: int | None = None,
+    checkpoint_rounds: bool = False,
 ) -> DataFrame:
     """Iterative BPE-style tokenizer induction: ``k`` merge rounds over
     the whitespace-token corpus, returning the chosen merge per round
@@ -242,9 +243,27 @@ def bpe_merge_rounds(
     CLAUDE.md laziness rule; measured 3.6 → 2.78 s median at sf0.1
     for k=3, and the gap widens with k). The cache is the token
     stream (MEMORY_AND_DISK, spills at corpus scale); pass False to
-    trade recomputation for zero cache pressure. For k ≫ 8 swap in
-    the pagerank-style localCheckpoint-per-round discipline
-    (operators/graph.py) at the cost of eagerness.
+    trade recomputation for zero cache pressure.
+
+    ``checkpoint_rounds=True`` is the DEPTH path (k ≥ ~8): the lazy
+    persist bounds RE-EXECUTION but not PLAN size — each round's
+    logical plan embeds the previous round's ~3 times (via the winner
+    subtree and the stream), so the analyzed plan grows exponentially
+    (measured 38 KB at k=3 → 875 KB at k=6; k=16 would not even
+    explain). ``localCheckpoint(eager=False)`` per round truncates
+    lineage at the LOGICAL level immediately — linear plan growth
+    (measured ~1 KB/round flat, test-pinned vs the persist path's
+    ~3x/round). Honesty note on build-time laziness: the checkpoint
+    itself defers data materialization, but converting each round's
+    plan to the checkpoint RDD finalizes its AdaptiveSparkPlan, which
+    runs the round's SHUFFLE STAGES as jobs at build time (bounded —
+    O(k) stages over the token stream; the k=3 persist path stays
+    fully lazy and remains the default). This is the sanctioned
+    inherently-iterative exception (the IVF-quantizer precedent):
+    depth is impossible without lineage cuts, and every lineage cut
+    in Spark executes. The checkpointed round RDDs live on executor
+    block storage; at 100 TB this is the same trade every iterative
+    Spark algorithm makes (pagerank, operators/graph.py).
 
     ``return_tokens=True`` returns the TOKENIZED corpus after the k
     merges — (doc_id, pos, sym) rows — i.e. "apply the trained
@@ -272,7 +291,10 @@ def bpe_merge_rounds(
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds = []
     for r in range(k):
-        if persist_rounds:
+        if checkpoint_rounds:
+            if r > 0:  # round 0's input is the raw explode — no lineage to cut
+                tok = tok.localCheckpoint(eager=False)
+        elif persist_rounds:
             from .dedup import _persist_tracked
 
             tok = _persist_tracked(tok, fresh=(r == 0))

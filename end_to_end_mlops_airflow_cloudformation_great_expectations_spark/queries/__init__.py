@@ -40,6 +40,7 @@ from . import tpch_partsupp  # noqa: F401  (literal shapes over derived partsupp
 from . import staged_r14  # noqa: F401  (round-8 continuation batch)
 from . import staged_r15  # noqa: F401  (round-9 additions, r11+ rotation)
 from . import staged_r16  # noqa: F401  (round-10 additions, r12+ rotation)
+from . import staged_r17  # noqa: F401  (round-11 additions, r13+ rotation)
 from .registry import ORACLES, QUERIES
 
 #: The ROUND-8 window (CORRECTNESS_r08 greened all 50 — kept for the
@@ -326,7 +327,10 @@ _ROUND12_WINDOW = [
 #: prove at sf0.001+sf0.01 incl. --plain BEFORE landing; additions
 #: that forget to enqueue here fail tests/test_registry_order.py's
 #: never-checked-partition invariant.
-_ROUND13_QUEUE: list[str] = []
+_ROUND13_QUEUE: list[str] = [
+    "text_bpe_merges_k16",
+    "p_curation_pipeline",
+]
 
 
 def _reorder() -> None:

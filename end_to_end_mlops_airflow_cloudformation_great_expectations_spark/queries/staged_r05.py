@@ -610,14 +610,21 @@ def _bpe_round_sql(r: int) -> str:
     """One unrolled BPE round for the text_bpe_merges_k oracle: pair
     counts → (cnt DESC, a, b) winner → greedy merge as the SAME window
     arithmetic the Spark operator uses (gaps-and-islands run parity —
-    see operators/text.py::bpe_merge_rounds)."""
+    see operators/text.py::bpe_merge_rounds).
+
+    MATERIALIZED on t{r+1} and m{r} is load-bearing for depth: DuckDB
+    inlines plain CTEs at every reference, and each round references
+    t{r} twice and m{r} three times — inlined, the unrolled plan (and
+    its parquet-open count) grows exponentially with k; k=8 died on
+    file handles before round 11 materialized the chain (linear cost,
+    measured flat per round at k=16/32)."""
     return f"""
     p{r} AS (
       SELECT sym AS a, nxt AS b, COUNT(*) AS cnt FROM (
         SELECT sym, LEAD(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
         FROM t{r}
       ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
-    ), m{r} AS (
+    ), m{r} AS MATERIALIZED (
       SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ), x{r} AS (
       SELECT doc_id, pos, sym,
@@ -648,7 +655,7 @@ def _bpe_round_sql(r: int) -> str:
              COALESCE(LAG(sel) OVER (PARTITION BY doc_id ORDER BY pos), 0)
                AS psel
       FROM s{r}
-    ), t{r + 1} AS (
+    ), t{r + 1} AS MATERIALIZED (
       SELECT doc_id,
              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
              CASE WHEN sel = 1 THEN sym || ' ' || (SELECT b FROM m{r})
@@ -664,7 +671,7 @@ _BPE_ORACLE = (
              list_filter(string_split_regex(lower(text), '\s+'),
                          x -> len(x) > 0) AS ws
       FROM documents
-    ), t0 AS (
+    ), t0 AS MATERIALIZED (
       SELECT doc_id, unnest(ws) AS sym,
              generate_subscripts(ws, 1) - 1 AS pos
       FROM w0
@@ -829,7 +836,7 @@ def dedup_incremental_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(lower(text), '\s+'),
                          x -> len(x) > 0) AS ws
       FROM documents
-    ), t0 AS (
+    ), t0 AS MATERIALIZED (
       SELECT doc_id, unnest(ws) AS sym,
              generate_subscripts(ws, 1) - 1 AS pos
       FROM w0

@@ -126,7 +126,7 @@ _BPE_ENCODE_ORACLE = (
              list_filter(string_split_regex(lower(text), '\s+'),
                          x -> len(x) > 0) AS ws
       FROM documents
-    ), t0 AS (
+    ), t0 AS MATERIALIZED (
       SELECT doc_id, unnest(ws) AS sym,
              generate_subscripts(ws, 1) - 1 AS pos
       FROM w0

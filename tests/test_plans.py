@@ -208,8 +208,10 @@ def test_minhash_verify_never_broadcasts_or_builds_wide(spark):
     verify-stage key (id_a / id_b / shingle x) — the only broadcast
     allowed anywhere is the band-bucket self-join inside the cached
     candidate subtree, which Catalyst stats may legitimately broadcast
-    at tiny SF; the big-big postings join is a spillable SMJ; the
-    semi-prune + pair joins are shuffled-hash built on narrow sides."""
+    at tiny SF; the pair⋈postings joins are spillable big-big SMJs
+    (the pair list is superlinear in clone-cluster size — a
+    shuffle_hash build on it OOM'd live at 100x/4GB, r11); the
+    semi-prune is shuffled-hash built on the DISTINCT id set only."""
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
         catalog,
     )
