@@ -397,6 +397,11 @@ HEADLINE = [
     # round-11 additions
     "text_bpe_merges_k16",
     "p_curation_pipeline",
+    "sim_topk_hnsw_routed",
+    "text_heaps_fit",
+    "a_jarque_bera",
+    "a_market_basket",
+    "g_betweenness_bounded",
     "dedup_substring_rewrite",
 ]
 

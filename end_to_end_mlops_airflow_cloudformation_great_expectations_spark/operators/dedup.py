@@ -432,12 +432,22 @@ def connected_components(
     # DataFrame-level label propagation; rounds are few for dedup
     # graphs.)
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # The EDGE checkpoint is DISK_ONLY: a clone-heavy near-dup graph's
+    # pair list is superlinear in clone-cluster size (each k-clique
+    # emits k^2 edges after doubling), and MEMORY_AND_DISK checkpoint
+    # blocks for a few-hundred-million-edge graph exhausted the
+    # 100x/4GB heap while tasks were still building them (measured
+    # live, r11 — Java heap space in the checkpoint job). The small
+    # per-round LABEL checkpoints below stay memory-resident: they are
+    # one narrow row per NODE, linear in the corpus.
+    from pyspark.storagelevel import StorageLevel
+
     edges = (
         fwd.unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

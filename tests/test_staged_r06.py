@@ -236,15 +236,23 @@ def test_sequence_pattern_counts_match_python_regex(spark):
         assert got[u].n_error_bursts == len(re.findall("ee+", s))
 
 
-def test_round10_window_rotated_in():
-    """Round-10 rotation executed (CORRECTNESS_r09 closed the round-9
-    window 50/50): the staged_r13-remainder + staged_r14 names now
-    occupy the driver window, and the round-9 names they displaced
-    keep their driver-green rows from CORRECTNESS_r09 (supersedes the
-    round-9 version of this test)."""
+def test_round10_window_names_stay_driver_green():
+    """Supersedes the round-10 rotation tripwire (which pinned these
+    names INTO the first-50 window; the r11 rotation has since
+    displaced them, as designed): the round-10 window names must stay
+    registered + oracle-backed, and their driver-green rows must
+    exist in the CORRECTNESS_r10 artifact — rotation never deletes
+    evidence. The live-window composition itself is pinned in
+    tests/test_registry_order.py."""
+    import json
+    import pathlib
+
     import end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries as qpkg
 
-    names = list(qpkg.QUERIES)
+    art = json.loads(
+        (pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r10.json")
+        .read_text()
+    )
     for n in (
         "a_spearman_corr",
         "a_kendall_tau",
@@ -258,7 +266,8 @@ def test_round10_window_rotated_in():
         "a13b_partsupp_expectations",
     ):
         assert n in qpkg.ORACLES
-        assert names.index(n) < 50
+        row = art[n]
+        assert row["rows_match"] and row["schema_match"] and row["hash_match"]
 
 
 def test_classifier_table_weights_equal_expression_weights(spark):

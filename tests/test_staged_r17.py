@@ -17,6 +17,51 @@ from tests.conftest import SF_DIR
 def test_round11_names_registered_and_oracle_backed():
     assert "text_bpe_merges_k16" in QUERIES
     assert "text_bpe_merges_k16" in ORACLES
+    assert "p_curation_pipeline" in ORACLES
+    assert "sim_topk_hnsw_routed_recall" in ORACLES
+    assert "sim_topk_hnsw_routed" not in ORACLES  # rows-only base
+
+
+def test_hnsw_routed_entries_half_rounds_same_recall(spark):
+    """VERDICT r10 item 8: routed entry points (coarse-quantizer cells
+    -> per-cell nearest-to-centroid reps -> per-query nearest
+    non-empty cells) must reach the fixed-entry query's recall with
+    HALF the beam rounds — the whole point of HNSW's upper layers.
+    Also pin the empty-cell guard: every query must get a non-empty
+    entry set even when many Lloyd cells are empty (n_centroids >>
+    corpus at the fixture)."""
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark import (
+        catalog,
+    )
+    from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.operators import (
+        similarity,
+    )
+    from pyspark.sql import functions as F
+
+    e = catalog.load(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(q, e, k=5).collect()
+    }
+    g = similarity.neighbor_graph_build(e, m=16, n_planes=5, n_tables=16)
+    # n_centroids far above the fixture corpus => most cells empty;
+    # the dense-rank-over-survivors guard must still seed every query
+    entry = similarity.routed_entry_points(
+        e, q, n_centroids=256, n_route=4, reps_per_cell=2
+    )
+    per_q = entry.groupBy("query_id").count().collect()
+    assert len(per_q) == 10
+    assert all(r["count"] > 0 for r in per_q)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.graph_greedy_search(
+            g, e, q, k=5, beam=24, rounds=2, entry_points=entry
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall  # measured 0.98 at sf0.001 (2 rounds
+    # routed == 4 rounds fixed; floor 0.80 in the banded twin)
 
 
 def _greedy_bpe(texts: dict[int, str], k: int):
@@ -134,6 +179,223 @@ def test_bpe_checkpoint_rounds_build_jobs_bounded(spark):
     # O(k): a handful of shuffle-stage jobs per round; re-execution of
     # earlier rounds would be quadratic (~k^2/2 extra jobs)
     assert len(ckpt_jobs) <= 4 * k, f"{len(ckpt_jobs)} build jobs for k={k}"
+
+
+def test_jarque_bera_independent_python_replay(spark):
+    """Textbook-formulation replay (the Friedman-lesson insurance):
+    recompute skewness/kurtosis/JB in pure Python from the raw
+    parquet values using the DIRECT central-moment definitions
+    (sum((x-mean)^k)/n over exact Fraction arithmetic until the final
+    float), not the engine's shifted-raw-moment identity."""
+    from fractions import Fraction
+    import math
+
+    import duckdb
+
+    vals = [
+        int(v)
+        for (v,) in duckdb.connect()
+        .execute(
+            "SELECT CAST(ROUND(value*100) AS BIGINT) FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        )
+        .fetchall()
+    ]
+    n = len(vals)
+    mean = Fraction(sum(vals), n)
+    mu2 = sum((Fraction(v) - mean) ** 2 for v in vals) / n
+    mu3 = sum((Fraction(v) - mean) ** 3 for v in vals) / n
+    mu4 = sum((Fraction(v) - mean) ** 4 for v in vals) / n
+    skew = float(mu3) / (float(mu2) * math.sqrt(float(mu2)))
+    kurt = float(mu4) / (float(mu2) * float(mu2))
+    jb = n / 6 * (skew**2 + (kurt - 3) ** 2 / 4)
+
+    row = QUERIES["a_jarque_bera"](spark, SF_DIR).collect()[0]
+    assert row.n_points == n
+    # the engines shift by floor(mean) before the float DAG; the
+    # replay centers exactly — agreement is to float noise, far
+    # inside the 1e-6 grid
+    assert abs(row.skewness - skew) < 1e-6, (row.skewness, skew)
+    assert abs(row.kurtosis - kurt) < 1e-6, (row.kurtosis, kurt)
+    assert abs(row.jb - jb) < max(1e-4, abs(jb) * 1e-6), (row.jb, jb)
+    assert row.reject_normal == (jb > 5.991465)
+
+
+def test_market_basket_independent_python_replay(spark):
+    """Pure-Python association-rule replay: dict-of-sets baskets,
+    itertools pair counting, Fraction-exact lift, the same
+    (support DESC, lift DESC, part_a, part_b) top-20."""
+    from fractions import Fraction
+    from itertools import combinations
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT DISTINCT l_orderkey, l_partkey FROM "
+            f"read_parquet('{SF_DIR}/lineitem.parquet')"
+        )
+        .fetchall()
+    )
+    baskets = {}
+    item = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+        item[pk] = item.get(pk, 0) + 1
+    n_orders = len(baskets)
+    pair = {}
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    cands = [
+        (
+            cnt,
+            Fraction(cnt * n_orders, item[a] * item[b]),
+            a,
+            b,
+        )
+        for (a, b), cnt in pair.items()
+        if cnt >= 3
+    ]
+    cands.sort(key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    expected = [
+        (a, b, cnt, item[a], item[b], n_orders)
+        for cnt, _, a, b in cands[:20]
+    ]
+    got = [
+        (r.part_a, r.part_b, r.cnt_ab, r.cnt_a, r.cnt_b, r.n_orders)
+        for r in QUERIES["a_market_basket"](spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    for r, (cnt, lf, a, b) in zip(
+        QUERIES["a_market_basket"](spark, SF_DIR).collect(), cands[:20]
+    ):
+        assert abs(r.lift - float(lf)) < 1e-6
+
+
+def test_heaps_fit_independent_python_replay(spark):
+    """Sequential-Python Heaps replay: walk docs in doc_id order with
+    a growing vocabulary SET (not the engines' min-doc/first-
+    occurrence identity), then plain OLS on the log points."""
+    import math
+    import re
+
+    import duckdb
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchall()
+    )
+    vocab = set()
+    cn = 0
+    pts = []
+    for _, text in rows:
+        ws = [w for w in re.split(r"\s+", text.lower()) if w]
+        cn += len(ws)
+        vocab |= set(ws)
+        if cn > 0 and vocab:
+            pts.append((math.log(cn), math.log(len(vocab))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    ln_k = (sy - beta * sx) / n
+    row = QUERIES["text_heaps_fit"](spark, SF_DIR).collect()[0]
+    assert row.n_points == n
+    assert abs(row.beta - beta) < 1e-6
+    assert abs(row.ln_k - ln_k) < 1e-6
+    # the SYNTHETIC corpus draws from a small fixed word pool, so its
+    # vocabulary saturates almost immediately and beta is near 0
+    # (measured 0.0074, r2 0.08 at sf0.001) — a real crawl fits
+    # 0.4-0.6. The measurement is still the right one; pin that the
+    # fit is finite and that saturation is real (vocab stops growing
+    # over the final half of the checkpoints).
+    assert -0.1 < row.beta < 1.0
+    assert len(vocab) < cn / 10  # saturated: vocab << tokens
+
+
+def test_betweenness_independent_python_replay(spark):
+    """Fraction-exact Brandes replay (textbook formulation — full
+    forward BFS with predecessor lists + stack-ordered backward
+    accumulation, not the engines' level-join unroll), truncated to
+    the same 3-hop horizon and 8 seeds. Also pins the ROUND-6 grid
+    margin of every delta sum (the band-gap convention)."""
+    from fractions import Fraction
+
+    import duckdb
+
+    oks = [
+        ok
+        for (ok,) in duckdb.connect()
+        .execute(
+            f"SELECT o_orderkey FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+        .fetchall()
+    ]
+    edges = set()
+    for ok in oks:
+        a, b = ok % 200, 200 + ok % 190
+        edges.add((a, b))
+        edges.add((b, a))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+
+    bc = {}
+    n_edges = {}
+    for tag in range(8):
+        s = (17 + 29 * tag) % 200
+        # forward: levels with sigma
+        sigma = {s: 1}
+        levels = [[s]]
+        seen = {s}
+        for _ in range(3):
+            nxt = {}
+            for v in levels[-1]:
+                for w in adj.get(v, ()):
+                    if w not in seen:
+                        nxt[w] = nxt.get(w, 0) + sigma[v]
+            for w, c in nxt.items():
+                sigma[w] = c
+            seen |= set(nxt)
+            levels.append(sorted(nxt))
+        # backward: exact Fractions
+        delta = {v: Fraction(0) for v in sigma}
+        for depth in (2, 1):
+            for v in levels[depth]:
+                for w in adj.get(v, ()):
+                    if w in sigma and w in set(levels[depth + 1]):
+                        delta[v] += (
+                            Fraction(sigma[v], sigma[w]) * (1 + delta[w])
+                        )
+                        n_edges[v % 1000] = n_edges.get(v % 1000, 0) + 1
+        for depth in (1, 2):
+            for v in levels[depth]:
+                if delta[v]:
+                    bc[v] = bc.get(v, Fraction(0)) + delta[v]
+
+    cands = sorted(
+        ((float(d), n) for n, d in bc.items()),
+        key=lambda t: (-round(t[0], 6), t[1]),
+    )[:20]
+    got = QUERIES["g_betweenness_bounded"](spark, SF_DIR).collect()
+    assert [(r.node, r.bc) for r in got] == [
+        (n, round(d, 6)) for d, n in cands
+    ]
+    for r in got:
+        assert r.n_sp_edges == n_edges[r.node]
+    # grid-margin pin: every exact delta sum sits far from the ROUND-6
+    # half-grid (where engine FP sum order could flip the rounding)
+    for d, _ in cands:
+        frac = abs(d * 1e6 - round(d * 1e6))
+        assert abs(frac - 0.5) > 1e-3, d
 
 
 def test_curation_pipeline_replay_and_reconciliation(spark):

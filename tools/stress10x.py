@@ -104,6 +104,21 @@ def build() -> None:
     spark.stop()
 
 
+def _shuffle_parts() -> int:
+    """Shuffle width sized to the corpus multiple — the brief's own
+    sizing rule ("size spark.sql.shuffle.partitions so partitions fit
+    in executor memory at the target SF"): the engine profile's 32 is
+    right for 1-10x, but at 100x a 32-wide shuffle hands each task a
+    ~15M-row sort under a ~275 MB execution share and the verify
+    SMJ + pipelined partial-agg consumers thrash to
+    UNABLE_TO_ACQUIRE_MEMORY (measured live, r11 — p_curation_pipeline
+    stage 589). 10x keeps 32 (existing tables stay comparable); 30x
+    gets 96; 100x caps at 256. A real 100 TB job sets exactly this
+    knob per stage width.
+    """
+    return min(256, 32 * max(1, REPLICAS // 10))
+
+
 def run(name: str) -> None:
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (
         QUERIES,
@@ -115,7 +130,10 @@ def run(name: str) -> None:
     spark = get_spark(
         f"stress10x-{name}",
         master="local[8]",
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.shuffle.partitions": str(_shuffle_parts()),
+        },
     )
     # Materialize through the noop sink like runall/bench — .count()
     # lets Catalyst PRUNE expensive output columns (observed: the
@@ -149,7 +167,10 @@ def runall(names: list[str] | None = None) -> None:
     spark = get_spark(
         "stress10x-runall",
         master="local[8]",
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.shuffle.partitions": str(_shuffle_parts()),
+        },
     )
     timings: dict[str, float] = {}
     for name in names or bench.HEADLINE:
