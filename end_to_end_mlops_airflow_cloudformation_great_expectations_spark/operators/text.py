@@ -222,11 +222,18 @@ def bpe_merge_rounds(
     way real BPE does — and the application is pure WINDOW arithmetic,
     no recursion and no Python: a candidate position matches when
     (sym, next) equals the winner; maximal runs of consecutive matches
-    (gaps-and-islands on pos − running-match-count) merge at even
-    offsets only, which reduces to per-match-run parity — for
-    sym_a ≠ sym_b every match is a singleton run, and for the
+    merge at even offsets only, which reduces to per-match-run parity —
+    for sym_a ≠ sym_b every match is a singleton run, and for the
     self-adjacent sym_a = sym_b case ("a a a a" → "aa aa") the parity
-    rule IS the greedy scan. The merged symbol is the space-join of
+    rule IS the greedy scan. The parity is computed as a RUN-START
+    scan over the SAME (doc_id, pos) ordering every other window in
+    the round uses (offset within run = running-match-count minus the
+    run-start's running-match-count, carried by last(ignoreNulls)) —
+    the round-11 optimization pass replaced the original
+    gaps-and-islands (doc_id, pos − match-count) window, whose
+    different partition key forced a SECOND sort of the token stream
+    per round (guide §2.4: operations keyed the same way share one
+    sort). The merged symbol is the space-join of
     its parts (whitespace tokens contain no spaces, so fused symbols
     can never collide with base tokens or with a different parse).
     A 1-row broadcast joins the winner into the token stream, so the
@@ -235,7 +242,16 @@ def bpe_merge_rounds(
 
     Scale notes: every window partitions by doc_id (bounded per-doc
     work, never a global sort); pair counting is map-side partial;
-    the winner is TakeOrdered(1). The lazy plan references round r's
+    the winner is TakeOrdered(1). Survivor positions keep their
+    ORIGINAL pos (gaps are fine: every window only needs a monotone
+    per-doc sequence, and greedy adjacency is sequence order, not pos
+    arithmetic) — so each round's output leaves the persisted/
+    checkpointed round boundary already hash-partitioned by doc_id
+    AND sorted by (doc_id, pos), and rounds after the first run ZERO
+    sorts (round-11 measured: the renumbering row_number broke the
+    sort-order carry and every round re-sorted). ``return_tokens``
+    output is renumbered dense 0..n-1 at the END (one extra window
+    pass total, not per round) to keep its public contract. The lazy plan references round r's
     tokens from round r+1 twice (via the winner and via the stream),
     so EXECUTION work grows ~2^k unless each round's token stream is
     cached: ``persist_rounds=True`` (default) marks each round's
@@ -287,6 +303,8 @@ def bpe_merge_rounds(
         # item 6, measured 71 s -> bounded at sf0.01 --plain). Callers
         # size it off input bytes via catalog.bounded_parts.
         tok = tok.repartition(n_parts, "doc_id")
+    from .dedup import _persist_tracked
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds = []
@@ -295,8 +313,6 @@ def bpe_merge_rounds(
             if r > 0:  # round 0's input is the raw explode — no lineage to cut
                 tok = tok.localCheckpoint(eager=False)
         elif persist_rounds:
-            from .dedup import _persist_tracked
-
             tok = _persist_tracked(tok, fresh=(r == 0))
         ann = tok.withColumn("nxt", F.lead("sym").over(w))
         counts = (
@@ -307,6 +323,18 @@ def bpe_merge_rounds(
         top1 = counts.orderBy(
             F.desc("cnt"), F.asc("a"), F.asc("b")
         ).limit(1)
+        if persist_rounds or checkpoint_rounds:
+            # The 1-row winner is referenced TWICE: by the apply's
+            # broadcast and by the final merge-table union. Without its
+            # own (lazy, tiny) persist the union re-runs every round's
+            # pair-count aggregate over the round cache — k extra full
+            # passes over the token stream (guide §5: cache exactly the
+            # reused-and-expensive intermediates). fresh only on the
+            # checkpoint path's FIRST persist (the persist path's round-0
+            # tok cache already evicted prior operator caches).
+            top1 = _persist_tracked(
+                top1, fresh=(checkpoint_rounds and r == 0)
+            )
         rounds.append(
             top1.select(
                 F.lit(r + 1).cast("long").alias("round"),
@@ -325,17 +353,30 @@ def bpe_merge_rounds(
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )
+        # Greedy-scan parity over ONE ordering: mc = running match
+        # count; a match row starts a run when the previous row did not
+        # match; carry the run-start's mc forward (last ignoreNulls) —
+        # offset-in-run = mc − mc_at_run_start, merge at even offsets.
+        # All four window expressions share w's (doc_id, pos) sort, so
+        # the whole apply is ONE sort (zero once the round boundary
+        # already carries the order — see the docstring).
         t = t.withColumn("mc", F.sum("mt").over(wsum))
         t = t.withColumn(
-            "grp", F.when(F.col("mt") == 1, F.col("pos") - F.col("mc"))
+            "pmt", F.coalesce(F.lag("mt").over(w), F.lit(0))
         )
-        wg = Window.partitionBy("doc_id", "grp")
+        t = t.withColumn(
+            "rs",
+            F.when((F.col("mt") == 1) & (F.col("pmt") == 0), F.col("mc")),
+        )
+        t = t.withColumn(
+            "mcrs", F.last("rs", ignorenulls=True).over(wsum)
+        )
         t = t.withColumn(
             "sel",
             F.when(
                 (F.col("mt") == 1)
                 & (
-                    F.pmod(F.col("mc") - F.min("mc").over(wg), F.lit(2))
+                    F.pmod(F.col("mc") - F.col("mcrs"), F.lit(2))
                     == 0
                 ),
                 F.lit(1),
@@ -344,7 +385,7 @@ def bpe_merge_rounds(
         t = t.withColumn("psel", F.coalesce(F.lag("sel").over(w), F.lit(0)))
         tok = t.filter(F.col("psel") == 0).select(
             "doc_id",
-            (F.row_number().over(w) - 1).alias("pos"),
+            "pos",
             F.when(
                 F.col("sel") == 1, F.concat_ws(" ", F.col("sym"), F.col("b"))
             )
@@ -352,7 +393,11 @@ def bpe_merge_rounds(
             .alias("sym"),
         )
     if return_tokens:
-        return tok
+        # public contract: dense 0..n-1 positions (internal rounds keep
+        # the gapped originals so the sort order carries across rounds)
+        return tok.select(
+            "doc_id", (F.row_number().over(w) - 1).alias("pos"), "sym"
+        )
     out = rounds[0]
     for rdf in rounds[1:]:
         out = out.unionByName(rdf)

@@ -177,8 +177,13 @@ def test_bpe_checkpoint_rounds_build_jobs_bounded(spark):
     finally:
         sc.setJobGroup("", "")
     # O(k): a handful of shuffle-stage jobs per round; re-execution of
-    # earlier rounds would be quadratic (~k^2/2 extra jobs)
-    assert len(ckpt_jobs) <= 4 * k, f"{len(ckpt_jobs)} build jobs for k={k}"
+    # earlier rounds would be quadratic (~k^2/2 extra jobs). The r11
+    # optimization pass persists each round's 1-row winner (so the
+    # final merge-table union reads a cache instead of re-running k
+    # pair-count aggregates) — its cache fill adds ~1 build job per
+    # round, still linear: 25 measured at k=6 vs the quadratic mode's
+    # ~24+18.
+    assert len(ckpt_jobs) <= 5 * k, f"{len(ckpt_jobs)} build jobs for k={k}"
 
 
 def test_jarque_bera_independent_python_replay(spark):
