@@ -356,14 +356,32 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, packing
 
     d = _t(spark, sf_dir, "documents")
+    # Partition floor (the minhash_neardup_pairs defensive pattern —
+    # §2.5 input skew / §6 small files): at bench scale the documents
+    # parquet is ONE scan split, so every unpersisted funnel pass
+    # (c0/c1 re-tokenize the corpus for their token sums) ran as a
+    # SINGLE serial task (~3 s each, ~10 such stages measured r11 —
+    # the wall was serial stages, not work). At real scale the scan
+    # has >= parallelism splits and this no-ops.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
     )
     corpus = d.filter(F.col("doc_id") % 5 < 4)
     bench = d.filter(F.col("doc_id") % 5 == 4)
+    from pyspark.storagelevel import StorageLevel
+
     s0 = corpus.select(
         "doc_id", "source", "lang", "text", F.size(toks).alias("n_tok")
-    )
+    ).persist(StorageLevel.DISK_ONLY)
+    # ^ tokenize-once boundary (§2.3 "don't recompute what you throw
+    # away"): without it the whitespace tokenization of the full
+    # corpus re-ran in EVERY subtree that re-derives s0/s1 — measured
+    # r11: ~7 passes (c0; c1 via s1; the s2 fill's s1⋈k2 where each
+    # s1 reference itself derives u twice for the k1 join) — the
+    # single most-repeated expensive map work in the query.
 
     # stage 1: URL dedup (synthesize -> canonicalize -> min-id group)
     page_id = F.when(
@@ -392,7 +410,12 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     k1 = u.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    s1 = u.join(k1, ["curl", "doc_id"], "left_semi").drop("curl")
+    s1 = (
+        u.join(k1, ["curl", "doc_id"], "left_semi")
+        .drop("curl")
+        .persist(StorageLevel.DISK_ONLY)
+    )  # boundary: k2, the s2 semi join's probe side and c1 all
+    # re-derive s1 (u's regex canonicalization x2 per reference)
 
     # stage 2: exact dedup on the canonical text
     k2 = s1.groupBy(F.lower("text").alias("t")).agg(
@@ -413,8 +436,6 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # live, r11); DISK_ONLY keeps the compute-once property with zero
     # storage-memory footprint. Lazy (persist defers); bench/driver
     # sessions clear the cache between queries.
-    from pyspark.storagelevel import StorageLevel
-
     s2 = s2.persist(StorageLevel.DISK_ONLY)
 
     # stage 3: exact-substring removal (token-level) on the post-exact
@@ -425,6 +446,15 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rem = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("removed")
     )
+    # s3 is re-derived by c3, the minhash candidate build AND the s4
+    # cache fill — without this persist the span gram pass (posexplode
+    # + L-1 lead windows + the gram-key shuffle, the pipeline's
+    # heaviest rung) re-ran 4x (measured r11: 4 identical 1.2 MB-write
+    # stages). rem is NARROW (doc_id, removed — two longs/doc), so it
+    # stays memory-resident per the r11 boundary lesson (corpus
+    # payloads to disk, labels in memory); §5: cache exactly the
+    # reused-and-expensive intermediates.
+    rem = rem.persist()
     s3 = s2.join(rem, "doc_id", "left").withColumn(
         "kept_tok",
         F.col("n_tok") - F.coalesce(F.col("removed"), F.lit(0)),
@@ -450,7 +480,11 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = dedup.decontaminate(
         s4, bench, n=_CP_DECON_N, broadcast_probe=False
     ).select(F.col("id").alias("doc_id"))
-    s5 = s4.join(contam, "doc_id", "left_anti")
+    s5 = s4.join(contam, "doc_id", "left_anti").persist(
+        StorageLevel.DISK_ONLY
+    )  # stage boundary — c5, the budget window (c6 + pack + nb) all
+    # re-read s5; without it the decontaminate gram join re-ran per
+    # reference (same §5 rule; DISK_ONLY: corpus payload)
 
     # stage 6: per-source token-budget prefix sample
     w6 = (
@@ -509,8 +543,17 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, "token_budget", "c6", F.col("c5") - F.col("c6"), F.col("c6_t"), zero),
         (7, "pack", "c6", zero, F.col("c6_t"), F.col("n_bins")),
     ]
-    rows = [
-        counts.select(
+    # ONE subtree for all 8 funnel rows (r11 optimization, §2.4 / the
+    # train_kmeans_banded inline pattern): the former 8-way UNION of
+    # per-stage projections pruned DIFFERENT columns through the
+    # crossJoin chain, so no two subtrees were byte-identical, exchange
+    # reuse never fired, and each union row re-ran every funnel
+    # aggregate it referenced — measured r11: 249 jobs/run, the
+    # aggregates' job+broadcast latency dominating wall. inline() emits
+    # the 8 rows from the single 1-row counts result: each aggregate
+    # runs exactly once.
+    row_structs = [
+        F.struct(
             F.lit(sid).cast("long").alias("stage_id"),
             F.lit(name).alias("stage"),
             F.col(dc).cast("long").alias("docs"),
@@ -520,10 +563,7 @@ def p_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for sid, name, dc, dropped, tokens, bins in stages
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return counts.select(F.inline(F.array(*row_structs)))
 
 
 # ---------------------------------------------------------------------------
