@@ -1785,20 +1785,22 @@ def train_qr_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = lambda c: F.floor(F.col(c) * F.lit(float(_QR_BAND))).cast(  # noqa: E731
         "long"
     )
-    rows = [
-        fin.select(F.lit(f"w{i}").alias("term"), band(f"w{i}").alias("band"))
+    # inline() over the single fin row instead of a 6-way union (r11
+    # optimization, §2.4): each union row re-ran the pinball aggregate
+    # scan AND the subgradient fit it referenced through the broadcast.
+    structs = [
+        F.struct(F.lit(f"w{i}").alias("term"), band(f"w{i}").alias("band"))
         for i in range(1, _QR_D + 1)
     ] + [
-        fin.select(F.lit("bias").alias("term"), band("b").alias("band")),
-        fin.select(F.lit("pinball").alias("term"), band("pinball").alias("band")),
-        fin.select(
+        F.struct(F.lit("bias").alias("term"), band("b").alias("band")),
+        F.struct(
+            F.lit("pinball").alias("term"), band("pinball").alias("band")
+        ),
+        F.struct(
             F.lit("n").alias("term"), F.col("n").cast("long").alias("band")
         ),
     ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return fin.select(F.inline(F.array(*structs)))
 
 
 # ---------------------------------------------------------------------------

@@ -1415,19 +1415,26 @@ def p_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, "lang_en", F.col("c2"), F.col("c1") - F.col("c2")),
         (3, "length_100_500", F.col("c3"), F.col("c2") - F.col("c3")),
     ]
-    rows = [
-        counts.select(
-            F.lit(sid).cast("int").alias("stage_id"),
-            F.lit(name).alias("stage"),
-            kept.cast("long").alias("kept"),
-            dropped.cast("long").alias("dropped"),
+    # inline() over the single counts row instead of a 4-way union of
+    # per-stage projections (r11 optimization, §2.4): the union rows
+    # pruned different columns through the crossJoin chain, so their
+    # subtrees were not byte-identical, exchange reuse never fired and
+    # each row re-ran the funnel aggregates it referenced.
+    return counts.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).cast("int").alias("stage_id"),
+                        F.lit(name).alias("stage"),
+                        kept.cast("long").alias("kept"),
+                        dropped.cast("long").alias("dropped"),
+                    )
+                    for sid, name, kept, dropped in stages
+                ]
+            )
         )
-        for sid, name, kept, dropped in stages
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1842,20 +1849,30 @@ def a_platt_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     band = lambda c: F.floor(c * _PLATT_BAND).cast("long")  # noqa: E731
-    rows = [
-        agg.select(F.lit("a").alias("term"), band(F.col("w1")).alias("band")),
-        agg.select(F.lit("bias").alias("term"), band(F.col("b")).alias("band")),
-        agg.select(
-            F.lit("logloss").alias("term"), band(F.col("logloss")).alias("band")
-        ),
-        agg.select(
-            F.lit("n").alias("term"), F.col("n").cast("long").alias("band")
-        ),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # inline() over the single agg row instead of a 4-way union (r11
+    # optimization, §2.4): each union row re-ran the corpus scan AND
+    # the 5-round GD fit it referenced through the broadcast — 4x the
+    # whole query's work for 4 output rows.
+    return agg.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("a").alias("term"), band(F.col("w1")).alias("band")
+                ),
+                F.struct(
+                    F.lit("bias").alias("term"), band(F.col("b")).alias("band")
+                ),
+                F.struct(
+                    F.lit("logloss").alias("term"),
+                    band(F.col("logloss")).alias("band"),
+                ),
+                F.struct(
+                    F.lit("n").alias("term"),
+                    F.col("n").cast("long").alias("band"),
+                ),
+            )
+        )
+    )
 
 
 a_platt_calibration.__doc__ = a_platt_calibration.__doc__.replace(
