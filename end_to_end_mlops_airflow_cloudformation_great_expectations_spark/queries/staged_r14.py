@@ -382,21 +382,39 @@ def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-attach (range partition + offsets), never a single-task
     sort of the pair table."""
     d = _daily(spark, sf_dir)
-    a, b = d.alias("a"), d.alias("b")
+    # r11 optimization (§2.3 project-before-the-exchange + §2.5 input
+    # parallelism): (1) the streamed side of the pair generation is the
+    # post-agg daily table, which AQE coalesces to ONE partition — the
+    # 3.4M-row Walsh build then ran as a single serial task; repartition
+    # the 2.6k-row side first (trivial shuffle) so generation and the
+    # rank exchange run wide. (2) The (d1, d2) tie-break columns only
+    # ordered EQUAL w2 values among themselves — the two middle POSITIONS
+    # then carry the same w2 values under any tie order, and the output
+    # aggregates only w2 — so the rank attach now sorts/checkpoints the
+    # bare 8-byte w2 column: measured 297 MB -> ~90 MB checkpoint reads
+    # (x3 passes), 97 -> ~40 MB rank shuffle. The oracle still spells
+    # the (w2, d1, d2) order; equality of the selected values is the
+    # tie-independence argument above.
+    par = spark.sparkContext.defaultParallelism
+    a, b = d.repartition(par).alias("a"), d.alias("b")
     walsh = a.join(
         F.broadcast(b), F.col("a.day") <= F.col("b.day")
     ).select(
         (F.col("a.xc") + F.col("b.xc")).alias("w2"),
-        F.col("a.day").alias("d1"),
-        F.col("b.day").alias("d2"),
     )
     ranked = attach_global_ranks(
         walsh,
-        sort_cols=[F.col("w2"), F.col("d1"), F.col("d2")],
-        key_cols=[F.col("w2"), F.col("d1"), F.col("d2")],
+        sort_cols=[F.col("w2")],
+        key_cols=[F.col("w2")],
         rn_col="rn",
     )
-    np_ = ranked.agg(F.count("*").alias("np"))
+    # np == n_days*(n_days+1)/2 exactly (the a.day <= b.day join emits
+    # each unordered pair once incl. self-pairs) — computing it from
+    # the 2.6k-row daily table instead of ranked.agg(count) saves a
+    # full pass over the checkpointed 3.4M-row rank frame (r11, §2.3).
+    np_ = d.agg(
+        (F.count("*") * (F.count("*") + 1) / 2).cast("long").alias("np")
+    )
     mid = (
         ranked.crossJoin(F.broadcast(np_))
         .filter(
