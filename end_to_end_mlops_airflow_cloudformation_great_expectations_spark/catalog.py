@@ -67,6 +67,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """``createDataFrame`` for SMALL driver-side row lists (centroids,
+    band tables, stream fixtures) as a SINGLE-slice RDD.
+
+    The default ``spark.createDataFrame(rows, schema)`` parallelizes to
+    ``defaultParallelism`` slices — 32 near-empty Python partitions for
+    a 16-row table — and every downstream task that evaluates them pays
+    one Python-runner round-trip PER SLICE. Measured (r11, guide §4):
+    a 16-row centroid table written through ``coalesce(1)`` evaluated
+    all 32 slices SERIALLY inside the one write task — 5.4 s for 16
+    rows, every index build — vs 0.3 s from a 1-slice RDD. One slice is
+    exact for driver-local literals: they are bounded by construction,
+    and consumers either broadcast them or reduce them immediately."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def bounded_parts(
     spark: SparkSession,
     sf_dir: str,

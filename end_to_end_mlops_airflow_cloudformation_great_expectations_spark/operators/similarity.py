@@ -437,9 +437,11 @@ def ivf_index_build(
     assigned.repartition(par, "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{base_dir}/postings")
+    from .. import catalog
+
     cent = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
-    corpus.sparkSession.createDataFrame(
-        cent, "cell int, centroid array<double>"
+    catalog.local_df(
+        corpus.sparkSession, cent, "cell int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{base_dir}/centroids")
 
 
@@ -772,8 +774,10 @@ def ivf_topk(
     assigned = c.withColumn("cell", _cell_assign_udf(C)(F.col("cv")))
 
     centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
-    cent_df = queries.sparkSession.createDataFrame(
-        centroids, "cell int, centroid array<double>"
+    from .. import catalog
+
+    cent_df = catalog.local_df(
+        queries.sparkSession, centroids, "cell int, centroid array<double>"
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
@@ -1359,7 +1363,10 @@ def ivfpq_topk(
         .withColumn("lut", lut_udf(F.col("qv")))
         .withColumn("qnorm", norm(F.col("qv")))
     )
-    cent_df = queries.sparkSession.createDataFrame(
+    from .. import catalog
+
+    cent_df = catalog.local_df(
+        queries.sparkSession,
         [(i, [float(x) for x in C[i]]) for i in range(len(C))],
         "cell int, centroid array<double>",
     )

@@ -563,7 +563,10 @@ def j4_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny band table broadcast. At scale, band tables stay small, so BNLJ
     with a broadcast side is the right physical plan."""
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    from .. import catalog as _cat
+
+    bands = _cat.local_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
         "band string, lo double, hi double",
     )

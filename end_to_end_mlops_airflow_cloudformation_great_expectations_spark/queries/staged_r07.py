@@ -135,8 +135,8 @@ def ivf_lifecycle_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, "
         "sig array<struct<rnk: long, neighbor_id: long, cos_sim: double>>"
     )
-    inc_df = spark.createDataFrame(inc_rows, sig_schema)
-    one_df = spark.createDataFrame(one_rows, sig_schema)
+    inc_df = catalog.local_df(spark, inc_rows, sig_schema)
+    one_df = catalog.local_df(spark, one_rows, sig_schema)
 
     similarity.ivf_index_compact(spark, inc)
     cpt_df = _search_sig(similarity.ivf_index_search(q, inc, **k))
@@ -977,11 +977,13 @@ def dedup_minhash_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_schema = (
         "new_id long, sig array<struct<corpus_id: long, jaccard: double>>"
     )
-    inc_df = spark.createDataFrame(
+    inc_df = catalog.local_df(
+        spark,
         _probe_sig(dedup.minhash_index_probe(probe, inc, **kw)).collect(),
         sig_schema,
     )
-    one_df = spark.createDataFrame(
+    one_df = catalog.local_df(
+        spark,
         _probe_sig(dedup.minhash_index_probe(probe, one, **kw)).collect(),
         sig_schema,
     )
@@ -1291,11 +1293,13 @@ def dedup_embedding_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_schema = (
         "new_id long, sig array<struct<corpus_id: long, cos_sim: double>>"
     )
-    inc_df = spark.createDataFrame(
+    inc_df = catalog.local_df(
+        spark,
         sig(similarity.embdedup_index_probe(probe, inc, **kw)).collect(),
         sig_schema,
     )
-    one_df = spark.createDataFrame(
+    one_df = catalog.local_df(
+        spark,
         sig(similarity.embdedup_index_probe(probe, one, **kw)).collect(),
         sig_schema,
     )

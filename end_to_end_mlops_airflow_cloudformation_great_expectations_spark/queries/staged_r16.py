@@ -372,6 +372,7 @@ def sim_hnsw_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-TRUE DuckDB twin is a real hash check. Eager at build
     time (index build + two sink writes + compaction into throwaway
     scratch — the documented bounded-lint-execution class)."""
+    from .. import catalog
     from ..operators import similarity
 
     base = os.path.join(_scratch("hnsw_life"), "idx")
@@ -397,7 +398,8 @@ def sim_hnsw_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id long, sig array<struct<rnk: long, neighbor_id: long, "
         "cos_sim: double>>"
     )
-    pre = spark.createDataFrame(
+    pre = catalog.local_df(
+        spark,
         sig(similarity.hnsw_index_search(spark, base, q10, k=5)).collect(),
         sig_schema,
     )

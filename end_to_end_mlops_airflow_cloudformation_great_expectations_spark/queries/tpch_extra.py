@@ -53,7 +53,10 @@ def j6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual predicate (operators.interval) — the scalable replacement
     for a nested-loop range join; overlapping intervals multi-match."""
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    from .. import catalog as _cat
+
+    bands = _cat.local_df(
+        spark,
         [(1, 0.0, 100.0), (2, 100.0, 200.0), (3, 50.0, 150.0), (4, 200.0, 500.0)],
         "band_id int, lo double, hi double",
     )
@@ -1100,7 +1103,10 @@ def j6b_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     ADVICE finding, now oracle-pinned). Each point carries exactly one
     grid cell, so an unmatched point surfaces exactly once."""
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    from .. import catalog as _cat
+
+    bands = _cat.local_df(
+        spark,
         [(1, 0.0, 100.0), (2, 100.0, 200.0)],
         "band_id int, lo double, hi double",
     )
