@@ -412,8 +412,13 @@ def a_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each unordered pair once incl. self-pairs) — computing it from
     # the 2.6k-row daily table instead of ranked.agg(count) saves a
     # full pass over the checkpointed 3.4M-row rank frame (r11, §2.3).
+    # n counts NON-NULL days only (COUNT(day)) so the closed form can
+    # never diverge from the walsh join, which drops null days via the
+    # <= comparison (ADVICE r11; o_orderdate is in fact never null).
     np_ = d.agg(
-        (F.count("*") * (F.count("*") + 1) / 2).cast("long").alias("np")
+        (F.count("day") * (F.count("day") + 1) / 2)
+        .cast("long")
+        .alias("np")
     )
     mid = (
         ranked.crossJoin(F.broadcast(np_))

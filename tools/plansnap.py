@@ -19,12 +19,23 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_USAGE = "usage: python tools/plansnap.py <tag> <suffix> <name> [name ...]"
+
+
 def main() -> None:
+    if len(sys.argv) < 4:
+        print(_USAGE, file=sys.stderr)
+        sys.exit(2)
     tag, suffix, *names = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.queries import (  # noqa: E501
         QUERIES,
     )
+
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}\n{_USAGE}", file=sys.stderr)
+        sys.exit(2)
     from end_to_end_mlops_airflow_cloudformation_great_expectations_spark.session import (  # noqa: E501
         get_spark,
     )

@@ -44,10 +44,11 @@ def main() -> None:
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
 
+    def _get(url: str):
+        return json.load(urllib.request.urlopen(url, timeout=30))
+
     def job_floor() -> int:
-        jobs = json.load(
-            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/jobs")
-        )
+        jobs = _get(f"{ui}/api/v1/applications/{app}/jobs")
         return max((j["jobId"] for j in jobs), default=-1)
 
     for name in args:
@@ -62,23 +63,23 @@ def main() -> None:
             spark.catalog.clearCache()
         jobs = [
             j
-            for j in json.load(
-                urllib.request.urlopen(
-                    f"{ui}/api/v1/applications/{app}/jobs"
-                )
-            )
+            for j in _get(f"{ui}/api/v1/applications/{app}/jobs")
             if j["jobId"] > floor
         ]
         sids = {s for j in jobs for s in j["stageIds"]}
-        stages = [
-            s
-            for s in json.load(
-                urllib.request.urlopen(
-                    f"{ui}/api/v1/applications/{app}/stages?status=complete"
-                )
-            )
-            if s["stageId"] in sids
-        ]
+        # One entry per stage ATTEMPT comes back — a retried stage
+        # would double-count tasks/bytes/runtime; keep only the
+        # latest attempt per stageId (ADVICE r11).
+        latest: dict[int, dict] = {}
+        for s in _get(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        ):
+            if s["stageId"] not in sids:
+                continue
+            prev = latest.get(s["stageId"])
+            if prev is None or s["attemptId"] > prev["attemptId"]:
+                latest[s["stageId"]] = s
+        stages = list(latest.values())
         m = {
             "jobs": len(jobs),
             "stages": len(stages),
