@@ -74,28 +74,45 @@ def test_round10_window_is_greened_history():
     assert set(w10[-3:]) == pads
 
 
-def test_round11_window_is_live():
-    """VERDICT r10 item 1: CORRECTNESS_r10 landed 50/50 green, so the
-    staged r11 window is now the live driver window — the 21 round-9
-    additions (never driver-checked) + 29 driver-green pads from the
-    greened r9 window. Greening it closes the pre-round-10 ledger at
-    386/386. The never-checked partition is recomputed from the
-    CORRECTNESS_r01.. artifact union — an addition that forgets to
-    enqueue in the newest _ROUND*_QUEUE fails here."""
-    import json
-    import pathlib
-
+def test_round11_window_is_greened_history():
+    """The r11 window greened in CORRECTNESS_r11 (50/50); keep its
+    composition pinned so the ledger accounting stays auditable."""
     w11 = _qpkg._ROUND11_WINDOW
-    assert _qpkg._DRIVER_WINDOW_FIRST is w11
     assert len(w11) == 50
     assert len(set(w11)) == 50
     assert [n for n in w11 if n not in ORACLES] == []
     assert w11[:21] == _qpkg._ROUND11_QUEUE
-    # pads are r9-queue names, all greened in CORRECTNESS_r09
     assert set(w11[21:]) <= set(_qpkg._ROUND9_QUEUE)
     assert not set(w11) & set(_qpkg._ROUND10_WINDOW)
-    # the 21 queue names + the staged r12/r13 batches are exactly the
-    # never-checked remainder
+
+
+def test_round12_window_is_live():
+    """VERDICT r11 item 8 + the final-round rotation: CORRECTNESS_r11
+    landed 50/50 green, so the recomposed r12 window is live — the 7
+    round-10 additions + 7 round-11 additions (together the COMPLETE
+    never-driver-checked partition), the three queries the r11
+    optimization session semantics-touched outside its window
+    (train_qr_banded, text_bpe_merges_k explicit; a_hodges_lehmann via
+    the r10 pads), and r10-green pads. Greening it closes the ENTIRE
+    oracle-backed ledger. The never-checked partition is recomputed
+    from the CORRECTNESS_r01.. artifact union — an addition that
+    forgets to enqueue fails here."""
+    import json
+    import pathlib
+
+    w12 = _qpkg._ROUND12_WINDOW
+    assert _qpkg._DRIVER_WINDOW_FIRST is w12
+    assert len(w12) == 50
+    assert len(set(w12)) == 50
+    assert [n for n in w12 if n not in ORACLES] == []
+    assert w12[:7] == _qpkg._ROUND12_QUEUE
+    assert w12[7:14] == _qpkg._ROUND13_QUEUE
+    # VERDICT r11 item 8: the three semantics-touched queries are in
+    assert {"train_qr_banded", "text_bpe_merges_k", "a_hodges_lehmann"} <= set(
+        w12
+    )
+    # pads are all driver-green in some CORRECTNESS_r* artifact, and
+    # the never-checked remainder is exactly the 14 queue names
     root = pathlib.Path(__file__).resolve().parents[1]
     green = set()
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -104,27 +121,10 @@ def test_round11_window_is_live():
                 green.add(name)
     never = set(ORACLES) - green
     queued = set(_qpkg._ROUND12_QUEUE) | set(_qpkg._ROUND13_QUEUE)
-    assert set(_qpkg._ROUND11_QUEUE) | queued == never
-    assert not queued & set(w11)
+    assert queued == never
+    assert never <= set(w12)
+    assert set(w12[14:]) <= green
     assert not set(_qpkg._ROUND12_QUEUE) & set(_qpkg._ROUND13_QUEUE)
-    assert [n for n in queued if n not in ORACLES] == []
-
-
-def test_round12_window_is_staged():
-    """VERDICT r10 item 2: the r12 window is pinned now — the 7
-    round-10 additions (never driver-checked) + 43 driver-green pads
-    from the greened r10 window. Swap once CORRECTNESS_r11 lands
-    green; greening it closes the ENTIRE pre-round-11 oracle-backed
-    ledger at 393/393."""
-    w12 = _qpkg._ROUND12_WINDOW
-    assert len(w12) == 50
-    assert len(set(w12)) == 50
-    assert [n for n in w12 if n not in ORACLES] == []
-    assert w12[:7] == _qpkg._ROUND12_QUEUE
-    # pads are r10-window names, all greened in CORRECTNESS_r10
-    assert set(w12[7:]) <= set(_qpkg._ROUND10_WINDOW)
-    # no overlap with the live r11 window (no wasted slots)
-    assert not set(w12) & set(_qpkg._ROUND11_WINDOW)
 
 
 def test_rerecord_refuses_throttled_host():
