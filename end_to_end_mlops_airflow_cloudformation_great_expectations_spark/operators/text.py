@@ -209,6 +209,7 @@ def bpe_merge_rounds(
     persist_rounds: bool = True,
     n_parts: int | None = None,
     checkpoint_rounds: bool = False,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Iterative BPE-style tokenizer induction: ``k`` merge rounds over
     the whitespace-token corpus, returning the chosen merge per round
@@ -245,11 +246,14 @@ def bpe_merge_rounds(
     the winner is TakeOrdered(1). Survivor positions keep their
     ORIGINAL pos (gaps are fine: every window only needs a monotone
     per-doc sequence, and greedy adjacency is sequence order, not pos
-    arithmetic) — so each round's output leaves the persisted/
-    checkpointed round boundary already hash-partitioned by doc_id
-    AND sorted by (doc_id, pos), and rounds after the first run ZERO
-    sorts (round-11 measured: the renumbering row_number broke the
-    sort-order carry and every round re-sorted). ``return_tokens``
+    arithmetic) — so on the PERSIST path each round's output leaves
+    the round boundary already hash-partitioned by doc_id AND sorted
+    by (doc_id, pos), and rounds after the first run ZERO sorts
+    (round-11 measured: the renumbering row_number broke the
+    sort-order carry and every round re-sorted). On the CHECKPOINT
+    path the LogicalRDD carries neither property (Spark 4.1, repro'd
+    r12), which is why the boundary carries ANN — see the in-loop
+    comment — and why ``checkpoint_every`` exists. ``return_tokens``
     output is renumbered dense 0..n-1 at the END (one extra window
     pass total, not per round) to keep its public contract. The lazy plan references round r's
     tokens from round r+1 twice (via the winner and via the stream),
@@ -280,6 +284,12 @@ def bpe_merge_rounds(
     in Spark executes. The checkpointed round RDDs live on executor
     block storage; at 100 TB this is the same trade every iterative
     Spark algorithm makes (pagerank, operators/graph.py).
+    ``checkpoint_every=e`` (checkpoint path only) cuts lineage at
+    every e-th round boundary instead of every round: the skipped
+    rounds chain in-plan where the window sort order IS carried, so
+    each cut amortizes its exchange+sort, its driver planning pass
+    and its stage-materialization jobs over e rounds, at the price of
+    an ~3x-per-uncut-round (bounded by e) plan size multiplier.
 
     ``return_tokens=True`` returns the TOKENIZED corpus after the k
     merges — (doc_id, pos, sym) rows — i.e. "apply the trained
@@ -289,10 +299,7 @@ def bpe_merge_rounds(
     k's winner."""
     from pyspark.sql import Window
 
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(F.col(text_col))).alias("pos", "sym"),
-    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     if n_parts is not None:
         # ONE bounded exchange up front: hashpartitioning(doc_id, n)
         # satisfies every round's window ClusteredDistribution, and the
@@ -301,20 +308,50 @@ def bpe_merge_rounds(
         # partitions otherwise run 200 tiny tasks per window pass per
         # round — cached plans block AQE coalescing; VERDICT r10
         # item 6, measured 71 s -> bounded at sf0.01 --plain). Callers
-        # size it off input bytes via catalog.bounded_parts.
-        tok = tok.repartition(n_parts, "doc_id")
+        # size it off input bytes via catalog.bounded_parts. The
+        # exchange sits BELOW the explode (r12, guide §2.3): it moves
+        # document text (narrower than the exploded per-token rows)
+        # and the explode itself then runs n_parts-wide instead of as
+        # one serial task per scan split; Generate preserves the
+        # hash partitioning, so the windows still see it.
+        base = base.repartition(n_parts, "doc_id")
+    tok = base.select(
+        "doc_id",
+        F.posexplode(words(F.col(text_col))).alias("pos", "sym"),
+    )
     from .dedup import _persist_tracked
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rounds = []
+    # The round boundary carries ANN — the token stream WITH its lead
+    # column (doc_id, pos, sym, nxt) — not the bare stream (r12
+    # optimization, guide §2.4/§5): a checkpointed LogicalRDD carries
+    # NEITHER partitioning NOR ordering in Spark 4.1 (verified by
+    # repro), so with the boundary before the lead window BOTH
+    # per-round consumers (the pair-count aggregate and the apply)
+    # re-sorted the full stream — two concurrent ~equal stages per
+    # round, measured as the twin 0.4 s jobs that dominated k16's
+    # wall. With nxt computed in the PREVIOUS round's window pass
+    # (same (doc_id, pos) sort — free), the winner aggregate becomes
+    # sort-free (partial agg straight off the boundary scan) and the
+    # sort+window work runs ONCE per round, in the apply.
+    ann = tok.withColumn("nxt", F.lead("sym").over(w))
     for r in range(k):
         if checkpoint_rounds:
-            if r > 0:  # round 0's input is the raw explode — no lineage to cut
-                tok = tok.localCheckpoint(eager=False)
+            # Round 0 IS checkpointed even though there is no lineage
+            # to cut yet: the winner's persisted 1-row plan and the
+            # apply run as SEPARATE AQE plan instances, and exchange
+            # reuse never crosses plan instances — without the cut each
+            # re-ran the explode+sort (measured: twin 1.7 s single-task
+            # jobs at round 0). checkpoint_every=e cuts every e-th
+            # boundary: skipped rounds chain in-plan, where Spark DOES
+            # carry the window sort order (plan size grows ~3x per
+            # uncut round — bounded by e).
+            if r % checkpoint_every == 0:
+                ann = ann.localCheckpoint(eager=False)
         elif persist_rounds:
-            tok = _persist_tracked(tok, fresh=(r == 0))
-        ann = tok.withColumn("nxt", F.lead("sym").over(w))
+            ann = _persist_tracked(ann, fresh=(r == 0))
         counts = (
             ann.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
@@ -383,7 +420,7 @@ def bpe_merge_rounds(
             ).otherwise(F.lit(0)),
         )
         t = t.withColumn("psel", F.coalesce(F.lag("sel").over(w), F.lit(0)))
-        tok = t.filter(F.col("psel") == 0).select(
+        surv = t.filter(F.col("psel") == 0).select(
             "doc_id",
             "pos",
             F.when(
@@ -392,10 +429,13 @@ def bpe_merge_rounds(
             .otherwise(F.col("sym"))
             .alias("sym"),
         )
+        # next round's lead, fused into THIS round's sorted pass
+        # (filter/project preserve the (doc_id, pos) ordering)
+        ann = surv.withColumn("nxt", F.lead("sym").over(w))
     if return_tokens:
         # public contract: dense 0..n-1 positions (internal rounds keep
         # the gapped originals so the sort order carries across rounds)
-        return tok.select(
+        return ann.select(
             "doc_id", (F.row_number().over(w) - 1).alias("pos"), "sym"
         )
     out = rounds[0]
