@@ -85,6 +85,48 @@ def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     )
 
 
+def spread_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition ``df`` to defaultParallelism when its input is
+    narrow — WITHOUT finalizing its plan. The old guard
+    ``df.rdd.getNumPartitions() < par`` converted the frame to an RDD,
+    which under AQE finalizes the AdaptiveSparkPlan and RUNS its
+    upstream shuffle stages at build time, discarding the result
+    (measured r12: twin 1.6 s javaToPython jobs inside
+    p_curation_pipeline — guide §1.4 warns about exactly this
+    conversion). The width here is ESTIMATED from the optimizer's
+    size statistics (file-backed for scans, so it mirrors the scan
+    splitter: bytes / maxPartitionBytes) — pure driver-side plan
+    analysis, zero jobs. Small inputs still spread before CPU-bound
+    hashing/explode work; corpus-scale inputs no-op exactly as
+    before. Derived frames whose statistics overestimate (joins)
+    simply skip the spread, which is the safe direction at scale."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        mpb = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+            .lower()
+            .removesuffix("b")
+            .removesuffix("m")
+            or str(128 << 20)
+        )
+        if mpb < (1 << 20):  # conf given in MB form ("128m")
+            mpb <<= 20
+    except Exception:
+        return df
+    if size // mpb + 1 < par:
+        return df.repartition(par, key) if key else df.repartition(par)
+    return df
+
+
 def bounded_parts(
     spark: SparkSession,
     sf_dir: str,

@@ -160,9 +160,9 @@ def minhash_signatures(
     shingles = (shingle_fn or (lambda c: char_shingles(c, k)))(F.col(text_col))
     # small inputs often arrive as one parquet partition; per-shingle
     # hashing is CPU-bound, so spread it before the explode
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    from .. import catalog as _catalog
+
+    docs = _catalog.spread_narrow(docs)
     sh = docs.select(F.col(id_col), F.explode(shingles).alias("s")).select(
         F.col(id_col), F.pmod(F.xxhash64(F.col("s")), F.lit(_M31P)).alias("x")
     )
@@ -286,9 +286,9 @@ def minhash_neardup_pairs(
     is one 32-wide row per doc and measures ~1.8× faster than 32
     interpreted array_min(transform(...)) passes over the arrays."""
     fn = shingle_fn or (lambda c: char_shingles(c, k))
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    from .. import catalog as _catalog
+
+    docs = _catalog.spread_narrow(docs)
     sh = _persist_tracked(
         docs.select(
             F.col(id_col), hashed_shingles(fn(F.col(text_col))).alias("sh")
@@ -442,12 +442,21 @@ def connected_components(
     # one narrow row per NODE, linear in the corpus.
     from pyspark.storagelevel import StorageLevel
 
+    # EAGER (r12): the first label round's two shuffle stages (the
+    # edge-side and the label-init side of the join) launch
+    # CONCURRENTLY under AQE, and with a lazy checkpoint each raced to
+    # compute the unmaterialized edge blocks — the ENTIRE upstream
+    # pair build ran twice, concurrently (measured: twin 1.6 s jobs at
+    # the head of p_curation_pipeline). CC executes at build time
+    # regardless (the per-round eager label checkpoints), so eagerness
+    # here adds no new build-time execution, it only serializes the
+    # edge materialization to exactly once.
     edges = (
         fwd.unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -571,9 +580,9 @@ def simhash_signatures(
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), "\\s+"), lambda w: F.length(w) > 0
     )
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    from .. import catalog as _catalog
+
+    docs = _catalog.spread_narrow(docs)
     tok = docs.select(F.col(id_col), F.explode(tokens).alias("t")).select(
         F.col(id_col), F.xxhash64(F.col("t")).alias("h")
     )

@@ -690,10 +690,9 @@ def jpeg420_metadata(docs):
     restart-interval fixture — same decode path, plus chroma
     upsampling and RSTm handling exercised per row. Parallelism
     widening as in jpeg_metadata (narrow id-only scan)."""
-    ids = docs.select("doc_id")
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < target:
-        ids = ids.repartition(target)
+    from .. import catalog as _catalog
+
+    ids = _catalog.spread_narrow(docs.select("doc_id"))
     return ids.mapInPandas(_jpeg_meta_mapper(_build_jpeg420), JPEG_META_SCHEMA)
 
 
@@ -709,8 +708,7 @@ def jpeg_metadata(docs):
     core count when the scan is narrower — an 8-byte-row shuffle. At
     production scale a real binary-image scan is already wide and the
     condition is false."""
-    ids = docs.select("doc_id")
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if ids.rdd.getNumPartitions() < target:
-        ids = ids.repartition(target)
+    from .. import catalog as _catalog
+
+    ids = _catalog.spread_narrow(docs.select("doc_id"))
     return ids.mapInPandas(_jpeg_meta_mapper(_build_jpeg), JPEG_META_SCHEMA)
