@@ -363,9 +363,16 @@ def routed_entry_points(
     billion-vector corpus the fixed smallest-id entries are almost
     surely in the wrong region and rounds cap recall; routed entries
     keep rounds O(graph diameter of one cell)."""
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
+    from .. import catalog as _catalog
+
+    # r12 (§2.5): the cell-assignment UDF scans the full corpus in the
+    # pre-exchange map stage — spread a single-split scan first (plan-
+    # statistics estimate, no build-time job; no-op on a wide scan).
+    c = _catalog.spread_narrow(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
     )
     C = _train_coarse_quantizer(c, n_centroids, seed, max_iter, train_sample)
     assign = _cell_assign_dist_udf(C)
@@ -1783,8 +1790,16 @@ def neighbor_graph_build(
     the quality knob to grow with log(corpus) — the sim_topk_lsh
     convention."""
     sigs = table_signatures_udf(n_planes, n_tables, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    from .. import catalog as _catalog
+
+    # r12 (§2.5 input parallelism): the signature UDF + explode run in
+    # the pre-exchange map stage — over a single-split embeddings scan
+    # that was ONE serial 2.2 s task at sf0.1; spread it first (plan-
+    # statistics estimate, no build-time job). No-ops on a wide scan.
+    e = _catalog.spread_narrow(
+        embeddings.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+        )
     )
     buckets = e.select(
         "id", "v", F.posexplode(sigs("v")).alias("table", "bucket")
