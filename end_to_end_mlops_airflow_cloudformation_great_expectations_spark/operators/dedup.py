@@ -1073,24 +1073,46 @@ def repeated_span_extract(
     TOKENS (run length + n − 1, since a run of m consecutive shared
     n-grams covers m+n−1 tokens).
 
-    Scale shape: the gram join is fact×df on the gram string — Zipf-
-    hot boilerplate grams are exactly AQE skew-join territory; the
-    islands windows partition by doc_id (bounded per-doc work). At
-    100 TB, hash the gram to a long first to shrink the shuffle
-    (kept as the readable string here because the oracle replays
-    it)."""
+    Scale shape: the gram join is fact×df keyed on a 128-bit gram
+    hash — Zipf-hot boilerplate grams are exactly AQE skew-join
+    territory; the islands windows partition by doc_id (bounded
+    per-doc work). r12 (§2.3 narrower types / fewer exchanges): the
+    join used to carry the ~35-byte gram STRING; it now carries the
+    16-byte two-seed xxhash64 composite (the duplicated_token_spans
+    removal-mode key — span_cut DELETES text, so a single-64-bit
+    collision could merge a unique gram into a shared group; the
+    128-bit birthday bound is ~2^64 grams). The document-frequency
+    side also dedupes grams WITHIN each doc map-side
+    (array_distinct before the explode) instead of a full
+    (doc_id, gram) distinct exchange — one exchange of the gram
+    stream removed outright (§2.4). The oracle replays the readable
+    string form; their equality at the oracle scales is what the
+    cross-engine hash checks prove."""
     from pyspark.sql import Window
 
+    ng = positional_word_ngrams(F.col(text_col), n)
     pg = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(positional_word_ngrams(F.col(text_col), n)).alias(
-            "pos", "gram"
-        ),
+        F.posexplode(ng).alias("pos", "gram"),
     ).filter(F.col("gram").isNotNull())
+    pk = pg.select(
+        "doc_id",
+        "pos",
+        F.xxhash64("gram").alias("k"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col("gram")).alias("k2"),
+    )
     df_tbl = (
-        pg.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(F.filter(ng, lambda g: g.isNotNull()))
+            ).alias("gram"),
+        )
+        .select(
+            F.xxhash64("gram").alias("k"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("gram")).alias("k2"),
+        )
+        .groupBy("k", "k2")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_df)
     )
@@ -1101,7 +1123,7 @@ def repeated_span_extract(
     # observed as a broadcast OOM at the 100x/4 GB stress point. SHJ
     # builds per-partition (spillable) maps and keeps the Zipf-hot
     # gram skew inside AQE's skew-join handling.
-    shared = pg.join(df_tbl.hint("shuffle_hash"), "gram").select(
+    shared = pk.join(df_tbl.hint("shuffle_hash"), ["k", "k2"]).select(
         "doc_id", "pos"
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

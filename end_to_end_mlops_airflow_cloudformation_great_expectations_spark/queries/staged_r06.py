@@ -979,7 +979,14 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, one 48-wide row per doc through the shuffle; the
     doc_id<200 slice bounds the oracle-scale all-pairs (production
     uses the chunk-banded candidate join)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    from .. import catalog
+
+    # spread the single-split scan before the md5+48-bit-sum map work
+    # (r12, §2.5 — it ran as one serial 2.3 s task; statistics-based,
+    # no build-time job, no-op on a wide scan)
+    d = catalog.spread_narrow(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
     tokens = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
     )
