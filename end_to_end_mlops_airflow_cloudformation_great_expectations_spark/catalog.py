@@ -127,6 +127,34 @@ def spread_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     return df
 
 
+def est_width(df: DataFrame, bytes_per_part: int = 32 << 20) -> int:
+    """Scale-adaptive partition count for an explicit keyed
+    repartition feeding CPU-bound per-group work (grouped-map pandas,
+    per-group model fits): max(defaultParallelism, plan-statistics
+    size / ``bytes_per_part``). AQE coalesces post-shuffle partitions
+    by BYTES, which is the wrong objective when the per-row cost is
+    Python-side CPU (measured r12: a_ewma_user's grouped-map ran ~30k
+    pandas groups on the 6 byte-coalesced tasks of a ~15 MB shuffle —
+    4.5 s on a 32-core host). An explicit repartition(est_width, key)
+    pins cores-many partitions at bench scale and grows with the data
+    at corpus scale; the downstream groupBy on the same key reuses the
+    exchange (§2.4). Pure driver-side plan analysis, zero jobs."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return par
+    return max(par, min(size // bytes_per_part, 1 << 20))
+
+
 def bounded_parts(
     spark: SparkSession,
     sf_dir: str,

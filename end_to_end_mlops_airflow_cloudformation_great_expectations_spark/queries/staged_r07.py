@@ -378,9 +378,20 @@ def a_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
     ).agg(F.round(F.sum("value"), 6).alias("y"))
-    a = hourly.alias("a")
-    b = hourly.alias("b")
-    pairs = a.join(b, ["event_type"]).where(
+    # Salted pair build (r12, §2.5): the join key alone has ~5
+    # distinct event_types, so pair generation AND the percentile's
+    # partial buffers ran on <=5 post-shuffle partitions (measured:
+    # one 2.5 s two-task stage). Salt the a side deterministically by
+    # h and replicate the dimension-sized b side across the 8 salts —
+    # the matched pair set is IDENTICAL (each a-row meets every b-row
+    # exactly once, at a's salt), and exact percentile sorts its
+    # buffer, so partial-merge order cannot change the result.
+    _S = 8
+    a = hourly.withColumn("s", F.pmod(F.col("h"), F.lit(_S))).alias("a")
+    b = hourly.withColumn(
+        "s", F.explode(F.array(*[F.lit(i) for i in range(_S)]))
+    ).alias("b")
+    pairs = a.join(b, ["event_type", "s"]).where(
         F.col("b.h") > F.col("a.h")
     ).select(
         "event_type",
