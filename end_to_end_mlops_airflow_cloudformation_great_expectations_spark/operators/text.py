@@ -349,7 +349,18 @@ def bpe_merge_rounds(
             # carry the window sort order (plan size grows ~3x per
             # uncut round — bounded by e).
             if r % checkpoint_every == 0:
-                ann = ann.localCheckpoint(eager=False)
+                # DISK_ONLY (r12): the checkpointed round boundary IS
+                # the corpus-scaled token stream — memory-resident
+                # checkpoint blocks starved execution memory at the
+                # 100x/4GB stress point (UNABLE_TO_ACQUIRE_MEMORY in
+                # the round-window sort; same failure class as the
+                # r11 curation-pipeline lesson: corpus payloads to
+                # disk, narrow state in memory).
+                from pyspark.storagelevel import StorageLevel
+
+                ann = ann.localCheckpoint(
+                    eager=False, storageLevel=StorageLevel.DISK_ONLY
+                )
         elif persist_rounds:
             ann = _persist_tracked(ann, fresh=(r == 0))
         counts = (
